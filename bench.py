@@ -1,0 +1,71 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": <float>}
+
+Each query is executed to completion with the noop sink (full compute,
+no driver-side materialization) after a small JVM warm-up, so numbers
+reflect engine throughput rather than collect/Arrow transfer overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dataingestionengineprocess_spark.queries import all_queries  # noqa: E402
+from dataingestionengineprocess_spark.session import get_spark  # noqa: E402
+
+#: Headline set: one per operator family, heavy enough to measure.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_left_outer",
+    "agg_battery",
+    "agg_rollup",
+    "window_keep_latest",
+    "window_running_sum",
+    "topk_per_group",
+    "scalar_array_funcs",
+    "subquery_above_cust_avg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("engine-bench", extra_confs={"spark.ui.enabled": "false"})
+    registry = all_queries()
+
+    # Warm up the JVM / parquet footers with a trivial action.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = registry.get(name)
+        if fn is None:
+            continue
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

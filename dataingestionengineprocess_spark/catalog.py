@@ -1,0 +1,55 @@
+"""Fixture catalog: load the driver-generated parquet tables.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings, one parquet file/dir each under
+a scale-factor directory. Reads are plain `spark.read.parquet`, so
+Catalyst gets full predicate pushdown + column pruning on every query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import tune_session
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at ANY scale factor --
+#: TPC-H dims grow sublinearly (region/nation are constant-size).
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer; Spark has
+    no nanosecond timestamp type, so it arrives as raw nanos (see
+    session.ENGINE_CONFS) and is rebuilt here at microsecond precision
+    -- the same truncation DuckDB applies, so oracle parity holds.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    tune_session(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   tables: tuple[str, ...] = TABLES) -> None:
+    """Register fixture tables as temp views for spark.sql queries."""
+    for name in tables:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

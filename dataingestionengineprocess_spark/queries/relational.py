@@ -1,0 +1,564 @@
+"""Core relational surface: scan/project/filter/join/agg/sort/set-ops.
+
+SURVEY.md §2.2 (P1-P2), §2.3 (J1-J6), §2.4 (A1-A7), §2.6 (O1-O4).
+Reference evidence: the ingestion engine's typed dual sinks
+(Untitled Diagram.drawio:64-69,79-98) imply a full relational query
+surface over the curated tables; provenance tags per SURVEY.md §2.
+
+All queries are declarative DataFrame compositions -- Catalyst handles
+predicate pushdown, column pruning, join strategy (broadcast for the
+small dims), and AQE re-planning. Float aggregates are rounded in BOTH
+engines because double summation order is nondeterministic across
+partitions (and across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from . import register
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary (scan -> filter -> agg -> sort).
+# The filter reaches the parquet scan as a pushed predicate; aggregation is
+# partial (map-side) then final -- 2-phase agg is free from the planner.
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                   AS sum_qty,
+       round(sum(l_extendedprice), 2)                              AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)                                   AS avg_qty,
+       round(avg(l_extendedprice), 4)                              AS avg_price,
+       round(avg(l_discount), 4)                                   AS avg_disc,
+       count(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=_Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1: projection / rename / cast -- the CSV-typing step of the reference's
+# ingestion flow expressed over a curated table.
+# ---------------------------------------------------------------------------
+
+_PROJECT_ORACLE = """
+SELECT o_orderkey AS order_id,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price_dec,
+       upper(o_orderstatus) AS status_u,
+       CAST(o_orderdate AS DATE) AS order_date
+FROM orders
+WHERE o_orderkey <= 1000
+"""
+
+
+@register("project_cast_rename", oracle=_PROJECT_ORACLE)
+def project_cast_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            # decimal cast demonstrates exact typing; surfaced as double so
+            # both engines hand the comparator the same physical type
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("total_price_dec"),
+            F.upper("o_orderstatus").alias("status_u"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2: predicate zoo -- comparison, boolean combinators, IN, BETWEEN, LIKE,
+# IS NULL. All push down to the parquet scan.
+# ---------------------------------------------------------------------------
+
+_FILTER_ORACLE = """
+SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+FROM part
+WHERE p_size BETWEEN 10 AND 30
+  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+  AND p_name LIKE '%a%'
+  AND (p_retailprice > 900.0 OR p_size = 15)
+  AND p_type IS NOT NULL
+"""
+
+
+@register("filter_predicates", oracle=_FILTER_ORACLE)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_size").between(10, 30)
+        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & F.col("p_name").like("%a%")
+        & ((F.col("p_retailprice") > 900.0) | (F.col("p_size") == 15))
+        & F.col("p_type").isNotNull()
+    ).select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+
+
+# ---------------------------------------------------------------------------
+# J1/J4: equi inner join, dims broadcast. TPC-H Q3-style shipping priority.
+# customer/orders join shuffles on the key; AQE picks broadcast for the
+# filtered customer side when it shrinks below the threshold.
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = """
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", oracle=_Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4/J6: TPC-H Q5-style multi-way join with a broadcast dim chain
+# (supplier->nation->region are tiny at every SF: broadcast, no shuffle).
+# This is the [R] lookup-enrichment shape: fact rows enriched against
+# reference-data dims (diagram's PostgreSQL round-trip, :88-98).
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("q5_region_revenue", oracle=_Q5_ORACLE)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dim = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2: outer join -- customers left-joined to their order stats; customers
+# without orders surface with zero counts (null-handling via coalesce).
+# ---------------------------------------------------------------------------
+
+_LEFT_ORACLE = """
+SELECT c.c_custkey, c.c_mktsegment,
+       count(o.o_orderkey)                         AS n_orders,
+       round(coalesce(sum(o.o_totalprice), 0), 2)  AS total_spend
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+"""
+
+
+@register("join_left_outer", oracle=_LEFT_ORACLE)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3: semi / anti joins -- EXISTS / NOT EXISTS idioms. Anti join is the
+# reference's "rows not yet loaded" reconciliation shape.
+# ---------------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+"""
+
+
+@register("join_semi", oracle=_SEMI_ORACLE)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+"""
+
+
+@register("join_anti", oracle=_ANTI_ORACLE)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5: theta / non-equi join. Pairs of parts in the same brand where one is
+# strictly pricier -- equi component keeps it a hash join with a residual
+# predicate rather than a cartesian product.
+# ---------------------------------------------------------------------------
+
+_THETA_ORACLE = """
+SELECT a.p_brand,
+       count(*) AS n_pairs,
+       round(avg(a.p_retailprice - b.p_retailprice), 4) AS avg_gap
+FROM part a
+JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_retailprice > b.p_retailprice
+GROUP BY a.p_brand
+"""
+
+
+@register("join_theta_price_pairs", oracle=_THETA_ORACLE)
+def join_theta_price_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load(spark, sf_dir, "part").alias("a")
+    b = load(spark, sf_dir, "part").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_retailprice") > F.col("b.p_retailprice")),
+        )
+        .groupBy(F.col("a.p_brand").alias("p_brand"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg(F.col("a.p_retailprice") - F.col("b.p_retailprice")), 4).alias("avg_gap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A2/A6: aggregation battery -- core stats plus exact distinct counts.
+# ---------------------------------------------------------------------------
+
+_AGG_ORACLE = """
+SELECT o_orderpriority,
+       count(*)                                   AS n_orders,
+       count(DISTINCT o_custkey)                  AS n_customers,
+       round(sum(o_totalprice), 2)                AS sum_price,
+       round(avg(o_totalprice), 4)                AS avg_price,
+       round(min(o_totalprice), 2)                AS min_price,
+       round(max(o_totalprice), 2)                AS max_price,
+       round(stddev_samp(o_totalprice), 3)        AS sd_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("agg_battery", oracle=_AGG_ORACLE)
+def agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.stddev_samp("o_totalprice"), 3).alias("sd_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6: correlation + variance over the fact table.
+# ---------------------------------------------------------------------------
+
+_STATS_ORACLE = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6)     AS corr_qty_price,
+       round(var_samp(l_discount), 6)                  AS var_disc,
+       round(stddev_samp(l_quantity), 4)               AS sd_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_statistics", oracle=_STATS_ORACLE)
+def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: rollup with grouping flags. GROUPING() disambiguates real NULLs from
+# subtotal rows -- identical semantics in Spark SQL and DuckDB.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       grouping(l_returnflag) AS g_flag,
+       grouping(l_linestatus) AS g_status,
+       count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_rollup", oracle=_ROLLUP_ORACLE)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g_flag", "g_status", "n", "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: cube -- all grouping-set combinations.
+# ---------------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT coalesce(o_orderstatus, 'ALL')  AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("agg_cube", oracle=_CUBE_ORACLE)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n", "sum_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7: collect_set nested into a deterministic string (sorted + joined so the
+# value hash is stable across partition orders and engines).
+# ---------------------------------------------------------------------------
+
+_COLLECT_ORACLE = """
+SELECT n.n_name,
+       array_to_string(list_sort(list(DISTINCT c.c_mktsegment)), ',') AS segments
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register("agg_collect_set", oracle=_COLLECT_ORACLE)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3: approximate count-distinct (HyperLogLog++). No SQL oracle -- the
+# estimate is engine-specific by construction; driver does rows-only.
+# At 100 TB this replaces exact countDistinct's full shuffle with a
+# constant-size sketch merge.
+# ---------------------------------------------------------------------------
+
+
+@register("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1/O2: global sort + limit with a total order (unique tiebreak) so both
+# engines pick identical rows. Planner turns this into TakeOrderedAndProject
+# -- per-partition top-k then a k-way driver merge, no global sort shuffle.
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+"""
+
+
+@register("topk_global", oracle=_TOPK_ORACLE)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O3/O4: set operations -- union / intersect / except over key sets.
+# ---------------------------------------------------------------------------
+
+_SETOPS_ORACLE = """
+WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     rich     AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+     unioned  AS (SELECT c_custkey FROM building UNION SELECT c_custkey FROM rich),
+     overlap  AS (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM rich),
+     only_b   AS (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM rich)
+SELECT 'union' AS op, count(*) AS n FROM unioned
+UNION ALL SELECT 'intersect' AS op, count(*) AS n FROM overlap
+UNION ALL SELECT 'except' AS op, count(*) AS n FROM only_b
+"""
+
+
+@register("set_operations", oracle=_SETOPS_ORACLE)
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    unioned = building.union(rich).distinct().agg(F.count("*").alias("n")).select(
+        F.lit("union").alias("op"), "n"
+    )
+    both = building.intersect(rich).agg(F.count("*").alias("n")).select(
+        F.lit("intersect").alias("op"), "n"
+    )
+    only_b = building.exceptAll(rich.distinct()).distinct().agg(
+        F.count("*").alias("n")
+    ).select(F.lit("except").alias("op"), "n")
+    return unioned.union(both).union(only_b)
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (Catalyst decorrelates it into a join):
+# orders above their customer's average order value.
+# ---------------------------------------------------------------------------
+
+_SUBQ_ORACLE = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price
+FROM orders o
+WHERE o_totalprice > 1.8 * (SELECT avg(o2.o_totalprice)
+                            FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@register("subquery_above_cust_avg", oracle=_SUBQ_ORACLE)
+def subquery_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    avg_per_cust = orders.groupBy("o_custkey").agg(
+        F.avg("o_totalprice").alias("cust_avg")
+    ).withColumnRenamed("o_custkey", "ac_custkey")
+    return (
+        orders.join(avg_per_cust, orders.o_custkey == avg_per_cust.ac_custkey)
+        .filter(F.col("o_totalprice") > 1.8 * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_price"))
+    )

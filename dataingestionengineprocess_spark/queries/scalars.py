@@ -1,0 +1,270 @@
+"""Scalar-function surface: string / date / math / conditional /
+JSON / map / array + higher-order functions.
+
+SURVEY.md §2.7. Everything stays JVM-side (whole-stage codegen) --
+no Python UDFs anywhere in this module. Array math is done after an
+element-wise cast to double so both engines fold identical doubles in
+identical order (embedding is float32 on disk; float accumulation
+order would otherwise differ in the last ulps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from . import register
+
+# ---------------------------------------------------------------------------
+# String functions over customer/part -- the CSV-cleanup vocabulary.
+# ---------------------------------------------------------------------------
+
+_STRING_ORACLE = """
+SELECT c_custkey,
+       concat(c_mktsegment, ':', c_name)                      AS seg_name,
+       substring(c_name, 1, 8)                                AS name_prefix,
+       upper(c_mktsegment)                                    AS seg_upper,
+       lower(c_name)                                          AS name_lower,
+       trim(concat('  ', c_name, '  '))                       AS name_trimmed,
+       lpad(CAST(c_nationkey AS VARCHAR), 4, '0')             AS nation_padded,
+       regexp_extract(c_name, '([0-9]+)', 1)                  AS digits,
+       regexp_replace(c_name, '[0-9]', '#', 'g')              AS masked,
+       length(c_name)                                         AS name_len,
+       CAST(split_part(c_name, '#', 2) AS BIGINT)             AS cust_num
+FROM customer
+WHERE c_custkey < 500
+"""
+
+
+@register("scalar_string_funcs", oracle=_STRING_ORACLE)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 500)
+        .select(
+            "c_custkey",
+            F.concat("c_mktsegment", F.lit(":"), "c_name").alias("seg_name"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.upper("c_mktsegment").alias("seg_upper"),
+            F.lower("c_name").alias("name_lower"),
+            F.trim(F.concat(F.lit("  "), "c_name", F.lit("  "))).alias("name_trimmed"),
+            F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_padded"),
+            F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+            F.regexp_replace("c_name", r"[0-9]", "#").alias("masked"),
+            F.length("c_name").cast("long").alias("name_len"),
+            F.split("c_name", "#").getItem(1).cast("long").alias("cust_num"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/time functions over orders -- typing CSV text into temporal logic.
+# ---------------------------------------------------------------------------
+
+_DATE_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE)                       AS order_date,
+       date_trunc('month', o_orderdate)                AS order_month,
+       CAST(year(o_orderdate) AS INT)                  AS order_year,
+       CAST(month(o_orderdate) AS INT)                 AS order_mon,
+       CAST(day(o_orderdate) AS INT)                   AS order_day,
+       CAST(quarter(o_orderdate) AS INT)               AS order_qtr,
+       CAST(o_orderdate AS DATE) + INTERVAL 30 DAY     AS due_date,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+       CAST(epoch(o_orderdate) AS BIGINT)              AS epoch_s
+FROM orders
+WHERE o_orderkey < 2000
+"""
+
+
+@register("scalar_date_funcs", oracle=_DATE_ORACLE)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("o_orderdate").cast("date")
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            d.alias("order_date"),
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_mon"),
+            F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+            F.quarter("o_orderdate").cast("int").alias("order_qtr"),
+            F.date_add(d, 30).cast("timestamp").alias("due_date"),
+            F.datediff(F.lit("2000-01-01").cast("date"), d).cast("long").alias("days_to_y2k"),
+            F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Math functions over lineitem.
+# ---------------------------------------------------------------------------
+
+_MATH_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 0)                       AS price_round,
+       abs(l_discount - 0.05)                          AS disc_dev,
+       CAST(floor(l_quantity / 7) AS BIGINT)           AS qty_bucket,
+       CAST(ceil(l_extendedprice / 1000) AS BIGINT)    AS price_kbucket,
+       round(pow(l_quantity, 2), 2)                    AS qty_sq,
+       round(ln(l_extendedprice), 6)                   AS price_ln,
+       round(sqrt(l_quantity), 6)                      AS qty_sqrt,
+       CAST(l_quantity AS BIGINT) % 5                  AS qty_mod
+FROM lineitem
+WHERE l_orderkey < 300
+"""
+
+
+@register("scalar_math_funcs", oracle=_MATH_ORACLE)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 300)
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.round("l_extendedprice", 0).alias("price_round"),
+            F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+            F.floor(F.col("l_quantity") / 7).alias("qty_bucket"),
+            F.ceil(F.col("l_extendedprice") / 1000).alias("price_kbucket"),
+            F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+            F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+            F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+            (F.col("l_quantity").cast("long") % 5).alias("qty_mod"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional / null handling: CASE WHEN, coalesce, nullif.
+# ---------------------------------------------------------------------------
+
+_COND_ORACLE = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 3000 THEN 'low'
+            WHEN c_acctbal < 7000 THEN 'mid'
+            ELSE 'high' END                            AS bal_band,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'REDACTED') AS seg_masked,
+       CASE WHEN c_acctbal > 0 THEN round(c_acctbal, 2) END   AS pos_bal
+FROM customer
+"""
+
+
+@register("scalar_conditional", oracle=_COND_ORACLE)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bal = F.col("c_acctbal")
+    return (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.when(bal < 0, "debt")
+            .when(bal < 3000, "low")
+            .when(bal < 7000, "mid")
+            .otherwise("high")
+            .alias("bal_band"),
+            F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("REDACTED"))
+            .alias("seg_masked"),
+            F.when(bal > 0, F.round(bal, 2)).alias("pos_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction over events.props (semi-structured ingest, S4).
+# get_json_object <-> DuckDB json_extract_string; typed via cast.
+# ---------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_id, event_type,
+       json_extract_string(props, '$.k')            AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+FROM events
+WHERE event_type IN ('purchase', 'error')
+"""
+
+
+@register("scalar_json_funcs", oracle=_JSON_ORACLE)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.get_json_object("props", "$.k")
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            "event_id", "event_type",
+            k.alias("k_str"),
+            k.cast("long").alias("k_int"),
+            (k.cast("long") % 10).alias("k_bucket"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# from_json -> typed struct/map, then explode the map into rows (UDTF-shaped
+# fan-out done with built-ins, SURVEY §2.9).
+# ---------------------------------------------------------------------------
+
+_MAP_ORACLE = """
+SELECT event_id, 'k' AS prop_key,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_value
+FROM events
+WHERE event_id < 2000
+"""
+
+
+@register("scalar_map_explode", oracle=_MAP_ORACLE)
+def scalar_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    parsed = ev.select(
+        "event_id",
+        F.from_json("props", "map<string,bigint>").alias("props_map"),
+    )
+    return parsed.select(
+        "event_id", F.explode("props_map").alias("prop_key", "prop_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array + higher-order functions over embeddings: size/slice/element_at,
+# transform/filter/aggregate. Element-wise cast to double first (see module
+# docstring); sequential fold order matches DuckDB's list functions.
+# ---------------------------------------------------------------------------
+
+_ARRAY_ORACLE = """
+SELECT vec_id,
+       len(embedding)                                              AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 6)                      AS first_val,
+       round(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)), 6) AS sq_norm,
+       round(list_sum(list_transform(embedding::DOUBLE[], x -> abs(x))), 6) AS l1_norm,
+       len(list_filter(embedding::DOUBLE[], x -> x > 0))           AS n_positive,
+       round(list_max(embedding::DOUBLE[]), 6)                     AS max_val
+FROM embeddings
+WHERE vec_id < 1000
+"""
+
+
+@register("scalar_array_funcs", oracle=_ARRAY_ORACLE)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 1000)
+        .select(
+            "vec_id",
+            F.size("embedding").cast("long").alias("dim"),
+            F.round(F.element_at(emb, 1), 6).alias("first_val"),
+            F.round(
+                F.aggregate(F.transform(emb, lambda x: x * x), F.lit(0.0),
+                            lambda acc, x: acc + x), 6
+            ).alias("sq_norm"),
+            F.round(
+                F.aggregate(F.transform(emb, F.abs), F.lit(0.0),
+                            lambda acc, x: acc + x), 6
+            ).alias("l1_norm"),
+            F.size(F.filter(emb, lambda x: x > 0)).cast("long").alias("n_positive"),
+            F.round(F.array_max(emb), 6).alias("max_val"),
+        )
+    )

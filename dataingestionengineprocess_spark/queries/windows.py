@@ -1,0 +1,198 @@
+"""Window-function surface: ranking, analytic, framed aggregates.
+
+SURVEY.md §2.5 (W1-W4) plus the keep-latest dedup idiom (P3) and
+per-group top-k (O2). Every ORDER BY inside a window carries a unique
+tiebreak column so results are total-ordered and engine-independent.
+
+Scale note: window functions shuffle once on the partition key and
+sort within partitions -- the same cost profile as a groupBy on that
+key. Skewed partition keys (one user with millions of events) are the
+hazard at 100 TB; the partition keys here (custkey, user_id) are
+near-uniform in the fixtures, and AQE skew handling covers the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from . import register
+
+# ---------------------------------------------------------------------------
+# W1 + P3: keep-latest dedup -- the reference's re-delivered-file idiom
+# (a partner re-drops a CSV; only the newest row per key survives).
+# ---------------------------------------------------------------------------
+
+_LATEST_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate, round(o_totalprice, 2) AS total_price
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+@register("window_keep_latest", oracle=_LATEST_ORACLE)
+def window_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate",
+                F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O2 per-group top-k: top 3 orders per customer by price.
+# ---------------------------------------------------------------------------
+
+_TOPK_GROUP_ORACLE = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total_price, rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+@register("topk_per_group", oracle=_TOPK_GROUP_ORACLE)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("total_price"), "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1: rank / dense_rank / ntile within brand by retail price.
+# ---------------------------------------------------------------------------
+
+_RANK_ORACLE = """
+SELECT p_brand, p_partkey, round(p_retailprice, 2) AS retail_price,
+       rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk,
+       dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS drnk,
+       ntile(4)     OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS quartile
+FROM part
+"""
+
+
+@register("window_rank_ntile", oracle=_RANK_ORACLE)
+def window_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return (
+        load(spark, sf_dir, "part")
+        .select(
+            "p_brand", "p_partkey",
+            F.round("p_retailprice", 2).alias("retail_price"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2: lag/lead -- days since a customer's previous order.
+# ---------------------------------------------------------------------------
+
+_LAG_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       date_diff('day',
+                 lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS days_since_prev,
+       lead(o_orderkey) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+FROM orders
+"""
+
+
+@register("window_lag_lead", oracle=_LAG_ORACLE)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey", "o_orderkey", "o_orderdate",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ).cast("long").alias("days_since_prev"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3: framed running aggregate -- cumulative spend per customer in order-date
+# order (ROWS frame; unique tiebreak makes the prefix sums deterministic).
+# ---------------------------------------------------------------------------
+
+_RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+       round(avg(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3
+FROM orders
+"""
+
+
+@register("window_running_sum", oracle=_RUNNING_ORACLE)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey", "o_orderkey", "o_orderdate",
+            F.round(
+                F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
+            ).alias("running_spend"),
+            F.round(
+                F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4
+            ).alias("moving_avg_3"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4: RANGE frame over event time -- per user, number of events in the
+# trailing 10 minutes (range on epoch seconds, not row counts).
+# ---------------------------------------------------------------------------
+
+_RANGE_ORACLE = """
+SELECT event_id, user_id, ts,
+       count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                      RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS n_last_10m
+FROM events
+"""
+
+
+@register("window_range_trailing", oracle=_RANGE_ORACLE)
+def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # Epoch with fractional seconds so sub-second event spacing matches
+    # DuckDB's epoch() (which returns fractional seconds for timestamps).
+    epoch = F.col("ts").cast("double")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-600, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.count("*").over(w).alias("n_last_10m"),
+    )
