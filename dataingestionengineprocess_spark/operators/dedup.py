@@ -1,0 +1,240 @@
+"""Deduplication operators: exact, keep-latest, MinHash-LSH, SimHash,
+n-gram Jaccard.
+
+SURVEY.md §2.2 P3 [C] ("dedup" mandate). Scale design notes:
+
+- *Exact* dedup is a hash shuffle on the fingerprint -- the only way
+  to dedup 100 TB, and the shuffle key (md5) is uniform by
+  construction, so no skew.
+- *MinHash LSH* turns the quadratic all-pairs problem into
+  shuffle-on-band-key: each doc emits `bands` rows, docs sharing a
+  band bucket meet in one shuffle partition. Candidate verification
+  (exact signature agreement / exact Jaccard) happens only within
+  buckets. Bucket-size blowup (a degenerate bucket holding 1M docs)
+  is the skew hazard; cap with a bucket-size filter.
+- *SimHash* pairs use the pigeonhole band trick: hamming(a,b) <= 3
+  over 64 bits implies at least one of 4 16-bit chunks is equal, so
+  an equi-join on chunks finds all candidates without a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, shingles
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, key_cols: list[str],
+                tiebreak_cols: list[str]) -> DataFrame:
+    """Keep exactly one row per key, deterministically (smallest
+    tiebreak wins). `dropDuplicates` keeps an arbitrary row; a window
+    keeps a *defined* one, which re-runs and oracles both need."""
+    w = W.partitionBy(*key_cols).orderBy(*tiebreak_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_exact_text(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Content-exact dedup on the normalized-text fingerprint."""
+    return dedup_exact(
+        df.withColumn("fp", fingerprint(text_col)), ["fp"], [id_col]
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def _minhash_col(shingle_col: Column, seed: int) -> Column:
+    """One minhash: min over shingles of a seeded 64-bit hash.
+    xxhash64 is Spark's built-in splittable hash -- JVM-side, zero
+    Python. Empty shingle sets get NULL (array_min of empty)."""
+    return F.array_min(
+        F.transform(shingle_col, lambda s: F.xxhash64(F.lit(str(seed)), s))
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 32,
+                       shingle_n: int = 3) -> DataFrame:
+    """id + minhash signature array (length num_hashes)."""
+    sh = shingles(text_col, shingle_n)
+    out = df.select(
+        F.col(id_col),
+        F.array(*[_minhash_col(sh, j) for j in range(num_hashes)]).alias("sig"),
+    )
+    return out
+
+
+def minhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", num_hashes: int = 32,
+                          bands: int = 16, shingle_n: int = 3,
+                          est_threshold: float = 0.5,
+                          max_bucket: int = 1000) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, scored by estimated
+    Jaccard (fraction of agreeing minhashes).
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, est >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+
+    banded = sigs.select(
+        id_col, "sig",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
+                             for r in range(rows_per_band)])
+                for b in range(bands)
+            ])
+        ).alias("band_idx", "band_key"),
+    )
+    # Skew guard: drop degenerate buckets (e.g. every empty doc hashes
+    # identically) before the self-join blows up quadratically.
+    bucket_sizes = banded.groupBy("band_idx", "band_key").agg(
+        F.count("*").alias("__bn")
+    )
+    banded = banded.join(
+        bucket_sizes.filter(F.col("__bn") <= max_bucket).drop("__bn"),
+        ["band_idx", "band_key"],
+    )
+
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
+        "band_idx", "band_key",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
+        "band_idx", "band_key",
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double") / F.lit(num_hashes)
+    )
+    return (
+        pairs.withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (the oracle-checkable near-dup operator)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.6) -> DataFrame:
+    """Exact Jaccard over distinct n-gram shingles, computed
+    relationally: explode shingles, equi-join on the shingle, count
+    intersections, derive |union| = |A| + |B| - |A∩B|.
+
+    The equi-join on shingle IS the scale trick: only docs sharing at
+    least one shingle ever meet, so cost is sum of per-shingle bucket
+    sizes squared, not |docs|^2. Hot shingles (boilerplate) are the
+    skew risk -- AQE skew-join splits them.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+
+    a = sh.select(F.col("id").alias("id_a"), "s")
+    b = sh.select(F.col("id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sz_a, "id_a").join(sz_b, "id_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text_col: Column | str, shingle_n: int = 3) -> Column:
+    """64-bit SimHash over distinct n-gram shingles: bit b is 1 when
+    the sum of (+1/-1) votes from each shingle's hash bit b is
+    positive. Shingles (not unigrams) carry the signal when the
+    vocabulary is small relative to document length."""
+    feats = shingles(text_col, shingle_n)
+    hashes = F.transform(feats, lambda t: F.xxhash64(t))
+
+    def bit_vote(b: int) -> Column:
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        out = out.bitwiseOR(bit_vote(b))
+    return out
+
+
+def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          max_hamming: int = 3) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) <= max_hamming via the
+    pigeonhole chunk join (4 x 16-bit chunks; <=3 differing bits means
+    >=1 chunk identical)."""
+    sh = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sh"))
+    chunks = sh.select(
+        "id", "sh",
+        F.posexplode(
+            F.array(*[
+                F.shiftright("sh", 16 * c).bitwiseAND(F.lit(0xFFFF))
+                for c in range(4)
+            ])
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                      "chunk_idx", "chunk_val")
+    b = chunks.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                      "chunk_idx", "chunk_val")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

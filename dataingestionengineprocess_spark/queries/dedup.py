@@ -1,1 +1,142 @@
-"""Placeholder -- populated in this round."""
+"""Dedup query surface over ``documents`` / ``embeddings``.
+
+SURVEY.md §2.2 P3 [C]: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup. Exact/Jaccard/cosine variants carry full
+DuckDB oracles; LSH/SimHash use engine-specific hashes (xxhash64) so
+they get the driver's rows-only check, with pytest asserting their
+recall against the exact operators instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.text import fingerprint
+from ..operators.dedup import (
+    dedup_exact_text,
+    minhash_neardup_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from ..functions.vectors import as_double, cosine
+from . import register
+
+# ---------------------------------------------------------------------------
+# Exact dedup via content fingerprint (deterministic keep-smallest-id).
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT doc_id, lang, source, fp
+FROM (
+  SELECT doc_id, lang, source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         row_number() OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+@register("dedup_exact_fingerprint", oracle=_EXACT_ORACLE)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup_exact_text(docs).select("doc_id", "lang", "source", "fp")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs (the oracle for the LSH variants).
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                               for i in range(1, len(t) - 1)])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 3
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH near-dup candidates (rows-only: xxhash64-based).
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return minhash_neardup_pairs(
+        docs, num_hashes=32, bands=16, est_threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs (rows-only: xxhash64-based).
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: exact all-pairs within label partitions.
+# Label partitioning is the practical trick: a 100 TB corpus is never
+# all-pairs'd globally; it's bucketed (here by label, in production by
+# an IVF/LSH bucket) and pairs are checked within buckets.
+# ---------------------------------------------------------------------------
+
+_EMB_NEARDUP_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) AS cos_sim,
+       a.label
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_EMB_NEARDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label"),
+                   as_double("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label"),
+                   as_double("embedding").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, ["label"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.4)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"), "label")
+    )

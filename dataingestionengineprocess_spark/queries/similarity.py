@@ -1,1 +1,85 @@
-"""Placeholder -- populated in this round."""
+"""Similarity-search query surface over ``embeddings``.
+
+SURVEY.md §2.3 J8 [C]: brute-force cosine top-k (exact baseline,
+DuckDB-oracled), LSH-bucketed ANN (scale path, rows-only -- recall is
+asserted against brute force in pytest), and relational
+nearest-centroid classification (oracled; the IVF coarse-quantizer
+building block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.similarity import brute_force_topk, centroid_classify, lsh_topk
+from . import register
+
+_COS = """list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"""
+
+_KNN_ORACLE = f"""
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round({_COS}, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_COS}, 6) DESC, b.vec_id) AS rank
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 10
+) WHERE rank <= 5
+"""
+
+
+@register("knn_bruteforce_cosine", oracle=_KNN_ORACLE)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=5)
+
+
+@register("knn_lsh_ann")
+def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+_CENTROID_ORACLE = """
+WITH exploded AS (
+  SELECT vec_id AS vid, label AS true_label,
+         generate_subscripts(embedding, 1) - 1 AS d,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings
+),
+centroids AS (
+  SELECT true_label AS clabel, d, avg(x) AS c FROM exploded GROUP BY 1, 2
+),
+cnorm AS (SELECT clabel, sqrt(sum(c * c)) AS c_norm FROM centroids GROUP BY 1),
+vnorm AS (SELECT vid, sqrt(sum(x * x)) AS v_norm FROM exploded GROUP BY 1),
+dots AS (
+  SELECT e.vid, e.true_label, ct.clabel, sum(e.x * ct.c) AS dot
+  FROM exploded e JOIN centroids ct ON e.d = ct.d
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT d.vid, d.true_label, d.clabel,
+         d.dot / (cn.c_norm * vn.v_norm) AS cos_raw,
+         row_number() OVER (PARTITION BY d.vid
+                            ORDER BY d.dot / (cn.c_norm * vn.v_norm) DESC,
+                                     d.clabel) AS rn
+  FROM dots d JOIN cnorm cn ON d.clabel = cn.clabel
+              JOIN vnorm vn ON d.vid = vn.vid
+)
+SELECT vid AS vec_id, true_label, clabel AS pred_label,
+       round(cos_raw, 6) AS cos_sim
+FROM scored WHERE rn = 1
+"""
+
+
+@register("similarity_centroid_classify", oracle=_CENTROID_ORACLE)
+def similarity_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return centroid_classify(emb)

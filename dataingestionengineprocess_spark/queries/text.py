@@ -1,1 +1,230 @@
-"""Placeholder -- populated in this round."""
+"""Text-analysis query surface over ``documents``.
+
+SURVEY.md §2.7 [C]: token counting, quality scoring, language ID,
+document fingerprinting, TF-IDF. All JVM-side built-ins; the TF-IDF
+is fully relational (explode -> agg -> join) rather than MLlib, so it
+has an exact SQL oracle and scales as ordinary shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    avg_token_len,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    tokens,
+)
+from . import register
+
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# ---------------------------------------------------------------------------
+# Token statistics.
+# ---------------------------------------------------------------------------
+
+_TOKEN_ORACLE = f"""
+SELECT doc_id, lang,
+       len(string_split(text, ' '))                        AS n_tokens,
+       len(list_distinct(string_split(text, ' ')))         AS n_distinct,
+       round(list_sum(list_transform(string_split(text, ' '),
+                                     t -> CAST(len(t) AS DOUBLE)))
+             / len(string_split(text, ' ')), 6)            AS avg_tok_len,
+       CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ({_SW_SQL}))) AS BIGINT) AS n_stopwords,
+       CAST(length(text) AS BIGINT)                        AS n_chars_actual
+FROM documents
+"""
+
+
+@register("text_token_stats", oracle=_TOKEN_ORACLE)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens("text")
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang",
+            token_count("text").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+            F.round(avg_token_len("text"), 6).alias("avg_tok_len"),
+            F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+            .cast("long").alias("n_stopwords"),
+            F.length("text").cast("long").alias("n_chars_actual"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (deterministic formula, see functions.text).
+# ---------------------------------------------------------------------------
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         len(string_split(text, ' ')) AS n,
+         len(list_filter(string_split(text, ' '), t -> t IN ({_SW_SQL})))
+             / len(string_split(text, ' ')) AS sw,
+         list_sum(list_transform(string_split(text, ' '),
+                                 t -> CAST(len(t) AS DOUBLE)))
+             / len(string_split(text, ' ')) AS alen
+  FROM documents
+)
+SELECT doc_id, lang, source,
+       round(0.4 * least(n / 50.0, 1.0)
+             + 0.3 * (1.0 - abs(sw - 0.10) / 0.9)
+             + 0.3 * (1.0 - least(abs(alen - 5.0) / 5.0, 1.0)), 6) AS quality
+FROM t
+"""
+
+
+@register("text_quality_score", oracle=_QUALITY_ORACLE)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang", "source",
+            F.round(quality_score("text"), 6).alias("quality"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic: argmax of marker-lexicon hits, 'und' on zero.
+# Oracle generated from the SAME lexicon dict so they cannot drift.
+# ---------------------------------------------------------------------------
+
+_LEXICON_VALUES = ", ".join(
+    "('{}', [{}])".format(code, ", ".join(f"'{w}'" for w in words))
+    for code, words in sorted(LANG_MARKERS.items())
+)
+
+_LANGID_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS dt
+  FROM documents
+),
+scores AS (
+  SELECT t.doc_id, t.lang, l.code,
+         len(list_filter(t.dt, x -> list_contains(l.words, x))) AS hits
+  FROM t, (VALUES {_LEXICON_VALUES}) AS l(code, words)
+),
+ranked AS (
+  SELECT doc_id, lang, code, hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, code) AS rn
+  FROM scores
+)
+SELECT doc_id, lang,
+       CASE WHEN hits > 0 THEN code ELSE 'und' END AS lang_pred
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("text_langid", oracle=_LANGID_ORACLE)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content fingerprint (md5 of normalized text; exact in both engines).
+# ---------------------------------------------------------------------------
+
+_FP_ORACLE = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 8) AS fp_prefix
+FROM documents
+"""
+
+
+@register("text_fingerprint", oracle=_FP_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = fingerprint("text")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp_prefix"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash fingerprint (engine-hash based -> rows-only check; pytest
+# asserts the useful property: equal texts <=> equal fingerprints).
+# ---------------------------------------------------------------------------
+
+
+@register("text_rolling_hash")
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-step modulus keeps acc*31 inside int64 (Spark 4 runs ANSI
+    # mode by default: silent wraparound is an overflow error).
+    rolling = F.aggregate(
+        tokens("text"),
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(
+            acc * 31 + F.pmod(F.xxhash64(t), F.lit(1 << 20)), F.lit(1 << 43)
+        ),
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", rolling.alias("rolling_fp"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational TF-IDF: top-3 terms per document.
+# idf = ln((N + 1) / (df + 1)) + 1 over raw term counts.
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH term AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM term GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM term GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (ln((n.n_docs + 1) / (df.df + 1)) + 1) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, round(tfidf, 6) AS tfidf, rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+@register("text_tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; one job, cached by the planner
+    term = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = term.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = term.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .withColumn(
+            "tfidf",
+            F.col("tf") * (F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)) + 1),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rnk")
+    )
