@@ -1,0 +1,169 @@
+"""The ingestion engine: landing-zone CSV -> validate -> dedup ->
+enrich -> dual sink -> status.
+
+This is the Spark-native re-expression of the reference's entire
+architecture (Untitled Diagram.drawio): the Lambda/EC2 trigger loop
+(:150-151) becomes a (micro-)batch over the landing directory, the
+opaque "Ingestion Engine Process Using Python program" (:153-154)
+becomes the declarative stage chain below, the Redshift + PostgreSQL
+dual write (:79-98) becomes `write_warehouse` + `write_oltp`, and the
+CloudWatch completion signal (:147-148) becomes a `_runs` status row.
+
+One feed = one `FeedConfig`. The same stage chain serves batch
+(`ingest_batch`) and Structured Streaming (`ingest_stream`, which
+wraps it in `foreachBatch` -- ST1/ST7).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .operators.dedup import dedup_exact
+from .operators.quality import ValidationResult, validate
+from .sinks.warehouse import (
+    RunStatus,
+    SinkConfig,
+    new_run_id,
+    write_oltp,
+    write_status,
+    write_warehouse,
+)
+from .sources.csv_source import read_csv_feed
+
+
+@dataclass
+class Enrichment:
+    """Broadcast lookup join against reference data (J6 -- the
+    diagram's PostgreSQL round-trip, :88-98)."""
+    dim: DataFrame
+    fact_col: str
+    dim_col: str
+    how: str = "left"
+
+
+@dataclass
+class FeedConfig:
+    name: str
+    schema: T.StructType
+    key_cols: list[str]
+    order_col: str  # newest-wins column for re-delivered rows (P3)
+    rules: list = field(default_factory=list)
+    enrichments: list[Enrichment] = field(default_factory=list)
+    timestamp_format: str | None = None
+
+
+def run_stages(feed: FeedConfig, clean: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """validate -> keep-latest dedup -> enrich. Returns (curated,
+    quarantined). Pure transformations: the caller decides when/where
+    actions and writes happen (batch and streaming share this)."""
+    result: ValidationResult = validate(clean, feed.rules)
+
+    deduped = dedup_exact(
+        result.passed,
+        feed.key_cols,
+        [F.col(feed.order_col).desc()],
+    )
+
+    curated = deduped
+    for e in feed.enrichments:
+        curated = curated.join(
+            F.broadcast(e.dim), curated[e.fact_col] == e.dim[e.dim_col], e.how
+        ).drop(e.dim_col)
+    return curated, result.quarantined
+
+
+def ingest_batch(spark: SparkSession, feed: FeedConfig, src_path: str,
+                 sinks: SinkConfig, run_id: str | None = None) -> RunStatus:
+    """One landing-zone batch, end to end. Idempotent per run_id: the
+    warehouse write replaces the run's own partition on re-run."""
+    started = time.time()
+    run_id = run_id or new_run_id()
+
+    batch = read_csv_feed(
+        spark, src_path, feed.schema, timestamp_format=feed.timestamp_format
+    )
+    curated, quarantined = run_stages(feed, batch.clean)
+    curated = curated.withColumn("_run_id", F.lit(run_id)).cache()
+
+    rows_read = batch.clean.count() + batch.rejects.count()
+    rows_loaded = curated.count()
+    rows_quarantined = quarantined.count()
+    rows_rejected = batch.rejects.count()
+
+    write_warehouse(curated, sinks.warehouse_dir, feed.name,
+                    partition_cols=["_run_id"], mode="overwrite")
+    write_oltp(curated.drop("_run_id"), sinks, f"{feed.name}_oltp",
+               mode="append")
+    if rows_rejected:
+        write_warehouse(batch.rejects, sinks.warehouse_dir,
+                        f"{feed.name}_rejects")
+    if rows_quarantined:
+        write_warehouse(
+            quarantined.withColumn(
+                "_violations", F.array_join("_violations", ",")
+            ),
+            sinks.warehouse_dir, f"{feed.name}_quarantine",
+        )
+
+    status = RunStatus(
+        run_id=run_id, feed=feed.name, rows_read=rows_read,
+        rows_loaded=rows_loaded, rows_rejected=rows_rejected,
+        rows_quarantined=rows_quarantined,
+        started_at=started, finished_at=time.time(),
+    )
+    write_status(spark, sinks.warehouse_dir, status)
+    return status
+
+
+def ingest_stream(spark: SparkSession, feed: FeedConfig, src_dir: str,
+                  sinks: SinkConfig, checkpoint_dir: str,
+                  max_files_per_trigger: int | None = None):
+    """Continuous landing-zone ingest (ST1/ST7): the streaming file
+    source tracks processed files in the checkpoint (exactly-once per
+    file -- the durable replacement for the Lambda trigger), and each
+    micro-batch runs the same stage chain inside foreachBatch.
+
+    Returns the started StreamingQuery; callers typically
+    ``q.awaitTermination()`` (or rely on availableNow to drain and
+    stop)."""
+    reader = (
+        spark.readStream.schema(feed.schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.csv(src_dir)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        started = time.time()
+        run_id = f"stream-{epoch_id}"
+        curated, quarantined = run_stages(feed, batch_df)
+        curated = curated.withColumn("_run_id", F.lit(run_id)).cache()
+        rows_read = batch_df.count()
+        rows_loaded = curated.count()
+        rows_quarantined = quarantined.count()
+        write_warehouse(curated, sinks.warehouse_dir, feed.name,
+                        partition_cols=["_run_id"], mode="overwrite")
+        write_oltp(curated.drop("_run_id"), sinks, f"{feed.name}_oltp",
+                   mode="append")
+        write_status(spark, sinks.warehouse_dir, RunStatus(
+            run_id=run_id, feed=feed.name, rows_read=rows_read,
+            rows_loaded=rows_loaded, rows_rejected=0,
+            rows_quarantined=rows_quarantined,
+            started_at=started, finished_at=time.time(),
+        ))
+
+    return (
+        stream.writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

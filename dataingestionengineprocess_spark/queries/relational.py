@@ -562,3 +562,48 @@ def subquery_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > 1.8 * F.col("cust_avg"))
         .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_price"))
     )
+
+
+# ---------------------------------------------------------------------------
+# J7: as-of join -- each event matched to the user's latest order
+# snapshot at-or-before the event time. Spark lacks native ASOF JOIN;
+# operators.asof implements the union+last-carry-forward plan (one
+# shuffle + sort). DuckDB HAS native ASOF JOIN -- the oracle uses it,
+# making this a true cross-engine semantic check.
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH snap AS (
+  SELECT o_custkey AS user_id, o_orderdate,
+         max(o_orderkey) AS o_orderkey,
+         max_by(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, s.o_orderkey,
+       round(s.o_totalprice, 2) AS snap_price
+FROM events e
+ASOF JOIN snap s ON e.user_id = s.user_id AND e.ts >= s.o_orderdate
+"""
+
+
+@register("asof_join_latest_order", oracle=_ASOF_ORACLE)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_backward
+
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    snap = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    joined = asof_join_backward(
+        events, snap, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"], how="inner",
+    )
+    return joined.select(
+        "event_id", "user_id", "o_orderkey",
+        F.round("o_totalprice", 2).alias("snap_price"),
+    )

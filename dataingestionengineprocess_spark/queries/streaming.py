@@ -1,1 +1,112 @@
-"""Placeholder -- populated in this round."""
+"""Streaming query surface: the events fixture replayed as a bounded
+stream, drained with availableNow into a memory sink.
+
+SURVEY.md §2.8. Tumbling/session/dedup results are deterministic
+functions of the input, so they carry exact DuckDB oracles (the
+streaming plan must converge to the batch answer once drained);
+sliding windows and the stateful op are rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.analytics import (
+    read_events_stream,
+    run_to_table,
+    session_windows,
+    sliding_counts,
+    stateful_user_totals,
+    streaming_dedup_counts,
+    tumbling_counts,
+)
+from . import register
+
+# NOTE: epoch(ts)::BIGINT would ROUND in DuckDB (double->int cast is
+# round-to-nearest, unlike Spark's truncating cast) and misbucket
+# events in the last rounded-up microsecond-fraction of an hour.
+_TUMBLING_ORACLE = """
+SELECT date_trunc('hour', ts) AS win_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("stream_tumbling_counts", oracle=_TUMBLING_ORACLE)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return run_to_table(tumbling_counts(ev), spark)
+
+
+_SESSION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 OR
+                   lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events, round(sum(value), 2) AS session_value
+FROM sessioned
+GROUP BY user_id, session_id
+"""
+
+
+@register("stream_session_windows", oracle=_SESSION_ORACLE)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return run_to_table(session_windows(ev, gap="30 minutes"), spark)
+
+
+_DEDUP_ORACLE = """
+SELECT event_type, count(DISTINCT event_id) AS n
+FROM events GROUP BY event_type
+"""
+
+
+@register("stream_dedup_counts", oracle=_DEDUP_ORACLE)
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return run_to_table(streaming_dedup_counts(ev), spark)
+
+
+@register("stream_sliding_counts")
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return run_to_table(sliding_counts(ev), spark).orderBy(
+        "win_start", "event_type"
+    )
+
+
+_STATEFUL_ORACLE = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+@register("stream_stateful_user_totals", oracle=_STATEFUL_ORACLE)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    out = run_to_table(stateful_user_totals(ev), spark, output_mode="update")
+    # update-mode emits one row per key per micro-batch; keep the final
+    # (availableNow may split files across batches at larger SFs)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -1,0 +1,157 @@
+"""Streaming analytics over the events stream: watermarks, tumbling /
+sliding / session windows, streaming dedup, stateful per-key ops.
+
+SURVEY.md §2.8 ST2-ST6. Each helper builds a streaming DataFrame from
+the events fixture replayed through the file source (the driver's
+fixtures are static parquet; `availableNow` drains them as a bounded
+stream -- the same mechanics a Kafka-fed deployment would use, minus
+the unbounded tail).
+
+Results are materialized to an in-memory sink and returned as a plain
+DataFrame so the driver's collect-and-compare machinery (and DuckDB
+oracles, where expressible) work unchanged.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import table_path
+from ..session import tune_session
+
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as raw nanos
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events fixture as a bounded stream (ST1's file source).
+
+    The file stream source wants a directory or glob, not a bare file
+    path -- a one-character glob class keeps it happy while matching
+    exactly the events file.
+    """
+    tune_session(spark)
+    glob_path = table_path(sf_dir, "events").replace(
+        "events.parquet", "events.[p]arquet"
+    )
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(glob_path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_table(stream_df: DataFrame, spark: SparkSession,
+                 output_mode: str = "complete") -> DataFrame:
+    """Drain a bounded streaming aggregation into a memory sink and
+    return the result as a batch DataFrame."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory").queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """ST2+ST3: watermarked tumbling-window counts per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, window: str = "1 hour",
+                   slide: str = "30 minutes",
+                   watermark: str = "10 minutes") -> DataFrame:
+    """ST3 sliding variant: each event lands in window/slide buckets."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("win_start"), "event_type", "n")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """ST4: per-user session windows (gap-based)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events", "session_value",
+        )
+    )
+
+
+def streaming_dedup_counts(events: DataFrame,
+                           watermark: str = "10 minutes") -> DataFrame:
+    """ST5: drop re-delivered events by id inside the watermark, then
+    count per type. The fixture ids are unique, so this equals the
+    plain count -- which is exactly what the oracle asserts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """ST6: custom per-key state via applyInPandasWithState -- running
+    event count + value total per user, emitted when the (bounded)
+    stream drains. Arrow-batched; state is one tuple per user."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n],
+             "total_value": [round(total, 2)]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema,
+            "update", GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,173 @@
+"""End-to-end ingestion pipeline tests: CSV landing zone -> validate
+-> dedup -> enrich -> dual sink -> status (the reference's [R] core).
+
+Covers the edge cases the DuckDB oracle comparison can't express
+(SURVEY.md §5.4): malformed-CSV routing, quarantine rules, keep-latest
+dedup of re-delivered rows, idempotent re-runs, streaming exactly-once
+per file.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataingestionengineprocess_spark.operators.quality import (
+    in_range,
+    not_null,
+    one_of,
+)
+from dataingestionengineprocess_spark.pipeline import (
+    Enrichment,
+    FeedConfig,
+    SinkConfig,
+    ingest_batch,
+    ingest_stream,
+)
+from dataingestionengineprocess_spark.sinks.warehouse import read_status
+
+SCHEMA = T.StructType([
+    T.StructField("order_id", T.LongType()),
+    T.StructField("cust", T.StringType()),
+    T.StructField("amount", T.DoubleType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("updated_at", T.TimestampType()),
+])
+
+GOOD_CSV = """order_id,cust,amount,status,updated_at
+1,alice,10.5,OPEN,2024-01-01 10:00:00
+2,bob,20.0,CLOSED,2024-01-01 11:00:00
+3,carol,-5.0,OPEN,2024-01-01 12:00:00
+4,dave,99.0,BOGUS,2024-01-01 13:00:00
+2,bob,25.0,CLOSED,2024-01-02 09:00:00
+"""
+
+BAD_ROWS_CSV = """order_id,cust,amount,status,updated_at
+5,erin,1.0,OPEN,2024-01-03 08:00:00
+not_a_number,frank,2.0,OPEN,2024-01-03 09:00:00
+6,grace,xyz,CLOSED,2024-01-03 10:00:00
+"""
+
+
+def _feed(spark) -> FeedConfig:
+    dim = spark.createDataFrame(
+        [("alice", "US"), ("bob", "EU"), ("carol", "US"),
+         ("dave", "APAC"), ("erin", "EU"), ("grace", "US")],
+        "cust_name string, region string",
+    )
+    return FeedConfig(
+        name="orders_feed",
+        schema=SCHEMA,
+        key_cols=["order_id"],
+        order_col="updated_at",
+        rules=[
+            not_null("order_id"),
+            in_range("amount", 0.0, 1_000_000.0),
+            one_of("status", ["OPEN", "CLOSED"]),
+        ],
+        enrichments=[Enrichment(dim=dim, fact_col="cust", dim_col="cust_name")],
+    )
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    d = tmp_path / "landing"
+    d.mkdir()
+    return d
+
+
+@pytest.fixture()
+def sinks(tmp_path) -> SinkConfig:
+    return SinkConfig(
+        warehouse_dir=str(tmp_path / "warehouse"),
+        oltp_dir=str(tmp_path / "oltp"),
+    )
+
+
+def test_batch_ingest_end_to_end(spark, landing, sinks):
+    (landing / "drop1.csv").write_text(GOOD_CSV)
+    status = ingest_batch(spark, _feed(spark), str(landing / "drop1.csv"), sinks)
+
+    # 5 data rows; order 2 re-delivered (keep latest); -5 amount and
+    # BOGUS status quarantined -> loaded = orders 1 and 2(newest)
+    assert status.rows_read == 5
+    assert status.rows_quarantined == 2
+    assert status.rows_loaded == 2
+    assert status.rows_rejected == 0
+
+    wh = spark.read.parquet(os.path.join(sinks.warehouse_dir, "orders_feed"))
+    rows = {r.order_id: r for r in wh.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2].amount == 25.0, "keep-latest must pick the re-delivery"
+    assert rows[1].region == "US", "enrichment join must attach region"
+
+    oltp = spark.read.parquet(os.path.join(sinks.oltp_dir, "orders_feed_oltp"))
+    assert oltp.count() == 2
+
+    quar = spark.read.parquet(
+        os.path.join(sinks.warehouse_dir, "orders_feed_quarantine")
+    )
+    viol = {r.order_id: r._violations for r in quar.collect()}
+    assert viol == {3: "range_amount", 4: "one_of_status"}
+
+    st = read_status(spark, sinks.warehouse_dir)
+    assert st.filter(F.col("feed") == "orders_feed").count() == 1
+
+
+def test_malformed_rows_routed_to_rejects(spark, landing, sinks):
+    (landing / "drop2.csv").write_text(BAD_ROWS_CSV)
+    status = ingest_batch(spark, _feed(spark), str(landing / "drop2.csv"), sinks)
+    # 'not_a_number' (bad long) and 'xyz' (bad double) both corrupt the
+    # row in PERMISSIVE mode -> rejects; only row 5 loads clean.
+    assert status.rows_rejected == 2
+    assert status.rows_loaded == 1
+    rej = spark.read.parquet(
+        os.path.join(sinks.warehouse_dir, "orders_feed_rejects")
+    )
+    raw = [r.raw_record for r in rej.collect()]
+    assert any("not_a_number" in r for r in raw)
+    assert any("xyz" in r for r in raw)
+
+
+def test_rerun_same_file_is_idempotent(spark, landing, sinks):
+    (landing / "drop1.csv").write_text(GOOD_CSV)
+    path = str(landing / "drop1.csv")
+    feed = _feed(spark)
+    ingest_batch(spark, feed, path, sinks, run_id="run-A")
+    ingest_batch(spark, feed, path, sinks, run_id="run-A")  # re-drop
+
+    wh = spark.read.parquet(os.path.join(sinks.warehouse_dir, "orders_feed"))
+    assert wh.count() == 2, "re-run of the same run_id must not duplicate"
+
+    st = read_status(spark, sinks.warehouse_dir).filter(
+        F.col("run_id") == "run-A"
+    )
+    assert st.count() == 2, "both runs leave a status record"
+
+
+def test_streaming_ingest_exactly_once_per_file(spark, landing, sinks, tmp_path):
+    feed = _feed(spark)
+    ckpt = str(tmp_path / "ckpt")
+
+    (landing / "f1.csv").write_text(GOOD_CSV)
+    q = ingest_stream(spark, feed, str(landing), sinks, ckpt)
+    q.awaitTermination(120)
+
+    wh_dir = os.path.join(sinks.warehouse_dir, "orders_feed")
+    assert spark.read.parquet(wh_dir).count() == 2
+
+    # second file arrives; restart drains ONLY the new file
+    (landing / "f2.csv").write_text(BAD_ROWS_CSV)
+    q2 = ingest_stream(spark, feed, str(landing), sinks, ckpt)
+    q2.awaitTermination(120)
+
+    wh = spark.read.parquet(wh_dir)
+    # f1 contributes 2; from f2 only row 5 survives (streaming has no
+    # corrupt-record column, so malformed fields become NULLs and the
+    # not_null/in_range rules quarantine those rows instead)
+    assert wh.count() == 3
+    st = read_status(spark, sinks.warehouse_dir)
+    assert st.filter(F.col("feed") == "orders_feed").count() == 2
