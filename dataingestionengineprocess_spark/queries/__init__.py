@@ -57,6 +57,7 @@ def _load_all() -> None:
     from . import text  # noqa: F401
     from . import streaming  # noqa: F401
     from . import multimodal  # noqa: F401
+    from . import udf  # noqa: F401
 
 
 _LOADED = False

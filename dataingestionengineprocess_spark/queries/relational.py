@@ -607,3 +607,110 @@ def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "o_orderkey",
         F.round("o_totalprice", 2).alias("snap_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J2 (completing the outer-join family): FULL OUTER between a customer
+# segment and one order-year -- both sides have unmatched rows, so
+# every null-extension path is exercised. Spark plans a sort-merge
+# full-outer (broadcast is impossible for full outer by definition).
+# ---------------------------------------------------------------------------
+
+_FULL_ORACLE = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       round(o.o_totalprice, 2) AS total_price
+FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+FULL OUTER JOIN
+     (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01') o
+  ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("join_full_outer", oracle=_FULL_ORACLE)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "outer")
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O3: multi-feed merge via unionByName(allowMissingColumns=True) --
+# the schema-drift-tolerant union a multi-partner landing zone needs
+# (partners add/reorder columns; positional union would corrupt rows).
+# ---------------------------------------------------------------------------
+
+_UNION_ORACLE = """
+SELECT c_custkey AS entity_key, c_name AS entity_name,
+       c_nationkey AS nationkey, c_acctbal AS acctbal,
+       'customer' AS kind
+FROM customer
+UNION ALL
+SELECT s_suppkey, s_name, s_nationkey, NULL, 'supplier' FROM supplier
+"""
+
+
+@register("union_by_name", oracle=_UNION_ORACLE)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customers = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("entity_name"),
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    # deliberately different column ORDER and a missing column --
+    # exactly the drift unionByName absorbs and union() would not
+    suppliers = load(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_nationkey").cast("int").alias("nationkey"),
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("entity_name"),
+    )
+    return customers.unionByName(suppliers, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# A4 (completing rollup/cube): explicit GROUPING SETS through the SQL
+# front end -- only the requested combinations are aggregated (one
+# Expand + one hash-agg; cheaper than cube when you need 3 of its 2^n
+# sets).
+# ---------------------------------------------------------------------------
+
+_GSETS_ORACLE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("agg_grouping_sets", oracle=_GSETS_ORACLE)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gsets")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem_gsets
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )

@@ -1,0 +1,87 @@
+"""ST2: watermark semantics — events later than the watermark are
+dropped; on-time events still aggregate.
+
+Empirical Spark detail this test pins down: the watermark used to
+FILTER late rows in micro-batch N is the one computed from data up to
+batch N-2 (the progress log's `eventTime.watermark` for a batch is the
+value committed at its start, which itself derives from the batch
+before). So a late row is only guaranteed dropped once the
+watermark-advancing data is >= 2 micro-batches old — hence the buffer
+batch b2 below.
+
+  batch b1: events 10:00 / 10:30   -> wm (eventually) 10:20
+  batch b2: buffer event 10:40     -> wm 10:20 now active for filtering
+  batch b3: late event 09:00 (dropped: 10:00 window end < 10:20)
+            + on-time event 11:30
+  batch b4: event 12:30 (closes earlier windows)
+
+Update-mode memory sink records every emission; the [09:00,10:00)
+window must never appear.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+
+def _write_batch(spark, path: str, rows: list[tuple[int, str, float]],
+                 mtime: float) -> None:
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, value double"
+    ).select("event_id", F.to_timestamp("ts").alias("ts"), "value")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            os.utime(os.path.join(root, f), (mtime, mtime))
+
+
+def test_late_events_dropped_beyond_watermark(spark, tmp_path):
+    src = str(tmp_path / "src")
+    now = time.time()
+    _write_batch(
+        spark, f"{src}/b1",
+        [(1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-01 10:30:00", 1.0)],
+        now - 400,
+    )
+    _write_batch(spark, f"{src}/b2",
+                 [(6, "2024-01-01 10:40:00", 1.0)], now - 300)
+    _write_batch(
+        spark, f"{src}/b3",
+        [(3, "2024-01-01 09:00:00", 99.0),   # late beyond watermark
+         (4, "2024-01-01 11:30:00", 1.0)],
+        now - 200,
+    )
+    _write_batch(spark, f"{src}/b4",
+                 [(5, "2024-01-01 12:30:00", 1.0)], now - 100)
+
+    stream = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(f"{src}/b[1234]")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("win_start"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory").queryName("wm_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.table("wm_test").toPandas()
+    starts = out["win_start"].astype(str)
+    # the late event's expired window never materializes
+    assert not starts.str.startswith("2024-01-01 09:").any(), out
+    # on-time windows aggregated normally (2 events + the buffer)
+    assert out[starts.str.startswith("2024-01-01 10:")]["n"].max() == 3, out
+    assert out[starts.str.startswith("2024-01-01 11:")]["n"].max() == 1, out
