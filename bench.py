@@ -35,6 +35,14 @@ BENCH_QUERIES = [
     "topk_per_group",
     "scalar_array_funcs",
     "subquery_above_cust_avg",
+    # LLM-data-pipeline families (dedup / similarity / text / as-of)
+    "dedup_exact_fingerprint",
+    "dedup_minhash_lsh",
+    "knn_bruteforce_cosine",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "asof_join_latest_order",
+    "udf_tokenize_fanout",
 ]
 
 

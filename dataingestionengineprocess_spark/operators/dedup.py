@@ -55,39 +55,86 @@ def dedup_exact_text(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
-def _minhash_col(shingle_col: Column, seed: int) -> Column:
-    """One minhash: min over shingles of a seeded 64-bit hash.
-    xxhash64 is Spark's built-in splittable hash -- JVM-side, zero
-    Python. Empty shingle sets get NULL (array_min of empty)."""
-    return F.array_min(
-        F.transform(shingle_col, lambda s: F.xxhash64(F.lit(str(seed)), s))
+#: Low 32 bits of xxhash64 -- double-hashing operates on 32-bit values
+#: so h1 + j*h2 never overflows a long (ANSI mode would raise).
+_H32 = (1 << 32) - 1
+
+#: Prime modulus for the double-hash family h_j = (h1 + j*h2) mod p.
+#: The mod-by-prime is what makes the 32 derived functions behave as
+#: (approximately) independent min-wise permutations; without it the
+#: per-j minima all correlate through the element with the smallest h2
+#: and the Jaccard estimate collapses to ~1. first prime above 2^32.
+_PRIME_ABOVE_2_32 = 4294967311
+
+
+def _shingle_hashes(df: DataFrame, id_col: str, text_col: str,
+                    shingle_n: int, repartition_to: int | None) -> DataFrame:
+    """One row per (doc, distinct shingle) with two independent 32-bit
+    hashes. Each shingle is hashed exactly TWICE no matter how many
+    minhash functions derive from it (h_j = h1 + j*h2, the standard
+    double-hashing family) -- the naive per-seed rehash costs
+    num_hashes full string hashes per shingle.
+
+    `repartition_to` spreads small single-split local inputs across
+    cores before the (CPU-heavy) shingling projection; leave None on a
+    real cluster where the scan is already parallel -- an extra full
+    shuffle of raw text at 100 TB would dominate everything else.
+    """
+    slim = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    if repartition_to:
+        slim = slim.repartition(repartition_to, "id")
+    return (
+        slim.select("id", F.explode(shingles("__t", shingle_n)).alias("__s"))
+        .select(
+            "id",
+            F.xxhash64("__s").bitwiseAND(F.lit(_H32)).alias("h1"),
+            F.xxhash64(F.lit(7), "__s").bitwiseAND(F.lit(_H32)).alias("h2"),
+        )
     )
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 32,
-                       shingle_n: int = 3) -> DataFrame:
-    """id + minhash signature array (length num_hashes)."""
-    sh = shingles(text_col, shingle_n)
-    out = df.select(
-        F.col(id_col),
-        F.array(*[_minhash_col(sh, j) for j in range(num_hashes)]).alias("sig"),
+                       shingle_n: int = 3,
+                       repartition_to: int | None = None) -> DataFrame:
+    """id + minhash signature array (length num_hashes).
+
+    Relational plan: explode shingles -> hash once -> groupBy(id) with
+    num_hashes `min` aggregates (map-side partial agg, one shuffle on
+    the uniform doc id -- no skew). Documents with fewer than
+    `shingle_n` tokens produce no shingles and therefore no signature
+    (they cannot be near-dup candidates at this shingle size)."""
+    hashes = _shingle_hashes(df, id_col, text_col, shingle_n, repartition_to)
+    mins = [
+        F.min(
+            F.pmod(F.col("h1") + j * F.col("h2"), F.lit(_PRIME_ABOVE_2_32))
+        ).alias(f"__m{j}")
+        for j in range(num_hashes)
+    ]
+    return (
+        hashes.groupBy("id").agg(*mins)
+        .select(
+            F.col("id").alias(id_col),
+            F.array(*[f"__m{j}" for j in range(num_hashes)]).alias("sig"),
+        )
     )
-    return out
 
 
 def minhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", num_hashes: int = 32,
                           bands: int = 16, shingle_n: int = 3,
                           est_threshold: float = 0.5,
-                          max_bucket: int = 1000) -> DataFrame:
+                          max_bucket: int = 1000,
+                          repartition_to: int | None = None) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, scored by estimated
     Jaccard (fraction of agreeing minhashes).
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, est >= threshold.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, repartition_to
+    )
 
     banded = sigs.select(
         id_col, "sig",
@@ -209,13 +256,47 @@ def simhash64(text_col: Column | str, shingle_n: int = 3) -> Column:
     return out
 
 
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", shingle_n: int = 3,
+                       repartition_to: int | None = None) -> DataFrame:
+    """(id, sh) via the relational plan: explode shingles, hash each
+    ONCE, then 64 conditional-sum bit votes in a single groupBy (one
+    shuffle, map-side partial agg). Semantically identical to the
+    `simhash64` column expression, but each shingle is hashed once
+    instead of once per bit-vote evaluation."""
+    slim = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    if repartition_to:
+        slim = slim.repartition(repartition_to, "id")
+    hashes = (
+        slim.select("id", F.explode(shingles("__t", shingle_n)).alias("__s"))
+        .select("id", F.xxhash64("__s").alias("h"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"__v{b}")
+        for b in range(64)
+    ]
+    sh = F.lit(0).cast("long")
+    for b in range(64):
+        sh = sh.bitwiseOR(
+            F.when(
+                F.col(f"__v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return hashes.groupBy("id").agg(*votes).select("id", sh.alias("sh"))
+
+
 def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text",
-                          max_hamming: int = 3) -> DataFrame:
+                          max_hamming: int = 3,
+                          repartition_to: int | None = None) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) <= max_hamming via the
     pigeonhole chunk join (4 x 16-bit chunks; <=3 differing bits means
     >=1 chunk identical)."""
-    sh = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sh"))
+    sh = simhash_signatures(df, id_col, text_col,
+                            repartition_to=repartition_to)
     chunks = sh.select(
         "id", "sh",
         F.posexplode(

@@ -88,7 +88,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return minhash_neardup_pairs(
-        docs, num_hashes=32, bands=16, est_threshold=0.5
+        docs, num_hashes=32, bands=16, est_threshold=0.5,
+        repartition_to=spark.sparkContext.defaultParallelism,
     ).orderBy("id_a", "id_b")
 
 
@@ -100,7 +101,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return simhash_neardup_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+    return simhash_neardup_pairs(
+        docs, max_hamming=3,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
