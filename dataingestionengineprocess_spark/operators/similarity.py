@@ -136,6 +136,79 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def _centroid_vectors(corpus: DataFrame, vec_col: str,
+                      label_col: str) -> DataFrame:
+    """(clabel, carr) centroid vectors as array<double>, built
+    relationally from per-(label, dim) means. The label column stands
+    in for any coarse clustering (k-means at scale); IVF only needs
+    SOME partition of the space plus its centroids."""
+    exploded = corpus.select(
+        F.col(label_col).alias("clabel"),
+        F.posexplode(as_double(vec_col)).alias("d", "x"),
+    )
+    return (
+        exploded.groupBy("clabel", "d").agg(F.avg("x").alias("c"))
+        .groupBy("clabel")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "c"))),
+                lambda s: s["c"],
+            ).alias("carr")
+        )
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             nprobe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             label_col: str = "label") -> DataFrame:
+    """IVF-style approximate top-k: inverted-file partition by nearest
+    centroid, search only the `nprobe` closest lists per query.
+
+    The 100 TB shape: centroids are tiny (broadcast everywhere),
+    corpus vectors carry their list id as a partition key, and a query
+    touches nprobe/n_lists of the data instead of all of it. Recall
+    loss comes only from neighbors whose list the query didn't probe;
+    raise nprobe to trade compute for recall.
+
+    Returns (query_id, neighbor_id, cos_sim, rank).
+    """
+    cent = _centroid_vectors(corpus, vec_col, label_col)
+
+    def assign(df: DataFrame, prefix: str, n: int) -> DataFrame:
+        """Rank centroids by cosine per vector; keep top n."""
+        v = df.select(F.col(id_col).alias(f"{prefix}_id"),
+                      as_double(vec_col).alias(f"{prefix}v"))
+        scored = v.join(F.broadcast(cent)).withColumn(
+            "__c_cos", cosine(F.col(f"{prefix}v"), F.col("carr"))
+        )
+        w = W.partitionBy(f"{prefix}_id").orderBy(
+            F.desc("__c_cos"), "clabel"
+        )
+        return (
+            scored.withColumn("__cr", F.row_number().over(w))
+            .filter(F.col("__cr") <= n)
+            .select(f"{prefix}_id", f"{prefix}v", "clabel")
+        )
+
+    inverted = assign(corpus, "neighbor", 1)      # each vector in ONE list
+    probes = assign(queries, "query", nprobe)     # each query probes nprobe
+
+    scored = (
+        inverted.join(F.broadcast(probes), "clabel")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("queryv"), F.col("neighborv")), 6)
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def centroid_classify(corpus: DataFrame, id_col: str = "vec_id",
                       vec_col: str = "embedding",
                       label_col: str = "label") -> DataFrame:

@@ -13,7 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..operators.similarity import brute_force_topk, centroid_classify, lsh_topk
+from ..operators.similarity import (
+    brute_force_topk,
+    centroid_classify,
+    ivf_topk,
+    lsh_topk,
+)
 from . import register
 
 _COS = """list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
@@ -45,6 +50,14 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+@register("knn_ivf_ann")
+def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (rows-only: recall vs brute force asserted in pytest)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, nprobe=2).orderBy("query_id", "rank")
 
 
 _CENTROID_ORACLE = """

@@ -22,6 +22,7 @@ from dataingestionengineprocess_spark.operators.dedup import (
 )
 from dataingestionengineprocess_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
 )
 
@@ -99,6 +100,34 @@ def test_lsh_ann_recall_planted_neardups(spark):
     found = lsh_topk(df, queries, k=1, n_planes=8, n_bands=8).collect()
     hits = sum(1 for r in found if r.neighbor_id == r.query_id - 1000)
     assert hits >= 45, f"planted-pair recall@1 = {hits}/50"
+
+
+def test_ivf_ann_recall_at_5(spark, emb):
+    """Fixture neighbors are WEAK (cosine ~0.3, near-random vectors),
+    so true top-5 neighbors scatter almost uniformly across lists and
+    nprobe=2 of ~10 lists can only catch the fraction living in the
+    probed lists (plus centroid correlation). Assert it comfortably
+    beats the uniform-scatter floor; the full-probe test below is the
+    exactness guarantee."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, nprobe=2)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"IVF recall@5 = {recall:.2f}"
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, emb):
+    """Probing EVERY list makes IVF exhaustive -- it must equal brute
+    force exactly (same ordering, same tie-breaks)."""
+    n_lists = emb.select("label").distinct().count()
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5)
+    full = ivf_topk(emb, queries, k=5, nprobe=n_lists)
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, full.collect())
+    )
 
 
 def test_dedup_exact_deterministic(spark, docs):
