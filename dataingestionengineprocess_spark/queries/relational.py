@@ -714,3 +714,141 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (l_returnflag), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4-style: correlated EXISTS through the SQL front end --
+# Catalyst decorrelates it into a left-semi join (free optimization,
+# SURVEY.md §4). Oracle runs the identical SQL in DuckDB.
+# ---------------------------------------------------------------------------
+
+_EXISTS_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM {orders}
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1995-07-01'
+  AND EXISTS (
+    SELECT 1 FROM {lineitem}
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL '60' DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@register("subquery_exists_late_ship",
+          oracle=_EXISTS_SQL.format(orders="orders", lineitem="lineitem"))
+def subquery_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_ex")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_ex")
+    return spark.sql(
+        _EXISTS_SQL.format(orders="orders_ex", lineitem="lineitem_ex")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18-style: large-volume orders -- HAVING over a fact-sized
+# aggregate, then joined back to dimensions. The groupBy(l_orderkey)
+# agg is the big shuffle; the subsequent joins reuse its output
+# (orders join is shuffle-hash/SMJ on the already-grouped key).
+# ---------------------------------------------------------------------------
+
+_BIGORD_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180
+)
+SELECT c_name, o_orderkey, round(o_totalprice, 2) AS total_price,
+       round(sum_qty, 2) AS sum_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+@register("agg_having_big_orders", oracle=_BIGORD_ORACLE)
+def agg_having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .filter(F.col("__sq") > 180)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.round("__sq", 2).alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7-style: bilateral trade volume between nation pairs -- the
+# deep multi-join (lineitem ⋈ supplier ⋈ orders ⋈ customer ⋈ nation
+# x2). Both nation joins broadcast; the fact-side joins are the only
+# shuffles.
+# ---------------------------------------------------------------------------
+
+#: Revenue is summed in exact integer CENTS (per-row double product ->
+#: round -> bigint) rather than rounding a double sum: with thousands
+#: of rows per group, double accumulation order differs between
+#: engines by 1 ulp and round(sum, 2) lands on different cents. The
+#: per-row product+round is bitwise-identical in both engines (same
+#: IEEE ops, both round half-away-from-zero), and bigint sums are
+#: order-independent. This is also the right 100 TB shape: long sums
+#: are associative, so partial aggregation is exact.
+_NATION_PAIRS_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l.l_shipdate) AS ship_year,
+       sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT)
+         / 100.0 AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+@register("join_nation_pairs_revenue", oracle=_NATION_PAIRS_ORACLE)
+def join_nation_pairs_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount")) * 100
+                    ).cast("long")
+                ) / 100.0
+            ).alias("revenue")
+        )
+    )
