@@ -209,6 +209,64 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def brp_similarity_join(corpus: DataFrame, threshold_cos: float = 0.4,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        bucket_length: float = 2.0,
+                        num_hash_tables: int = 3,
+                        seed: int = 42) -> DataFrame:
+    """Approximate self-similarity join via MLlib's
+    BucketedRandomProjectionLSH (SURVEY.md §2.3 J8's named primitive).
+
+    Vectors are L2-normalized first, so Euclidean distance d and
+    cosine c are interchangeable: d^2 = 2 - 2c, i.e. threshold
+    cos >= t becomes dist <= sqrt(2 - 2t). `approxSimilarityJoin`
+    equi-joins on LSH bucket keys (one shuffle per hash table) and
+    verifies exact distance only within buckets -- the same
+    bucket-join shape as our hand-rolled `lsh_topk`, but with MLlib's
+    p-stable-projection hashing and multi-probe join machinery.
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b, cos >= threshold.
+    """
+    import math
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.linalg import VectorUDT  # noqa: F401  (schema dep)
+
+    dist_threshold = math.sqrt(max(0.0, 2.0 - 2.0 * threshold_cos))
+
+    from ..functions.vectors import l2_normalize
+
+    unit = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            l2_normalize(as_double(vec_col)).alias("__unit"),
+        )
+        # zero-norm vectors normalize to NULL/NaN elements -- drop them
+        .filter(~F.exists("__unit", lambda x: x.isNull() | F.isnan(x)))
+        .select("id", array_to_vector("__unit").alias("features"))
+    )
+
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = brp.fit(unit)
+    joined = model.approxSimilarityJoin(
+        unit, unit, dist_threshold, distCol="dist"
+    )
+    return (
+        joined.select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 6)
+            .alias("cos_sim"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
 def centroid_classify(corpus: DataFrame, id_col: str = "vec_id",
                       vec_col: str = "embedding",
                       label_col: str = "label") -> DataFrame:

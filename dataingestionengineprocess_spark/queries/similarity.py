@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators.similarity import (
+    brp_similarity_join,
     brute_force_topk,
     centroid_classify,
     ivf_topk,
@@ -58,6 +59,17 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, queries, k=5, nprobe=2).orderBy("query_id", "rank")
+
+
+@register("similarity_join_brp_lsh")
+def similarity_join_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH self-join (rows-only: bucket
+    assignment is engine-specific; recall vs the exact cosine join is
+    asserted in pytest)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return brp_similarity_join(emb, threshold_cos=0.4).orderBy(
+        "id_a", "id_b"
+    )
 
 
 _CENTROID_ORACLE = """

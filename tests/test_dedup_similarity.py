@@ -130,6 +130,52 @@ def test_ivf_full_probe_equals_bruteforce(spark, emb):
     )
 
 
+def test_brp_similarity_join_recall(spark, emb):
+    """MLlib BRP-LSH join must recover most true cos>=0.4 pairs found
+    by the exact all-pairs join (approxSimilarityJoin only misses
+    pairs hashed apart in every table)."""
+    from dataingestionengineprocess_spark.operators.similarity import (
+        brp_similarity_join,
+    )
+    from dataingestionengineprocess_spark.functions.vectors import (
+        as_double,
+        cosine,
+    )
+
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   as_double("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   as_double("embedding").alias("vb"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("c", cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("c") >= 0.4)
+            .collect()
+        )
+    }
+    assert exact, "fixture should contain cos>=0.4 pairs"
+    approx = {
+        (r.id_a, r.id_b)
+        for r in brp_similarity_join(emb, threshold_cos=0.4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"BRP-LSH recall {recall:.2f} of {len(exact)} pairs"
+    # precision is exact (candidates are distance-verified): allow only
+    # float-noise strays just under the threshold
+    near_exact = {
+        (r.id_a, r.id_b)
+        for r in (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("c", cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("c") >= 0.3999)
+            .collect()
+        )
+    }
+    assert approx <= near_exact, f"{len(approx - near_exact)} false positives"
+
+
 def test_dedup_exact_deterministic(spark, docs):
     d1 = dedup_exact(docs, ["lang", "source"], ["doc_id"])
     d2 = dedup_exact(docs, ["lang", "source"], ["doc_id"])
