@@ -1,0 +1,68 @@
+"""IngestionEngine facade: the register/run/query surface a reference
+user migrates onto."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from dataingestionengineprocess_spark.engine import IngestionEngine
+from dataingestionengineprocess_spark.operators.quality import not_null
+from dataingestionengineprocess_spark.pipeline import FeedConfig, SinkConfig
+
+CSV = """id,v
+1,10.0
+2,20.0
+"""
+
+
+@pytest.fixture()
+def engine(spark, tmp_path) -> IngestionEngine:
+    return IngestionEngine(
+        spark,
+        SinkConfig(warehouse_dir=str(tmp_path / "wh"),
+                   oltp_dir=str(tmp_path / "oltp")),
+    )
+
+
+def _feed() -> FeedConfig:
+    return FeedConfig(
+        name="mini",
+        schema=T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]),
+        key_cols=["id"], order_col="id", rules=[not_null("id")],
+    )
+
+
+def test_batch_roundtrip_and_status(engine, tmp_path):
+    src = tmp_path / "drop.csv"
+    src.write_text(CSV)
+    engine.register_feed(_feed())
+    status = engine.run_batch("mini", str(src), run_id="r1")
+    assert status.rows_loaded == 2
+    assert engine.warehouse_table("mini").count() == 2
+    assert engine.status().filter("run_id = 'r1'").count() == 1
+
+
+def test_duplicate_feed_rejected(engine):
+    engine.register_feed(_feed())
+    with pytest.raises(ValueError, match="already registered"):
+        engine.register_feed(_feed())
+
+
+def test_unknown_names_raise(engine):
+    with pytest.raises(KeyError, match="unknown feed"):
+        engine.run_batch("nope", "/x")
+    with pytest.raises(KeyError, match="unknown query"):
+        engine.query("nope", "/x")
+
+
+def test_query_and_sql_surface(engine, sf_dir):
+    df = engine.query("q1_pricing_summary", sf_dir)
+    assert df.count() > 0
+    n = engine.sql(
+        "SELECT count(*) AS n FROM lineitem", sf_dir
+    ).collect()[0].n
+    assert n > 0
