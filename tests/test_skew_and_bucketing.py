@@ -1,0 +1,99 @@
+"""Scale techniques under test: salted joins preserve semantics while
+spreading hot keys; bucketed tables co-locate joins (no Exchange in
+the plan)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataingestionengineprocess_spark.operators.skew import salted_join
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key (90% of rows) + a long tail
+    fact = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id") % 100)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.createDataFrame(
+        [(i, f"dim_{i}") for i in range(100)], "k long, attr string"
+    )
+    return fact.cache(), dim
+
+
+def test_salted_inner_join_matches_plain(spark, skewed):
+    fact, dim = skewed
+    plain = fact.join(dim, "k").select("k", "payload", "attr")
+    salted = salted_join(fact, dim, "k", n_salts=8).select(
+        "k", "payload", "attr"
+    )
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_left_join_keeps_unmatched(spark, skewed):
+    fact, dim = skewed
+    # drop the hot key from the dim -> unmatched fact rows must survive
+    dim_miss = dim.filter(F.col("k") != 1)
+    plain = fact.join(dim_miss, "k", "left").select("k", "payload", "attr")
+    salted = salted_join(fact, dim_miss, "k", n_salts=8, how="left").select(
+        "k", "payload", "attr"
+    )
+    assert plain.count() == salted.count() == fact.count()
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salt_spreads_hot_key(spark, skewed):
+    fact, _ = skewed
+    from dataingestionengineprocess_spark.operators.skew import SALT_COL
+
+    salted = fact.withColumn(
+        SALT_COL, (F.rand(seed=42) * 8).cast("int")
+    )
+    spread = (
+        salted.filter(F.col("k") == 1)
+        .groupBy(SALT_COL).count().collect()
+    )
+    assert len(spread) == 8, "hot key must hit every salt bucket"
+    counts = [r["count"] for r in spread]
+    assert max(counts) < 2 * min(counts), f"salts unbalanced: {counts}"
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Pre-bucketing both sides on the join key removes the shuffle:
+    the sort-merge join reads co-located buckets directly. This is the
+    'reuse a partitioning across stages' play for repeated 100 TB
+    fact-fact joins."""
+    left = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # tiny test tables would broadcast (which bypasses bucketing);
+        # force the sort-merge path a 100 TB fact-fact join would take
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(
+            "bkt_left"
+        )
+        right.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(
+            "bkt_right"
+        )
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, (
+            f"bucketed join must not shuffle:\n{plan}"
+        )
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        # managed-table DROP also deletes the warehouse files
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
