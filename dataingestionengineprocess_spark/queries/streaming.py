@@ -110,3 +110,67 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch event analytics (the same events surface consumed relationally
+# -- a streaming deployment runs these per micro-batch via
+# foreachBatch). W2's lag over (user, time) is the funnel primitive.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@register("events_funnel_transitions", oracle=_FUNNEL_ORACLE)
+def events_funnel_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix per user timeline (funnel edges)."""
+    from pyspark.sql import Window as W
+
+    from ..catalog import load
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_DAU_ORACLE = """
+SELECT date_trunc('day', ts) AS day,
+       count(DISTINCT user_id) AS dau,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
+@register("events_daily_active_users", oracle=_DAU_ORACLE)
+def events_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + volume per day -- the canonical event-stream rollup. At
+    100 TB the exact distinct is the expensive term (two-phase shuffle
+    on (day, user)); agg_approx_distinct is the sketch alternative."""
+    from ..catalog import load
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -1,0 +1,62 @@
+"""Property test: the union+carry-forward as-of join agrees with a
+per-row reference implementation on arbitrary generated inputs
+(hypothesis drives keys, timestamps, tie cases, and missing-match
+cases the fixture never hits)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dataingestionengineprocess_spark.operators.asof import asof_join_backward
+
+KEYS = st.integers(min_value=0, max_value=3)
+TS = st.integers(min_value=0, max_value=20)
+
+
+@st.composite
+def asof_case(draw):
+    left = draw(
+        st.lists(st.tuples(KEYS, TS), min_size=1, max_size=12, unique=True)
+    )
+    right = draw(
+        st.lists(st.tuples(KEYS, TS), min_size=0, max_size=12, unique=True)
+    )
+    return left, right
+
+
+def _reference(left, right):
+    """Per-row reference: latest right value at-or-before, else None."""
+    out = {}
+    for i, (k, lt) in enumerate(left):
+        best = None
+        for k2, rt in right:
+            if k2 == k and rt <= lt and (best is None or rt > best):
+                best = rt
+        out[(k, lt)] = best
+    return out
+
+
+@given(asof_case())
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_asof_matches_reference(spark, case):
+    left_rows, right_rows = case
+    left = spark.createDataFrame(
+        [(k, t) for k, t in left_rows], "k int, lt bigint"
+    )
+    # right is unique per (k, ts) by construction; payload = its ts
+    right = spark.createDataFrame(
+        [(k, t, t) for k, t in right_rows], "k int, rt bigint, rv bigint"
+    ) if right_rows else spark.createDataFrame([], "k int, rt bigint, rv bigint")
+
+    joined = asof_join_backward(
+        left, right, on="k", left_ts="lt", right_ts="rt",
+        payload_cols=["rv"], how="inner",
+    )
+    got = {(r.k, r.lt): r.rv for r in joined.collect()}
+    expect = {
+        kl: v for kl, v in _reference(left_rows, right_rows).items()
+        if v is not None
+    }
+    assert got == expect
