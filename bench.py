@@ -54,8 +54,16 @@ def main() -> None:
     spark = get_spark("engine-bench", extra_confs={"spark.ui.enabled": "false"})
     registry = all_queries()
 
-    # Warm up the JVM / parquet footers with a trivial action.
+    # Warm up the JVM: file listing + parquet footers + the codegen /
+    # shuffle machinery (one tiny aggregate over the fact table), so
+    # per-query numbers measure steady-state engine throughput rather
+    # than first-query session initialization.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .groupBy("l_returnflag").count()
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
