@@ -128,3 +128,51 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_batches,
         schema="doc_id long, width int, height int, mean_luma double",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Resize plumbing: binary in -> binary out through mapInPandas -- the
+# transform-shaped media op (vs. decode's feature-extraction shape).
+# The "resize" is a deterministic byte-level stub (truncate/pad to the
+# target frame size); a real one swaps _stub_resize for PIL/ffmpeg.
+# Rows-only: output bytes are implementation-defined.
+# ---------------------------------------------------------------------------
+
+_TARGET_BYTES = 128
+
+
+def _stub_resize(payload: bytes, target: int = _TARGET_BYTES) -> bytes:
+    """STUB for an image/audio resample: deterministic size-normalize
+    (truncate or zero-pad) so every output payload is `target` bytes."""
+    return payload[:target].ljust(target, b"\0")
+
+
+@register("multimodal_resize_stub")
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-normalized payloads + before/after metadata. The plumbing
+    under test: binary column in AND out of an Arrow batch, with
+    metadata computed Spark-side so the Python stage stays minimal."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def resize_batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "resized": [_stub_resize(bytes(p)) for p in pdf["payload"]],
+            })
+
+    resized = docs.mapInPandas(
+        resize_batches, schema="doc_id long, resized binary"
+    )
+    return (
+        resized.select(
+            "doc_id",
+            F.octet_length("resized").cast("long").alias("n_bytes"),
+            F.sha2("resized", 256).alias("resized_sha256"),
+        )
+        .orderBy("doc_id")
+    )

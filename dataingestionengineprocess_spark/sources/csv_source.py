@@ -31,26 +31,48 @@ class CsvBatch:
 
 def read_csv_feed(spark: SparkSession, path: str, schema: T.StructType,
                   header: bool = True, timestamp_format: str | None = None,
-                  source_file_col: str = "_source_file") -> CsvBatch:
+                  source_file_col: str = "_source_file",
+                  mode: str = "PERMISSIVE") -> CsvBatch:
     """Read a partner CSV drop with schema enforcement.
 
-    Rows that fail to parse land in the rejects frame with the raw
-    line preserved (the reference's implicit "bad file" handling made
-    explicit, S9). The originating file name is attached so re-drops
-    and per-partner lineage are traceable.
+    `mode` selects the malformed-row policy (all three Spark CSV modes):
+
+    - PERMISSIVE (default): parse failures land in the rejects frame
+      with the raw line preserved (the reference's implicit "bad file"
+      handling made explicit, S9);
+    - DROPMALFORMED: bad rows silently dropped (rejects is empty) --
+      for feeds where quarantine is someone else's job;
+    - FAILFAST: any bad row aborts the batch -- for contracts where a
+      partial load is worse than no load.
+
+    The originating file name is attached so re-drops and per-partner
+    lineage are traceable.
     """
-    full_schema = T.StructType(
-        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
-    )
+    if mode not in ("PERMISSIVE", "DROPMALFORMED", "FAILFAST"):
+        raise ValueError(f"unknown CSV mode {mode!r}")
+    full_schema = schema
+    if mode == "PERMISSIVE":
+        full_schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+        )
     reader = (
         spark.read.schema(full_schema)
         .option("header", header)
-        .option("mode", "PERMISSIVE")
+        .option("mode", mode)
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
     )
     if timestamp_format:
         reader = reader.option("timestampFormat", timestamp_format)
     df = reader.csv(path).withColumn(source_file_col, F.input_file_name())
+    if mode != "PERMISSIVE":
+        empty_rejects = spark.createDataFrame(
+            [], T.StructType([
+                T.StructField("raw_record", T.StringType()),
+                T.StructField(source_file_col, T.StringType()),
+            ])
+        )
+        return CsvBatch(clean=df, rejects=empty_rejects)
     # PERMISSIVE quirk: corrupt-record access requires materialized
     # parse results; cache keeps the split single-scan semantics.
     df = df.cache()

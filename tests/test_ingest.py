@@ -171,3 +171,56 @@ def test_streaming_ingest_exactly_once_per_file(spark, landing, sinks, tmp_path)
     assert wh.count() == 3
     st = read_status(spark, sinks.warehouse_dir)
     assert st.filter(F.col("feed") == "orders_feed").count() == 2
+
+
+def test_csv_dropmalformed_mode(spark, landing):
+    from dataingestionengineprocess_spark.sources.csv_source import (
+        read_csv_feed,
+    )
+
+    (landing / "drop3.csv").write_text(BAD_ROWS_CSV)
+    batch = read_csv_feed(
+        spark, str(landing / "drop3.csv"), SCHEMA, mode="DROPMALFORMED"
+    )
+    assert batch.rejects.count() == 0
+    ids = {r.order_id for r in batch.clean.select("order_id").collect()}
+    assert 5 in ids and None not in ids
+
+
+def test_csv_failfast_mode(spark, landing):
+    import pytest as _pytest
+    from dataingestionengineprocess_spark.sources.csv_source import (
+        read_csv_feed,
+    )
+
+    (landing / "drop4.csv").write_text(BAD_ROWS_CSV)
+    batch = read_csv_feed(
+        spark, str(landing / "drop4.csv"), SCHEMA, mode="FAILFAST"
+    )
+    # count() prunes all columns and may never hit the bad field --
+    # collect() forces the full parse
+    with _pytest.raises(Exception, match="[Mm]alformed"):
+        batch.clean.collect()
+
+
+def test_json_feed_routes_malformed_lines(spark, landing):
+    from dataingestionengineprocess_spark.sources.json_source import (
+        read_json_feed,
+    )
+
+    (landing / "drop.jsonl").write_text(
+        '{"order_id": 1, "cust": "alice", "amount": 10.5}\n'
+        'this is not json\n'
+        '{"order_id": 2, "cust": "bob", "amount": "NaNope"}\n'
+    )
+    schema = T.StructType([
+        T.StructField("order_id", T.LongType()),
+        T.StructField("cust", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+    ])
+    batch = read_json_feed(spark, str(landing / "drop.jsonl"), schema)
+    assert batch.clean.count() == 1
+    assert batch.clean.collect()[0].order_id == 1
+    raw = [r.raw_record for r in batch.rejects.collect()]
+    assert len(raw) == 2
+    assert any("not json" in r for r in raw)
