@@ -1,0 +1,41 @@
+"""Quality-rule unit coverage beyond the pipeline tests: referential
+(broadcast semi-mark join), regex, and null-condition semantics."""
+
+from __future__ import annotations
+
+from dataingestionengineprocess_spark.operators.quality import (
+    matches,
+    not_null,
+    referential,
+    validate,
+)
+
+
+def test_referential_rule_quarantines_orphans(spark):
+    facts = spark.createDataFrame(
+        [(1, "US"), (2, "EU"), (3, "XX"), (4, None)],
+        "id long, region string",
+    )
+    dim = spark.createDataFrame([("US",), ("EU",)], "r string")
+    res = validate(facts, [referential("region", dim.select("r"))])
+    assert {r.id for r in res.passed.collect()} == {1, 2}
+    quar = {r.id: list(r._violations) for r in res.quarantined.collect()}
+    assert quar == {3: ["referential_region"], 4: ["referential_region"]}
+
+
+def test_matches_rule_and_null_counts_as_violation(spark):
+    df = spark.createDataFrame(
+        [(1, "AB-12"), (2, "bad"), (3, None)], "id long, code string"
+    )
+    res = validate(df, [matches("code", r"^[A-Z]{2}-\d{2}$")])
+    assert {r.id for r in res.passed.collect()} == {1}
+    assert {r.id for r in res.quarantined.collect()} == {2, 3}
+
+
+def test_multiple_violations_accumulate(spark):
+    df = spark.createDataFrame([(None, "nope")], "id long, code string")
+    res = validate(
+        df, [not_null("id"), matches("code", r"^\d+$")]
+    )
+    viols = res.quarantined.collect()[0]._violations
+    assert set(viols) == {"not_null_id", "matches_code"}
