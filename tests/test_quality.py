@@ -39,3 +39,19 @@ def test_multiple_violations_accumulate(spark):
     )
     viols = res.quarantined.collect()[0]._violations
     assert set(viols) == {"not_null_id", "matches_code"}
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    """A3: the HLL sketch must land within its configured relative
+    standard deviation of the exact distinct count (5x rsd tolerance
+    covers the tail)."""
+    from pyspark.sql import functions as F
+
+    from dataingestionengineprocess_spark.catalog import load
+
+    ev = load(spark, sf_dir, "events")
+    exact = ev.select(F.countDistinct("user_id")).collect()[0][0]
+    approx = ev.select(
+        F.approx_count_distinct("user_id", rsd=0.05)
+    ).collect()[0][0]
+    assert abs(approx - exact) <= max(1, 0.25 * exact), (approx, exact)
