@@ -58,6 +58,7 @@ def _load_all() -> None:
     from . import streaming  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import udf  # noqa: F401
+    from . import tpch_more  # noqa: F401
 
 
 _LOADED = False
