@@ -144,3 +144,67 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= 0.4)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"), "label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup CLUSTERING: close the Jaccard pair graph into components and
+# pick one canonical doc per cluster (operators/components.py). The
+# DuckDB oracle closes the same graph with a recursive CTE -- exact
+# parity for a genuinely iterative distributed algorithm.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                               for i in range(1, len(t) - 1)])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 3
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+comp AS (
+  SELECT s AS doc_id, least(min(d), s) AS component_id
+  FROM reach GROUP BY s
+)
+SELECT doc_id, component_id,
+       count(*) OVER (PARTITION BY component_id) AS cluster_size,
+       doc_id = component_id AS keep
+FROM comp
+"""
+
+
+@register("dedup_cluster_components", oracle=_CLUSTER_ORACLE)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import canonical_per_component, connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.6)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return canonical_per_component(cc).select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("component_id"),
+        "cluster_size",
+        "keep",
+    )

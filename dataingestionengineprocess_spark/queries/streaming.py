@@ -82,7 +82,26 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(streaming_dedup_counts(ev), spark)
 
 
-@register("stream_sliding_counts")
+# Sliding 1h/30m windows: every event lands in exactly two windows, the
+# one starting at its 30-minute slot and the one 30 minutes earlier --
+# which is precisely the unnest-of-two-starts the oracle materializes.
+_SLIDING_ORACLE = """
+SELECT win_start, event_type, count(*) AS n
+FROM (
+  SELECT unnest([slot, slot - INTERVAL 30 MINUTE]) AS win_start, event_type
+  FROM (
+    SELECT date_trunc('hour', ts)
+           + CASE WHEN extract(minute FROM ts) >= 30
+                  THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS slot,
+           event_type
+    FROM events
+  )
+)
+GROUP BY win_start, event_type
+"""
+
+
+@register("stream_sliding_counts", oracle=_SLIDING_ORACLE)
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     return run_to_table(sliding_counts(ev), spark).orderBy(
