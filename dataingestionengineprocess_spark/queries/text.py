@@ -228,3 +228,76 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation: the LLM-training-data pipeline composed as
+# ONE declarative plan -- quality gate -> exact dedup (keep smallest id
+# per content fingerprint) -> per-(lang, source) corpus stats. Catalyst
+# fuses the score/filter into the scan projection; the only shuffles are
+# the dedup window partition and the final (tiny) group-by.
+# Filter boundaries compare ROUNDED quality so both engines make
+# identical keep/drop decisions at the threshold.
+# ---------------------------------------------------------------------------
+
+_CURATION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, text,
+         len(string_split(text, ' ')) AS n,
+         len(list_filter(string_split(text, ' '), t -> t IN ({_SW_SQL})))
+             / len(string_split(text, ' ')) AS sw,
+         list_sum(list_transform(string_split(text, ' '),
+                                 t -> CAST(len(t) AS DOUBLE)))
+             / len(string_split(text, ' ')) AS alen
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, source, text, CAST(n AS BIGINT) AS n_tokens,
+         round(0.4 * least(n / 50.0, 1.0)
+               + 0.3 * (1.0 - abs(sw - 0.10) / 0.9)
+               + 0.3 * (1.0 - least(abs(alen - 5.0) / 5.0, 1.0)), 6) AS quality
+  FROM t
+),
+deduped AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ORDER BY doc_id) AS rn
+  FROM scored
+  WHERE quality >= 0.5 AND n_tokens >= 10
+)
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(quality), 4) AS avg_quality
+FROM deduped
+WHERE rn = 1
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+@register("text_corpus_curation", oracle=_CURATION_ORACLE)
+def text_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    scored = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang", "source", "text",
+            token_count("text").alias("n_tokens"),
+            F.round(quality_score("text"), 6).alias("quality"),
+        )
+        .filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 10))
+    )
+    w = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang", "source")
+    )
