@@ -125,11 +125,22 @@ def minhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
                           bands: int = 16, shingle_n: int = 3,
                           est_threshold: float = 0.5,
                           max_bucket: int = 1000,
-                          repartition_to: int | None = None) -> DataFrame:
+                          repartition_to: int | None = None,
+                          materialize: bool = True) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, scored by estimated
     Jaccard (fraction of agreeing minhashes).
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, est >= threshold.
+
+    ``materialize`` (default on) eagerly localCheckpoints the banded
+    signature table before the self-join. The signature pipeline
+    (shingle explode + hash + 32-way min agg) is the expensive subtree
+    and the downstream plan references it three times (bucket-size
+    guard + both join sides); materializing computes it once -- the
+    same move a production pipeline makes by persisting its signature
+    table before pair generation. Storage is executor-local
+    MEMORY_AND_DISK (16 small rows per doc), freed by LRU eviction or
+    session end; pass False to keep the operator purely lazy.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
@@ -146,6 +157,8 @@ def minhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
             ])
         ).alias("band_idx", "band_key"),
     )
+    if materialize:
+        banded = banded.localCheckpoint(eager=True)
     # Skew guard: drop degenerate buckets (e.g. every empty doc hashes
     # identically) before the self-join blows up quadratically.
     bucket_sizes = banded.groupBy("band_idx", "band_key").agg(
