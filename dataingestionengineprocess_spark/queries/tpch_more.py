@@ -406,3 +406,80 @@ def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntry")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q8: national market share -- the supplier nation's share of a market
+# region's revenue, by order year. The deepest analog join tree (5-way:
+# fact + orders shuffle join, everything else broadcast); the share is
+# a conditional-aggregation ratio of two exact-cents sums, so the
+# 4-decimal round is engine-stable.
+# ---------------------------------------------------------------------------
+
+_Q8_ORACLE = """
+SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+       round(
+         sum(CASE WHEN sn.n_name = 'NATION_6'
+                  THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                  ELSE 0 END)
+         / sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)),
+       4) AS mkt_share
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+JOIN region r    ON cn.n_regionkey = r.r_regionkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+JOIN part p      ON l.l_partkey = p.p_partkey
+WHERE r.r_name = 'AMERICA'
+  AND p.p_type = 'ECONOMY'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+ORDER BY o_year
+"""
+
+
+@register("q8_market_share", oracle=_Q8_ORACLE)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    # customers restricted to the market region (broadcast dim chain)
+    cust_in_region = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("c_custkey")
+    )
+    sup_nation = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"),
+                                   F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_in_region), orders.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(sup_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_6", cents).otherwise(F.lit(0)))
+                / F.sum(cents),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )

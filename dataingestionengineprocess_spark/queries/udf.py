@@ -182,3 +182,52 @@ def udf_tokenize_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .mapInPandas(fanout, "doc_id long, pos long, token string")
     )
+
+
+# ---------------------------------------------------------------------------
+# Native Python UDTF (Spark 4): a declared table function usable in a
+# SQL LATERAL join -- the first-class form of the fan-out contract
+# (mapInPandas above is the Arrow-batch form). The UDTF emits bigrams
+# per document; the query aggregates them into a deterministic top-50.
+# On a cluster the lateral fan-out runs inside the scan stage (no extra
+# shuffle before the aggregate's partial phase).
+# ---------------------------------------------------------------------------
+
+_BIGRAM_ORACLE = """
+SELECT bigram, count(*) AS n
+FROM (
+  SELECT unnest([array_to_string(t[i:i+1], ' ')
+                 for i in range(1, len(t))]) AS bigram
+  FROM (SELECT string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 2
+)
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 50
+"""
+
+
+@register("udtf_bigram_top50", oracle=_BIGRAM_ORACLE)
+def udtf_bigram_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram: string")
+    class BigramUdtf:
+        def eval(self, text: str):
+            # split(' ') (not split()) to mirror string_split semantics
+            toks = text.split(" ") if text is not None else []
+            for i in range(len(toks) - 1):
+                yield (toks[i] + " " + toks[i + 1],)
+
+    spark.udtf.register("bigram_udtf", BigramUdtf)
+    docs = load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT t.bigram, count(*) AS n
+        FROM __udtf_docs d, LATERAL bigram_udtf(d.text) t
+        GROUP BY t.bigram
+        ORDER BY n DESC, bigram
+        LIMIT 50
+        """
+    )

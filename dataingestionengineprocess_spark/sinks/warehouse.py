@@ -28,6 +28,7 @@ import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -111,3 +112,132 @@ def write_status(spark: SparkSession, warehouse_dir: str,
 
 def read_status(spark: SparkSession, warehouse_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(warehouse_dir, "_runs"))
+
+
+def _dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(total bytes, data file count) for a table directory, via the
+    Hadoop FileSystem API (works for any supported scheme, not just
+    local paths)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    total, files = 0, 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        total += st.getLen()
+        files += 1
+    return total, files
+
+
+def compact_table(spark: SparkSession, warehouse_dir: str, table: str,
+                  target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Rewrite a warehouse table into right-sized files.
+
+    Micro-batch appends (ingest_stream's per-run writes) accumulate
+    small files; at scale every query then pays a per-file open +
+    footer read, and tiny row groups defeat min/max skipping. This is
+    the OPTIMIZE/compaction step: read the table, repartition to
+    ceil(total_bytes / target) output files, rewrite atomically
+    (write to a side directory, then swap via two renames -- readers
+    see the old or the new layout, never a mix).
+
+    Parquet compression makes bytes-in a slight overestimate of
+    bytes-out, which errs toward files under target -- the safe side.
+    Returns stats {files_before, files_after, bytes}.
+    """
+    import math
+
+    path = os.path.join(warehouse_dir, table)
+    total, before = _dir_stats(spark, path)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+
+    tmp = path + "__compacting"
+    old = path + "__precompact"
+    spark.read.parquet(path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    hp = lambda s: jvm.org.apache.hadoop.fs.Path(s)  # noqa: E731
+    fs.delete(hp(old), True)
+    if not fs.rename(hp(path), hp(old)):
+        raise IOError(f"compact_table: could not move {path} aside")
+    if not fs.rename(hp(tmp), hp(path)):
+        fs.rename(hp(old), hp(path))  # roll back
+        raise IOError(f"compact_table: could not move {tmp} into place")
+    fs.delete(hp(old), True)
+
+    _, after = _dir_stats(spark, path)
+    return {"files_before": before, "files_after": after, "bytes": total}
+
+
+def merge_upsert(spark: SparkSession, warehouse_dir: str, table: str,
+                 updates: DataFrame, keys: list[str],
+                 order_col: str) -> dict:
+    """Upsert ``updates`` into a warehouse parquet table by key,
+    keeping the row with the greatest ``order_col`` per key (ties break
+    toward the update). The batch MERGE for re-delivered partner files
+    (diagram :88-98's PostgreSQL round-trip generalized): existing rows
+    union the updates, a keep-latest window picks survivors, and the
+    table is swapped atomically (same two-rename protocol as
+    compact_table).
+
+    Idempotent: re-running the same updates batch is a no-op. At scale
+    the rewrite cost is bounded by co-partitioning: the window shuffle
+    partitions by key exactly once, and only the union of (table +
+    batch) is rewritten -- the strategy a format with transaction-log
+    MERGE (e.g. a lakehouse table format) optimizes further by
+    rewriting only matched files; at the plain-parquet layer the full
+    rewrite IS the correct baseline.
+
+    Returns {rows_before, rows_updated, rows_after}.
+    """
+    from pyspark.sql.window import Window
+
+    path = os.path.join(warehouse_dir, table)
+    existing = spark.read.parquet(path)
+    rows_before = existing.count()
+
+    # __src: updates (1) beat existing (0) at equal order_col values.
+    merged = (
+        existing.withColumn("__src", F.lit(0))
+        .unionByName(updates.withColumn("__src", F.lit(1)))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), F.col("__src").desc()
+    )
+    survivors = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+    tmp = path + "__merging"
+    old = path + "__premerge"
+    survivors.write.mode("overwrite").parquet(tmp)
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    hp = lambda s: jvm.org.apache.hadoop.fs.Path(s)  # noqa: E731
+    fs.delete(hp(old), True)
+    if not fs.rename(hp(path), hp(old)):
+        raise IOError(f"merge_upsert: could not move {path} aside")
+    if not fs.rename(hp(tmp), hp(path)):
+        fs.rename(hp(old), hp(path))
+        raise IOError(f"merge_upsert: could not move {tmp} into place")
+    fs.delete(hp(old), True)
+
+    rows_after = spark.read.parquet(path).count()
+    return {
+        "rows_before": rows_before,
+        "rows_updated": updates.count(),
+        "rows_after": rows_after,
+    }

@@ -1,0 +1,43 @@
+"""Warehouse compaction: small files in, right-sized files out,
+identical rows, atomic swap leaves no side directories."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from dataingestionengineprocess_spark.sinks.warehouse import (
+    _dir_stats,
+    compact_table,
+)
+
+
+def test_compact_reduces_file_count_and_preserves_rows(spark, tmp_path):
+    wh = str(tmp_path)
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    # Simulate micro-batch append litter: 64 tiny files.
+    df.repartition(64).write.parquet(os.path.join(wh, "t"))
+    _, before = _dir_stats(spark, os.path.join(wh, "t"))
+    assert before == 64
+
+    stats = compact_table(spark, wh, "t", target_file_bytes=10**9)
+
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 1
+    got = spark.read.parquet(os.path.join(wh, "t"))
+    assert got.count() == 10_000
+    assert got.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+    # No leftover side dirs from the swap.
+    assert sorted(p for p in os.listdir(wh)) == ["t"]
+
+
+def test_compact_respects_target_size(spark, tmp_path):
+    wh = str(tmp_path)
+    spark.range(50_000).withColumn("s", F.sha2(F.col("id").cast("string"), 256)) \
+        .repartition(32).write.parquet(os.path.join(wh, "t"))
+    total, _ = _dir_stats(spark, os.path.join(wh, "t"))
+    # Target a quarter of the current bytes -> at least 2 output files.
+    stats = compact_table(spark, wh, "t", target_file_bytes=total // 4)
+    assert 2 <= stats["files_after"] < 32
+    assert spark.read.parquet(os.path.join(wh, "t")).count() == 50_000
