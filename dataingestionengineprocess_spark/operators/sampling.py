@@ -1,0 +1,61 @@
+"""Deterministic (hash-based) sampling for training-data pipelines.
+
+`df.sample()` draws per-partition pseudo-randomly: the kept set changes
+with partitioning, retries, and cluster size -- unacceptable when a
+100 TB corpus is sampled repeatedly (every rerun trains on different
+rows) or when two tables must be sampled CONSISTENTLY (the same users'
+documents and embeddings). The standard fix is hash sampling: keep a
+row iff ``hash(key) mod M < fraction * M``. Properties:
+
+- deterministic: same keys in => same rows out, on any cluster shape;
+- consistent across tables: sampling two tables on the same key keeps
+  aligned subsets (joins between samples lose nothing);
+- disjoint variants via ``salt``: salt 0's 1% sample and salt 1's 1%
+  sample are independent draws (different hash functions);
+- scan-local: a narrow projection + filter, no shuffle, fully
+  pushdown-friendly.
+
+Uses xxhash64 (JVM-side, whole-stage codegen) so the filter runs at
+scan speed. Engine-specific hash => rows-only driver check; the
+statistical and consistency properties are pytest-asserted instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_M = 1_000_000
+
+
+def _bucket(cols: list[str], salt: int) -> Column:
+    return F.pmod(F.xxhash64(F.lit(salt), *[F.col(c) for c in cols]), F.lit(_M))
+
+
+def hash_sample(df: DataFrame, key_cols: list[str], fraction: float,
+                salt: int = 0) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows, keyed by ``key_cols``.
+
+    Rows with equal keys are kept or dropped together (sampling by
+    user_id keeps every row of a kept user).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(_bucket(key_cols, salt) < int(fraction * _M))
+
+
+def stratified_hash_sample(df: DataFrame, strata_col: str,
+                           fractions: dict[str, float],
+                           key_cols: list[str],
+                           default_fraction: float = 0.0,
+                           salt: int = 0) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep all of the rare ones). Strata missing from
+    ``fractions`` fall back to ``default_fraction``."""
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in [0, 1]")
+    cut = F.lit(int(default_fraction * _M))
+    for s, f in sorted(fractions.items()):
+        cut = F.when(F.col(strata_col) == s, F.lit(int(f * _M))).otherwise(cut)
+    return df.filter(_bucket(key_cols, salt) < cut)

@@ -46,3 +46,37 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: str,
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return salted_fact.join(salted_dim, [on, SALT_COL], how).drop(SALT_COL)
+
+
+def range_bucket_join(facts: DataFrame, fact_col: str, bands: DataFrame,
+                      lo_col: str, hi_col: str,
+                      bucket_width: float) -> DataFrame:
+    """Range join (fact value in [lo, hi)) as a bucketed EQUI-join.
+
+    Spark plans a pure range predicate as broadcast-nested-loop --
+    O(|facts| * |bands|) comparisons, which dies when bands stop being
+    tiny. The standard rewrite: chop the domain into fixed-width
+    buckets, explode each band into every bucket it overlaps, tag each
+    fact with its bucket, equi-join on the bucket id, then re-check the
+    exact range as a residual filter. Catalyst now sees a hash join on
+    the bucket key: shuffle-free when the exploded bands broadcast,
+    partitioned-hash otherwise. Cost shifts from n*m to
+    n + m * (band_width / bucket_width) -- pick bucket_width near the
+    typical band width.
+
+    ``bands`` rows: [lo_col, hi_col) plus any payload columns, which
+    pass through to the output alongside every fact column.
+    """
+    w = float(bucket_width)
+    lo_b = F.floor(F.col(lo_col) / w)  # floor, not cast: negatives round down
+    hi_b = F.floor((F.col(hi_col) - 1e-9) / w)
+    exploded = bands.withColumn("__bucket", F.explode(F.sequence(lo_b, hi_b)))
+    tagged = facts.withColumn("__bucket", F.floor(F.col(fact_col) / w))
+    return (
+        tagged.join(F.broadcast(exploded), "__bucket")
+        .filter(
+            (F.col(fact_col) >= F.col(lo_col))
+            & (F.col(fact_col) < F.col(hi_col))
+        )
+        .drop("__bucket")
+    )

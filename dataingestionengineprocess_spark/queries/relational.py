@@ -852,3 +852,50 @@ def join_nation_pairs_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J5 scale path: pure range join (no equi component) rewritten as a
+# bucketed equi-join (operators/skew.range_bucket_join). Orders priced
+# into tier bands: Spark would plan the raw BETWEEN predicate as a
+# broadcast-nested-loop; the bucket rewrite makes it a hash join. The
+# oracle runs the naive BETWEEN join -- same rows, different plan.
+# ---------------------------------------------------------------------------
+
+_RANGE_BAND_ORACLE = """
+SELECT b.tier, count(*) AS n_orders,
+       round(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS tier_revenue
+FROM orders o
+JOIN (VALUES ('budget',   0.0,      75000.0),
+             ('mid',      75000.0,  200000.0),
+             ('premium',  200000.0, 350000.0),
+             ('luxury',   350000.0, 600000.0)) AS b(tier, lo, hi)
+  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.tier
+ORDER BY tier
+"""
+
+
+@register("join_range_price_bands", oracle=_RANGE_BAND_ORACLE)
+def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import range_bucket_join
+
+    orders = load(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 75000.0), ("mid", 75000.0, 200000.0),
+         ("premium", 200000.0, 350000.0), ("luxury", 350000.0, 600000.0)],
+        ["tier", "lo", "hi"],
+    )
+    joined = range_bucket_join(
+        orders, "o_totalprice", bands, "lo", "hi", bucket_width=25000.0
+    )
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2
+            ).alias("tier_revenue"),
+        )
+        .orderBy("tier")
+    )

@@ -193,3 +193,57 @@ def events_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (the missing ST shape): purchases joined
+# to the same user's clicks within the preceding 30 minutes. Both sides
+# are watermarked streams; the time-range condition is what lets Spark
+# bound the join state (each side's buffer is evicted once the other
+# side's watermark passes the interval) -- THE requirement for an
+# unbounded 100 TB/day event feed. availableNow over the fixture file
+# yields one micro-batch, so the append-mode result equals the batch
+# self-join the oracle runs.
+# ---------------------------------------------------------------------------
+
+_SSJOIN_ORACLE = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+"""
+
+
+@register("stream_stream_join", oracle=_SSJOIN_ORACLE)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id", "click_ts", "purchase_ts")
+    return run_to_table(joined, spark, output_mode="append")

@@ -301,3 +301,56 @@ def text_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-length histogram: fixed-width buckets over per-doc token counts
+# -- the corpus length profile every data-mix decision starts from.
+# Single scan, two-phase agg on a low-cardinality bucket key.
+# ---------------------------------------------------------------------------
+
+_LENGTH_HIST_ORACLE = """
+SELECT CAST(floor(len(string_split(text, ' ')) / 25) * 25 AS BIGINT) AS bucket_lo,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY 1
+ORDER BY bucket_lo
+"""
+
+
+@register("text_length_histogram", oracle=_LENGTH_HIST_ORACLE)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = token_count("text")
+    return (
+        load(spark, sf_dir, "documents")
+        .select((F.floor(n / 25) * 25).alias("bucket_lo"), n.alias("n"))
+        .groupBy("bucket_lo")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("total_tokens"))
+        .orderBy("bucket_lo")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified corpus sampling (operators/sampling.py):
+# downsample the dominant strata, keep the rare ones whole. xxhash64 is
+# engine-specific => rows-only driver check; determinism/consistency
+# properties are pytest-asserted (tests/test_sampling.py).
+# ---------------------------------------------------------------------------
+
+
+@register("sample_stratified_corpus")
+def sample_stratified_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_hash_sample
+
+    docs = load(spark, sf_dir, "documents")
+    sampled = stratified_hash_sample(
+        docs, "lang",
+        {"en": 0.25, "de": 0.5, "fr": 0.5, "es": 0.5},
+        key_cols=["doc_id"], default_fraction=1.0,
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang")
+    )

@@ -1,0 +1,68 @@
+"""Hash-sampling properties: determinism, cross-table consistency,
+stratified fractions, statistical tolerance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataingestionengineprocess_spark.operators.sampling import (
+    hash_sample,
+    stratified_hash_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(20_000).withColumnRenamed("id", "k").cache()
+
+
+def test_deterministic_across_repartitioning(spark, ids):
+    a = {r["k"] for r in hash_sample(ids, ["k"], 0.1).collect()}
+    b = {r["k"] for r in hash_sample(ids.repartition(17), ["k"], 0.1).collect()}
+    assert a == b and a
+
+
+def test_fraction_within_binomial_tolerance(spark, ids):
+    n = hash_sample(ids, ["k"], 0.25).count()
+    assert abs(n / 20_000 - 0.25) < 0.02  # ~6 sigma for p=.25, n=20k
+
+
+def test_consistent_across_tables_on_same_key(spark, ids):
+    docs = ids.withColumn("text", F.concat(F.lit("d"), F.col("k")))
+    embs = ids.withColumn("vec", F.col("k") * 2)
+    kept_docs = {r["k"] for r in hash_sample(docs, ["k"], 0.2).collect()}
+    kept_embs = {r["k"] for r in hash_sample(embs, ["k"], 0.2).collect()}
+    assert kept_docs == kept_embs
+
+
+def test_salts_give_independent_samples(spark, ids):
+    a = {r["k"] for r in hash_sample(ids, ["k"], 0.1, salt=0).collect()}
+    b = {r["k"] for r in hash_sample(ids, ["k"], 0.1, salt=1).collect()}
+    overlap = len(a & b) / len(a)
+    assert 0.02 < overlap < 0.25  # ~10% expected under independence
+
+
+def test_stratified_fractions_respected(spark, ids):
+    df = ids.withColumn(
+        "lang", F.when(F.col("k") % 2 == 0, "en").otherwise("rare")
+    )
+    out = stratified_hash_sample(
+        df, "lang", {"en": 0.1, "rare": 1.0}, key_cols=["k"]
+    )
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["rare"] == 10_000          # keep-all stratum is exact
+    assert abs(counts["en"] / 10_000 - 0.1) < 0.02
+
+
+def test_default_fraction_drops_unlisted_strata(spark, ids):
+    df = ids.withColumn("lang", F.lit("xx"))
+    assert stratified_hash_sample(df, "lang", {"en": 0.5}, ["k"]).count() == 0
+
+
+def test_bad_fraction_raises(spark, ids):
+    with pytest.raises(ValueError):
+        hash_sample(ids, ["k"], 1.5)
+    with pytest.raises(ValueError):
+        stratified_hash_sample(ids, "k", {"en": -0.1}, ["k"])

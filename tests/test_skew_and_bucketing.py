@@ -97,3 +97,30 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         # managed-table DROP also deletes the warehouse files
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_range_bucket_join_matches_naive_and_avoids_bnlj(spark):
+    from dataingestionengineprocess_spark.operators.skew import range_bucket_join
+
+    facts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([-5, 0, 3, 9.99, 10, 17, 25, 99])],
+        ["fid", "val"],
+    )
+    bands = spark.createDataFrame(
+        [("neg", -10.0, 0.0), ("low", 0.0, 10.0), ("midhigh", 10.0, 30.0)],
+        ["name", "lo", "hi"],
+    )
+    got = range_bucket_join(facts, "val", bands, "lo", "hi", bucket_width=4.0)
+    naive = facts.join(
+        bands, (facts.val >= bands.lo) & (facts.val < bands.hi)
+    )
+    assert sorted((r["fid"], r["name"]) for r in got.collect()) == sorted(
+        (r["fid"], r["name"]) for r in naive.collect()
+    )
+    # val=99 falls in no band; val=-5 lands in 'neg' (floor handles negatives)
+    pairs = {(r["fid"], r["name"]) for r in got.collect()}
+    assert (0, "neg") in pairs and not any(fid == 7 for fid, _ in pairs)
+    # The rewrite's point: a hash join on the bucket key, not a
+    # nested-loop over the range predicate.
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
