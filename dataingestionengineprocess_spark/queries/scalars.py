@@ -268,3 +268,48 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.array_max(emb), 6).alias("max_val"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array function battery over the embedding vectors:
+# transform / filter / aggregate / zip_with / exists / forall, the
+# §2.7 functional core that keeps vector math JVM-side (no UDF).
+# Per-row sequential folds are order-deterministic, so exact floats
+# round identically in both engines.
+# ---------------------------------------------------------------------------
+
+_HOF_ORACLE = """
+WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT vec_id,
+       CAST(len(list_filter(e, x -> x > 0)) AS INT)  AS n_pos,
+       round(list_sum(list_transform(e, x -> abs(x))), 5) AS l1_norm,
+       round(list_max(list_transform(e, x -> abs(x))), 6) AS linf_norm,
+       round(list_sum(list_transform(range(1, 33), i -> e[i] * e[i + 32])), 5) AS half_dot,
+       len(list_filter(e, x -> abs(x) > 0.3)) > 0    AS has_large,
+       len(list_filter(e, x -> NOT isfinite(x))) = 0 AS all_finite
+FROM t
+"""
+
+
+@register("scalar_higher_order_funcs", oracle=_HOF_ORACLE)
+def scalar_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    absd = F.transform(emb, lambda x: F.abs(x))
+    fold_sum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    half_dot = fold_sum(
+        F.zip_with(F.slice(emb, 1, 32), F.slice(emb, 33, 32), lambda a, b: a * b)
+    )
+    return (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+            F.round(fold_sum(absd), 5).alias("l1_norm"),
+            F.round(F.array_max(absd), 6).alias("linf_norm"),
+            F.round(half_dot, 5).alias("half_dot"),
+            F.exists(emb, lambda x: F.abs(x) > 0.3).alias("has_large"),
+            F.forall(emb, lambda x: ~F.isnan(x)).alias("all_finite"),
+        )
+    )

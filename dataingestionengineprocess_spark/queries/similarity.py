@@ -20,7 +20,11 @@ from ..operators.similarity import (
     ivf_topk,
     lsh_topk,
 )
+from ..functions.text import STOPWORDS
+from ..functions.vectors import as_double, dot
 from . import register
+
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 _COS = """list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
@@ -108,3 +112,70 @@ FROM scored WHERE rn = 1
 def similarity_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return centroid_classify(emb)
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal profile: documents joined to their embedding rows
+# (vec_id == doc_id in the fixtures) -- text-quality stats and vector
+# norms per embedding label. The join is the multimodal pipeline's
+# backbone shape: narrow text-derived features equi-joined to vector
+# features on the document key, then rolled up.
+# ---------------------------------------------------------------------------
+
+_CROSSMODAL_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n,
+         len(list_filter(string_split(text, ' '), t -> t IN ({_SW_SQL})))
+             / len(string_split(text, ' ')) AS sw,
+         list_sum(list_transform(string_split(text, ' '),
+                                 t -> CAST(len(t) AS DOUBLE)))
+             / len(string_split(text, ' ')) AS alen
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         round(0.4 * least(n / 50.0, 1.0)
+               + 0.3 * (1.0 - abs(sw - 0.10) / 0.9)
+               + 0.3 * (1.0 - least(abs(alen - 5.0) / 5.0, 1.0)), 6) AS quality
+  FROM q
+),
+e AS (
+  SELECT vec_id, label,
+         round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2
+  FROM embeddings
+)
+SELECT e.label, count(*) AS n_docs,
+       round(avg(s.quality), 4) AS avg_quality,
+       round(avg(e.l2), 4)      AS avg_l2,
+       round(min(e.l2), 6)      AS min_l2,
+       round(max(e.l2), 6)      AS max_l2
+FROM scored s JOIN e ON s.doc_id = e.vec_id
+GROUP BY e.label
+ORDER BY e.label
+"""
+
+
+@register("crossmodal_label_profile", oracle=_CROSSMODAL_ORACLE)
+def crossmodal_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import quality_score
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.round(quality_score("text"), 6).alias("quality")
+    )
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.round(F.sqrt(dot(as_double("embedding"), as_double("embedding"))), 6).alias("l2"),
+    )
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.round(F.avg("l2"), 4).alias("avg_l2"),
+            F.round(F.min("l2"), 6).alias("min_l2"),
+            F.round(F.max("l2"), 6).alias("max_l2"),
+        )
+        .orderBy("label")
+    )

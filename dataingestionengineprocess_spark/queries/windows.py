@@ -196,3 +196,30 @@ def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts",
         F.count("*").over(w).alias("n_last_10m"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W1 extended: percent_rank / cume_dist -- the distribution-position
+# analytics (customer balance percentile within market segment).
+# ---------------------------------------------------------------------------
+
+_PCTRANK_ORACLE = """
+SELECT c_mktsegment, c_custkey,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register("window_percent_rank", oracle=_PCTRANK_ORACLE)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment", "c_custkey",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+    )
