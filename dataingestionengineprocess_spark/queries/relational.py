@@ -899,3 +899,39 @@ def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 extended: EXACT interpolated percentiles (SQL `percentile` /
+# quantile_cont -- both engines interpolate linearly over the sorted
+# group). The exact form is the oracle for percentile_approx's sketch
+# (agg_approx_distinct plays the same role for count-distinct): at
+# 100 TB you run the KLL/GK sketch, and this query is how you validate
+# its error on a sample.
+# ---------------------------------------------------------------------------
+
+_PCTL_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("agg_percentiles", oracle=_PCTL_ORACLE)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
