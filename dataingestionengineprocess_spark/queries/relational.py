@@ -935,3 +935,30 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT: wide part metrics melted to (metric, value) rows via stack()
+# -- the inverse of pivot, used to normalize per-column metrics into a
+# long table a generic quality monitor can consume. Narrow projection,
+# no shuffle: the stack is a per-row generator in the scan stage.
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+SELECT p_partkey, 'retail_price' AS metric, round(p_retailprice, 2) AS value
+FROM part
+UNION ALL
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+FROM part
+"""
+
+
+@register("unpivot_part_metrics", oracle=_UNPIVOT_ORACLE)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'retail_price', round(p_retailprice, 2), "
+            "'size', cast(p_size AS DOUBLE)) AS (metric, value)"
+        ),
+    )

@@ -247,3 +247,92 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("purchase_id", "click_id", "user_id", "click_ts", "purchase_ts")
     return run_to_table(joined, spark, output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# PIVOT: daily event-type matrix. The value list is EXPLICIT -- at
+# scale an implicit pivot first runs a distinct job over the fact table
+# to discover columns; pinning the list keeps it to one pass.
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT date_trunc('day', ts) AS day,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events
+GROUP BY 1
+"""
+
+
+@register("events_pivot_daily_matrix", oracle=_PIVOT_ORACLE)
+def events_pivot_daily_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample + gap fill: the dense (hour x event_type) grid
+# with zero-filled missing cells and a per-type running total. The grid
+# is generated (sequence/explode), never scanned -- |hours| x |types|
+# rows regardless of fact volume; the only fact-sized work is the
+# hourly pre-aggregate.
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+  SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT t.event_type, h.hr, coalesce(c.n, 0) AS n,
+       CAST(sum(coalesce(c.n, 0)) OVER (PARTITION BY t.event_type
+                                        ORDER BY h.hr) AS BIGINT) AS cum_n
+FROM hours h
+CROSS JOIN types t
+LEFT JOIN counts c ON c.hr = h.hr AND c.event_type = t.event_type
+"""
+
+
+@register("events_gapfill_hourly", oracle=_GAPFILL_ORACLE)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..catalog import load
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hr"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hr")
+    )
+    types = ev.select("event_type").distinct()
+    w = W.partitionBy("event_type").orderBy("hr")
+    return (
+        hours.crossJoin(types)
+        .join(hourly, ["hr", "event_type"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .withColumn("cum_n", F.sum("n").over(w))
+        .select("event_type", "hr", "n", "cum_n")
+    )
