@@ -241,3 +241,33 @@ def merge_upsert(spark: SparkSession, warehouse_dir: str, table: str,
         "rows_updated": updates.count(),
         "rows_after": rows_after,
     }
+
+
+def expire_runs(spark: SparkSession, warehouse_dir: str, table: str,
+                keep_last: int, partition_col: str = "_run_id") -> dict:
+    """Retention for run-partitioned tables: drop all but the newest
+    ``keep_last`` partitions (lexicographic partition-value order --
+    run ids embed their epoch, so lexicographic IS chronological).
+
+    Partition deletion is a directory remove per expired run -- no
+    rewrite of surviving data, which is the point of partitioning the
+    table by run in the first place (S6's layout). Returns
+    {kept, dropped}.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(os.path.join(warehouse_dir, table))
+    fs = root.getFileSystem(conf)
+    prefix = f"{partition_col}="
+    parts = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().startswith(prefix)
+    )
+    to_drop = parts[:-keep_last] if keep_last > 0 else parts
+    for name in to_drop:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(os.path.join(warehouse_dir, table, name)),
+            True,
+        )
+    return {"kept": len(parts) - len(to_drop), "dropped": len(to_drop)}

@@ -41,3 +41,24 @@ def test_compact_respects_target_size(spark, tmp_path):
     stats = compact_table(spark, wh, "t", target_file_bytes=total // 4)
     assert 2 <= stats["files_after"] < 32
     assert spark.read.parquet(os.path.join(wh, "t")).count() == 50_000
+
+
+def test_expire_runs_keeps_newest_partitions(spark, tmp_path):
+    from dataingestionengineprocess_spark.sinks.warehouse import expire_runs
+
+    wh = str(tmp_path)
+    for run in ["run-001", "run-002", "run-003", "run-004"]:
+        df = spark.range(10).withColumn("_run_id", F.lit(run))
+        df.write.mode("append").partitionBy("_run_id").parquet(
+            os.path.join(wh, "t")
+        )
+
+    stats = expire_runs(spark, wh, "t", keep_last=2)
+
+    assert stats == {"kept": 2, "dropped": 2}
+    left = {
+        r["_run_id"]
+        for r in spark.read.parquet(os.path.join(wh, "t"))
+        .select("_run_id").distinct().collect()
+    }
+    assert left == {"run-003", "run-004"}
