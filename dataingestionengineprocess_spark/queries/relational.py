@@ -962,3 +962,28 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'size', cast(p_size AS DOUBLE)) AS (metric, value)"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# A3-adjacent: percentile_approx -- the KLL-sketch quantiles actually
+# run at 100 TB (single pass, mergeable, bounded memory; the exact
+# percentile needs a per-group sort). Sketch internals are
+# engine-specific => rows-only driver check; accuracy vs the exact
+# percentiles is pytest-asserted.
+# ---------------------------------------------------------------------------
+
+
+@register("agg_approx_percentiles")
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000))
+            .alias("median_approx"),
+            F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000))
+            .alias("p90_approx"),
+        )
+        .orderBy("o_orderpriority")
+    )

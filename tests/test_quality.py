@@ -55,3 +55,17 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
         F.approx_count_distinct("user_id", rsd=0.05)
     ).collect()[0][0]
     assert abs(approx - exact) <= max(1, 0.25 * exact), (approx, exact)
+
+
+def test_percentile_approx_close_to_exact(spark, sf_dir):
+    from dataingestionengineprocess_spark.queries import all_queries
+
+    qs = all_queries()
+    exact = {r["o_orderpriority"]: (r["median_price"], r["p90_price"])
+             for r in qs["agg_percentiles"](spark, sf_dir).collect()}
+    approx = {r["o_orderpriority"]: (r["median_approx"], r["p90_approx"])
+              for r in qs["agg_approx_percentiles"](spark, sf_dir).collect()}
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        for e, a in zip(exact[k], approx[k]):
+            assert abs(a - e) / e < 0.02, (k, e, a)
