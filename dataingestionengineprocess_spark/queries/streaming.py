@@ -336,3 +336,33 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_n", F.sum("n").over(w))
         .select("event_type", "hr", "n", "cum_n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static join (completes the streaming join matrix next to
+# stream_stream_join): the live event stream enriched against a static
+# dimension snapshot. The static side broadcasts once and is re-used by
+# every micro-batch -- no stream state at all, unlike stream-stream.
+# ---------------------------------------------------------------------------
+
+_STREAM_STATIC_ORACLE = """
+SELECT c.c_mktsegment, count(*) AS n_events,
+       round(sum(e.value), 2) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("stream_static_enrich", oracle=_STREAM_STATIC_ORACLE)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load
+
+    ev = read_events_stream(spark, sf_dir)
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return run_to_table(agg, spark)

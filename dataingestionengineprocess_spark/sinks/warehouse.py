@@ -271,3 +271,59 @@ def expire_runs(spark: SparkSession, warehouse_dir: str, table: str,
             True,
         )
     return {"kept": len(parts) - len(to_drop), "dropped": len(to_drop)}
+
+
+def zorder_write(df: DataFrame, warehouse_dir: str, table: str,
+                 zcols: list[str], n_files: int,
+                 bits: int = 8) -> str:
+    """Write a table clustered on the Morton (Z-order) interleaving of
+    ``zcols`` -- multi-dimensional data skipping for plain parquet.
+
+    A single-column sort gives tight parquet min/max ranges on that
+    column only; interleaving the bits of several columns' quantile
+    ranks makes EVERY z-column's per-file range narrow, so selective
+    filters on any of them (or boxes over several) skip most files /
+    row groups. This is the layout step a lakehouse OPTIMIZE ZORDER
+    runs.
+
+    Scale-aware quantization: per-column bucket boundaries come from
+    ``approxQuantile`` (one pass, mergeable sketch, tiny driver-side
+    array) and rows rank themselves against the literal boundary array
+    JVM-side -- no global-order window (which would funnel the table
+    through one partition). ``bits`` = 8 gives 256 buckets per
+    dimension, plenty of resolution for file-level skipping. The only
+    shuffle is the final range partition on the z-code; the rewrite
+    runs at OPTIMIZE cadence, amortized over every later scan.
+    """
+    n_buckets = 1 << bits
+    work = df
+    rank_cols = []
+    for c in zcols:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = df.approxQuantile(c, probs, 0.001)
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        rc = f"__r_{c}"
+        # rank = number of boundaries <= value: a 255-element JVM-side
+        # scan per row, skew-proof because boundaries are quantiles.
+        work = work.withColumn(
+            rc,
+            F.size(F.filter(barr, lambda b: b <= F.col(c).cast("double")))
+            .cast("long"),
+        )
+        rank_cols.append(rc)
+
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, rc in enumerate(rank_cols):
+            bit = F.shiftright(F.col(rc), b).bitwiseAND(F.lit(1))
+            z = z + (bit * F.lit(1 << (b * len(rank_cols) + i))).cast("long")
+    work = work.withColumn("__z", z)
+
+    path = os.path.join(warehouse_dir, table)
+    (
+        work.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop(*rank_cols, "__z")
+        .write.mode("overwrite").parquet(path)
+    )
+    return path
