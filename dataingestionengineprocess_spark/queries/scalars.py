@@ -313,3 +313,40 @@ def scalar_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.forall(emb, lambda x: ~F.isnan(x)).alias("all_finite"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT path for semi-structured props (Spark 4): parse_json once
+# into the binary variant encoding, then typed variant_get extraction.
+# At scale this replaces per-expression string re-parsing
+# (get_json_object parses the JSON text for every call site); variant
+# parses once and all later extractions are binary field reads.
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("scalar_variant_funcs", oracle=_VARIANT_ORACLE)
+def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
