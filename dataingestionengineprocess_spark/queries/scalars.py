@@ -350,3 +350,40 @@ def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-safe arithmetic: Spark 4 runs ANSI mode (overflow/bad-cast/
+# div-by-zero RAISE instead of silently wrapping or nulling), so the
+# try_* family is how ingest pipelines absorb dirty partner data
+# without failing the job. The oracle mirrors the null-on-error
+# semantics with guards/try_cast.
+# ---------------------------------------------------------------------------
+
+_TRY_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 10 = 0 THEN NULL
+            ELSE floor(o_totalprice / (o_orderkey % 10) * 10000) / 10000 END AS price_per,
+       try_cast(o_orderpriority AS DOUBLE)                      AS prio_num,
+       try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)     AS prio_rank
+FROM orders
+WHERE o_orderkey <= 2000
+"""
+
+
+@register("scalar_try_funcs", oracle=_TRY_ORACLE)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            (F.floor(
+                F.try_divide("o_totalprice", F.col("o_orderkey") % 10) * 10000
+            ) / 10000).alias("price_per"),
+            F.try_to_number("o_orderpriority", F.lit("999")).cast("double")
+            .alias("prio_num"),
+            F.substring("o_orderpriority", 1, 1).try_cast("bigint")
+            .alias("prio_rank"),
+        )
+    )
