@@ -987,3 +987,34 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# A7 extended: group-sorted string aggregation. Raw collect_list order
+# is partition-dependent; sort_array + array_join pins it, which is the
+# only way string aggregation is reproducible on a cluster (same rule
+# as DuckDB's string_agg ORDER BY).
+# ---------------------------------------------------------------------------
+
+_STRAGG_ORACLE = """
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n_nations
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("agg_string_concat", oracle=_STRAGG_ORACLE)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",")
+            .alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+        .orderBy("n_regionkey")
+    )

@@ -70,3 +70,26 @@ class RunTelemetryListener(StreamingQueryListener):
 
 def read_progress(spark: SparkSession, warehouse_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(warehouse_dir, PROGRESS_TABLE))
+
+
+def with_ingest_metrics(df: DataFrame, name: str = "ingest_metrics") -> DataFrame:
+    """Attach free run-level metrics to a batch plan via ``observe``
+    (A8): rows, null keys, value totals are accumulated DURING the
+    action that executes the plan -- no second scan, unlike a separate
+    ``df.agg`` pass. Read them back from the completed action through
+    ``observed_metrics`` (or a QueryExecutionListener in a deployed
+    app).
+
+    At 100 TB a post-hoc metrics query re-reads the table; observe()
+    rides along for free, which is why it is the right A8 mechanism.
+    """
+    from pyspark.sql import functions as F
+
+    first_col = df.columns[0]
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.when(F.col(first_col).isNull(), 1).otherwise(0)).alias(
+            "null_first_col"
+        ),
+    )

@@ -54,3 +54,33 @@ def test_progress_rows_recorded(spark, sf_dir, tmp_path):
         .agg(F.sum("num_input_rows")).collect()[0][0]
     )
     assert seen == n_events, (seen, n_events)
+
+
+def test_observe_metrics_ride_along_with_action(spark, sf_dir):
+    from pyspark.sql import Observation
+
+    from dataingestionengineprocess_spark.catalog import load
+
+    # Observation is the batch-side reader for observe() metrics.
+    obs = Observation("ingest")
+    df = load(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_keys"
+        ),
+    )
+    n = df.filter(F.col("o_totalprice") > 0).count()  # one action
+    got = obs.get
+    assert got["rows_seen"] >= n and got["rows_seen"] > 0
+    assert got["null_keys"] == 0
+
+
+def test_with_ingest_metrics_wrapper_runs(spark, sf_dir):
+    from dataingestionengineprocess_spark.catalog import load
+    from dataingestionengineprocess_spark.streaming.telemetry import (
+        with_ingest_metrics,
+    )
+
+    df = with_ingest_metrics(load(spark, sf_dir, "nation"))
+    assert df.count() > 0  # plan executes with metrics attached
