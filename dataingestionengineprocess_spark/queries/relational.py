@@ -1018,3 +1018,45 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# J-extended: correlated LATERAL subquery join -- "top-2 most recent
+# orders PER customer" written as the correlated form. Catalyst
+# decorrelates it into the same window/join machinery topk_per_group
+# uses, but the LATERAL surface is what users migrating correlated SQL
+# bring with them, so it ships as its own checked query.
+# ---------------------------------------------------------------------------
+
+_LATERAL_ORACLE = """
+SELECT c.c_custkey, o.o_orderkey, o.o_orderdate
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_orderdate
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_orderdate DESC, o_orderkey
+  LIMIT 2
+) o
+WHERE c.c_custkey <= 200
+"""
+
+
+@register("join_lateral_recent_orders", oracle=_LATERAL_ORACLE)
+def join_lateral_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("__lat_cust")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_orderdate
+        FROM __lat_cust c,
+        LATERAL (
+          SELECT o_orderkey, o_orderdate
+          FROM __lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_orderdate DESC, o_orderkey
+          LIMIT 2
+        ) o
+        WHERE c.c_custkey <= 200
+        """
+    )
