@@ -1,0 +1,261 @@
+"""Advanced analytics surface: deterministic mode, regression aggregates,
+cohort retention, cumulative distinct users, EWMA smoothing, and a
+blocked fuzzy (edit-distance) self-join.
+
+These extend SURVEY.md §2.4 (aggregations) and §2.5 (windows) with the
+analytics a training-data pipeline runs over its telemetry and catalog
+tables. Reference provenance: the engine box is opaque
+(Untitled Diagram.drawio:153-154), so these are [S]/[C]-class surface;
+every query here is a pure DataFrame composition with a DuckDB oracle.
+
+Scale notes (100 TB design intent, per query):
+- mode / regression: single shuffle on the group key, partial aggregation
+  map-side; output is tiny (one row per group).
+- cohort / cumulative: the per-user ``min(day)`` first-seen trick turns
+  "cumulative distinct users" (quadratic if done naively with a running
+  DISTINCT) into one groupBy + one small running-sum window over daily
+  aggregates -- the unpartitioned window runs over per-DAY rows, not raw
+  events, so single-task execution is fine at any scale.
+- EWMA: per-key window, frame bounded to 20 rows -- state is O(frame),
+  weights are exact powers of two so Spark and DuckDB agree bitwise.
+- fuzzy join: blocking on (p_brand, p_size) bounds the quadratic
+  candidate set per block; the join itself is a plain equi-join Catalyst
+  can shuffle-partition, with levenshtein as a post-join filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from . import register
+
+# ---------------------------------------------------------------------------
+# Deterministic mode: most frequent l_quantity per return flag, ties broken
+# by smallest value. Built-in F.mode() is tie-nondeterministic, so the
+# portable idiom is count + row_number -- same plan DuckDB's oracle uses.
+# ---------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+SELECT l_returnflag, mode_qty, mode_count
+FROM (
+  SELECT l_returnflag, l_quantity AS mode_qty,
+         CAST(count(*) AS BIGINT) AS mode_count,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY count(*) DESC, l_quantity ASC) AS rn
+  FROM lineitem
+  GROUP BY l_returnflag, l_quantity
+) WHERE rn = 1
+"""
+
+
+@register("agg_mode_deterministic", oracle=_MODE_ORACLE)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("mode_count")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("mode_count").desc(), F.col("l_quantity").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            "mode_count",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear-regression aggregates (Spark 3.4+ regr_* family): price-vs-quantity
+# fit per return flag. One shuffle, three output rows; rounded because the
+# covariance accumulators are order-sensitive doubles.
+# ---------------------------------------------------------------------------
+
+_REGR_ORACLE = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+       round(corr(l_extendedprice, l_quantity), 6)           AS pearson_r,
+       CAST(count(*) AS BIGINT)                              AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_regression_stats", oracle=_REGR_ORACLE)
+def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.corr(y, x), 6).alias("pearson_r"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention over events: users cohorted by first-seen day; for each
+# (cohort day, week offset) count the distinct users still active. The
+# first-seen table is one groupBy over events; everything after operates on
+# per-user / per-day cardinalities.
+# ---------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7 AS BIGINT)
+         AS week_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+FROM events e JOIN first_seen f ON e.user_id = f.user_id
+GROUP BY f.cohort_day, week_offset
+"""
+
+
+@register("events_cohort_retention", oracle=_COHORT_ORACLE)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(first_seen, "user_id")
+        .withColumn(
+            "week_offset",
+            F.expr("datediff(CAST(ts AS DATE), cohort_day) div 7"),
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users per day WITHOUT a running DISTINCT: a user
+# contributes to the cumulative count exactly once, on their first-seen day,
+# so cumulative-distinct == running sum of daily new-user counts. The
+# unpartitioned window runs over ~one row per day.
+# ---------------------------------------------------------------------------
+
+_CUMDIST_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+), daily_new AS (
+  SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+  FROM first_seen GROUP BY first_day
+)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM daily_new
+"""
+
+
+@register("events_cumulative_distinct_users", oracle=_CUMDIST_ORACLE)
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily_new = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily_new.withColumn(
+        "cumulative_users", F.sum("new_users").over(w)
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing of event values per user over a bounded 20-row frame.
+# collect_list over an ordered frame preserves frame order (oldest first);
+# the weighted fold uses alpha = 1/2 so every weight is an exact power of
+# two -- multiplication by 2^-k and the left-to-right list sum are then
+# bit-identical in Spark and DuckDB, no rounding fudge needed.
+# Denominator is the closed-form geometric sum 2 - 2^(1-n).
+# ---------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+SELECT event_id, user_id, value,
+       list_sum(list_transform(vals, (x, i) -> x * pow(0.5, len(vals) - i)))
+         / (2 - pow(0.5, len(vals) - 1)) AS ewma
+FROM (
+  SELECT event_id, user_id, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+  FROM events
+)
+"""
+
+
+@register("window_ewma_smoothing", oracle=_EWMA_ORACLE)
+def window_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    vals = F.collect_list("value").over(w)
+    # Spark's transform index i is 0-based (newest element has
+    # i = n-1, weight 2^0); DuckDB's is 1-based -- exponents match.
+    ewma = F.expr(
+        "aggregate(transform(vals, (x, i) -> x * pow(0.5, size(vals) - 1 - i)),"
+        " 0D, (acc, x) -> acc + x) / (2 - pow(0.5, size(vals) - 1))"
+    )
+    return (
+        ev.select("event_id", "user_id", "value", vals.alias("vals"))
+        .withColumn("ewma", ewma)
+        .drop("vals")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy self-join (entity-resolution idiom): candidate pairs share a
+# blocking key (p_brand, p_size) -- an equi-join Catalyst shuffles on the
+# key -- and survive an edit-distance filter. Blocking is what makes fuzzy
+# matching feasible at 100 TB: the quadratic blowup is bounded per block
+# instead of global.
+# ---------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 6
+"""
+
+
+@register("join_fuzzy_levenshtein", oracle=_FUZZY_ORACLE)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        "p_brand", "p_size",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        "p_brand", "p_size",
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, ["p_brand", "p_size"])
+        .filter((F.col("key_a") < F.col("key_b")) & (dist <= 6))
+        .select("key_a", "key_b", "name_a", "name_b", dist.alias("edit_dist"))
+    )
