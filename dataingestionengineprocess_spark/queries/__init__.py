@@ -60,6 +60,7 @@ def _load_all() -> None:
     from . import udf  # noqa: F401
     from . import tpch_more  # noqa: F401
     from . import analytics  # noqa: F401
+    from . import extensions  # noqa: F401
 
 
 _LOADED = False

@@ -1,0 +1,170 @@
+"""Engine-extension surface: SQL UDFs, XML parsing, the custom Python
+data source, and mergeable HLL sketches.
+
+These demonstrate the extension points a Spark-4-native engine exposes
+beyond the built-in operator set -- the reference's engine box is an
+opaque "Python program" (Untitled Diagram.drawio:153-154), so its
+extension mechanism is unspecified; ours is the public Spark surface:
+
+- SQL UDFs (``CREATE FUNCTION ... RETURN expr``): planner-inlined --
+  unlike Python UDFs the body participates in Catalyst optimization and
+  whole-stage codegen, so there is NO serialization boundary. The
+  preferred way to package reusable business expressions at scale.
+- ``from_xml`` / ``xpath_*``: typed extraction from XML feeds (partner
+  CSV's sibling format); parsing is JVM-side, no Python round-trip.
+- Python DataSource API: external feeds as planned, partitioned scans
+  (see sources/python_datasource.py for the scale rationale).
+- HLL sketches: the 100 TB answer to count-distinct -- fixed-size
+  mergeable state, so per-partition partials combine associatively
+  across any cluster topology (and across DAYS: sketches persisted per
+  partition/day can be re-merged without touching raw data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..sources.python_datasource import register as register_feed_source
+from . import register
+
+# ---------------------------------------------------------------------------
+# SQL UDF: net price with declared parameter and return types. The oracle
+# inlines the same expression -- by construction a SQL UDF is equivalent to
+# its inlined body, which is exactly what makes it the fast extension path.
+# ---------------------------------------------------------------------------
+
+_SQL_UDF_ORACLE = """
+SELECT l_returnflag,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+                AS BIGINT)) AS BIGINT) / 100.0 AS net_revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_quantity < 25
+GROUP BY l_returnflag
+"""
+
+
+@register("sql_udf_net_price", oracle=_SQL_UDF_ORACLE)
+def sql_udf_net_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d) * (1 + t)"
+    )
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("__sqludf_li")
+    # Exact-cents sum (see FIXTURES.md oracle notes): per-row round is
+    # bitwise identical across engines; the long sum is order-free.
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               sum(CAST(round(net_price(l_extendedprice, l_discount, l_tax) * 100)
+                   AS BIGINT)) / 100e0 AS net_revenue,
+               count(*) AS n
+        FROM __sqludf_li
+        WHERE l_quantity < 25
+        GROUP BY l_returnflag
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# XML round-trip: serialize order rows to XML, parse back with a typed
+# from_xml schema plus an xpath_* probe. The oracle states the expected
+# fixpoint directly from the source columns, so this checks end-to-end
+# value fidelity of serialize -> parse -> extract.
+# ---------------------------------------------------------------------------
+
+_XML_ORACLE = """
+SELECT o_orderkey AS order_id,
+       o_orderstatus AS status,
+       o_totalprice AS total,
+       o_orderkey * 2 AS xpath_double_key
+FROM orders
+WHERE o_orderkey <= 500
+"""
+
+
+@register("scalar_xml_roundtrip", oracle=_XML_ORACLE)
+def scalar_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    xml = F.format_string(
+        "<order><key>%s</key><status>%s</status><total>%s</total></order>",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("string"),
+    )
+    parsed = F.from_xml(xml, "key BIGINT, status STRING, total DOUBLE")
+    return o.select(
+        parsed.getField("key").alias("order_id"),
+        parsed.getField("status").alias("status"),
+        parsed.getField("total").alias("total"),
+        (F.xpath_long(xml, F.lit("/order/key")) * 2).alias("xpath_double_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom Python data source: planned, partitioned synthetic feed. The
+# oracle regenerates the same feed from DuckDB's range() -- both sides are
+# pure integer arithmetic on the row id, so values match exactly.
+# ---------------------------------------------------------------------------
+
+_FEED_ROWS = 20_000
+
+_FEED_ORACLE = f"""
+SELECT 'P' || CAST(id % 7 AS VARCHAR) AS partner,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round((((id * 2654435761) % 1000003) / 100.0) * 100)
+            AS BIGINT)) AS BIGINT) / 100.0 AS total_amount
+FROM range(0, {_FEED_ROWS}) t(id)
+GROUP BY partner
+"""
+
+
+@register("source_python_datasource", oracle=_FEED_ORACLE)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_feed_source(spark)
+    feed = (
+        spark.read.format("partner_feed")
+        .option("rows", _FEED_ROWS)
+        .option("partitions", 8)
+        .load()
+    )
+    return feed.groupBy("partner").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.round(F.col("amount") * 100).cast("long")) / 100.0
+        ).alias("total_amount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketches (Apache DataSketches via Spark 3.5+ built-ins):
+# per-group sketches unioned into a global estimate WITHOUT rescanning --
+# the associative-merge property that replaces exact count-distinct at
+# 100 TB. Rows-only check (DuckDB's HLL is a different sketch family);
+# tests/test_extensions.py bounds the estimates against exact counts.
+# ---------------------------------------------------------------------------
+
+
+@register("agg_hll_mergeable")
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk"),
+        F.countDistinct("l_orderkey").alias("exact_distinct"),
+    )
+    merged = per_flag.agg(
+        F.lit("ALL").alias("l_returnflag"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("estimate"),
+        # exact global distinct for the test harness to compare against
+        F.lit(None).cast("long").alias("exact_distinct"),
+    )
+    return (
+        per_flag.select(
+            "l_returnflag",
+            F.hll_sketch_estimate("sk").alias("estimate"),
+            "exact_distinct",
+        )
+        .unionByName(merged)
+    )

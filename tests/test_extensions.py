@@ -1,0 +1,147 @@
+"""Extension-surface tests: HLL sketch accuracy + mergeability, the
+custom Python data source's partition planning, and streaming
+dropDuplicatesWithinWatermark (bounded-state dedup).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from dataingestionengineprocess_spark.queries import all_queries
+from dataingestionengineprocess_spark.sources.python_datasource import (
+    register as register_feed_source,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# HLL sketches
+# ---------------------------------------------------------------------------
+
+def test_hll_estimates_within_tolerance(spark):
+    """Per-group and merged-union estimates land within 5% of exact.
+
+    The merged row is the scale-critical property: a union of per-group
+    sketches must estimate the GLOBAL distinct count without rescanning.
+    """
+    rows = {
+        r["l_returnflag"]: r
+        for r in all_queries()["agg_hll_mergeable"](spark, SF).collect()
+    }
+    for flag, r in rows.items():
+        if flag == "ALL":
+            continue
+        assert abs(r["estimate"] - r["exact_distinct"]) <= 0.05 * r["exact_distinct"], flag
+
+    from dataingestionengineprocess_spark.catalog import load
+    exact_all = (
+        load(spark, SF, "lineitem").select("l_orderkey").distinct().count()
+    )
+    est_all = rows["ALL"]["estimate"]
+    assert abs(est_all - exact_all) <= 0.05 * exact_all
+
+
+def test_hll_sketch_partial_merge_equals_single_pass(spark):
+    """Sketching two disjoint halves and unioning == sketching the whole:
+    the associativity that makes per-partition/per-day partials valid."""
+    df = spark.range(0, 10_000).withColumn("half", (F.col("id") % 2))
+    whole = df.select(
+        F.hll_sketch_estimate(F.hll_sketch_agg("id")).alias("est")
+    ).collect()[0]["est"]
+    merged = (
+        df.groupBy("half")
+        .agg(F.hll_sketch_agg("id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    # Union promotes sketches to a common target mode, so the merged
+    # estimate is not bit-identical to the single-pass one -- but both
+    # must sit inside HLL's error envelope around the true 10k count.
+    assert abs(whole - 10_000) <= 300
+    assert abs(merged - 10_000) <= 300
+    assert abs(whole - merged) <= 0.02 * whole
+
+
+# ---------------------------------------------------------------------------
+# Python data source
+# ---------------------------------------------------------------------------
+
+def test_python_datasource_partition_planning(spark):
+    """The source plans the requested number of input partitions and
+    every row lands in exactly one slice (no dupes/gaps across tasks)."""
+    register_feed_source(spark)
+    feed = (
+        spark.read.format("partner_feed")
+        .option("rows", 1000)
+        .option("partitions", 5)
+        .load()
+    )
+    assert feed.rdd.getNumPartitions() == 5
+    got = feed.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("id").alias("d"),
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+    ).collect()[0]
+    assert (got["n"], got["d"], got["lo"], got["hi"]) == (1000, 1000, 0, 999)
+
+
+# ---------------------------------------------------------------------------
+# dropDuplicatesWithinWatermark (Spark 3.5+): dedup whose state expires
+# with the watermark -- the only dedup that is viable on an unbounded
+# stream, since plain dropDuplicates keys grow forever.
+# ---------------------------------------------------------------------------
+
+def _write_batch(spark, path: str, rows: list[tuple[int, str, float]],
+                 mtime: float) -> None:
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, value double"
+    ).select("event_id", F.to_timestamp("ts").alias("ts"), "value")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            os.utime(os.path.join(root, f), (mtime, mtime))
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "src")
+    now = time.time()
+    # b1: original + in-batch duplicate id 1
+    _write_batch(
+        spark, f"{src}/b1",
+        [(1, "2024-01-01 10:00:00", 1.0), (1, "2024-01-01 10:00:30", 1.0),
+         (2, "2024-01-01 10:30:00", 1.0)],
+        now - 300,
+    )
+    # b2: cross-batch duplicate of id 1 arriving within the watermark
+    # window -> must still be suppressed by retained state
+    _write_batch(
+        spark, f"{src}/b2",
+        [(1, "2024-01-01 10:31:00", 1.0), (3, "2024-01-01 10:32:00", 1.0)],
+        now - 200,
+    )
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(f"{src}/b[12]")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ddww_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT event_id, count(*) AS n FROM ddww_sink GROUP BY event_id"
+    ).collect()
+    counts = {r["event_id"]: r["n"] for r in out}
+    assert counts == {1: 1, 2: 1, 3: 1}
