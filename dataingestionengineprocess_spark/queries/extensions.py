@@ -147,6 +147,66 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE): key-doubling chain walk over the
+# customer table -- the hierarchy/transitive-closure idiom (BOM explosion,
+# org charts, referral chains) expressed one way and run on BOTH engines.
+# Each iteration is a planned join, so the recursion distributes: no
+# driver-side loop, executors do every step.
+# ---------------------------------------------------------------------------
+
+_RCTE_BODY = """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS root, c_custkey AS node, 0 AS depth
+  FROM {src} WHERE c_custkey % 2 = 1
+  UNION ALL
+  SELECT ch.root, c.c_custkey AS node, ch.depth + 1 AS depth
+  FROM chain ch JOIN {src} c ON c.c_custkey = ch.node * 2
+)
+SELECT root,
+       CAST(max(depth) AS BIGINT) AS chain_len,
+       CAST(max(node) AS BIGINT)  AS deepest_node
+FROM chain GROUP BY root
+"""
+
+
+@register("sql_recursive_cte", oracle=_RCTE_BODY.format(src="customer"))
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("__rcte_cust")
+    return spark.sql(_RCTE_BODY.format(src="__rcte_cust"))
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-exact distinct (Spark 3.5+ bitmap_* family): EXACT count-distinct
+# with mergeable per-bucket bitmap partials -- the middle ground between
+# shuffle-heavy countDistinct and approximate HLL. Level 1 groups by
+# (flag, bucket) building one fixed-size bitmap per 32k-id bucket; level 2
+# sums bitmap cardinalities. Both shuffles carry bitmaps/counts, never raw
+# ids, and partials combine associatively across partitions.
+# ---------------------------------------------------------------------------
+
+_BITMAP_ORACLE = """
+SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS distinct_orders
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("agg_bitmap_exact_distinct", oracle=_BITMAP_ORACLE)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    per_bucket = li.groupBy(
+        "l_returnflag",
+        F.bitmap_bucket_number("l_orderkey").alias("bucket"),
+    ).agg(
+        F.bitmap_count(
+            F.bitmap_construct_agg(F.bitmap_bit_position("l_orderkey"))
+        ).alias("cnt")
+    )
+    return per_bucket.groupBy("l_returnflag").agg(
+        F.sum("cnt").alias("distinct_orders")
+    )
+
+
 @register("agg_hll_mergeable")
 def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")

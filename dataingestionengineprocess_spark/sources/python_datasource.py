@@ -22,7 +22,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 #: Knuth multiplicative hash constant and a prime modulus: spreads
@@ -50,12 +55,40 @@ class PartnerFeedReader(DataSourceReader):
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
         for i in range(partition.start, partition.end):
-            amount = ((i * _MULT) % _MOD) / 100.0
-            yield (i, f"P{i % 7}", amount)
+            yield _row(i)
+
+
+def _row(i: int) -> tuple:
+    return (i, f"P{i % 7}", ((i * _MULT) % _MOD) / 100.0)
+
+
+class PartnerFeedStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch view of the same feed: each batch advances a row-id
+    offset. Offsets are plain positions in a deterministic sequence, so
+    ``readBetweenOffsets`` can replay ANY committed range exactly on
+    recovery -- the replayability contract that gives Structured
+    Streaming end-to-end exactly-once on top of this source.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.rows = int(options.get("rows", 10_000))
+        self.batch_rows = int(options.get("batch_rows", 100))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        lo = start["pos"]
+        hi = min(lo + self.batch_rows, self.rows)
+        return (iter([_row(i) for i in range(lo, hi)]), {"pos": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(i) for i in range(start["pos"], end["pos"])])
 
 
 class PartnerFeedDataSource(DataSource):
-    """``spark.read.format("partner_feed").option("rows", N)`` source."""
+    """``spark.read.format("partner_feed").option("rows", N)`` source;
+    also streamable via ``spark.readStream.format("partner_feed")``."""
 
     @classmethod
     def name(cls) -> str:
@@ -66,6 +99,9 @@ class PartnerFeedDataSource(DataSource):
 
     def reader(self, schema: StructType) -> PartnerFeedReader:
         return PartnerFeedReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> PartnerFeedStreamReader:
+        return PartnerFeedStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -90,6 +90,71 @@ def test_python_datasource_partition_planning(spark):
     assert (got["n"], got["d"], got["lo"], got["hi"]) == (1000, 1000, 0, 999)
 
 
+def test_python_datasource_streaming(spark, tmp_path):
+    """The same feed consumed as a micro-batch stream: offsets advance
+    deterministically and every row arrives exactly once."""
+    register_feed_source(spark)
+    stream = (
+        spark.readStream.format("partner_feed")
+        .option("rows", 350)
+        .option("batch_rows", 100)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("feed_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        if spark.table("feed_stream_sink").count() >= 350:
+            break
+        time.sleep(0.5)
+    q.stop()
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT id) AS d, min(id) AS lo, "
+        "max(id) AS hi FROM feed_stream_sink"
+    ).collect()[0]
+    assert (got["n"], got["d"], got["lo"], got["hi"]) == (350, 350, 0, 349)
+
+
+# ---------------------------------------------------------------------------
+# State-store reader (Spark 4): offline introspection of streaming state
+# from the checkpoint -- the operational window into a long-running job's
+# keyed state (size, skew, specific keys) without touching the job.
+# ---------------------------------------------------------------------------
+
+def test_statestore_reader_exposes_agg_state(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    _write_batch(
+        spark, f"{src}/b1",
+        [(1, "2024-01-01 10:00:00", 1.5), (2, "2024-01-01 10:30:00", 2.0),
+         (1, "2024-01-01 11:00:00", 3.5)],
+        time.time() - 100,
+    )
+    q = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .parquet(f"{src}/b[1]")
+        .groupBy("event_id").agg(F.sum("value").alias("total"))
+        .writeStream.format("memory").queryName("ss_agg_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state = (
+        spark.read.format("statestore").load(ckpt)
+        .select(F.col("key.event_id").alias("event_id"),
+                F.col("value.sum").alias("total"))
+    )
+    got = {r["event_id"]: r["total"] for r in state.collect()}
+    assert got == {1: 5.0, 2: 2.0}
+
+
 # ---------------------------------------------------------------------------
 # dropDuplicatesWithinWatermark (Spark 3.5+): dedup whose state expires
 # with the watermark -- the only dedup that is viable on an unbounded
