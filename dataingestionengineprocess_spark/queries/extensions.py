@@ -148,6 +148,42 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# grouping() flags over a rollup: lets one result table carry detail rows,
+# subtotals, and the grand total while remaining machine-distinguishable
+# (a NULL group key from data vs a NULL meaning "aggregated away"). The
+# combined id is built from per-column grouping() bits portably.
+# ---------------------------------------------------------------------------
+
+_GROUPING_ID_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+         AS gid,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100e0
+         AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_rollup_grouping_id", oracle=_GROUPING_ID_ORACLE)
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    gid = (
+        F.grouping("l_returnflag").cast("long") * 2
+        + F.grouping("l_linestatus").cast("long")
+    )
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            gid.alias("gid"),
+            (
+                F.sum(F.round(F.col("l_quantity") * 100).cast("long")) / 100.0
+            ).alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Recursive CTE (Spark 4 WITH RECURSIVE): key-doubling chain walk over the
 # customer table -- the hierarchy/transitive-closure idiom (BOM explosion,
 # org charts, referral chains) expressed one way and run on BOTH engines.

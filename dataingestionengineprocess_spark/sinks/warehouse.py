@@ -41,8 +41,17 @@ class SinkConfig:
 
 def write_warehouse(df: DataFrame, warehouse_dir: str, table: str,
                     partition_cols: list[str] | None = None,
-                    mode: str = "append") -> str:
-    """Bulk-load curated rows into the warehouse layout (S6)."""
+                    mode: str = "append",
+                    bloom_filter_cols: list[str] | None = None) -> str:
+    """Bulk-load curated rows into the warehouse layout (S6).
+
+    ``bloom_filter_cols`` writes a parquet bloom filter per listed
+    column: point-lookup predicates on high-cardinality non-sort
+    columns (order ids, user ids) can then skip row groups that
+    min/max stats alone cannot, because a hash-distributed id spans
+    nearly the full min/max range in EVERY row group. Costs a few
+    hundred KB per column chunk; reserve it for id-lookup columns.
+    """
     path = os.path.join(warehouse_dir, table)
     writer = df.write.mode(mode)
     if partition_cols:
@@ -50,6 +59,8 @@ def write_warehouse(df: DataFrame, warehouse_dir: str, table: str,
         if mode == "overwrite":
             # replace only the partitions present in df, not the table
             writer = writer.option("partitionOverwriteMode", "dynamic")
+    for c in bloom_filter_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
     writer.parquet(path)
     return path
 

@@ -155,3 +155,67 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
             "update", GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
+    """ST6 on the Spark 4 API: per-user running count / total / max via
+    ``transformWithStateInPandas`` (the transformWithState successor to
+    applyInPandasWithState).
+
+    Why it matters at scale: the processor owns TYPED state handles
+    (ValueState here; List/MapState available) backed by the RocksDB
+    state store, with per-state TTL -- so a 100 TB stream's keyed state
+    lives off-heap and ages out without custom GC logic. Emission is
+    incremental ("Update" mode): one row per user per micro-batch that
+    touched it.
+
+    ENVIRONMENT GATE: executing this requires (a) the RocksDB state
+    store provider conf and (b) the ``protobuf`` package, which the
+    transform_with_state driver worker imports for its state-server
+    protocol. This container has no protobuf, so the operator is
+    plan-constructable but not runnable here; tests skip accordingly
+    and the registered query surface uses applyInPandasWithState
+    (stream_stateful_user_totals) instead.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "stats", "n LONG, total DOUBLE, max_value DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._st.exists():
+                n, total, mx = self._st.get()
+            else:
+                n, total, mx = 0, 0.0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                mx = max(mx, float(pdf["value"].max()))
+            self._st.update((n, total, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n],
+                 "total_value": [round(total, 2)], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserStats(),
+            outputStructType=(
+                "user_id LONG, n_events LONG, total_value DOUBLE, "
+                "max_value DOUBLE"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

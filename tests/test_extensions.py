@@ -161,6 +161,84 @@ def test_statestore_reader_exposes_agg_state(spark, tmp_path):
 # stream, since plain dropDuplicates keys grow forever.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Parquet bloom filters on the warehouse sink: pyarrow 16 cannot read
+# bloom metadata back, so the proof is (a) the bloom-bearing file is
+# measurably larger for identical data and (b) reads are unaffected.
+# ---------------------------------------------------------------------------
+
+def test_warehouse_bloom_filter_write(spark, tmp_path):
+    from dataingestionengineprocess_spark.sinks.warehouse import (
+        write_warehouse,
+    )
+    df = spark.range(0, 200_000).select(
+        (F.col("id") * 2654435761 % 1000003).alias("order_id"),
+        (F.col("id") % 100).alias("bucket"),
+    )
+    plain = write_warehouse(df.coalesce(1), str(tmp_path / "w0"), "t")
+    bloomed = write_warehouse(
+        df.coalesce(1), str(tmp_path / "w1"), "t",
+        bloom_filter_cols=["order_id"],
+    )
+
+    def _bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+        )
+
+    assert _bytes(bloomed) > _bytes(plain) + 50_000
+    a = spark.read.parquet(plain).filter(F.col("order_id") == 42).count()
+    b = spark.read.parquet(bloomed).filter(F.col("order_id") == 42).count()
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4): gated on protobuf, which its
+# state-server protocol needs and this container lacks.
+# ---------------------------------------------------------------------------
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def test_transform_with_state_plan_constructs(spark):
+    """The operator must always PLAN (API-correct usage); execution is
+    exercised only where the protobuf dependency exists."""
+    import pytest
+
+    from dataingestionengineprocess_spark.streaming.analytics import (
+        read_events_stream,
+        run_to_table,
+        stateful_user_stats_tws,
+    )
+    ev = read_events_stream(spark, SF)
+    out = stateful_user_stats_tws(ev)
+    assert set(out.columns) == {"user_id", "n_events", "total_value",
+                                "max_value"}
+    assert out.isStreaming
+    if not _has_protobuf():
+        pytest.skip("protobuf not installed; transformWithState "
+                    "driver worker cannot start in this container")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = run_to_table(out, spark, output_mode="update")
+        assert got.count() > 0
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def _write_batch(spark, path: str, rows: list[tuple[int, str, float]],
                  mtime: float) -> None:
     df = spark.createDataFrame(
