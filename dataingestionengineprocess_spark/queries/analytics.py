@@ -259,3 +259,61 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("key_a") < F.col("key_b")) & (dist <= 6))
         .select("key_a", "key_b", "name_a", "name_b", dist.alias("edit_dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic argmax WITHOUT a window: max over a (measure, tiebreak)
+# struct compares lexicographically in both engines, so one map-side-
+# combinable aggregate replaces the sort-the-whole-partition window
+# idiom. At 100 TB this is the difference between a partial-aggregating
+# single shuffle and a full per-group sort.
+# ---------------------------------------------------------------------------
+
+_ARGMAX_ORACLE = """
+SELECT c_nationkey,
+       (max(struct_pack(v := c_acctbal, k := c_custkey))).v AS top_acctbal,
+       CAST((max(struct_pack(v := c_acctbal, k := c_custkey))).k AS BIGINT)
+         AS top_custkey
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+@register("agg_argmax_struct", oracle=_ARGMAX_ORACLE)
+def agg_argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    top = F.max(
+        F.struct(F.col("c_acctbal").alias("v"), F.col("c_custkey").alias("k"))
+    )
+    return c.groupBy("c_nationkey").agg(
+        top.getField("v").alias("top_acctbal"),
+        top.getField("k").alias("top_custkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# explode_outer: fan-out that PRESERVES rows whose array is empty -- the
+# difference between "tokenize and silently drop short docs" and
+# "tokenize and keep every doc visible to downstream audits".
+# ---------------------------------------------------------------------------
+
+_EXPLODE_OUTER_ORACLE = """
+SELECT d.doc_id, u.long_token
+FROM (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 8)
+           AS toks
+  FROM documents WHERE doc_id <= 200
+) d
+LEFT JOIN LATERAL (SELECT unnest(d.toks) AS long_token) u ON TRUE
+"""
+
+
+@register("scalar_explode_outer", oracle=_EXPLODE_OUTER_ORACLE)
+def scalar_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    long_toks = F.filter(
+        F.split("text", " "), lambda t: F.length(t) > 8
+    )
+    return d.select(
+        "doc_id", F.explode_outer(long_toks).alias("long_token")
+    )

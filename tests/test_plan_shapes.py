@@ -57,3 +57,41 @@ def test_curation_is_single_plan_with_pushdown(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "text_corpus_curation")
     # One scan of documents feeds the whole pipeline.
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_fuzzy_join_is_equi_not_cartesian(spark, sf_dir, qs):
+    """Blocked fuzzy matching must plan as an equi-join on the blocking
+    key (levenshtein as a join/post filter), never a cartesian/BNLJ --
+    the property that keeps it feasible at 100 TB."""
+    plan = _plan(spark, sf_dir, qs, "join_fuzzy_levenshtein")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_argmax_struct_has_partial_aggregation(spark, sf_dir, qs):
+    """Struct-max argmax must plan as a TWO-PHASE aggregate with a
+    map-side partial_max before the exchange (struct types take the
+    sort-agg path, which still partial-aggregates), and never as a
+    whole-partition window sort."""
+    plan = _plan(spark, sf_dir, qs, "agg_argmax_struct")
+    assert "partial_max" in plan, plan
+    assert plan.index("partial_max") > plan.index("Exchange"), plan
+    assert "Window" not in plan, plan
+
+
+def test_bitmap_distinct_shuffles_counts_not_ids(spark, sf_dir, qs):
+    """Level-2 of the bitmap distinct aggregates pre-counted bucket
+    cardinalities: the final exchange must not carry l_orderkey."""
+    plan = _plan(spark, sf_dir, qs, "agg_bitmap_exact_distinct")
+    assert "bitmap_construct_agg" in plan, plan
+    final = plan.split("bitmap_construct_agg")[0]  # ops above level-1 agg
+    assert "l_orderkey" not in final, final
+
+
+def test_mode_groupby_aggregates_before_window(spark, sf_dir, qs):
+    """Deterministic mode: the window ranks (flag, qty) GROUPS, so the
+    expensive input shrinks via hash aggregation before any sort."""
+    plan = _plan(spark, sf_dir, qs, "agg_mode_deterministic")
+    assert "HashAggregate" in plan and "Window" in plan, plan
+    # aggregate appears below (later in string) the window operator
+    assert plan.index("Window") < plan.index("HashAggregate"), plan
