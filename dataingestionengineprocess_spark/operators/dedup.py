@@ -337,3 +337,59 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                                text_col: str = "text", n: int = 3,
+                                threshold: float = 0.6) -> DataFrame:
+    """Exact shingle-set Jaccard pairs via PREFIX FILTERING (PPJoin
+    family): identical output to ``ngram_jaccard_pairs`` with a far
+    smaller candidate space.
+
+    Sort each doc's shingles by global rarity (corpus frequency asc,
+    shingle asc -- one canonical order everywhere). For Jaccard >= t a
+    matching pair MUST share a shingle within each doc's first
+    ``|S| - ceil(t|S|) + 1`` shingles (else even perfect agreement on
+    the remaining suffix stays below t), so the candidate join only
+    explodes the prefix. Rare-first ordering makes those prefix
+    shingles the most selective ones: hot boilerplate shingles sort to
+    the suffix and never generate candidates -- the skew that plagues
+    the all-shingles join is filtered out BY CONSTRUCTION, not capped
+    after the fact. Verification computes exact Jaccard on the full
+    shingle arrays, so there are no false positives either.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, n)).alias("s"),
+    )
+    freq = sh.groupBy("s").agg(F.count("*").alias("f"))
+    by_rarity = sh.join(freq, "s").groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("f", "s"))).alias("fs")
+    )
+    toksets = by_rarity.select(
+        "id",
+        F.transform("fs", lambda x: x.getField("s")).alias("toks"),
+        F.size("fs").alias("n"),
+    )
+    plen = (
+        F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).cast("int")
+    pref = toksets.select(
+        "id", "toks", "n", F.explode(F.slice("toks", F.lit(1), plen)).alias("p")
+    )
+    a = pref.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"),
+                    F.col("n").alias("na"), "p")
+    b = pref.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"),
+                    F.col("n").alias("nb"), "p")
+    cand = (
+        a.join(b, "p")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "toks_a", "toks_b", "na", "nb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        cand.filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )

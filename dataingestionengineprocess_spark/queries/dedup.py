@@ -18,6 +18,7 @@ from ..operators.dedup import (
     dedup_exact_text,
     minhash_neardup_pairs,
     ngram_jaccard_pairs,
+    prefix_filter_jaccard_pairs,
     simhash_neardup_pairs,
 )
 from ..functions.vectors import as_double, cosine
@@ -208,3 +209,16 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         "keep",
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard: SAME answer as dedup_ngram_jaccard
+# (so it shares that query's oracle), produced from a candidate space
+# bounded by rare-prefix collisions instead of every shared shingle.
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_prefix_filter_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(docs, n=3, threshold=0.6)

@@ -354,3 +354,55 @@ def sample_stratified_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-fluency score: mean corpus frequency of a document's bigrams --
+# the cheap n-gram-LM proxy for "does this text look like the corpus"
+# used in pretraining-data quality gates. Two shuffles total (bigram
+# count, per-doc re-agg); the frequency join is a plain equi-join AQE
+# can skew-split if boilerplate bigrams dominate. Integer sums keep the
+# oracle comparison exact; the final double division is bit-identical.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_FLUENCY_ORACLE = """
+WITH bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS b
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       LATERAL (SELECT unnest(range(1, len(t))) AS i)
+  WHERE len(t) >= 2
+),
+counts AS (SELECT b, CAST(count(*) AS BIGINT) AS f FROM bg GROUP BY b)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(f) AS BIGINT) AS freq_sum,
+       CAST(sum(f) AS DOUBLE) / count(*) AS fluency
+FROM bg JOIN counts USING (b)
+GROUP BY doc_id
+"""
+
+
+@register("text_bigram_fluency", oracle=_BIGRAM_FLUENCY_ORACLE)
+def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigram = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    bg = (
+        docs.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bigram).alias("b"))
+    )
+    counts = bg.groupBy("b").agg(F.count("*").alias("f"))
+    return (
+        bg.join(counts, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("f").alias("freq_sum"),
+            (F.sum("f").cast("double") / F.count("*")).alias("fluency"),
+        )
+    )

@@ -197,3 +197,49 @@ def test_rolling_hash_injective_on_fixture(spark, sf_dir):
     n_fps = joined.select("rolling_fp").distinct().count()
     # equal texts must collide; distinct texts should (on this fixture) not
     assert n_fps == n_texts
+
+
+def test_prefix_filter_shrinks_candidate_space(spark, sf_dir):
+    """The prefix-filter join must generate strictly fewer candidate
+    pairs than the all-shingles equi-join while returning the exact
+    same qualifying pairs (parity with the shared oracle covers
+    correctness; this pins the efficiency claim)."""
+    from pyspark.sql import functions as F
+
+    from dataingestionengineprocess_spark.catalog import load
+    from dataingestionengineprocess_spark.functions.text import shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"), F.explode(shingles("text", 3)).alias("s")
+    )
+    naive_pairs = (
+        sh.alias("a").join(sh.alias("b"), "s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        .distinct()
+        .count()
+    )
+
+    freq = sh.groupBy("s").agg(F.count("*").alias("f"))
+    ranked = sh.join(freq, "s").groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("f", "s"))).alias("fs")
+    )
+    t = 0.6
+    toks = ranked.select(
+        "id",
+        F.transform("fs", lambda x: x.getField("s")).alias("toks"),
+        F.size("fs").alias("n"),
+    )
+    plen = (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int")
+    pref = toks.select(
+        "id", F.explode(F.slice("toks", F.lit(1), plen)).alias("p")
+    )
+    prefix_pairs = (
+        pref.alias("a").join(pref.alias("b"), "p")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        .distinct()
+        .count()
+    )
+    assert prefix_pairs < naive_pairs
