@@ -288,3 +288,45 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     ).collect()
     counts = {r["event_id"]: r["n"] for r in out}
     assert counts == {1: 1, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once across restart: re-running from the SAME checkpoint must
+# not double-count already-committed micro-batches; new files are
+# picked up incrementally. This is the property that lets a 100 TB
+# ingest survive job restarts without reconciliation sweeps.
+# ---------------------------------------------------------------------------
+
+def test_streaming_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    now = time.time()
+
+    def _run():
+        q = (
+            spark.readStream.schema("event_id long, ts timestamp, value double")
+            .parquet(f"{src}/b*")
+            .groupBy("event_id").agg(F.sum("value").alias("total"))
+            .writeStream.format("memory").queryName("restart_sink")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_batch(spark, f"{src}/b1",
+                 [(1, "2024-01-01 10:00:00", 1.0),
+                  (1, "2024-01-01 10:10:00", 2.0)], now - 300)
+    _run()
+    first = {r["event_id"]: r["total"]
+             for r in spark.table("restart_sink").collect()}
+    assert first == {1: 3.0}
+
+    # restart with one new file: b1 must NOT be re-ingested
+    _write_batch(spark, f"{src}/b2",
+                 [(1, "2024-01-01 10:20:00", 5.0),
+                  (2, "2024-01-01 10:30:00", 7.0)], now - 200)
+    _run()
+    second = {r["event_id"]: r["total"]
+              for r in spark.table("restart_sink").collect()}
+    assert second == {1: 8.0, 2: 7.0}
