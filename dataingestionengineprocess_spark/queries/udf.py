@@ -231,3 +231,50 @@ def udtf_bigram_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 50
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow: the zero-copy end of the Python surface. No pandas
+# conversion at all -- Arrow record batches in, Arrow record batches
+# out -- which for pure-numeric kernels (norms here) removes the last
+# serialization layer pandas_udf still pays. The oracle recomputes the
+# same norm from the raw embeddings in SQL.
+# ---------------------------------------------------------------------------
+
+_ARROW_NORM_ORACLE = """
+SELECT vec_id,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4)
+         AS l2_norm,
+       CAST(len(embedding) AS INT) AS dim
+FROM embeddings
+"""
+
+
+@register("udf_arrow_vector_norms", oracle=_ARROW_NORM_ORACLE)
+def udf_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+
+    def norms(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            vecs = batch.column(1)
+            flat = vecs.flatten().to_numpy(zero_copy_only=False)
+            dims = np.diff(vecs.offsets.to_numpy(zero_copy_only=False))
+            assert (dims == dims[0]).all(), "fixture vectors are fixed-dim"
+            mat = flat.astype("float64").reshape(-1, int(dims[0]))
+            l2 = np.sqrt((mat * mat).sum(axis=1))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(l2, type=pa.float64()),
+                 pa.array(dims.astype("int32"))],
+                ["vec_id", "l2_norm", "dim"],
+            )
+
+    out = emb.select("vec_id", "embedding").mapInArrow(
+        norms, "vec_id long, l2_norm double, dim int"
+    )
+    return out.select(
+        "vec_id", F.round("l2_norm", 4).alias("l2_norm"), "dim"
+    )

@@ -85,3 +85,90 @@ def test_late_events_dropped_beyond_watermark(spark, tmp_path):
     # on-time windows aggregated normally (2 events + the buffer)
     assert out[starts.str.startswith("2024-01-01 10:")]["n"].max() == 3, out
     assert out[starts.str.startswith("2024-01-01 11:")]["n"].max() == 1, out
+
+
+def _write_typed_batch(spark, path, rows, mtime):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).select("event_id", F.to_timestamp("ts").alias("ts"), "user_id",
+             "event_type")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    import os as _os
+    for root, _dirs, files in _os.walk(path):
+        for f in files:
+            _os.utime(_os.path.join(root, f), (mtime, mtime))
+
+
+def test_stream_stream_left_outer_flushes_on_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: an unmatched left row is
+    emitted with NULLs only once BOTH sides' watermarks pass the point
+    where a match is provably impossible -- state stays bounded and the
+    null verdict is never premature. Sentinel far-future events advance
+    the watermark; a buffer batch absorbs the one-batch watermark lag
+    (see module docstring)."""
+    import time as _time
+
+    src = str(tmp_path / "src")
+    now = _time.time()
+    # b1: P1 purchase with no click in its 30-minute lookback
+    _write_typed_batch(
+        spark, f"{src}/b1",
+        [(1, "2024-01-01 10:00:00", 7, "purchase"),
+         (2, "2024-01-01 08:30:00", 7, "click")],
+        now - 400,
+    )
+    # b2/b3: far-future rows on BOTH sides push the global watermark
+    # past P1 + interval; b3 buffers the watermark lag
+    _write_typed_batch(
+        spark, f"{src}/b2",
+        [(3, "2024-01-02 12:00:00", 8, "purchase"),
+         (4, "2024-01-02 12:00:00", 8, "click")],
+        now - 300,
+    )
+    _write_typed_batch(
+        spark, f"{src}/b3",
+        [(5, "2024-01-02 14:00:00", 9, "purchase"),
+         (6, "2024-01-02 14:00:00", 9, "click")],
+        now - 200,
+    )
+
+    base = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(f"{src}/b[123]")
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id",
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("click_user"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts")
+           >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select("purchase_id", "click_id")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory").queryName("ssoj_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["purchase_id"]: r["click_id"]
+           for r in spark.table("ssoj_test").collect()}
+    # P1 must be flushed as unmatched (null click) -- not dropped, not
+    # held forever; the 8:30 click is outside its 30-minute lookback.
+    assert got[1] is None
