@@ -317,3 +317,100 @@ def scalar_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.explode_outer(long_toks).alias("long_token")
     )
+
+
+# ---------------------------------------------------------------------------
+# IQR outlier fences per language: exact quartiles of doc length, then a
+# broadcast join tags each doc against its group's Tukey fences. The
+# quartile table is one row per lang, so the second pass is scan +
+# broadcast-filter -- no second shuffle of the corpus at any scale.
+# ---------------------------------------------------------------------------
+
+_OUTLIER_ORACLE = """
+WITH fences AS (
+  SELECT lang,
+         quantile_cont(n_chars, 0.25) AS q1,
+         quantile_cont(n_chars, 0.75) AS q3
+  FROM documents GROUP BY lang
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (
+         WHERE d.n_chars < q1 - 1.5 * (q3 - q1)
+            OR d.n_chars > q3 + 1.5 * (q3 - q1)) AS BIGINT) AS n_outliers,
+       round(q1, 4) AS q1, round(q3, 4) AS q3
+FROM documents d JOIN fences USING (lang)
+GROUP BY d.lang, q1, q3
+"""
+
+
+@register("quality_outlier_fences", oracle=_OUTLIER_ORACLE)
+def quality_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fences = d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.25)).alias("q1"),
+        F.percentile("n_chars", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_outlier = (
+        (F.col("n_chars") < F.col("q1") - 1.5 * iqr)
+        | (F.col("n_chars") > F.col("q3") + 1.5 * iqr)
+    )
+    return (
+        d.join(F.broadcast(fences), "lang")
+        .groupBy("lang", "q1", "q3")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(is_outlier.cast("long")).alias("n_outliers"),
+        )
+        .select(
+            "lang", "n_docs", "n_outliers",
+            F.round("q1", 4).alias("q1"), F.round("q3", 4).alias("q3"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution entropy per document: ln(n) - (1/n) * sum c*ln(c)
+# over per-token counts c -- the repetition detector in corpus quality
+# gates (boilerplate/spam has low entropy). Counts are exact integers;
+# only the final few-dozen-term double sum is float, so round(4) is far
+# outside both engines' accumulation drift.
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+counts AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY doc_id, t
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(ln(CAST(sum(c) AS DOUBLE))
+             - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 4) AS token_entropy
+FROM counts
+GROUP BY doc_id
+"""
+
+
+@register("text_token_entropy", oracle=_ENTROPY_ORACLE)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c")
+    return counts.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.round(
+            F.log(n.cast("double"))
+            - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n,
+            4,
+        ).alias("token_entropy"),
+    )

@@ -1060,3 +1060,37 @@ def join_lateral_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey <= 200
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# IN / NOT IN subqueries: the null-aware anti-join shape. NOT IN over a
+# nullable column is the classic SQL footgun (one NULL empties the
+# result); o_orderkey is non-null here so the planner can use a plain
+# anti join -- the docstring-level point is that Catalyst plans
+# null-aware anti joins ONLY when it must.
+# ---------------------------------------------------------------------------
+
+_IN_SUBQ_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders
+                    WHERE o_orderpriority = '1-URGENT')
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderstatus = 'F')
+"""
+
+
+@register("subquery_in_not_in", oracle=_IN_SUBQ_ORACLE)
+def subquery_in_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("__insq_cust")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__insq_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM __insq_cust
+        WHERE c_custkey IN (SELECT o_custkey FROM __insq_orders
+                            WHERE o_orderpriority = '1-URGENT')
+          AND c_custkey NOT IN (SELECT o_custkey FROM __insq_orders
+                                WHERE o_orderstatus = 'F')
+        """
+    )

@@ -330,3 +330,27 @@ def test_streaming_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
     second = {r["event_id"]: r["total"]
               for r in spark.table("restart_sink").collect()}
     assert second == {1: 8.0, 2: 7.0}
+
+
+# ---------------------------------------------------------------------------
+# freqItems: single-pass lossy-counting heavy hitters. The guarantee is
+# one-sided (no false negatives above the support threshold), so the
+# check is containment of the true heavy hitters, not set equality.
+# ---------------------------------------------------------------------------
+
+def test_freq_items_contains_true_heavy_hitters(spark):
+    from dataingestionengineprocess_spark.catalog import load
+
+    ev = load(spark, SF, "events")
+    support = 0.1
+    approx = set(
+        ev.stat.freqItems(["event_type"], support=support)
+        .collect()[0][0]
+    )
+    total = ev.count()
+    exact = {
+        r["event_type"]
+        for r in ev.groupBy("event_type").count()
+        .filter(F.col("count") > support * total).collect()
+    }
+    assert exact <= approx
