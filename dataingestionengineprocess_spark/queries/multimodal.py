@@ -176,3 +176,38 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup over binary payloads: the image-dedup shape.
+# A real deployment computes pHash/aHash per image inside the decode
+# UDF; this container has no image codecs, so the DETERMINISTIC STUB
+# hashes fixed-size payload blocks instead (same locality property:
+# payloads differing in a few blocks land within a small hamming
+# distance). Everything downstream of the hash -- the 64-bit signature,
+# the 4x16-bit pigeonhole chunk join, the hamming verification -- is
+# the production plan: candidates meet in one shuffle on chunk value,
+# never an all-pairs comparison.
+# ---------------------------------------------------------------------------
+
+
+@register("multimodal_phash_neardup")
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_neardup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    # binary payload -> hex -> fixed 8-hex-char (4-byte) "pixel blocks",
+    # space-joined so the simhash machinery treats each block as one
+    # feature token (shingle window of 1 block via n=1 tokens is
+    # emulated with the default shingle_n=3 over blocks: 3-block
+    # patches, the 2-D patch analog).
+    blocks = F.regexp_replace(
+        F.lower(F.hex(F.encode("text", "utf-8"))), "(.{8})", "$1 "
+    )
+    payloads = docs.select(
+        "doc_id", F.trim(blocks).alias("block_str")
+    )
+    return simhash_neardup_pairs(
+        payloads, id_col="doc_id", text_col="block_str", max_hamming=3,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    ).orderBy("id_a", "id_b")
