@@ -414,3 +414,78 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("token_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the part co-purchase graph: parts sharing an order are
+# linked (both directions, so the graph is symmetric and dangling-free)
+# and link analysis surfaces the "hub" parts. Iterative: one shuffle
+# per iteration, lineage checkpoint-truncated -- see operators/graph.py.
+# Rows-only (an 8-iteration float fixpoint is not SQL-expressible);
+# tests/test_graph.py pins conservation + degree-correlation.
+# ---------------------------------------------------------------------------
+
+
+@register("graph_pagerank_parts")
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    co = (
+        a.join(b, "o")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return (
+        pagerank(co, iterations=8)
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data profiling: one scan produces per-column null counts,
+# distinct counts, and min/max (stringified) in long format -- the
+# ingest-time audit a 100 TB warehouse runs on every new partition.
+# Single pass: all column aggregates in ONE agg, then a stack()
+# unpivot; no per-column jobs.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderpriority")
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""SELECT '{c}' AS column_name,
+        CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+        CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+        CAST(min({c}) AS VARCHAR) AS min_value,
+        CAST(max({c}) AS VARCHAR) AS max_value
+        FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("quality_profile_orders", oracle=_PROFILE_ORACLE)
+def quality_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_expr}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)"
+    )
