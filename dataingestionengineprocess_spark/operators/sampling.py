@@ -22,7 +22,7 @@ statistical and consistency properties are pytest-asserted instead.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _M = 1_000_000
@@ -59,3 +59,34 @@ def stratified_hash_sample(df: DataFrame, strata_col: str,
     for s, f in sorted(fractions.items()):
         cut = F.when(F.col(strata_col) == s, F.lit(int(f * _M))).otherwise(cut)
     return df.filter(_bucket(key_cols, salt) < cut)
+
+
+def systematic_weighted_sample(df: DataFrame, weight_col: str,
+                               order_col: str, k: int) -> DataFrame:
+    """Weighted sampling without randomness: systematic (fixed-stride)
+    selection over the cumulative-weight axis. A row is kept iff the
+    interval it owns on that axis, ``[cum - w, cum)``, contains a
+    multiple of ``stride = total_weight / k`` -- so inclusion
+    probability is proportional to weight, exactly k +/- 1 rows come
+    back, and INTEGER weights make the whole computation exact (no
+    float rank to drift between engines or reruns).
+
+    Scale note: the running sum is a single unpartitioned window over
+    the ordered keys -- fine up to ~10^8 rows/task-chain; beyond that,
+    compute per-partition weight offsets first (two passes) the way
+    parallel prefix-sums are done. The A-Res/A-ExpJ reservoir family is
+    the one-pass streaming alternative, but its u^(1/w) keys are libm-
+    dependent floats -- reproducibility across engines is why the
+    systematic form is the default here.
+    """
+    w = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = df.withColumn("__cum", F.sum(weight_col).over(w))
+    total = cum.agg(F.max("__cum")).collect()[0][0]
+    stride = max(1, int(total) // k)
+    # Selection points are stride, 2*stride, ...; the half-open weight
+    # interval (cum - w, cum] contains one iff the integer quotient
+    # advances. All-longs `div` keeps this exact at any scale.
+    keep = F.expr(f"(__cum div {stride}) > ((__cum - {weight_col}) div {stride})")
+    return cum.filter(keep).drop("__cum")

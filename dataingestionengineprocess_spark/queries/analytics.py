@@ -489,3 +489,78 @@ def quality_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_expr}) AS "
         "(column_name, n_nulls, n_distinct, min_value, max_value)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling, reproducibly: systematic selection along the
+# cumulative-weight axis (inclusion probability proportional to
+# n_chars) in exact integer arithmetic -- so the SAME sample comes back
+# on any cluster shape, any rerun, and in the DuckDB oracle. See
+# operators/sampling.systematic_weighted_sample for the A-Res contrast.
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_K = 50
+
+_WSAMPLE_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n_chars) OVER () AS total
+  FROM documents
+)
+SELECT doc_id, n_chars FROM c
+WHERE (cum // greatest(1, total // {_WSAMPLE_K}))
+    > ((cum - n_chars) // greatest(1, total // {_WSAMPLE_K}))
+"""
+
+
+@register("sample_weighted_systematic", oracle=_WSAMPLE_ORACLE)
+def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import systematic_weighted_sample
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return systematic_weighted_sample(
+        d, weight_col="n_chars", order_col="doc_id", k=_WSAMPLE_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# Volume-anomaly detection: per-day event counts z-scored against the
+# whole window. Two tiny aggregations after the one real shuffle (the
+# daily count); the stats join is a broadcast of a single row. The
+# monitoring query an ingest pipeline runs on its OWN telemetry.
+# ---------------------------------------------------------------------------
+
+_ANOMALY_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY day
+),
+stats AS (
+  SELECT avg(n) AS mu, stddev_samp(n) AS sigma FROM daily
+)
+SELECT day, n, round((n - mu) / sigma, 4) AS zscore,
+       CAST(abs(n - mu) > 2 * sigma AS BOOLEAN) AS is_anomaly
+FROM daily, stats
+"""
+
+
+@register("events_volume_anomaly", oracle=_ANOMALY_ORACLE)
+def events_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    stats = daily.agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            "day", "n",
+            F.round(z, 4).alias("zscore"),
+            (F.abs(F.col("n") - F.col("mu")) > 2 * F.col("sigma"))
+            .alias("is_anomaly"),
+        )
+    )

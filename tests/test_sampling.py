@@ -66,3 +66,29 @@ def test_bad_fraction_raises(spark, ids):
         hash_sample(ids, ["k"], 1.5)
     with pytest.raises(ValueError):
         stratified_hash_sample(ids, "k", {"en": -0.1}, ["k"])
+
+
+def test_systematic_weighted_sample_properties(spark):
+    """~k rows come back; heavier keys are sampled proportionally more
+    (2x weight => ~2x inclusion across disjoint key ranges); zero
+    randomness: two runs agree exactly."""
+    from pyspark.sql import functions as F
+
+    from dataingestionengineprocess_spark.operators.sampling import (
+        systematic_weighted_sample,
+    )
+
+    # ids 0..1999: weight 10; ids 2000..3999: weight 20
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        F.when(F.col("id") < 2000, 10).otherwise(20).alias("w"),
+    )
+    got = systematic_weighted_sample(df, "w", "id", k=300)
+    rows = got.collect()
+    assert abs(len(rows) - 300) <= 1
+    light = sum(1 for r in rows if r["id"] < 2000)
+    heavy = len(rows) - light
+    # heavy stratum holds 2/3 of the weight -> ~2x the light count
+    assert 1.6 <= heavy / light <= 2.4
+    again = systematic_weighted_sample(df, "w", "id", k=300).collect()
+    assert sorted(r["id"] for r in rows) == sorted(r["id"] for r in again)
