@@ -371,8 +371,20 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         F.transform("fs", lambda x: x.getField("s")).alias("toks"),
         F.size("fs").alias("n"),
     )
+    # The prefix must be PPJoin-safe for every pair the REFERENCE
+    # admits. Two corrections to the textbook |S| - ceil(t|S|) + 1:
+    # (a) the reference thresholds on round(jac, 4), so pairs with
+    #     true jac down to t - 5e-5 qualify -- size the prefix for
+    #     that effective threshold;
+    # (b) ceil in DOUBLE arithmetic can overshoot when t*n has an
+    #     inflated double repr (ceil(0.55*100) == 56), which would
+    #     shrink the prefix and drop pairs -- the 1e-9 guard keeps
+    #     the ceil exact for thresholds with sane decimal precision.
+    t_eff = threshold - 5e-5
     plen = (
-        F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        F.col("n")
+        - F.ceil(F.lit(t_eff) * F.col("n") - F.lit(1e-9))
+        + 1
     ).cast("int")
     pref = toksets.select(
         "id", "toks", "n", F.explode(F.slice("toks", F.lit(1), plen)).alias("p")
@@ -388,8 +400,11 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         .dropDuplicates(["id_a", "id_b"])
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    jac = inter / (F.col("na") + F.col("nb") - inter)
+    # Round BEFORE thresholding, exactly like ngram_jaccard_pairs --
+    # a pair at jac = t - 0.00004 rounds up into the reference output,
+    # so the optimized plan must admit it too.
+    jac = F.round(inter / (F.col("na") + F.col("nb") - inter), 4)
     return (
         cand.filter(jac >= threshold)
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
     )

@@ -65,6 +65,6 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                 ).alias("rank"),
             )
         )
-        if (i + 1) % checkpoint_every == 0:
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -65,11 +65,16 @@ def systematic_weighted_sample(df: DataFrame, weight_col: str,
                                order_col: str, k: int) -> DataFrame:
     """Weighted sampling without randomness: systematic (fixed-stride)
     selection over the cumulative-weight axis. A row is kept iff the
-    interval it owns on that axis, ``[cum - w, cum)``, contains a
-    multiple of ``stride = total_weight / k`` -- so inclusion
-    probability is proportional to weight, exactly k +/- 1 rows come
-    back, and INTEGER weights make the whole computation exact (no
-    float rank to drift between engines or reruns).
+    interval it owns on that axis, ``(cum - w, cum]``, contains a
+    multiple of ``stride = max(1, total_weight // k)`` -- so inclusion
+    probability is proportional to weight (capped at 1: a row heavier
+    than the stride is included with certainty, once -- sampling
+    without replacement), and INTEGER weights make the whole
+    computation exact (no float rank to drift between engines or
+    reruns). Row count is ~k when weights are small relative to the
+    stride; it is FEWER when heavy rows absorb multiple selection
+    points, and approaches the full row count when total_weight < 2k
+    (stride floors at 1 -- every unit-weight row then owns a point).
 
     Scale note: the running sum is a single unpartitioned window over
     the ordered keys -- fine up to ~10^8 rows/task-chain; beyond that,
@@ -79,11 +84,15 @@ def systematic_weighted_sample(df: DataFrame, weight_col: str,
     dependent floats -- reproducibility across engines is why the
     systematic form is the default here.
     """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
     w = Window.orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, 0
     )
     cum = df.withColumn("__cum", F.sum(weight_col).over(w))
     total = cum.agg(F.max("__cum")).collect()[0][0]
+    if total is None:  # empty input -> empty sample, same schema
+        return df
     stride = max(1, int(total) // k)
     # Selection points are stride, 2*stride, ...; the half-open weight
     # interval (cum - w, cum] contains one iff the integer quotient

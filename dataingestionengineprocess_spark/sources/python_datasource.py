@@ -47,10 +47,13 @@ class PartnerFeedReader(DataSourceReader):
         self.num_partitions = int(options.get("partitions", 8))
 
     def partitions(self) -> Sequence[InputPartition]:
-        step = max(1, -(-self.rows // self.num_partitions))
+        # Balanced split into EXACTLY num_partitions slices (tail
+        # slices may be empty when rows < partitions) -- callers size
+        # task parallelism by this option, so honor it literally.
+        n = self.num_partitions
+        bounds = [self.rows * i // n for i in range(n + 1)]
         return [
-            _RangePartition(lo, min(lo + step, self.rows))
-            for lo in range(0, self.rows, step)
+            _RangePartition(bounds[i], bounds[i + 1]) for i in range(n)
         ]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:

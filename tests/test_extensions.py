@@ -14,6 +14,7 @@ from dataingestionengineprocess_spark.queries import all_queries
 from dataingestionengineprocess_spark.sources.python_datasource import (
     register as register_feed_source,
 )
+from tests.conftest import write_event_batch as _write_batch
 
 SF = "/root/testdata/sf0.001"
 
@@ -237,17 +238,11 @@ def test_transform_with_state_plan_constructs(spark):
         if prev:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass")
 
 
-def _write_batch(spark, path: str, rows: list[tuple[int, str, float]],
-                 mtime: float) -> None:
-    df = spark.createDataFrame(
-        rows, "event_id long, ts string, value double"
-    ).select("event_id", F.to_timestamp("ts").alias("ts"), "value")
-    df.coalesce(1).write.mode("overwrite").parquet(path)
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            os.utime(os.path.join(root, f), (mtime, mtime))
 
 
 def test_drop_duplicates_within_watermark(spark, tmp_path):

@@ -27,15 +27,7 @@ import time
 from pyspark.sql import functions as F
 
 
-def _write_batch(spark, path: str, rows: list[tuple[int, str, float]],
-                 mtime: float) -> None:
-    df = spark.createDataFrame(
-        rows, "event_id long, ts string, value double"
-    ).select("event_id", F.to_timestamp("ts").alias("ts"), "value")
-    df.coalesce(1).write.mode("overwrite").parquet(path)
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            os.utime(os.path.join(root, f), (mtime, mtime))
+from tests.conftest import write_event_batch as _write_batch
 
 
 def test_late_events_dropped_beyond_watermark(spark, tmp_path):
@@ -87,16 +79,14 @@ def test_late_events_dropped_beyond_watermark(spark, tmp_path):
     assert out[starts.str.startswith("2024-01-01 11:")]["n"].max() == 1, out
 
 
+from tests.conftest import write_event_batch
+
+
 def _write_typed_batch(spark, path, rows, mtime):
-    df = spark.createDataFrame(
-        rows, "event_id long, ts string, user_id long, event_type string"
-    ).select("event_id", F.to_timestamp("ts").alias("ts"), "user_id",
-             "event_type")
-    df.coalesce(1).write.mode("overwrite").parquet(path)
-    import os as _os
-    for root, _dirs, files in _os.walk(path):
-        for f in files:
-            _os.utime(_os.path.join(root, f), (mtime, mtime))
+    write_event_batch(
+        spark, path, rows, mtime,
+        schema="event_id long, ts string, user_id long, event_type string",
+    )
 
 
 def test_stream_stream_left_outer_flushes_on_watermark(spark, tmp_path):
