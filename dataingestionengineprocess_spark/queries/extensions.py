@@ -264,3 +264,41 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(merged)
     )
+
+
+# ---------------------------------------------------------------------------
+# Collation-aware comparison (Spark 4 collations): case-insensitive
+# equality/grouping as a COLUMN TYPE property instead of lower()
+# wrapped around every predicate -- which keeps the comparison sargable
+# and lets one declaration cover every downstream use. The oracle
+# expresses the same semantics with lower(), the pre-collation idiom.
+# ---------------------------------------------------------------------------
+
+_COLLATION_ORACLE = """
+SELECT lower(p_brand) AS brand_ci, CAST(count(*) AS BIGINT) AS n_parts,
+       round(sum(round(p_retailprice * 100)::BIGINT) / 100e0, 2) AS total_price
+FROM part
+GROUP BY brand_ci
+"""
+
+
+@register("scalar_collation_group", oracle=_COLLATION_ORACLE)
+def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    ci = F.col("p_brand").cast("string collate UTF8_LCASE")
+    return (
+        p.groupBy(ci.alias("brand_ci"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(
+                F.sum(F.round(F.col("p_retailprice") * 100).cast("long"))
+                / 100.0, 2,
+            ).alias("total_price"),
+        )
+        # surface the group key in the oracle's canonical (lower) form,
+        # back in a binary-collated string so hashing sees plain utf8
+        .select(
+            F.lower(F.col("brand_ci")).cast("string").alias("brand_ci"),
+            "n_parts", "total_price",
+        )
+    )
