@@ -147,14 +147,19 @@ def minhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
         df, id_col, text_col, num_hashes, shingle_n, repartition_to
     )
 
+    # One transform over the signature array instead of `bands` unrolled
+    # hash expressions: identical collision semantics (docs collide iff
+    # their band slice is identical) with a fraction of the generated
+    # code -- cold plan compile is a visible cost in one-shot runs.
     banded = sigs.select(
         id_col, "sig",
         F.posexplode(
-            F.array(*[
-                F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
-                             for r in range(rows_per_band)])
-                for b in range(bands)
-            ])
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                ),
+            )
         ).alias("band_idx", "band_key"),
     )
     if materialize:
