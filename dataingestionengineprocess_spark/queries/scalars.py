@@ -387,3 +387,131 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("prio_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Advanced string functions: translate, substring_index/split_part,
+# repeat, reverse, ascii, instr/strpos, left/right -- the rest of the
+# CSV-cleanup toolbox beyond the core battery. All JVM built-ins.
+# ---------------------------------------------------------------------------
+
+_STRING_ADV_ORACLE = """
+SELECT p_partkey,
+       translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+       split_part(p_name, ' ', 1)          AS first_word,
+       repeat(p_brand, 2)                  AS brand_twice,
+       reverse(p_name)                     AS name_rev,
+       ascii(p_name)                       AS first_ascii,
+       CAST(strpos(p_name, 'a') AS INT)    AS a_pos,
+       left(p_name, 3)                     AS name_l3,
+       right(p_name, 3)                    AS name_r3
+FROM part WHERE p_partkey <= 500
+"""
+
+
+@register("scalar_string_advanced", oracle=_STRING_ADV_ORACLE)
+def scalar_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+        F.substring_index("p_name", " ", 1).alias("first_word"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.reverse("p_name").alias("name_rev"),
+        F.ascii("p_name").alias("first_ascii"),
+        F.instr("p_name", "a").alias("a_pos"),
+        F.substring("p_name", 1, 3).alias("name_l3"),
+        F.col("p_name").substr(
+            F.length("p_name") - 2, F.lit(3)
+        ).alias("name_r3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Advanced date functions: last_day, ISO week, day-of-year, quarter,
+# whole-month arithmetic, and make_date reconstruction -- the calendar
+# toolbox for partitioning and retention policies.
+# ---------------------------------------------------------------------------
+
+_DATE_ADV_ORACLE = """
+SELECT o_orderkey,
+       last_day(CAST(o_orderdate AS DATE))               AS month_end,
+       CAST(extract(week FROM o_orderdate) AS INT)       AS iso_week,
+       CAST(extract(doy FROM o_orderdate) AS INT)        AS day_of_year,
+       CAST(extract(quarter FROM o_orderdate) AS INT)    AS qtr,
+       CAST(date_diff('month', DATE '1994-01-01',
+            date_trunc('month', CAST(o_orderdate AS DATE))) AS BIGINT)
+         AS months_since_94,
+       make_date(CAST(extract(year FROM o_orderdate) AS INT),
+                 CAST(extract(month FROM o_orderdate) AS INT),
+                 CAST(extract(day FROM o_orderdate) AS INT))
+         AS rebuilt_date
+FROM orders WHERE o_orderkey <= 1000
+"""
+
+
+@register("scalar_date_advanced", oracle=_DATE_ADV_ORACLE)
+def scalar_date_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofyear(d).alias("day_of_year"),
+        F.quarter(d).alias("qtr"),
+        F.months_between(
+            F.date_trunc("month", d), F.lit("1994-01-01").cast("date")
+        ).cast("long").alias("months_since_94"),
+        F.make_date(F.year(d), F.month(d), F.dayofmonth(d))
+        .alias("rebuilt_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order MAP functions: transform_values, map_filter,
+# map_zip_with. The map is built per event from its JSON payload; the
+# outputs are scalars derived THROUGH the map ops, so the oracle can
+# state them directly from the extracted value -- verifying the map
+# semantics without comparing map-typed cells (whose key order is
+# engine-specific).
+# ---------------------------------------------------------------------------
+
+_MAP_HOF_ORACLE = """
+SELECT event_id,
+       k,
+       3 * k + 2  AS sum_plus_one,
+       CAST((CASE WHEN k > 50 THEN 1 ELSE 0 END)
+          + (CASE WHEN 2 * k > 50 THEN 1 ELSE 0 END) AS INT) AS n_over_50,
+       11 * k     AS zipped_base
+FROM (
+  SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events WHERE event_id <= 300
+)
+"""
+
+
+@register("scalar_map_higher_order", oracle=_MAP_HOF_ORACLE)
+def scalar_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") <= 300)
+    k = F.get_json_object("props", "$.k").cast("long")
+    m = F.create_map(
+        F.lit("base"), k, F.lit("double"), k * 2
+    )
+    plus_one = F.transform_values(m, lambda _, v: v + 1)
+    sum_plus_one = F.aggregate(
+        F.map_values(plus_one), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    n_over = F.size(F.map_filter(m, lambda _, v: v > 50))
+    tens = F.create_map(F.lit("base"), F.lit(10).cast("long"))
+    zipped = F.map_zip_with(
+        m, tens,
+        lambda _, v1, v2: v1 + F.coalesce(v2, F.lit(0)) * k,
+    )
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        sum_plus_one.alias("sum_plus_one"),
+        n_over.alias("n_over_50"),
+        F.element_at(zipped, "base").alias("zipped_base"),
+    )
