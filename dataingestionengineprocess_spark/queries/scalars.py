@@ -515,3 +515,71 @@ def scalar_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_over.alias("n_over_50"),
         F.element_at(zipped, "base").alias("zipped_base"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise toolbox: AND/OR/XOR/shifts/hex -- flag packing and hash
+# manipulation (the minhash/simhash operators use exactly these
+# primitives internally; here they are surfaced as the user-facing
+# battery).
+# ---------------------------------------------------------------------------
+
+_BITWISE_ORACLE = """
+SELECT p_partkey,
+       p_size & 12                  AS and_mask,
+       p_size | 3                   AS or_low,
+       xor(p_size, 21)              AS xor_21,
+       p_size << 2                  AS shl2,
+       p_size >> 1                  AS shr1,
+       hex(p_size)                  AS size_hex
+FROM part WHERE p_partkey <= 500
+"""
+
+
+@register("scalar_bitwise_funcs", oracle=_BITWISE_ORACLE)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    s = F.col("p_size")
+    return p.select(
+        "p_partkey",
+        s.bitwiseAND(12).alias("and_mask"),
+        s.bitwiseOR(3).alias("or_low"),
+        s.bitwiseXOR(21).alias("xor_21"),
+        F.shiftleft(s, 2).alias("shl2"),
+        F.shiftright(s, 1).alias("shr1"),
+        F.hex(s).alias("size_hex"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL parsing: parse_url() against synthetic per-supplier endpoints.
+# The oracle re-derives each component with regexes -- stating the
+# expected decomposition independently of Spark's parser.
+# ---------------------------------------------------------------------------
+
+_URL_ORACLE = """
+SELECT s_suppkey,
+       'partner' || CAST(s_suppkey AS VARCHAR) || '.example.com' AS host,
+       '/feeds/' || CAST(s_nationkey AS VARCHAR)                 AS path,
+       'fmt=csv'                                                 AS query,
+       CAST(s_suppkey AS VARCHAR)                                AS partner_id
+FROM supplier
+"""
+
+
+@register("scalar_url_funcs", oracle=_URL_ORACLE)
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    url = F.concat(
+        F.lit("https://partner"), F.col("s_suppkey").cast("string"),
+        F.lit(".example.com/feeds/"), F.col("s_nationkey").cast("string"),
+        F.lit("?fmt=csv&pid="), F.col("s_suppkey").cast("string"),
+    )
+    return s.select(
+        "s_suppkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.regexp_extract(F.parse_url(url, F.lit("QUERY")), "^(fmt=csv)", 1)
+        .alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("pid")).alias("partner_id"),
+    )

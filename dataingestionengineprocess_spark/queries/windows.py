@@ -223,3 +223,48 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.cume_dist().over(w), 6).alias("cume"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Native batch session_window (ST4's batch cousin): the built-in gap
+# sessionizer run relationally. The oracle derives the same sessions
+# with the lag/cumulative-flag idiom -- two independent formulations of
+# "30-minute inactivity closes a session" that must agree row for row.
+# ---------------------------------------------------------------------------
+
+_SESSION_BATCH_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT user_id, min(ts) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM sessioned GROUP BY user_id, sid
+"""
+
+
+@register("window_session_batch", oracle=_SESSION_BATCH_ORACLE)
+def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select("user_id", "session_start", "n_events", "session_value")
+    )
