@@ -1094,3 +1094,30 @@ def subquery_in_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 WHERE o_orderstatus = 'F')
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Boolean aggregates: bool_and / bool_or / count_if -- constraint
+# checking as aggregation ("did EVERY order in the group pass?"),
+# the data-quality rollup shape.
+# ---------------------------------------------------------------------------
+
+_BOOL_AGG_ORACLE = """
+SELECT o_orderpriority,
+       bool_and(o_totalprice > 1000)  AS all_above_1k,
+       bool_or(o_totalprice > 400000) AS any_jumbo,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+         AS n_finished
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("agg_boolean", oracle=_BOOL_AGG_ORACLE)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_above_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+    )

@@ -268,3 +268,34 @@ def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "n_events", "session_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# nth_value: the "third touch" attribution idiom -- per user, the value
+# of the 3rd event in timeline order, alongside first/last for context.
+# ---------------------------------------------------------------------------
+
+_NTH_ORACLE = """
+SELECT user_id, event_id,
+       round(nth_value(value, 3) OVER w, 2)  AS third_value,
+       round(first_value(value) OVER w, 2)   AS first_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("window_nth_value", oracle=_NTH_ORACLE)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id", "event_id",
+        F.round(F.nth_value("value", 3).over(w), 2).alias("third_value"),
+        F.round(F.first("value").over(w), 2).alias("first_value"),
+    )
