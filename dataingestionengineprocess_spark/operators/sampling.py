@@ -83,6 +83,10 @@ def systematic_weighted_sample(df: DataFrame, weight_col: str,
     the one-pass streaming alternative, but its u^(1/w) keys are libm-
     dependent floats -- reproducibility across engines is why the
     systematic form is the default here.
+
+    ``order_col`` MUST be a unique key: with ties, the running sum's
+    row attribution inside a tie group is partition-order-dependent
+    and the sample stops being reproducible.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
