@@ -421,9 +421,7 @@ def scalar_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii("p_name").alias("first_ascii"),
         F.instr("p_name", "a").alias("a_pos"),
         F.substring("p_name", 1, 3).alias("name_l3"),
-        F.col("p_name").substr(
-            F.length("p_name") - 2, F.lit(3)
-        ).alias("name_r3"),
+        F.right("p_name", F.lit(3)).alias("name_r3"),
     )
 
 

@@ -44,7 +44,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_ORACLE = """
 WITH ordered AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
          CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 OR
                    lag(ts) OVER w IS NULL
               THEN 1 ELSE 0 END AS new_session
@@ -53,7 +53,7 @@ WITH ordered AS (
 ),
 sessioned AS (
   SELECT user_id, ts, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM ordered
 )

@@ -232,26 +232,12 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "30-minute inactivity closes a session" that must agree row for row.
 # ---------------------------------------------------------------------------
 
-_SESSION_BATCH_ORACLE = """
-WITH ordered AS (
-  SELECT user_id, ts, value,
-         CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
-              THEN 1 ELSE 0 END AS new_session
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sessioned AS (
-  SELECT user_id, ts, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS UNBOUNDED PRECEDING) AS sid
-  FROM ordered
-)
-SELECT user_id, min(ts) AS session_start,
-       CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS session_value
-FROM sessioned GROUP BY user_id, sid
-"""
+# Reuses the STREAMING session oracle verbatim (queries/streaming.py):
+# one hand-maintained formulation of "a >30-minute gap closes the
+# session" -- Spark's session_window merges events exactly gap-distance
+# apart, so the new-session condition is strictly `> 1800`, and both
+# window orderings carry the event_id tiebreak.
+from .streaming import _SESSION_ORACLE as _SESSION_BATCH_ORACLE
 
 
 @register("window_session_batch", oracle=_SESSION_BATCH_ORACLE)
@@ -287,8 +273,6 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 
 @register("window_nth_value", oracle=_NTH_ORACLE)
 def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     ev = load(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id").orderBy("ts", "event_id")
