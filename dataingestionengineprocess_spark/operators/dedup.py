@@ -126,7 +126,8 @@ def minhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
                           est_threshold: float = 0.5,
                           max_bucket: int = 1000,
                           repartition_to: int | None = None,
-                          materialize: bool = True) -> DataFrame:
+                          materialize: bool = True,
+                          guard_obs=None) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, scored by estimated
     Jaccard (fraction of agreeing minhashes).
 
@@ -141,6 +142,16 @@ def minhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
     table before pair generation. Storage is executor-local
     MEMORY_AND_DISK (16 small rows per doc), freed by LRU eviction or
     session end; pass False to keep the operator purely lazy.
+
+    ``guard_obs`` (a ``pyspark.sql.Observation``) surfaces what the
+    ``max_bucket`` skew guard removes -- metrics ``dropped_buckets``
+    and ``dropped_rows`` accumulate during whatever action executes
+    the returned plan (no extra pass). "No silent caps": at 100 TB a
+    hot boilerplate template can route millions of docs into one
+    degenerate bucket, and an operator that quietly exempts them from
+    dedup hides a correctness hole; monitor these metrics and treat
+    nonzero drops as a signal to dedup the degenerate content
+    upstream (or raise max_bucket).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
@@ -173,6 +184,14 @@ def minhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
     bucket_sizes = banded.groupBy("band_idx", "band_key").agg(
         F.count("*").alias("__bn")
     )
+    if guard_obs is not None:
+        bucket_sizes = bucket_sizes.observe(
+            guard_obs,
+            F.sum(F.when(F.col("__bn") > max_bucket, 1).otherwise(0))
+            .alias("dropped_buckets"),
+            F.sum(F.when(F.col("__bn") > max_bucket, F.col("__bn")).otherwise(0))
+            .alias("dropped_rows"),
+        )
     banded = banded.join(
         bucket_sizes.filter(F.col("__bn") <= max_bucket).drop("__bn"),
         ["band_idx", "band_key"],
@@ -316,17 +335,36 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
                           max_hamming: int = 3,
                           repartition_to: int | None = None) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) <= max_hamming via the
-    pigeonhole chunk join (4 x 16-bit chunks; <=3 differing bits means
-    >=1 chunk identical)."""
+    pigeonhole chunk join.
+
+    The chunk count is DERIVED from max_hamming: with
+    ``max_hamming + 1`` chunks, at most max_hamming differing bits
+    cannot touch every chunk, so >=1 chunk is bit-identical and the
+    equi-join on (chunk_idx, chunk_val) finds every qualifying pair --
+    complete recall for ANY max_hamming in [0, 63], not just the
+    classic 4x16/<=3 configuration. More chunks = more candidate rows
+    but smaller per-chunk keys; the default stays the classic 4-chunk
+    shape."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(
+            f"max_hamming must be in [0, 63], got {max_hamming}"
+        )
+    n_chunks = max_hamming + 1
+    base, rem = divmod(64, n_chunks)
+    sizes = [base + 1] * rem + [base] * (n_chunks - rem)
+    offsets = [sum(sizes[:c]) for c in range(n_chunks)]
     sh = simhash_signatures(df, id_col, text_col,
                             repartition_to=repartition_to)
+    def chunk_val(c: int) -> Column:
+        v = F.shiftright("sh", offsets[c])
+        if sizes[c] < 64:  # 64-bit mask literal would overflow LongType
+            v = v.bitwiseAND(F.lit((1 << sizes[c]) - 1))
+        return v
+
     chunks = sh.select(
         "id", "sh",
         F.posexplode(
-            F.array(*[
-                F.shiftright("sh", 16 * c).bitwiseAND(F.lit(0xFFFF))
-                for c in range(4)
-            ])
+            F.array(*[chunk_val(c) for c in range(n_chunks)])
         ).alias("chunk_idx", "chunk_val"),
     )
     a = chunks.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),

@@ -72,49 +72,86 @@ def run_stages(feed: FeedConfig, clean: DataFrame) -> tuple[DataFrame, DataFrame
 
     curated = deduped
     for e in feed.enrichments:
+        # Alias the dim side before joining: a reserved key name plus
+        # collision-renamed payload columns. Joining on e.dim's raw
+        # columns and then drop-by-name would delete BOTH sides when
+        # the dim key shares the fact column's name (or a dim payload
+        # column collides with a fact column).
+        key = "__enrich_key"
+        fact_cols = set(curated.columns)
+        dim_side = e.dim.select(
+            F.col(e.dim_col).alias(key),
+            *[
+                F.col(c).alias(f"dim_{c}" if c in fact_cols else c)
+                for c in e.dim.columns
+                if c != e.dim_col
+            ],
+        )
         curated = curated.join(
-            F.broadcast(e.dim), curated[e.fact_col] == e.dim[e.dim_col], e.how
-        ).drop(e.dim_col)
+            F.broadcast(dim_side), curated[e.fact_col] == dim_side[key], e.how
+        ).drop(key)
     return curated, result.quarantined
 
 
 def ingest_batch(spark: SparkSession, feed: FeedConfig, src_path: str,
                  sinks: SinkConfig, run_id: str | None = None) -> RunStatus:
     """One landing-zone batch, end to end. Idempotent per run_id: the
-    warehouse write replaces the run's own partition on re-run."""
+    warehouse write replaces the run's own partition on re-run.
+
+    Telemetry policy (A8): every count in the RunStatus rides along on
+    a write action via ``observe()`` -- rows_clean on the curated
+    write, rows_rejected on the rejects write, rows_quarantined on the
+    quarantine write. Zero standalone ``.count()`` actions; at 100 TB
+    a separate counting pass would re-read the whole batch.
+    """
+    from pyspark.sql import Observation
+
     started = time.time()
     run_id = run_id or new_run_id()
 
     batch = read_csv_feed(
         spark, src_path, feed.schema, timestamp_format=feed.timestamp_format
     )
-    curated, quarantined = run_stages(feed, batch.clean)
-    curated = curated.withColumn("_run_id", F.lit(run_id)).cache()
+    clean_obs = Observation(f"clean_{run_id}")
+    clean = batch.clean.observe(clean_obs, F.count(F.lit(1)).alias("rows"))
+    curated, quarantined = run_stages(feed, clean)
+    load_obs = Observation(f"loaded_{run_id}")
+    curated = (
+        curated.observe(load_obs, F.count(F.lit(1)).alias("rows"))
+        .withColumn("_run_id", F.lit(run_id))
+        .cache()
+    )
 
-    rows_read = batch.clean.count() + batch.rejects.count()
-    rows_loaded = curated.count()
-    rows_quarantined = quarantined.count()
-    rows_rejected = batch.rejects.count()
-
+    # One curated pipeline execution: the warehouse write populates the
+    # cache and fires clean_obs + load_obs; the OLTP write reuses the
+    # cached rows.
     write_warehouse(curated, sinks.warehouse_dir, feed.name,
                     partition_cols=["_run_id"], mode="overwrite")
     write_oltp(curated.drop("_run_id"), sinks, f"{feed.name}_oltp",
                mode="append")
-    if rows_rejected:
-        write_warehouse(batch.rejects, sinks.warehouse_dir,
-                        f"{feed.name}_rejects")
-    if rows_quarantined:
-        write_warehouse(
-            quarantined.withColumn(
-                "_violations", F.array_join("_violations", ",")
-            ),
-            sinks.warehouse_dir, f"{feed.name}_quarantine",
-        )
 
+    # Rejects/quarantine are separate branches of the scan; their
+    # writes ARE the actions that produce their counts (append of an
+    # empty frame is a metadata-only touch, not a data pass).
+    rej_obs = Observation(f"rejects_{run_id}")
+    write_warehouse(
+        batch.rejects.observe(rej_obs, F.count(F.lit(1)).alias("rows")),
+        sinks.warehouse_dir, f"{feed.name}_rejects",
+    )
+    quar_obs = Observation(f"quarantine_{run_id}")
+    write_warehouse(
+        quarantined.withColumn("_violations", F.array_join("_violations", ","))
+        .observe(quar_obs, F.count(F.lit(1)).alias("rows")),
+        sinks.warehouse_dir, f"{feed.name}_quarantine",
+    )
+
+    rows_rejected = int(rej_obs.get["rows"])
     status = RunStatus(
-        run_id=run_id, feed=feed.name, rows_read=rows_read,
-        rows_loaded=rows_loaded, rows_rejected=rows_rejected,
-        rows_quarantined=rows_quarantined,
+        run_id=run_id, feed=feed.name,
+        rows_read=int(clean_obs.get["rows"]) + rows_rejected,
+        rows_loaded=int(load_obs.get["rows"]),
+        rows_rejected=rows_rejected,
+        rows_quarantined=int(quar_obs.get["rows"]),
         started_at=started, finished_at=time.time(),
     )
     write_status(spark, sinks.warehouse_dir, status)
@@ -142,21 +179,42 @@ def ingest_stream(spark: SparkSession, feed: FeedConfig, src_dir: str,
     stream = reader.csv(src_dir)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Observation
+
         started = time.time()
-        run_id = f"stream-{epoch_id}"
-        curated, quarantined = run_stages(feed, batch_df)
-        curated = curated.withColumn("_run_id", F.lit(run_id)).cache()
-        rows_read = batch_df.count()
-        rows_loaded = curated.count()
-        rows_quarantined = quarantined.count()
+        # Zero-padded epoch so run-partition names sort chronologically
+        # ("stream-10" < "stream-9" otherwise); see expire_runs.
+        run_id = f"stream-{epoch_id:012d}"
+        read_obs = Observation(f"read_{run_id}")
+        observed = batch_df.observe(
+            read_obs, F.count(F.lit(1)).alias("rows")
+        )
+        curated, quarantined = run_stages(feed, observed)
+        load_obs = Observation(f"loaded_{run_id}")
+        curated = (
+            curated.observe(load_obs, F.count(F.lit(1)).alias("rows"))
+            .withColumn("_run_id", F.lit(run_id))
+            .cache()
+        )
         write_warehouse(curated, sinks.warehouse_dir, feed.name,
                         partition_cols=["_run_id"], mode="overwrite")
         write_oltp(curated.drop("_run_id"), sinks, f"{feed.name}_oltp",
                    mode="append")
+        # Quarantined rows are persisted (not just counted): the write
+        # is the action that fires the count observation, and silently
+        # discarding rule violations would lose partner data.
+        quar_obs = Observation(f"quarantine_{run_id}")
+        write_warehouse(
+            quarantined.withColumn(
+                "_violations", F.array_join("_violations", ",")
+            ).observe(quar_obs, F.count(F.lit(1)).alias("rows")),
+            sinks.warehouse_dir, f"{feed.name}_quarantine",
+        )
         write_status(spark, sinks.warehouse_dir, RunStatus(
-            run_id=run_id, feed=feed.name, rows_read=rows_read,
-            rows_loaded=rows_loaded, rows_rejected=0,
-            rows_quarantined=rows_quarantined,
+            run_id=run_id, feed=feed.name,
+            rows_read=int(read_obs.get["rows"]),
+            rows_loaded=int(load_obs.get["rows"]), rows_rejected=0,
+            rows_quarantined=int(quar_obs.get["rows"]),
             started_at=started, finished_at=time.time(),
         ))
 

@@ -100,7 +100,11 @@ class RunStatus:
 
 
 def new_run_id() -> str:
-    return uuid.uuid4().hex[:16]
+    """Time-prefixed run id: a 20-digit zero-padded nanosecond epoch
+    plus a uuid suffix, so lexicographic order IS chronological order.
+    Retention (`expire_runs`) and humans listing partitions both rely
+    on sortable ids; a bare uuid4 would sort arbitrarily."""
+    return f"{time.time_ns():020d}-{uuid.uuid4().hex[:8]}"
 
 
 def write_status(spark: SparkSession, warehouse_dir: str,
@@ -153,9 +157,18 @@ def compact_table(spark: SparkSession, warehouse_dir: str, table: str,
     small files; at scale every query then pays a per-file open +
     footer read, and tiny row groups defeat min/max skipping. This is
     the OPTIMIZE/compaction step: read the table, repartition to
-    ceil(total_bytes / target) output files, rewrite atomically
-    (write to a side directory, then swap via two renames -- readers
-    see the old or the new layout, never a mix).
+    ceil(total_bytes / target) output files, rewrite via a two-rename
+    swap (write to a side directory, move the table aside, move the
+    replacement in).
+
+    Concurrency contract: the swap is NOT atomic -- between the two
+    renames the table path briefly does not exist, so this assumes a
+    single writer and no concurrent readers (run compaction in the
+    maintenance window, as a real OPTIMIZE job does). A crash between
+    the renames leaves the data intact under ``<path>__precompact``;
+    re-running compaction recovers. A truly atomic swap needs a
+    versioned-directory + pointer-file layout (a transaction-log table
+    format), which is out of scope for the plain-parquet warehouse.
 
     Parquet compression makes bytes-in a slight overestimate of
     bytes-out, which errs toward files under target -- the safe side.
@@ -197,8 +210,9 @@ def merge_upsert(spark: SparkSession, warehouse_dir: str, table: str,
     toward the update). The batch MERGE for re-delivered partner files
     (diagram :88-98's PostgreSQL round-trip generalized): existing rows
     union the updates, a keep-latest window picks survivors, and the
-    table is swapped atomically (same two-rename protocol as
-    compact_table).
+    table is swapped via the same two-rename protocol as compact_table
+    (same contract: single writer, no concurrent readers during the
+    swap; crash recovery from ``<path>__premerge``).
 
     Idempotent: re-running the same updates batch is a no-op. At scale
     the rewrite cost is bounded by co-partitioning: the window shuffle
@@ -208,26 +222,36 @@ def merge_upsert(spark: SparkSession, warehouse_dir: str, table: str,
     rewriting only matched files; at the plain-parquet layer the full
     rewrite IS the correct baseline.
 
-    Returns {rows_before, rows_updated, rows_after}.
+    Returns {rows_before, rows_updated, rows_after} -- all three ride
+    along on the single rewrite action via ``observe()`` (A8 policy:
+    metrics never cost an extra scan).
     """
+    from pyspark.sql import Observation
     from pyspark.sql.window import Window
 
     path = os.path.join(warehouse_dir, table)
     existing = spark.read.parquet(path)
-    rows_before = existing.count()
 
     # __src: updates (1) beat existing (0) at equal order_col values.
     merged = (
         existing.withColumn("__src", F.lit(0))
         .unionByName(updates.withColumn("__src", F.lit(1)))
     )
+    in_obs = Observation("merge_inputs")
+    merged = merged.observe(
+        in_obs,
+        F.sum(F.when(F.col("__src") == 0, 1).otherwise(0)).alias("rows_before"),
+        F.sum(F.when(F.col("__src") == 1, 1).otherwise(0)).alias("rows_updated"),
+    )
     w = Window.partitionBy(*keys).orderBy(
         F.col(order_col).desc(), F.col("__src").desc()
     )
+    out_obs = Observation("merge_output")
     survivors = (
         merged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")
+        .observe(out_obs, F.count(F.lit(1)).alias("rows_after"))
     )
 
     tmp = path + "__merging"
@@ -246,19 +270,25 @@ def merge_upsert(spark: SparkSession, warehouse_dir: str, table: str,
         raise IOError(f"merge_upsert: could not move {tmp} into place")
     fs.delete(hp(old), True)
 
-    rows_after = spark.read.parquet(path).count()
+    inputs = in_obs.get  # already complete: the write above ran the plan
     return {
-        "rows_before": rows_before,
-        "rows_updated": updates.count(),
-        "rows_after": rows_after,
+        "rows_before": int(inputs["rows_before"] or 0),
+        "rows_updated": int(inputs["rows_updated"] or 0),
+        "rows_after": int(out_obs.get["rows_after"]),
     }
 
 
 def expire_runs(spark: SparkSession, warehouse_dir: str, table: str,
                 keep_last: int, partition_col: str = "_run_id") -> dict:
     """Retention for run-partitioned tables: drop all but the newest
-    ``keep_last`` partitions (lexicographic partition-value order --
-    run ids embed their epoch, so lexicographic IS chronological).
+    ``keep_last`` partitions.
+
+    "Newest" is decided by the partition directory's filesystem
+    modification time (name as tie-break), NOT by partition-value
+    sort order: run ids are only sortable when produced by
+    ``new_run_id`` (time-prefixed), and callers can partition by
+    arbitrary ids ("stream-10" sorts before "stream-9"), so mtime is
+    the ordering that is always chronological.
 
     Partition deletion is a directory remove per expired run -- no
     rewrite of surviving data, which is the point of partitioning the
@@ -270,11 +300,14 @@ def expire_runs(spark: SparkSession, warehouse_dir: str, table: str,
     root = jvm.org.apache.hadoop.fs.Path(os.path.join(warehouse_dir, table))
     fs = root.getFileSystem(conf)
     prefix = f"{partition_col}="
-    parts = sorted(
-        st.getPath().getName()
-        for st in fs.listStatus(root)
-        if st.isDirectory() and st.getPath().getName().startswith(prefix)
-    )
+    parts = [
+        name
+        for _, name in sorted(
+            (st.getModificationTime(), st.getPath().getName())
+            for st in fs.listStatus(root)
+            if st.isDirectory() and st.getPath().getName().startswith(prefix)
+        )
+    ]
     to_drop = parts[:-keep_last] if keep_last > 0 else parts
     for name in to_drop:
         fs.delete(

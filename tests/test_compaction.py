@@ -62,3 +62,38 @@ def test_expire_runs_keeps_newest_partitions(spark, tmp_path):
         .select("_run_id").distinct().collect()
     }
     assert left == {"run-003", "run-004"}
+
+
+def test_expire_runs_orders_by_mtime_not_name(spark, tmp_path):
+    """Retention must be chronological even when partition names are
+    NOT lexicographically sortable: 'stream-10' < 'stream-9' by name,
+    but it is the newer run and must be the one kept."""
+    import time as _time
+
+    from dataingestionengineprocess_spark.sinks.warehouse import expire_runs
+
+    wh = str(tmp_path)
+    for run in ["stream-8", "stream-9", "stream-10"]:  # arrival order
+        df = spark.range(5).withColumn("_run_id", F.lit(run))
+        df.write.mode("append").partitionBy("_run_id").parquet(
+            os.path.join(wh, "t")
+        )
+        _time.sleep(0.05)  # distinct directory mtimes
+
+    stats = expire_runs(spark, wh, "t", keep_last=1)
+
+    assert stats == {"kept": 1, "dropped": 2}
+    left = {
+        r["_run_id"]
+        for r in spark.read.parquet(os.path.join(wh, "t"))
+        .select("_run_id").distinct().collect()
+    }
+    assert left == {"stream-10"}
+
+
+def test_new_run_ids_sort_chronologically():
+    from dataingestionengineprocess_spark.sinks.warehouse import new_run_id
+
+    ids = [new_run_id() for _ in range(50)]
+    assert ids == sorted(ids), "time-prefixed ids must sort in creation order"
+    assert len(set(ids)) == 50

@@ -67,6 +67,65 @@ def test_simhash_finds_neardups(docs):
         assert overlap >= 0.5, f"simhash catches {overlap:.2f} of jaccard>=0.9 pairs"
 
 
+def test_minhash_bucket_cap_reports_drops(spark):
+    """"No silent caps": a degenerate corpus (many identical docs in
+    one LSH bucket) must report how many buckets/rows the max_bucket
+    skew guard removed, via the guard observation."""
+    from pyspark.sql import Observation
+
+    boiler = "the same boilerplate text repeated across every document"
+    rows = [(i, boiler) for i in range(40)]
+    rows += [(100 + i, f"unique document number {i} with its own words here")
+             for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    obs = Observation("lsh_guard")
+    pairs = minhash_neardup_pairs(
+        df, est_threshold=0.5, max_bucket=10, guard_obs=obs
+    )
+    pair_set = _pair_set(pairs)
+    m = obs.get
+    assert m["dropped_buckets"] > 0, "degenerate buckets must be reported"
+    assert m["dropped_rows"] >= 40 * 16, \
+        "every banded row of the 40 identical docs exceeds the cap"
+    # and the capped join really did exempt the boilerplate clones
+    assert not any(a < 100 and b < 100 for a, b in pair_set)
+
+
+def test_simhash_hamming_beyond_3_complete(spark):
+    """Chunk count derives from max_hamming: for max_hamming=5 the
+    6-chunk pigeonhole join must find EVERY pair within distance 5
+    (the old fixed 4x16 layout silently lost recall past 3)."""
+    import itertools
+
+    # doc pairs with controlled small textual perturbations
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " \
+           "kilo lima mike november oscar papa quebec romeo sierra tango"
+    variants = [base,
+                base.replace("delta", "delt4"),
+                base.replace("oscar", "oscat").replace("kilo", "kil0")]
+    rows = [(i, t) for i, t in enumerate(variants)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from dataingestionengineprocess_spark.operators.dedup import (
+        simhash_signatures,
+    )
+
+    sigs = {r.id: r.sh for r in simhash_signatures(df).collect()}
+    want = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 5:
+            want.add((a, b))
+    got = _pair_set(simhash_neardup_pairs(df, max_hamming=5))
+    assert got == want, f"expected {want}, got {got}"
+
+
+def test_simhash_rejects_invalid_hamming(spark):
+    df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_neardup_pairs(df, max_hamming=64)
+
+
 def test_lsh_ann_recall_at_5_fixture(spark, emb):
     """Fixture neighbors are WEAK (cosine ~0.3): random-hyperplane LSH
     has no recall guarantee there (p_plane ~ 0.61). Assert a modest

@@ -117,6 +117,29 @@ def test_batch_ingest_end_to_end(spark, landing, sinks):
     assert st.filter(F.col("feed") == "orders_feed").count() == 1
 
 
+def test_batch_metrics_come_from_observe_not_count(spark, landing, sinks,
+                                                   monkeypatch):
+    """A8 policy: RunStatus counts must ride along on the write actions
+    via observe(), never via standalone .count() passes. Poisoning
+    DataFrame.count proves the batch path triggers no counting action;
+    the status row must still carry correct numbers."""
+    from pyspark.sql import DataFrame
+
+    def _no_count(self):
+        raise AssertionError(
+            "ingest_batch must not run standalone .count() actions; "
+            "metrics ride along via observe()"
+        )
+
+    monkeypatch.setattr(DataFrame, "count", _no_count)
+    (landing / "drop1.csv").write_text(GOOD_CSV)
+    status = ingest_batch(spark, _feed(spark), str(landing / "drop1.csv"), sinks)
+    assert status.rows_read == 5
+    assert status.rows_loaded == 2
+    assert status.rows_quarantined == 2
+    assert status.rows_rejected == 0
+
+
 def test_malformed_rows_routed_to_rejects(spark, landing, sinks):
     (landing / "drop2.csv").write_text(BAD_ROWS_CSV)
     status = ingest_batch(spark, _feed(spark), str(landing / "drop2.csv"), sinks)
