@@ -76,30 +76,64 @@ def systematic_weighted_sample(df: DataFrame, weight_col: str,
     points, and approaches the full row count when total_weight < 2k
     (stride floors at 1 -- every unit-weight row then owns a point).
 
-    Scale note: the running sum is a single unpartitioned window over
-    the ordered keys -- fine up to ~10^8 rows/task-chain; beyond that,
-    compute per-partition weight offsets first (two passes) the way
-    parallel prefix-sums are done. The A-Res/A-ExpJ reservoir family is
-    the one-pass streaming alternative, but its u^(1/w) keys are libm-
-    dependent floats -- reproducibility across engines is why the
-    systematic form is the default here.
+    Scale design -- DISTRIBUTED prefix sum, the way parallel prefix
+    sums are done (two passes over range partitions):
 
-    ``order_col`` MUST be a unique key: with ties, the running sum's
-    row attribution inside a tie group is partition-order-dependent
-    and the sample stops being reproducible.
+    1. range-partition by ``order_col`` and pin the layout
+       (localCheckpoint), so both passes see identical partitions;
+    2. per-partition weight totals -> driver (one long per partition,
+       ~thousands of values at any corpus size) -> exclusive prefix
+       gives each partition's starting offset;
+    3. partition-LOCAL running sum (window partitioned by the range
+       partition id) + broadcast offset = the exact global cumulative
+       weight, with no single-task global window anywhere.
+
+    The A-Res/A-ExpJ reservoir family is the one-pass streaming
+    alternative, but its u^(1/w) keys are libm-dependent floats --
+    reproducibility across engines is why the systematic form is the
+    default here.
+
+    ``order_col`` MUST be a unique key: with ties, range-partition
+    boundaries and the running sum's row attribution inside a tie
+    group are partition-order-dependent and the sample stops being
+    reproducible.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    w = Window.orderBy(order_col).rowsBetween(
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    # Pin the range layout: boundaries come from a sample pass, and the
+    # totals action + final action must agree on who owns which rows.
+    parted = (
+        df.repartitionByRange(n_parts, order_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    part_totals = {
+        r["__pid"]: r["t"]
+        for r in parted.groupBy("__pid")
+        .agg(F.sum(weight_col).alias("t"))
+        .collect()
+    }
+    if not part_totals:  # empty input -> empty sample, same schema
+        return df
+    offsets, acc = [], 0
+    for pid in range(max(part_totals) + 1):
+        offsets.append((pid, acc))
+        acc += part_totals.get(pid, 0) or 0
+    total = acc
+    off = df.sparkSession.createDataFrame(
+        offsets, "__pid int, __off long"
+    )
+    w = Window.partitionBy("__pid").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    cum = df.withColumn("__cum", F.sum(weight_col).over(w))
-    total = cum.agg(F.max("__cum")).collect()[0][0]
-    if total is None:  # empty input -> empty sample, same schema
-        return df
+    cum = (
+        parted.join(F.broadcast(off), "__pid")
+        .withColumn("__cum", F.sum(weight_col).over(w) + F.col("__off"))
+    )
     stride = max(1, int(total) // k)
     # Selection points are stride, 2*stride, ...; the half-open weight
     # interval (cum - w, cum] contains one iff the integer quotient
     # advances. All-longs `div` keeps this exact at any scale.
     keep = F.expr(f"(__cum div {stride}) > ((__cum - {weight_col}) div {stride})")
-    return cum.filter(keep).drop("__cum")
+    return cum.filter(keep).drop("__cum", "__pid", "__off")

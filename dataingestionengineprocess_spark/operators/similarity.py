@@ -136,6 +136,98 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def kmeans_centroids(corpus: DataFrame, n_clusters: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     max_iter: int = 5, seed: int = 42,
+                     sample_mod: int | None = None) -> DataFrame:
+    """Coarse quantizer for IVF: spherical k-means (cosine Lloyd's
+    iterations), fully relational per step. Returns (clabel, carr)
+    with clabel in [0, n_clusters) -- the same shape `ivf_topk` needs,
+    usable on UNLABELED corpora (real embedding tables have no label).
+
+    Scale design:
+    - Init is a deterministic hash-sample: the n_clusters rows with the
+      smallest xxhash64(id, seed) -- a seeded uniform draw that needs
+      only a top-k (TakeOrdered), no shuffle of the corpus.
+    - Each Lloyd's iteration: broadcast the k x dim centroid table
+      (tiny at any corpus size), assign every vector to its
+      max-cosine centroid via broadcast join + max(struct) argmax
+      (map-side partial agg -- one narrow shuffle on the vector id),
+      then recompute centroids with a per-(cluster, dim) mean
+      (posexplode + two-level agg). Per-iteration driver traffic is
+      exactly k x dim doubles (the new centroids), the same thing
+      MLlib's KMeans collects per step.
+    - ``sample_mod``: train the quantizer on a deterministic 1/mod
+      hash-sample of the corpus (xxhash64(id) pmod mod == 0). At
+      100 TB you never Lloyd's-iterate the full table -- a quantizer
+      trained on ~1M sampled vectors partitions the rest just as well;
+      assignment of the FULL corpus happens once, in `ivf_topk`.
+    - Empty clusters keep their previous centroid (standard Lloyd's
+      fallback), so the quantizer always returns n_clusters lists.
+    """
+    vecs = corpus.select(F.col(id_col).alias("id"),
+                         as_double(vec_col).alias("v"))
+    if sample_mod and sample_mod > 1:
+        vecs = vecs.filter(
+            F.pmod(F.xxhash64("id"), F.lit(sample_mod)) == 0
+        )
+
+    init_rows = (
+        vecs.orderBy(F.xxhash64("id", F.lit(seed)), "id")
+        .limit(n_clusters)
+        .collect()
+    )
+    centroids = [list(r.v) for r in init_rows]
+    if len(centroids) < n_clusters:
+        raise ValueError(
+            f"corpus has fewer than n_clusters={n_clusters} vectors"
+        )
+    spark = corpus.sparkSession
+
+    def centroid_df(cents: list[list[float]]) -> DataFrame:
+        return spark.createDataFrame(
+            [(j, c) for j, c in enumerate(cents)],
+            "clabel int, carr array<double>",
+        )
+
+    for _ in range(max_iter):
+        cent = centroid_df(centroids)
+        assigned = (
+            vecs.join(F.broadcast(cent))
+            .withColumn("__cos", cosine(F.col("v"), F.col("carr")))
+            .groupBy("id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("__cos").alias("c"),
+                        (-F.col("clabel")).alias("nl"),
+                        F.col("v").alias("v"),
+                    )
+                ).alias("m")
+            )
+            .select((-F.col("m.nl")).cast("int").alias("clabel"),
+                    F.col("m.v").alias("v"))
+        )
+        new_rows = (
+            assigned.select("clabel", F.posexplode("v").alias("d", "x"))
+            .groupBy("clabel", "d").agg(F.avg("x").alias("c"))
+            .groupBy("clabel")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "c"))),
+                    lambda s: s["c"],
+                ).alias("carr")
+            )
+            .collect()
+        )
+        updated = {r.clabel: list(r.carr) for r in new_rows}
+        centroids = [
+            updated.get(j, centroids[j]) for j in range(n_clusters)
+        ]
+
+    return centroid_df(centroids)
+
+
 def _centroid_vectors(corpus: DataFrame, vec_col: str,
                       label_col: str) -> DataFrame:
     """(clabel, carr) centroid vectors as array<double>, built
@@ -161,19 +253,35 @@ def _centroid_vectors(corpus: DataFrame, vec_col: str,
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              nprobe: int = 2, id_col: str = "vec_id",
              vec_col: str = "embedding",
-             label_col: str = "label") -> DataFrame:
+             label_col: str | None = None,
+             n_lists: int = 8, kmeans_iter: int = 5,
+             kmeans_sample_mod: int | None = None) -> DataFrame:
     """IVF-style approximate top-k: inverted-file partition by nearest
     centroid, search only the `nprobe` closest lists per query.
+
+    The coarse quantizer: by default (``label_col=None``) the inverted
+    lists come from a REAL k-means fit (`kmeans_centroids`, spherical
+    Lloyd's, ``n_lists`` clusters) -- real embedding corpora are
+    unlabeled. Passing ``label_col`` instead derives one centroid per
+    existing label value (useful when a clustering already exists or
+    for exactness tests against a known partition).
 
     The 100 TB shape: centroids are tiny (broadcast everywhere),
     corpus vectors carry their list id as a partition key, and a query
     touches nprobe/n_lists of the data instead of all of it. Recall
     loss comes only from neighbors whose list the query didn't probe;
-    raise nprobe to trade compute for recall.
+    raise nprobe to trade compute for recall. Train the quantizer on a
+    hash-sample (``kmeans_sample_mod``) when the corpus is large.
 
     Returns (query_id, neighbor_id, cos_sim, rank).
     """
-    cent = _centroid_vectors(corpus, vec_col, label_col)
+    if label_col is None:
+        cent = kmeans_centroids(
+            corpus, n_lists, id_col=id_col, vec_col=vec_col,
+            max_iter=kmeans_iter, sample_mod=kmeans_sample_mod,
+        )
+    else:
+        cent = _centroid_vectors(corpus, vec_col, label_col)
 
     def assign(df: DataFrame, prefix: str, n: int) -> DataFrame:
         """Rank centroids by cosine per vector; keep top n."""

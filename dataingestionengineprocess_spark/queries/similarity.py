@@ -59,10 +59,16 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("knn_ivf_ann")
 def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (rows-only: recall vs brute force asserted in pytest)."""
+    """IVF ANN over the UNLABELED corpus: the inverted lists come from
+    the k-means coarse quantizer (spherical Lloyd's), not from any
+    pre-existing label column -- the deployable configuration for real
+    embedding tables. Rows-only check: recall vs brute force is
+    asserted in pytest."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5, nprobe=2).orderBy("query_id", "rank")
+    return ivf_topk(emb, queries, k=5, nprobe=2, n_lists=8).orderBy(
+        "query_id", "rank"
+    )
 
 
 @register("similarity_join_brp_lsh")

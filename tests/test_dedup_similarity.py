@@ -162,15 +162,16 @@ def test_lsh_ann_recall_planted_neardups(spark):
 
 
 def test_ivf_ann_recall_at_5(spark, emb):
-    """Fixture neighbors are WEAK (cosine ~0.3, near-random vectors),
-    so true top-5 neighbors scatter almost uniformly across lists and
-    nprobe=2 of ~10 lists can only catch the fraction living in the
-    probed lists (plus centroid correlation). Assert it comfortably
-    beats the uniform-scatter floor; the full-probe test below is the
-    exactness guarantee."""
+    """Unlabeled-corpus IVF (k-means quantizer). Fixture neighbors are
+    WEAK (cosine ~0.3, near-random vectors), so true top-5 neighbors
+    scatter almost uniformly across lists and nprobe=2 of 8 can only
+    catch the fraction living in the probed lists (plus centroid
+    correlation). Assert it comfortably beats the uniform-scatter
+    floor (2/8 = 0.25); the full-probe test below is the exactness
+    guarantee."""
     queries = emb.filter(F.col("vec_id") < 20)
     exact = brute_force_topk(emb, queries, k=5)
-    approx = ivf_topk(emb, queries, k=5, nprobe=2)
+    approx = ivf_topk(emb, queries, k=5, nprobe=2, n_lists=8)
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
@@ -178,15 +179,62 @@ def test_ivf_ann_recall_at_5(spark, emb):
 
 
 def test_ivf_full_probe_equals_bruteforce(spark, emb):
-    """Probing EVERY list makes IVF exhaustive -- it must equal brute
-    force exactly (same ordering, same tie-breaks)."""
-    n_lists = emb.select("label").distinct().count()
+    """Probing EVERY k-means list makes IVF exhaustive -- it must
+    equal brute force exactly (same ordering, same tie-breaks), with
+    no label column involved anywhere."""
     queries = emb.filter(F.col("vec_id") < 10)
     exact = brute_force_topk(emb, queries, k=5)
-    full = ivf_topk(emb, queries, k=5, nprobe=n_lists)
+    full = ivf_topk(emb, queries, k=5, nprobe=8, n_lists=8)
     assert sorted(map(tuple, exact.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def test_ivf_labeled_full_probe_equals_bruteforce(spark, emb):
+    """The label-derived quantizer path must also be exhaustive at
+    full probe (back-compat for corpora with an existing clustering)."""
+    n_lists = emb.select("label").distinct().count()
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5)
+    full = ivf_topk(emb, queries, k=5, nprobe=n_lists, label_col="label")
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_kmeans_quantizer_properties(spark, emb):
+    """The coarse quantizer itself: deterministic across calls, exactly
+    n_lists centroids of the right dimension, and the lists it induces
+    are non-degenerate (no list swallows the corpus)."""
+    from dataingestionengineprocess_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    c1 = kmeans_centroids(emb, 8, max_iter=3)
+    c2 = kmeans_centroids(emb, 8, max_iter=3)
+    r1 = sorted((r.clabel, tuple(r.carr)) for r in c1.collect())
+    r2 = sorted((r.clabel, tuple(r.carr)) for r in c2.collect())
+    assert [l for l, _ in r1] == list(range(8))
+    assert all(len(c) == 64 for _, c in r1)
+    assert r1 == r2, "seeded quantizer must be deterministic"
+
+    from dataingestionengineprocess_spark.functions.vectors import (
+        as_double,
+        cosine,
+    )
+
+    assigned = (
+        emb.select(F.col("vec_id"), as_double("embedding").alias("v"))
+        .join(F.broadcast(c1))
+        .withColumn("cos", cosine(F.col("v"), F.col("carr")))
+        .groupBy("vec_id")
+        .agg(F.expr("max_by(clabel, struct(cos, -clabel))").alias("clabel"))
+    )
+    sizes = assigned.groupBy("clabel").count().collect()
+    total = sum(r["count"] for r in sizes)
+    assert len(sizes) >= 4, "quantizer should populate most lists"
+    assert max(r["count"] for r in sizes) < total * 0.8, \
+        "no single list should swallow the corpus"
 
 
 def test_brp_similarity_join_recall(spark, emb):

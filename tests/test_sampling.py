@@ -92,3 +92,48 @@ def test_systematic_weighted_sample_properties(spark):
     assert 1.6 <= heavy / light <= 2.4
     again = systematic_weighted_sample(df, "w", "id", k=300).collect()
     assert sorted(r["id"] for r in rows) == sorted(r["id"] for r in again)
+
+
+def test_systematic_weighted_sample_is_distributed(spark):
+    """The prefix sum must be the two-pass partition-offset form: no
+    single-partition exchange (the old global-window shape funnels the
+    entire input through one task) may appear in the physical plan."""
+    from pyspark.sql import functions as F
+
+    from dataingestionengineprocess_spark.operators.sampling import (
+        systematic_weighted_sample,
+    )
+
+    df = spark.range(0, 4000).select(
+        F.col("id"), F.lit(10).alias("w")
+    )
+    got = systematic_weighted_sample(df, "w", "id", k=100)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" in plan and "__pid" in plan, \
+        "running sum must be a partition-local window keyed by __pid"
+
+
+def test_systematic_weighted_sample_matches_sequential_oracle(spark):
+    """The distributed two-pass cumsum must select EXACTLY the rows the
+    sequential definition selects (driver-side replay)."""
+    from pyspark.sql import functions as F
+
+    from dataingestionengineprocess_spark.operators.sampling import (
+        systematic_weighted_sample,
+    )
+
+    rows = [(i, 1 + (i * 7) % 13) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    k = 200
+    got = sorted(r.id for r in systematic_weighted_sample(df, "w", "id", k).collect())
+
+    total = sum(w for _, w in rows)
+    stride = max(1, total // k)
+    want, cum = [], 0
+    for i, w in sorted(rows):
+        prev = cum
+        cum += w
+        if cum // stride > prev // stride:
+            want.append(i)
+    assert got == want
