@@ -95,36 +95,33 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     for a neighbor at angle θ, one band matches with (1 - θ/π)^n_planes
     and recall = 1 - (1 - p)^n_bands -- 8x8 gives ~0.9 recall at
     cosine 0.9 with corpus/2^8-sized buckets.
+
+    Plan shape: each side posexplodes its n_bands signatures into
+    (band_idx, band_key) rows and the candidate generation is ONE
+    broadcast equi-join on that composite key (the same banding move
+    `dedup.minhash_neardup_pairs` makes) -- a union of per-band joins
+    would re-scan the corpus signatures n_bands times.
     """
-    def sig_cols(df: DataFrame, prefix: str) -> DataFrame:
+    def sig_rows(df: DataFrame, prefix: str) -> DataFrame:
         v = as_double(vec_col)
-        cols = [
-            hyperplane_signature(v, dim, n_planes, seed=f"band-{b}").alias(f"sig{b}")
+        sigs = F.array(*[
+            hyperplane_signature(v, dim, n_planes, seed=f"band-{b}")
             for b in range(n_bands)
-        ]
-        return df.select(F.col(id_col).alias(f"{prefix}_id"),
-                         v.alias(f"{prefix}v"), *cols)
-
-    q = sig_cols(queries, "query")
-    c = sig_cols(corpus, "neighbor")
-
-    candidates = None
-    for b in range(n_bands):
-        band = (
-            c.withColumnRenamed(f"sig{b}", "bk")
-            .select("neighbor_id", "neighborv", "bk")
-            .join(
-                F.broadcast(
-                    q.withColumnRenamed(f"sig{b}", "bk").select("query_id", "queryv", "bk")
-                ),
-                "bk",
-            )
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "queryv", "neighbor_id", "neighborv")
+        ])
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"), v.alias(f"{prefix}v"),
+            F.posexplode(sigs).alias("band_idx", "band_key"),
         )
-        candidates = band if candidates is None else candidates.unionByName(band)
 
-    candidates = candidates.dropDuplicates(["query_id", "neighbor_id"])
+    q = sig_rows(queries, "query")
+    c = sig_rows(corpus, "neighbor")
+
+    candidates = (
+        c.join(F.broadcast(q), ["band_idx", "band_key"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "queryv", "neighbor_id", "neighborv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     scored = candidates.withColumn(
         "cos_sim", F.round(cosine(F.col("queryv"), F.col("neighborv")), 6)
     )

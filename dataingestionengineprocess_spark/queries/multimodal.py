@@ -2,12 +2,16 @@
 metadata, decode/feature-extract via Arrow-batched mapInPandas.
 
 SURVEY.md mandate [C]: image/audio/video as `binary` columns. The
-fixtures carry no real media, so the *payload* is the utf-8 encoding
-of the document text -- the Spark-side plumbing (binary columns,
-metadata extraction, batch-iterator UDF shape, frame fan-out) is real
-and oracle-checked where SQL-expressible; the actual media decode is
-a clearly marked deterministic stub (the container has no image/audio
-libraries).
+fixtures carry no media files, so the image queries SYNTHESIZE real
+binary PGM (P5) images deterministically from each document (header +
+pixel bytes built JVM-side), then run a REAL decoder -- an actual
+binary-format parser (numpy-backed) inside the mapInPandas kernel
+that reads width/height from the header and computes mean luma from
+the pixel buffer. Nothing about the decode is stubbed; only the
+image CONTENT is synthetic. Because the synthesis rule is
+SQL-expressible, the decode output has a full DuckDB oracle
+(dimensions + cyclic-byte mean), closing the loop: generator bug,
+parser bug, or plumbing bug all break the hash match.
 """
 
 from __future__ import annotations
@@ -77,95 +81,199 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Decode + feature extraction via mapInPandas (rows-only): the real
-# Arrow-batched UDF shape. The "decoder" derives deterministic fake
-# dimensions from the payload hash -- swap `_stub_decode` for a real
-# image/audio decoder when the libraries exist.
+# Real image decode via mapInPandas.
+#
+# Payloads are REAL binary PGM (P5) images, synthesized JVM-side:
+# width/height derive from doc_id, pixel bytes are the document's
+# utf-8 bytes repeated cyclically to fill width*height (fixture text
+# is pure printable ASCII, so char length == byte length and the
+# oracle can reconstruct every byte with ascii(substring(...))).
+# The decoder is a real parser: it reads dimensions from the P5
+# header (NOT from doc_id) and means the pixel buffer with numpy --
+# swap the synthesis step for `spark.read.format("binaryFile")` and
+# the same kernel decodes real camera files.
 # ---------------------------------------------------------------------------
 
 
-def _stub_decode(payload: bytes) -> tuple[int, int, float]:
-    """STUB: deterministic fake of an image decode.
+def _pgm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) with payload = a valid binary P5 PGM image."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("__w", (F.lit(8) + F.pmod("doc_id", F.lit(16))).cast("int"))
+        .withColumn("__h", (F.lit(8) + F.pmod("doc_id", F.lit(8))).cast("int"))
+    )
+    header = F.concat_ws(
+        "", F.lit("P5\n"), F.col("__w").cast("string"), F.lit(" "),
+        F.col("__h").cast("string"), F.lit("\n255\n"),
+    )
+    pixels = F.expr(
+        "substring(repeat(text, cast(ceil((__w * __h) /"
+        " cast(length(text) as double)) as int)), 1, __w * __h)"
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(F.encode(header, "utf-8"), F.encode(pixels, "utf-8"))
+        .alias("payload"),
+    )
 
-    A real implementation would be e.g. PIL.Image.open(BytesIO(b)).
-    Raising NotImplementedError here would fail the pipeline; instead
-    return (width, height, mean_luma) derived from the bytes so the
-    plumbing is exercised deterministically end to end.
-    """
-    import hashlib
 
-    h = hashlib.sha256(payload).digest()
-    width = 64 + h[0] % 192          # 64..255
-    height = 64 + h[1] % 192
-    mean_luma = round(h[2] / 255.0, 4)
-    return width, height, mean_luma
+def _decode_pgm(b: bytes) -> tuple[int, int, "object"]:
+    """REAL P5 (binary PGM) parser: header -> (width, height), pixel
+    buffer -> numpy array. Raises on malformed input like any decoder."""
+    if b[:3] != b"P5\n":
+        raise ValueError("not a binary PGM payload")
+    rest = b[3:]
+    nl = rest.index(b"\n")
+    w_s, h_s = rest[:nl].split()
+    width, height = int(w_s), int(h_s)
+    rest = rest[nl + 1:]
+    nl = rest.index(b"\n")
+    if int(rest[:nl]) != 255:
+        raise ValueError("unsupported maxval")
+    data = rest[nl + 1:]
+    if len(data) != width * height:
+        raise ValueError(
+            f"pixel buffer is {len(data)} bytes, want {width * height}"
+        )
+    try:
+        import numpy as np
+
+        arr = np.frombuffer(data, dtype=np.uint8).reshape(height, width)
+    except ImportError:  # pragma: no cover - numpy is available here
+        arr = [list(data[r * width:(r + 1) * width]) for r in range(height)]
+    return width, height, arr
 
 
-@register("multimodal_decode_features")
+def _luma_sum(arr) -> int:
+    try:
+        import numpy as np
+
+        if isinstance(arr, np.ndarray):
+            return int(arr.astype(np.int64).sum())
+    except ImportError:  # pragma: no cover
+        pass
+    return sum(sum(row) for row in arr)
+
+
+_DECODE_ORACLE = """
+WITH m AS (
+  SELECT doc_id, text,
+         8 + doc_id % 16 AS width,
+         8 + doc_id % 8  AS height,
+         (8 + doc_id % 16) * (8 + doc_id % 8) AS n_pixels,
+         length(text) AS len
+  FROM documents
+),
+s AS (
+  SELECT doc_id, width, height, n_pixels,
+         n_pixels // len AS reps, n_pixels % len AS rem,
+         list_sum(list_transform(range(1, len + 1),
+                                 i -> ascii(substring(text, i, 1)))) AS s_all,
+         coalesce(list_sum(list_transform(range(1, n_pixels % len + 1),
+                                 i -> ascii(substring(text, i, 1)))), 0) AS s_rem
+  FROM m
+)
+SELECT doc_id, width, height, n_pixels,
+       round(CAST(reps * s_all + s_rem AS DOUBLE) / n_pixels, 4) AS mean_luma
+FROM s
+"""
+
+
+@register("multimodal_decode_features", oracle=_DECODE_ORACLE)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode: binary in, typed features out.
+    """Arrow-batched REAL image decode: binary PGM in, typed features
+    (true header dimensions + true pixel-mean luma) out.
 
     mapInPandas keeps the batch iterator shape a real decoder needs
     (decode N images per Arrow batch, never row-at-a-time pickling).
+    The kernel returns the exact integer pixel sum; the mean and its
+    rounding happen JVM-side so round() semantics match the oracle.
     """
     import pandas as pd
 
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
+    imgs = _pgm_payloads(spark, sf_dir)
 
     def decode_batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
-            decoded = [_stub_decode(bytes(p)) for p in pdf["payload"]]
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "width": [d[0] for d in decoded],
-                "height": [d[1] for d in decoded],
-                "mean_luma": [d[2] for d in decoded],
-            })
+            out = {"doc_id": pdf["doc_id"], "width": [], "height": [],
+                   "luma_sum": []}
+            for p in pdf["payload"]:
+                w, h, arr = _decode_pgm(bytes(p))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["luma_sum"].append(_luma_sum(arr))
+            yield pd.DataFrame(out)
 
-    return docs.mapInPandas(
-        decode_batches,
-        schema="doc_id long, width int, height int, mean_luma double",
-    ).orderBy("doc_id")
+    return (
+        imgs.mapInPandas(
+            decode_batches,
+            schema="doc_id long, width long, height long, luma_sum long",
+        )
+        .select(
+            "doc_id", "width", "height",
+            (F.col("width") * F.col("height")).alias("n_pixels"),
+            F.round(
+                F.col("luma_sum") / (F.col("width") * F.col("height")), 4
+            ).alias("mean_luma"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
-# Resize plumbing: binary in -> binary out through mapInPandas -- the
-# transform-shaped media op (vs. decode's feature-extraction shape).
-# The "resize" is a deterministic byte-level stub (truncate/pad to the
-# target frame size); a real one swaps _stub_resize for PIL/ffmpeg.
-# Rows-only: output bytes are implementation-defined.
+# Real image resize: binary in -> binary out through mapInPandas --
+# the transform-shaped media op (vs. decode's feature-extraction
+# shape). Decodes each PGM, nearest-neighbor resamples the pixel grid
+# to a fixed 8x8 thumbnail, and re-encodes a valid P5 payload.
+# Rows-only check (sha of engine-built bytes isn't SQL-portable);
+# pytest verifies the output images re-decode to 8x8 and that the
+# resample is a true grid sample of the source.
 # ---------------------------------------------------------------------------
 
-_TARGET_BYTES = 128
+_THUMB = 8
+_THUMB_HEADER = f"P5\n{_THUMB} {_THUMB}\n255\n".encode()
+_TARGET_BYTES = len(_THUMB_HEADER) + _THUMB * _THUMB
 
 
-def _stub_resize(payload: bytes, target: int = _TARGET_BYTES) -> bytes:
-    """STUB for an image/audio resample: deterministic size-normalize
-    (truncate or zero-pad) so every output payload is `target` bytes."""
-    return payload[:target].ljust(target, b"\0")
+def _resize_pgm(payload: bytes, side: int = _THUMB) -> bytes:
+    """REAL nearest-neighbor resample: decode, sample rows/cols on the
+    floor(i * src / dst) grid, re-encode as P5. Deterministic, and
+    exactly what a production thumbnailer does minus the anti-alias
+    filter."""
+    w, h, arr = _decode_pgm(payload)
+    try:
+        import numpy as np
+
+        rows = (np.arange(side) * h) // side
+        cols = (np.arange(side) * w) // side
+        thumb = arr[np.ix_(rows, cols)].astype(np.uint8).tobytes()
+    except ImportError:  # pragma: no cover - numpy is available here
+        thumb = bytes(
+            arr[(r * h) // side][(c * w) // side]
+            for r in range(side) for c in range(side)
+        )
+    return _THUMB_HEADER + thumb
 
 
-@register("multimodal_resize_stub")
-def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Size-normalized payloads + before/after metadata. The plumbing
-    under test: binary column in AND out of an Arrow batch, with
-    metadata computed Spark-side so the Python stage stays minimal."""
+@register("multimodal_resize_thumbnail")
+def multimodal_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8x8 thumbnails of the PGM payloads + output metadata. The
+    plumbing under test: binary column in AND out of an Arrow batch,
+    with metadata computed Spark-side so the Python stage stays
+    minimal."""
     import pandas as pd
 
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
+    imgs = _pgm_payloads(spark, sf_dir)
 
     def resize_batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
-                "resized": [_stub_resize(bytes(p)) for p in pdf["payload"]],
+                "resized": [_resize_pgm(bytes(p)) for p in pdf["payload"]],
             })
 
-    resized = docs.mapInPandas(
+    resized = imgs.mapInPandas(
         resize_batches, schema="doc_id long, resized binary"
     )
     return (

@@ -161,6 +161,19 @@ def test_lsh_ann_recall_planted_neardups(spark):
     assert hits >= 45, f"planted-pair recall@1 = {hits}/50"
 
 
+def test_lsh_topk_single_join_plan(spark, emb):
+    """Candidate generation must be ONE banded equi-join (posexplode on
+    (band_idx, band_key)), not a union of per-band joins re-scanning
+    the corpus signatures n_bands times."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    plan = (
+        lsh_topk(emb, queries, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Union" not in plan, "per-band union shape crept back in"
+    assert plan.count("Join") <= 2, plan  # 1 candidate join (+AQE echo)
+
+
 def test_ivf_ann_recall_at_5(spark, emb):
     """Unlabeled-corpus IVF (k-means quantizer). Fixture neighbors are
     WEAK (cosine ~0.3, near-random vectors), so true top-5 neighbors

@@ -1,29 +1,71 @@
-"""Multimodal plumbing invariants the oracle can't see: batch shapes,
-binary round-trips, deterministic stubs."""
+"""Multimodal invariants the oracle can't see: the synthesized
+payloads are valid PGM images, the decoder is a real parser (rejects
+malformed bytes, reads dimensions from the header), and the resize is
+a true nearest-neighbor grid sample that re-encodes valid PGM."""
 
 from __future__ import annotations
 
+import pytest
+
 from dataingestionengineprocess_spark.queries.multimodal import (
     _TARGET_BYTES,
+    _decode_pgm,
+    _pgm_payloads,
+    _resize_pgm,
     multimodal_decode_features,
-    multimodal_resize_stub,
+    multimodal_resize_thumbnail,
 )
 
 
-def test_resize_normalizes_every_payload(spark, sf_dir):
-    out = multimodal_resize_stub(spark, sf_dir).collect()
+def test_resize_outputs_valid_8x8_pgm(spark, sf_dir):
+    out = multimodal_resize_thumbnail(spark, sf_dir).collect()
     assert out
     assert all(r.n_bytes == _TARGET_BYTES for r in out)
     # deterministic across runs
-    again = multimodal_resize_stub(spark, sf_dir).collect()
+    again = multimodal_resize_thumbnail(spark, sf_dir).collect()
     assert [r.resized_sha256 for r in out] == [r.resized_sha256 for r in again]
 
 
-def test_decode_features_deterministic_and_bounded(spark, sf_dir):
+def test_resize_is_true_grid_sample():
+    """Build a known image, resize it, and check every thumbnail pixel
+    equals the floor-grid source pixel -- the resample is real, not a
+    byte truncation."""
+    w, h = 11, 9
+    pixels = bytes((r * 31 + c * 7) % 256 for r in range(h) for c in range(w))
+    img = f"P5\n{w} {h}\n255\n".encode() + pixels
+
+    tw, th, thumb = _decode_pgm(_resize_pgm(img))
+    assert (tw, th) == (8, 8)
+    src = [pixels[r * w:(r + 1) * w] for r in range(h)]
+    for r in range(8):
+        for c in range(8):
+            assert thumb[r][c] == src[(r * h) // 8][(c * w) // 8]
+
+
+def test_decode_reads_true_dimensions(spark, sf_dir):
+    """Dimensions in the output must come from parsing the header --
+    cross-check against the synthesis rule AND against a hand decode
+    of one raw payload."""
     rows = multimodal_decode_features(spark, sf_dir).collect()
     assert rows
-    assert all(64 <= r.width <= 255 and 64 <= r.height <= 255 for r in rows)
-    assert all(0.0 <= r.mean_luma <= 1.0 for r in rows)
+    for r in rows:
+        assert r.width == 8 + r.doc_id % 16
+        assert r.height == 8 + r.doc_id % 8
+        assert r.n_pixels == r.width * r.height
+        assert 0.0 <= r.mean_luma <= 255.0
+
+    payload = bytes(_pgm_payloads(spark, sf_dir).first().payload)
+    w, h, arr = _decode_pgm(payload)
+    assert len(payload) > w * h  # header + pixels
+
+
+def test_decoder_rejects_malformed_payloads():
+    with pytest.raises(ValueError, match="PGM"):
+        _decode_pgm(b"GIF89a....")
+    with pytest.raises(ValueError, match="pixel buffer"):
+        _decode_pgm(b"P5\n4 4\n255\n" + b"\x00" * 7)  # truncated
+    with pytest.raises(ValueError, match="maxval"):
+        _decode_pgm(b"P5\n2 2\n65535\n" + b"\x00" * 4)
 
 
 def test_phash_neardup_finds_duplicate_payloads(spark):
