@@ -23,6 +23,9 @@ from dataingestionengineprocess_spark.queries import all_queries  # noqa: E402
 from dataingestionengineprocess_spark.session import get_spark  # noqa: E402
 
 #: Headline set: one per operator family, heavy enough to measure.
+#: The first 18 are the round-1 set (stable vs BASELINE.md); the rest
+#: broaden coverage to the TPC-H analogs and the remaining
+#: dedup/graph/text/sampling/multimodal families.
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -43,6 +46,29 @@ BENCH_QUERIES = [
     "text_token_stats",
     "asof_join_latest_order",
     "udf_tokenize_fanout",
+    # --- round-2 additions ---
+    # TPC-H analogs (join/agg/subquery shapes over the fact table)
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q22_inactive_customers",
+    # dedup / similarity scale paths
+    "dedup_ngram_jaccard",
+    "dedup_prefix_filter_jaccard",
+    "dedup_simhash",
+    "dedup_cluster_components",
+    "knn_ivf_ann",
+    # text / graph / sampling / multimodal
+    "text_corpus_curation",
+    "graph_pagerank_parts",
+    "sample_weighted_systematic",
+    "multimodal_decode_features",
 ]
 
 
