@@ -26,7 +26,7 @@ import struct
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, cosine, dot, l2_norm
 
 
 def _plane(seed: str, plane_idx: int, dim: int) -> list[float]:
@@ -133,6 +133,39 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+#: Above this many inlined coefficients (n_lists x dim) the centroid
+#: matrix literal stops being "tiny plan data" (it ships with every
+#: task); fall back to a broadcast join. 8 lists x 64 dims = 512 --
+#: far under; 10k lists x 768 dims at real IVF scale correctly takes
+#: the join path.
+_INLINE_CENTROID_BUDGET = 65536
+
+
+def _centroid_scores(v: Column, cents: list[list[float]]) -> Column:
+    """array<double>: cosine of ``v`` against centroid j at index j,
+    computed map-only with NO join and NO shuffle.
+
+    The whole centroid matrix rides in as ONE array<array<double>>
+    literal (pre-L2-normalized on the driver, so cosine = dot / |v|)
+    and a single ``transform`` lambda scores every centroid. One
+    Literal node + one lambda keeps the expression tree a constant
+    size regardless of n_lists x dim -- per-iteration Catalyst
+    analysis and codegen stay trivial, where per-centroid inline
+    expressions would force a fresh multi-thousand-node plan (and a
+    Janino recompile) every Lloyd's step."""
+    import math
+
+    units = []
+    for c in cents:
+        n = math.sqrt(sum(x * x for x in c))
+        units.append([x / n for x in c] if n > 0 else [0.0] * len(c))
+    vn = l2_norm(v)
+    return F.transform(
+        F.lit(units),
+        lambda cu: F.when(vn > 0, dot(v, cu) / vn),
+    )
+
+
 def kmeans_centroids(corpus: DataFrame, n_clusters: int,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      max_iter: int = 5, seed: int = 42,
@@ -146,14 +179,18 @@ def kmeans_centroids(corpus: DataFrame, n_clusters: int,
     - Init is a deterministic hash-sample: the n_clusters rows with the
       smallest xxhash64(id, seed) -- a seeded uniform draw that needs
       only a top-k (TakeOrdered), no shuffle of the corpus.
-    - Each Lloyd's iteration: broadcast the k x dim centroid table
-      (tiny at any corpus size), assign every vector to its
-      max-cosine centroid via broadcast join + max(struct) argmax
-      (map-side partial agg -- one narrow shuffle on the vector id),
-      then recompute centroids with a per-(cluster, dim) mean
-      (posexplode + two-level agg). Per-iteration driver traffic is
-      exactly k x dim doubles (the new centroids), the same thing
-      MLlib's KMeans collects per step.
+    - The training vectors are cached ONCE (persist) and every
+      iteration reads the cache, not the source scan.
+    - Each Lloyd's iteration is a single map-only pass + one tiny agg:
+      centroids are inlined as literal arrays (k x dim doubles live in
+      the plan, `_centroid_score_structs`), so assignment is an
+      `array_max` over per-centroid cosines evaluated inside codegen --
+      no join, no shuffle of the vectors. The recompute is one
+      groupBy(clabel) with `dim` element sums + a count (map-side
+      partial agg; shuffle payload = k x (dim+1) doubles per
+      partition), and the division to means happens on the driver.
+      Per-iteration driver traffic is exactly k x dim doubles, the
+      same thing MLlib's KMeans collects per step.
     - ``sample_mod``: train the quantizer on a deterministic 1/mod
       hash-sample of the corpus (xxhash64(id) pmod mod == 0). At
       100 TB you never Lloyd's-iterate the full table -- a quantizer
@@ -168,17 +205,7 @@ def kmeans_centroids(corpus: DataFrame, n_clusters: int,
         vecs = vecs.filter(
             F.pmod(F.xxhash64("id"), F.lit(sample_mod)) == 0
         )
-
-    init_rows = (
-        vecs.orderBy(F.xxhash64("id", F.lit(seed)), "id")
-        .limit(n_clusters)
-        .collect()
-    )
-    centroids = [list(r.v) for r in init_rows]
-    if len(centroids) < n_clusters:
-        raise ValueError(
-            f"corpus has fewer than n_clusters={n_clusters} vectors"
-        )
+    vecs = vecs.persist()
     spark = corpus.sparkSession
 
     def centroid_df(cents: list[list[float]]) -> DataFrame:
@@ -187,40 +214,44 @@ def kmeans_centroids(corpus: DataFrame, n_clusters: int,
             "clabel int, carr array<double>",
         )
 
-    for _ in range(max_iter):
-        cent = centroid_df(centroids)
-        assigned = (
-            vecs.join(F.broadcast(cent))
-            .withColumn("__cos", cosine(F.col("v"), F.col("carr")))
-            .groupBy("id")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("__cos").alias("c"),
-                        (-F.col("clabel")).alias("nl"),
-                        F.col("v").alias("v"),
-                    )
-                ).alias("m")
-            )
-            .select((-F.col("m.nl")).cast("int").alias("clabel"),
-                    F.col("m.v").alias("v"))
-        )
-        new_rows = (
-            assigned.select("clabel", F.posexplode("v").alias("d", "x"))
-            .groupBy("clabel", "d").agg(F.avg("x").alias("c"))
-            .groupBy("clabel")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("d", "c"))),
-                    lambda s: s["c"],
-                ).alias("carr")
-            )
+    try:
+        init_rows = (
+            vecs.orderBy(F.xxhash64("id", F.lit(seed)), "id")
+            .limit(n_clusters)
             .collect()
         )
-        updated = {r.clabel: list(r.carr) for r in new_rows}
-        centroids = [
-            updated.get(j, centroids[j]) for j in range(n_clusters)
-        ]
+        centroids = [list(r.v) for r in init_rows]
+        if len(centroids) < n_clusters:
+            raise ValueError(
+                f"corpus has fewer than n_clusters={n_clusters} vectors"
+            )
+        dim = len(centroids[0])
+
+        for _ in range(max_iter):
+            best = F.array_max(
+                _centroid_score_structs(F.col("v"), centroids)
+            )
+            sums = (
+                vecs.select(
+                    (-best["nl"]).cast("int").alias("clabel"), "v"
+                )
+                .groupBy("clabel")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(F.col("v")[i]).alias(f"s{i}")
+                      for i in range(dim)],
+                )
+                .collect()
+            )
+            updated = {
+                r["clabel"]: [r[f"s{i}"] / r["n"] for i in range(dim)]
+                for r in sums
+            }
+            centroids = [
+                updated.get(j, centroids[j]) for j in range(n_clusters)
+            ]
+    finally:
+        vecs.unpersist()
 
     return centroid_df(centroids)
 
@@ -270,6 +301,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     raise nprobe to trade compute for recall. Train the quantizer on a
     hash-sample (``kmeans_sample_mod``) when the corpus is large.
 
+    Assignment strategy: when n_lists x dim fits the inline budget the
+    centroids are embedded as plan literals and every vector learns its
+    list (and every query its nprobe lists) in a MAP-ONLY expression --
+    the corpus is never shuffled or joined just to be partitioned, so
+    the whole plan's only wide stage is the final per-query top-k.
+    Past the budget (real IVF: ~10k lists x 768 dims), assignment
+    falls back to a broadcast join + max_by argmax.
+
     Returns (query_id, neighbor_id, cos_sim, rank).
     """
     if label_col is None:
@@ -280,10 +319,43 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     else:
         cent = _centroid_vectors(corpus, vec_col, label_col)
 
+    # (label value, vector) sorted by label -- index j stands in for
+    # the label in tie-breaks (ascending label == ascending j).
+    cent_rows = sorted(
+        ((r["clabel"], list(r["carr"])) for r in cent.collect()),
+        key=lambda t: t[0],
+    )
+    labels = [t[0] for t in cent_rows]
+    cvecs = [t[1] for t in cent_rows]
+    inline = (
+        cvecs
+        and len(cvecs) * len(cvecs[0]) <= _INLINE_CENTROID_BUDGET
+    )
+    spark = corpus.sparkSession
+    label_df = F.broadcast(spark.createDataFrame(
+        [(j, l) for j, l in enumerate(labels)], ["__j", "clabel"]
+    ))
+
     def assign(df: DataFrame, prefix: str, n: int) -> DataFrame:
-        """Rank centroids by cosine per vector; keep top n."""
+        """Top-n centroid labels per vector (ties -> lowest label)."""
         v = df.select(F.col(id_col).alias(f"{prefix}_id"),
                       as_double(vec_col).alias(f"{prefix}v"))
+        if inline:
+            structs = _centroid_score_structs(
+                F.col(f"{prefix}v"), cvecs
+            )
+            # sort ascending by (cos, -j), reverse -> cos desc, j asc
+            top = F.slice(F.reverse(F.array_sort(structs)), 1, n)
+            picked = v.select(
+                f"{prefix}_id", f"{prefix}v",
+                F.explode(top).alias("__s"),
+            ).select(
+                f"{prefix}_id", f"{prefix}v",
+                (-F.col("__s.nl")).cast("int").alias("__j"),
+            )
+            return picked.join(label_df, "__j").select(
+                f"{prefix}_id", f"{prefix}v", "clabel"
+            )
         scored = v.join(F.broadcast(cent)).withColumn(
             "__c_cos", cosine(F.col(f"{prefix}v"), F.col("carr"))
         )
