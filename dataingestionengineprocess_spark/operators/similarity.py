@@ -26,7 +26,7 @@ import struct
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine, dot, l2_norm
+from ..functions.vectors import as_double, cosine, dot
 
 
 def _plane(seed: str, plane_idx: int, dim: int) -> list[float]:
@@ -141,28 +141,38 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 _INLINE_CENTROID_BUDGET = 65536
 
 
-def _centroid_scores(v: Column, cents: list[list[float]]) -> Column:
-    """array<double>: cosine of ``v`` against centroid j at index j,
-    computed map-only with NO join and NO shuffle.
+def _centroid_score_structs(v: Column, cents: list[list[float]]) -> Column:
+    """array<struct<score double, nl int>>: element j scores ``v``
+    against centroid j, computed map-only with NO join and NO shuffle.
 
     The whole centroid matrix rides in as ONE array<array<double>>
-    literal (pre-L2-normalized on the driver, so cosine = dot / |v|)
-    and a single ``transform`` lambda scores every centroid. One
-    Literal node + one lambda keeps the expression tree a constant
-    size regardless of n_lists x dim -- per-iteration Catalyst
-    analysis and codegen stay trivial, where per-centroid inline
-    expressions would force a fresh multi-thousand-node plan (and a
-    Janino recompile) every Lloyd's step."""
+    literal (pre-L2-normalized on the driver) and a single two-arg
+    ``transform`` lambda scores every centroid. One Literal node + one
+    lambda keeps the expression tree a constant size regardless of
+    n_lists x dim -- per-iteration Catalyst analysis and codegen stay
+    trivial, where per-centroid inline expressions would force a fresh
+    multi-thousand-node plan (and a Janino recompile) every Lloyd's
+    step.
+
+    ``score`` is dot(v, unit_centroid): proportional to cosine (the
+    |v| divisor is constant across centroids), so struct ordering --
+    compare ``score``, then ``nl`` -- realizes "highest cosine, ties
+    to the LOWEST centroid index" for both ``array_max`` (argmax in
+    k-means assignment) and ``array_sort``+``reverse`` (top-nprobe in
+    IVF). ``nl`` stores the NEGATED index so that a tie on score
+    prefers the larger nl, i.e. the smaller index; callers recover the
+    index as ``-nl``."""
     import math
 
     units = []
     for c in cents:
         n = math.sqrt(sum(x * x for x in c))
         units.append([x / n for x in c] if n > 0 else [0.0] * len(c))
-    vn = l2_norm(v)
     return F.transform(
         F.lit(units),
-        lambda cu: F.when(vn > 0, dot(v, cu) / vn),
+        lambda cu, i: F.struct(
+            dot(v, cu).alias("score"), (-i).alias("nl")
+        ),
     )
 
 
