@@ -61,6 +61,7 @@ def _load_all() -> None:
     # driver's window this round.
     from . import dedup  # noqa: F401
     from . import similarity  # noqa: F401
+    from . import curation  # noqa: F401
     from . import text  # noqa: F401
     from . import scalars  # noqa: F401
     from . import tpch_more  # noqa: F401

@@ -1,0 +1,353 @@
+"""Training-data curation surface over ``documents``.
+
+The operators a pre-training data pipeline runs AFTER dedup/quality
+scoring and BEFORE the tokenizer: packing documents into fixed token
+budgets, decontaminating against held-out benchmarks, Gopher-style
+repetition filtering, PII redaction, and domain-mix resampling.
+SURVEY.md §2.7 [C] ("LLM-data-pipeline operators"), reference scope:
+the diagram's opaque "Python program" validation step
+(`Untitled Diagram.drawio:153-154`) generalized to corpus curation.
+
+Every query here is JVM-side built-ins only (no Python UDFs) with an
+exact DuckDB oracle; scale notes per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.text import shingles, token_count, tokens
+from . import register
+
+# ---------------------------------------------------------------------------
+# Sequence packing: assign docs to fixed-token-budget packs.
+# ---------------------------------------------------------------------------
+
+#: Tokens per training sequence pack. Small enough that sf0.001's
+#: ~1.5k tokens/source still yields multiple packs per source.
+PACK_BUDGET = 512
+
+_PACKING_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - n_tokens AS prev_cum
+  FROM t
+)
+SELECT source,
+       CAST(floor(prev_cum / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+       count(*)                                          AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT)                     AS pack_tokens
+FROM c
+GROUP BY source, pack_id
+"""
+
+
+@register("curation_sequence_packing", oracle=_PACKING_ORACLE)
+def curation_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous token-budget packing: within each source (ordered by
+    doc_id), a doc joins the pack its starting token offset falls in
+    -- pack_id = floor(preceding-token-count / budget). Deterministic,
+    order-stable, and expressible as one window + one agg in any
+    engine (the oracle is the identical cumsum).
+
+    Scale: the window partitions by ``source`` -- the packing unit. At
+    100 TB a single source can exceed one task; the production move is
+    to sub-shard the window key to (source, input-file) so each file
+    packs independently (pack boundaries then align to files, which is
+    what sequence-packing jobs want anyway: packs never span shards).
+    The per-(source, pack) agg reuses the window's partitioning -- no
+    second shuffle.
+    """
+    w = (
+        W.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", token_count("text").alias("n_tokens"))
+        .withColumn(
+            "prev_cum", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        )
+        .withColumn(
+            "pack_id",
+            F.floor(F.col("prev_cum") / F.lit(float(PACK_BUDGET)))
+            .cast("long"),
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap against a held-out set.
+# ---------------------------------------------------------------------------
+
+_DECON_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                               for i in range(1, len(t) - 1)])) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 3
+),
+bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 11 = 0)
+SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM sh JOIN bench USING (gram)
+WHERE sh.doc_id % 11 <> 0
+GROUP BY sh.doc_id
+"""
+
+
+@register("curation_decontaminate", oracle=_DECON_ORACLE)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs sharing word n-grams with a benchmark set
+    (here: every 11th doc stands in for the held-out benchmark; real
+    pipelines pass the eval-set table). Returns (doc_id, n_hits) for
+    contaminated docs only -- the removal list.
+
+    Scale: the benchmark's distinct-gram set is small (eval sets are
+    MBs even when the corpus is 100 TB), so the overlap test is a
+    BROADCAST semi-style join against the corpus gram stream -- the
+    corpus is never shuffled; the only wide stage is the per-doc hit
+    count, keyed by doc_id (uniform). The real-world n is 8-13-gram;
+    the fixture vocabulary is ~30 words, so n=3 keeps the oracle's
+    collision rate meaningful at every SF.
+    """
+    sh = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(shingles("text", 3)).alias("gram"))
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 11 == 0).select("gram").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 11 != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats (Gopher-style duplicate-ngram gate).
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[i:i+1], ' ')
+                 for i in range(1, len(t))]) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 2
+),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) / sum(cnt), 6)
+           AS dup_fraction,
+       sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) / sum(cnt) > 0.3
+           AS flagged
+FROM c
+GROUP BY doc_id
+"""
+
+
+@register("curation_repetition_stats", oracle=_REPETITION_ORACLE)
+def curation_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-bigram fraction per doc (the Gopher repetition
+    family's "fraction of tokens in repeated n-grams" signal): share
+    of bigram OCCURRENCES whose bigram appears more than once in the
+    doc, with a >0.3 removal flag.
+
+    Scale: explode -> two-level agg keyed by (doc_id, gram) then
+    doc_id -- both uniform keys, map-side partial aggs apply. The
+    per-doc alternative (count duplicates inside one higher-order
+    lambda) would be shuffle-free but O(len^2) per doc; the relational
+    shape stays linear for book-length docs.
+    """
+    toks = tokens("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    per_gram = (
+        load(spark, sf_dir, "documents")
+        .filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dup = F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+    total = F.sum("cnt")
+    return per_gram.groupBy("doc_id").agg(
+        total.cast("long").alias("n_bigrams"),
+        F.round(dup / total, 6).alias("dup_fraction"),
+        (dup / total > 0.3).alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: regex scrub with audit counts.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+"
+_IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+_PII_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id ||
+         '@example.com from 10.0.' || (doc_id % 256) || '.7' AS t
+  FROM documents
+),
+red AS (
+  SELECT doc_id, t,
+         regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_IP_RE}', '<IP>', 'g') AS clean
+  FROM aug
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(regexp_replace(t, '{_EMAIL_RE}',
+                                                  '<EMAIL>', 'g'),
+                                   '{_IP_RE}')) AS BIGINT)       AS n_ips,
+       CAST(length(clean) AS BIGINT)                             AS clean_len,
+       md5(clean)                                                AS clean_fp
+FROM red
+"""
+
+
+@register("curation_pii_redaction", oracle=_PII_ORACLE)
+def curation_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub (emails, then IPv4s in the email-free text)
+    with per-doc audit counts and an md5 fingerprint of the clean
+    text. The fixture corpus carries no PII, so each doc gets a
+    deterministic synthetic email + IP appended first -- the counts
+    then discriminate (>= 1 each) and the redaction is observable.
+
+    Scale: pure map-only narrow plan -- regexes run inside codegen at
+    scan speed, no shuffle anywhere. The regex set is the operator's
+    config surface; both patterns stay in the RE2-compatible subset so
+    the same strings drive Spark (Java regex) and DuckDB (RE2).
+    """
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+    )
+    no_email = F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(no_email, _IP_RE, "<IP>")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), 0))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(_IP_RE), 0))
+        .cast("long").alias("n_ips"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean).alias("clean_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mix resampling toward a uniform per-source token share.
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+         count(*) AS n_docs
+  FROM t GROUP BY source
+),
+r AS (
+  SELECT source, src_tokens,
+         least(1.0, (sum(src_tokens) OVER () /
+                     (count(*) OVER ())) / src_tokens) AS rate
+  FROM s
+),
+kept AS (
+  SELECT t.source, t.n_tokens
+  FROM t JOIN r USING (source)
+  WHERE ((t.doc_id * 2654435761) % 4096) / 4096.0 < r.rate
+)
+SELECT r.source, r.src_tokens, round(r.rate, 6) AS rate,
+       CAST(count(kept.n_tokens) AS BIGINT) AS kept_docs,
+       CAST(coalesce(sum(kept.n_tokens), 0) AS BIGINT) AS kept_tokens
+FROM r LEFT JOIN kept ON r.source = kept.source
+GROUP BY r.source, r.src_tokens, r.rate
+"""
+
+
+@register("curation_domain_mix", oracle=_MIX_ORACLE)
+def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-sample over-represented domains toward a uniform per-source
+    token budget: rate_s = min(1, mean_source_tokens / source_tokens),
+    membership decided by a deterministic multiplicative hash of
+    doc_id (portable to any engine -- the oracle runs the identical
+    arithmetic, unlike xxhash64). Returns the per-source audit:
+    (source, src_tokens, rate, kept_docs, kept_tokens).
+
+    Scale: pass 1 is a tiny per-source token agg (rows = #domains);
+    the global mean comes from a broadcast cross-join with the 1-row
+    total of THAT aggregate -- never an unpartitioned window, never
+    the corpus. Pass 2 broadcasts the rate table back and filters at
+    scan speed -- the corpus itself is shuffled only for the final
+    per-source audit agg (in production the filter feeds the writer
+    directly and even that shuffle disappears).
+    """
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", token_count("text").alias("n_tokens"))
+    )
+    per_src = docs.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("src_tokens")
+    )
+    totals = per_src.agg(
+        F.sum("src_tokens").alias("__tot"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    rates = per_src.crossJoin(F.broadcast(totals)).select(
+        "source", "src_tokens",
+        F.least(
+            F.lit(1.0),
+            (F.col("__tot") / F.col("__n")) / F.col("src_tokens"),
+        ).alias("rate"),
+    )
+    kept = (
+        docs.join(F.broadcast(rates.select("source", "rate")), "source")
+        .filter(
+            ((F.col("doc_id") * 2654435761) % 4096) / 4096.0
+            < F.col("rate")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kept_docs"),
+            F.sum("n_tokens").cast("long").alias("kept_tokens"),
+        )
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source", "src_tokens", F.round("rate", 6).alias("rate"),
+            F.coalesce("kept_docs", F.lit(0)).cast("long")
+            .alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long")
+            .alias("kept_tokens"),
+        )
+    )
