@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "graph_pagerank_parts",
     "sample_weighted_systematic",
     "multimodal_decode_features",
+    # training-data curation (packing / decontamination / domain mix)
+    "curation_sequence_packing",
+    "curation_decontaminate",
+    "curation_domain_mix",
 ]
 
 

@@ -34,17 +34,25 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer; Spark has
-    no nanosecond timestamp type, so it arrives as raw nanos (see
-    session.ENGINE_CONFS) and is rebuilt here at microsecond precision
-    -- the same truncation DuckDB applies, so oracle parity holds.
+    ``events.ts`` arrives however the fixture generator wrote it --
+    TIMESTAMP(NANOS) footers surface as raw nanos longs (see
+    session.ENGINE_CONFS) and are rebuilt at microsecond precision;
+    plain timestamp[us] footers surface as TIMESTAMP_NTZ and are cast
+    to the session-timezone TIMESTAMP type (UTC session -> identical
+    wall-clock values). Either way every query downstream sees one
+    canonical TIMESTAMP column, matching DuckDB's read of the same
+    file, so oracle parity holds.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     tune_session(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -65,6 +65,7 @@ def _load_all() -> None:
     from . import text  # noqa: F401
     from . import scalars  # noqa: F401
     from . import tpch_more  # noqa: F401
+    from . import tpch_rest  # noqa: F401
     from . import analytics  # noqa: F401
     from . import extensions  # noqa: F401
     from . import multimodal  # noqa: F401

@@ -23,14 +23,15 @@ from pyspark.sql import types as T
 from ..catalog import table_path
 from ..session import tune_session
 
-EVENTS_RAW_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as raw nanos
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,13 +40,29 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The file stream source wants a directory or glob, not a bare file
     path -- a one-character glob class keeps it happy while matching
     exactly the events file.
+
+    Streaming sources need the schema declared up front, so the ts
+    encoding is sniffed from the parquet footer on the driver (one
+    footer read): TIMESTAMP(NANOS) fixtures arrive as raw nanos longs
+    and are rebuilt at microsecond precision; timestamp[us] fixtures
+    are declared NTZ and cast to the session-timezone TIMESTAMP. Both
+    converge on the same canonical ts column `catalog.load` produces.
     """
+    import pyarrow.parquet as pq
+
     tune_session(spark)
-    glob_path = table_path(sf_dir, "events").replace(
-        "events.parquet", "events.[p]arquet"
-    )
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(glob_path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    path = table_path(sf_dir, "events")
+    glob_path = path.replace("events.parquet", "events.[p]arquet")
+    arrow_ts = pq.read_schema(path).field("ts").type
+    if getattr(arrow_ts, "unit", None) == "ns":
+        raw = spark.readStream.schema(
+            _events_raw_schema(T.LongType())
+        ).parquet(glob_path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(
+        _events_raw_schema(T.TimestampNTZType())
+    ).parquet(glob_path)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_table(stream_df: DataFrame, spark: SparkSession,
