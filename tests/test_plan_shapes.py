@@ -117,3 +117,47 @@ def test_cached_table_plans_in_memory_scan(spark, sf_dir, qs):
         assert "InMemoryTableScan" in plan, plan
     finally:
         df.unpersist()
+
+
+def test_q2_window_min_no_cartesian(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "q2_min_cost_supplier")
+    # decorrelated min-subquery = window over the cost agg, and both
+    # the region-supplier chain and the part filter ride as broadcasts
+    assert "Window" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "q4_priority_late_orders")
+    assert "LeftSemi" in plan, plan
+
+
+def test_q21_counts_share_orderkey_partitioning(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "q21_waiting_suppliers")
+    # EXISTS / NOT EXISTS decorrelate to aggregates, never to a
+    # nested-loop; the supplier chain broadcasts.
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_decontaminate_gram_join_broadcasts(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "curation_decontaminate")
+    # The benchmark gram set must broadcast -- the corpus-side gram
+    # stream is never shuffled for candidate generation.
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_packing_single_documents_scan(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "curation_sequence_packing")
+    assert plan.count("FileScan parquet") == 1, plan
+    # two exchanges at most: the (source) window sort and the
+    # (source, pack_id) agg -- the latter ships only partial-agg rows.
+    assert plan.count("hashpartitioning") <= 2, plan
+
+
+def test_domain_mix_rate_join_broadcasts(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "curation_domain_mix")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
