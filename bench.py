@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "q18_large_volume_customers",
     "q19_disjunctive_revenue",
     "q22_inactive_customers",
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
     # dedup / similarity scale paths
     "dedup_ngram_jaccard",
     "dedup_prefix_filter_jaccard",
