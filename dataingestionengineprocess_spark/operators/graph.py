@@ -6,12 +6,14 @@ Untitled Diagram.drawio:153-154), but corpus curation at 100 TB uses
 link analysis for source-quality weighting -- PageRank over a
 citation/co-occurrence graph is the canonical form.
 
-Scale design: each iteration is ONE shuffle (contributions grouped by
-destination) plus a broadcast-size rank update; lineage is truncated
-with localCheckpoint every few iterations so the plan does not grow
-linearly with iteration count (the classic iterative-Spark trap).
-Edges are the big table and are never mutated -- re-used across
-iterations, so a real deployment caches/bucketizes them once.
+Scale design: the edge subtree (often expensive -- the co-purchase
+query derives it from a self-join + distinct) is materialized ONCE
+with the out-degree folded in as a per-edge weight, so each iteration
+is exactly one join + ONE shuffle (contributions grouped by
+destination) over a static, already-partitioned table; lineage is
+truncated with localCheckpoint every few iterations so the plan does
+not grow linearly with iteration count (the classic iterative-Spark
+trap).
 """
 
 from __future__ import annotations
@@ -19,9 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Truncate lineage this often; each checkpoint is a narrow
-#: (node, rank) table so the cost is small relative to the join.
-_CHECKPOINT_EVERY = 3
+#: Truncate lineage EVERY iteration: the broadcast of the rank table
+#: materializes the pending chain anyway, so deferring the checkpoint
+#: would re-execute earlier iterations quadratically inside each
+#: segment; each checkpoint is a narrow (node, rank) table so the
+#: cost is small relative to the join.
+_CHECKPOINT_EVERY = 1
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -37,23 +42,42 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     symmetric upstream (as the co-purchase query does).
     """
     out_deg = edges.groupBy(src).agg(F.count("*").alias("__deg"))
+    # Materialize the static side ONCE. The edge list is often an
+    # expensive subtree (the co-purchase query builds it from a
+    # self-join + distinct); without this every iteration -- and every
+    # branch inside an iteration -- re-executes that subtree. The
+    # out-degree is folded in here too, so iterations never join it
+    # again: each edge carries its contribution weight 1/deg.
+    w_edges = (
+        edges.join(out_deg, src)
+        .select(
+            F.col(src).alias("__src"), F.col(dst).alias("node"),
+            (F.lit(1.0) / F.col("__deg")).alias("__w"),
+        )
+        .localCheckpoint(eager=True)
+    )
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        w_edges.select(F.col("__src").alias("node"))
+        .union(w_edges.select("node"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
 
     for i in range(iterations):
+        # Ranks broadcast: the node set is the small dimension of a
+        # link graph (edges are the 100 TB side), so the per-iteration
+        # join is map-side over the stationary edges and the shuffle
+        # carries only per-partition PARTIAL sums (<= nodes/partition
+        # rows), not one row per edge. For node sets too big to
+        # broadcast, drop the hint and pre-bucket edges by src instead.
         contribs = (
-            edges.join(ranks, edges[src] == ranks["node"])
-            .join(out_deg, src)
-            .select(
-                F.col(dst).alias("node"),
-                (F.col("rank") / F.col("__deg")).alias("c"),
+            w_edges.join(
+                F.broadcast(ranks.withColumnRenamed("node", "__src")),
+                "__src",
             )
             .groupBy("node")
-            .agg(F.sum("c").alias("contrib"))
+            .agg(F.sum(F.col("rank") * F.col("__w")).alias("contrib"))
         )
         ranks = (
             nodes.join(contribs, "node", "left")

@@ -66,9 +66,13 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in pytest."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5, nprobe=2, n_lists=8).orderBy(
-        "query_id", "rank"
-    )
+    # Quantizer trained on a 1/4 hash-sample with 3 Lloyd's rounds:
+    # the production configuration (never Lloyd's-iterate the full
+    # corpus); recall is governed by nprobe, not quantizer polish.
+    return ivf_topk(
+        emb, queries, k=5, nprobe=2, n_lists=8,
+        kmeans_iter=3, kmeans_sample_mod=4,
+    ).orderBy("query_id", "rank")
 
 
 @register("similarity_join_brp_lsh")
