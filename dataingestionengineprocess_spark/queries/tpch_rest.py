@@ -503,25 +503,39 @@ GROUP BY s.s_name
 
 @register("q21_waiting_suppliers", oracle=_Q21_ORACLE)
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One fact-fact join, then ONE orderkey-keyed aggregation derives
+    # both EXISTS-counts (suppliers on the order, late suppliers on
+    # the order) and the distinct late pairs -- the oracle's three
+    # CTEs collapse into a single pass over the joined facts.
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
-    late = (
+    flagged = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .filter(
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+        .select(
+            "l_orderkey", "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+            ).alias("__late"),
         )
-        .select("l_orderkey", "l_suppkey").distinct()
     )
-    allsup = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp")
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("__late"), F.col("l_suppkey"))
+        ).alias("n_late"),
     )
-    latec = late.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_late"))
+    late_pairs = (
+        flagged.filter("__late").select("l_orderkey", "l_suppkey").distinct()
+    )
     eu = _region_suppliers(spark, sf_dir, "EUROPE")
     return (
-        late.join(allsup, "l_orderkey")
-        .join(latec, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        late_pairs.join(
+            per_order.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+            ),
+            "l_orderkey",
+        )
         .join(F.broadcast(eu), F.col("l_suppkey") == eu.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
