@@ -201,7 +201,10 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import canonical_per_component, connected_components
 
     docs = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.6)
+    # prefix_filter_jaccard_pairs returns the IDENTICAL pair set as
+    # ngram_jaccard_pairs (hypothesis-tested equivalence) via the
+    # PPJoin candidate space -- the faster exact pair generator.
+    pairs = prefix_filter_jaccard_pairs(docs, n=3, threshold=0.6)
     cc = connected_components(pairs, "id_a", "id_b")
     return canonical_per_component(cc).select(
         F.col("node").alias("doc_id"),
