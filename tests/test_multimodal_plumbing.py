@@ -102,3 +102,45 @@ def test_phash_neardup_finds_duplicate_payloads(spark):
     assert (1, 2) in got          # exact duplicate payload
     assert (1, 3) in got          # near-duplicate payload
     assert (1, 4) not in got and (2, 4) not in got
+
+
+def test_wav_decoder_is_a_real_parser():
+    import numpy as np
+    import pytest
+
+    from dataingestionengineprocess_spark.queries.multimodal import _decode_wav
+
+    # hand-built 3-sample PCM16 mono 8kHz WAV
+    samples = np.array([-256, 0, 512], dtype="<i2").tobytes()
+    hdr = (b"RIFF" + (36 + len(samples)).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+           + b"data" + len(samples).to_bytes(4, "little") + samples)
+    rate, bits, s = _decode_wav(hdr)
+    assert (rate, bits) == (8000, 16)
+    assert list(s) == [-256, 0, 512]
+
+    with pytest.raises(ValueError):
+        _decode_wav(b"OggS" + hdr[4:])          # wrong container
+    with pytest.raises(ValueError):
+        _decode_wav(hdr[:20])                    # truncated: no chunks
+
+
+def test_wav_payloads_decode_with_stdlib(spark):
+    """The synthesized payloads must be REAL WAVs: python's stdlib
+    `wave` module (an independent parser) must accept them."""
+    import io
+    import wave
+
+    from dataingestionengineprocess_spark.queries.multimodal import _wav_payloads
+
+    rows = _wav_payloads(spark, "/root/testdata/sf0.001").limit(5).collect()
+    assert rows
+    for r in rows:
+        with wave.open(io.BytesIO(bytes(r.payload))) as w:
+            assert w.getnchannels() == 1
+            assert w.getframerate() == 8000
+            assert w.getsampwidth() == 2
+            assert w.getnframes() == 64 + r.doc_id % 128
