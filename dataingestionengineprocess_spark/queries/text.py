@@ -406,3 +406,45 @@ def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("f").cast("double") / F.count("*")).alias("fluency"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish subword token estimate (SURVEY.md §2.7 [C]: "token counting
+# (whitespace + a BPE-ish regex)"). Real BPE needs a merges table; the
+# standard estimator segments text into regex pieces the way BPE
+# pre-tokenizers do. The piece classes (vowel runs / non-vowel runs)
+# are DISJOINT, so the decomposition is unambiguous and identical
+# under Java regex (Spark) and RE2 (DuckDB) match orders.
+# ---------------------------------------------------------------------------
+
+_PIECE_RE = "[aeiou]+|[^aeiou ]+"
+
+_BPE_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT)        AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_PIECE_RE}')) AS BIGINT)
+                                                           AS n_pieces,
+       round(CAST(length(text) AS DOUBLE)
+             / len(regexp_extract_all(text, '{_PIECE_RE}')), 4)
+                                                           AS chars_per_piece
+FROM documents
+"""
+
+
+@register("text_bpe_token_estimate", oracle=_BPE_ORACLE)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + regex subword-piece count per doc --
+    the pre-tokenizer half of BPE, which is what a curation pipeline
+    needs for token budgeting (the merges half only shifts the count
+    by a corpus-constant factor).
+
+    Scale: pure map-only narrow plan; both counts run inside codegen
+    at scan speed."""
+    pieces = F.regexp_extract_all("text", F.lit(_PIECE_RE), 0)
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.round(F.length("text") / F.size(pieces), 4)
+        .alias("chars_per_piece"),
+    )
