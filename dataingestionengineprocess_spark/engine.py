@@ -73,9 +73,18 @@ class IngestionEngine:
 
     # -- curated outputs ------------------------------------------------------
 
-    def warehouse_table(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(
-            os.path.join(self.sinks.warehouse_dir, table)
+    def warehouse_table(self, table: str,
+                        merge_schema: bool = False) -> DataFrame:
+        """Curated table reader. ``merge_schema=True`` unions the
+        footers of every run partition (schema evolution: a partner
+        adding columns mid-feed writes wider parquet under later run
+        ids; old rows surface the new columns as NULL). Off by default
+        -- footer merging scans every file's metadata, which a 100 TB
+        table only wants when its schema actually evolved."""
+        return (
+            self.spark.read
+            .option("mergeSchema", str(merge_schema).lower())
+            .parquet(os.path.join(self.sinks.warehouse_dir, table))
         )
 
     def status(self) -> DataFrame:

@@ -66,3 +66,27 @@ def test_query_and_sql_surface(engine, sf_dir):
         "SELECT count(*) AS n FROM lineitem", sf_dir
     ).collect()[0].n
     assert n > 0
+
+
+def test_warehouse_schema_evolution(engine, spark, tmp_path):
+    """A partner adding a column mid-feed: later run partitions carry
+    wider parquet; merge_schema=True surfaces the union with NULLs for
+    pre-evolution rows."""
+    from pyspark.sql import functions as F
+
+    from dataingestionengineprocess_spark.sinks.warehouse import write_warehouse
+
+    wh = str(tmp_path / "wh")
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string") \
+        .withColumn("_run_id", F.lit("run-001"))
+    v2 = spark.createDataFrame([(2, "b", 9.5)],
+                               "id long, name string, score double") \
+        .withColumn("_run_id", F.lit("run-002"))
+    write_warehouse(v1, wh, "t", partition_cols=["_run_id"])
+    write_warehouse(v2, wh, "t", partition_cols=["_run_id"])
+
+    evolved = IngestionEngine(spark, SinkConfig(warehouse_dir=wh))
+    merged = evolved.warehouse_table("t", merge_schema=True)
+    assert set(merged.columns) == {"id", "name", "score", "_run_id"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
