@@ -81,3 +81,65 @@ def read_csv_feed(spark: SparkSession, path: str, schema: T.StructType,
         F.col(CORRUPT_COL).alias("raw_record"), F.col(source_file_col)
     )
     return CsvBatch(clean=clean, rejects=rejects)
+
+
+def read_csv_feed_by_name(spark: SparkSession, path: str,
+                          schema: T.StructType, header: bool = True,
+                          timestamp_format: str | None = None,
+                          source_file_col: str = "_source_file") -> CsvBatch:
+    """Header-aware variant of `read_csv_feed` for SCHEMA DRIFT: the
+    positional reader silently mis-parses a drop whose partner
+    reordered columns or appended new ones. Here the file's own header
+    names the columns; declared columns are selected BY NAME (any
+    order, extra columns ignored) and cast to the declared types.
+
+    Contract violations:
+    - a declared column missing from the header -> ValueError (the
+      whole file fails its contract; reject the drop, not the rows);
+    - a cell that won't cast to its declared type -> that row routes
+      to rejects with the raw values preserved (try_cast semantics --
+      ANSI-safe under Spark 4's default ANSI mode).
+
+    Scale: same single parallel scan as the positional reader; the
+    by-name projection and casts are map-only.
+    """
+    raw = (
+        spark.read.option("header", header).csv(path)
+        .withColumn(source_file_col, F.input_file_name())
+    )
+    missing = [f.name for f in schema.fields if f.name not in raw.columns]
+    if missing:
+        raise ValueError(
+            f"feed contract violation: header lacks declared columns "
+            f"{missing}; file columns: "
+            f"{[c for c in raw.columns if c != source_file_col]}"
+        )
+
+    def cast_col(f: T.StructField):
+        c = F.col(f.name)
+        if isinstance(f.dataType, T.TimestampType) and timestamp_format:
+            return F.try_to_timestamp(c, F.lit(timestamp_format)).alias(f.name)
+        return c.try_cast(f.dataType).alias(f.name)
+
+    casted = raw.select(
+        *[cast_col(f) for f in schema.fields],
+        *[F.col(f.name).alias(f"__raw_{f.name}") for f in schema.fields],
+        source_file_col,
+    )
+    # a row is rejected iff some cell was PRESENT but failed its cast
+    bad = None
+    for f in schema.fields:
+        this = F.col(f"__raw_{f.name}").isNotNull() & F.col(f.name).isNull()
+        bad = this if bad is None else (bad | this)
+    casted = casted.cache()
+    clean = casted.filter(~F.coalesce(bad, F.lit(False))).select(
+        *[f.name for f in schema.fields], source_file_col
+    )
+    rejects = casted.filter(F.coalesce(bad, F.lit(False))).select(
+        F.concat_ws(",", *[
+            F.coalesce(F.col(f"__raw_{f.name}"), F.lit(""))
+            for f in schema.fields
+        ]).alias("raw_record"),
+        F.col(source_file_col),
+    )
+    return CsvBatch(clean=clean, rejects=rejects)

@@ -247,3 +247,48 @@ def test_json_feed_routes_malformed_lines(spark, landing):
     raw = [r.raw_record for r in batch.rejects.collect()]
     assert len(raw) == 2
     assert any("not json" in r for r in raw)
+
+
+def test_csv_by_name_survives_reordered_and_extra_columns(spark, tmp_path):
+    """Schema drift: the partner reorders columns and appends a new
+    one; the by-name reader still parses declared columns correctly."""
+    from dataingestionengineprocess_spark.sources.csv_source import (
+        read_csv_feed_by_name,
+    )
+    from pyspark.sql import types as T
+
+    p = tmp_path / "drop.csv"
+    p.write_text("name,extra,id\n" "alice,zzz,1\n" "bob,yyy,2\n")
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+    batch = read_csv_feed_by_name(spark, str(p), schema)
+    rows = {r.id: r.name for r in batch.clean.collect()}
+    assert rows == {1: "alice", 2: "bob"}
+    assert batch.rejects.count() == 0
+
+
+def test_csv_by_name_rejects_uncastable_cells_and_missing_columns(spark, tmp_path):
+    from dataingestionengineprocess_spark.sources.csv_source import (
+        read_csv_feed_by_name,
+    )
+    from pyspark.sql import types as T
+    import pytest
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+
+    p = tmp_path / "bad_cell.csv"
+    p.write_text("id,name\n" "1,alice\n" "not_a_number,bob\n")
+    batch = read_csv_feed_by_name(spark, str(p), schema)
+    assert [r.id for r in batch.clean.collect()] == [1]
+    rej = batch.rejects.collect()
+    assert len(rej) == 1 and "not_a_number" in rej[0].raw_record
+
+    p2 = tmp_path / "missing_col.csv"
+    p2.write_text("id,other\n" "1,x\n")
+    with pytest.raises(ValueError, match="contract violation"):
+        read_csv_feed_by_name(spark, str(p2), schema)
