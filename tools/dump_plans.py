@@ -1,0 +1,62 @@
+"""Regenerate PLANS.md: formatted physical plans for the headline
+queries, so plan quality (pushdown, broadcasts, partial aggs, codegen
+spans) is reviewable without running anything.
+
+    python tools/dump_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dataingestionengineprocess_spark.session import get_spark  # noqa: E402
+from dataingestionengineprocess_spark.queries import all_queries  # noqa: E402
+
+SHOWCASE = [
+    # one per family: scan-agg, broadcast join chain, window, top-k,
+    # decorrelated subquery, LSH dedup, PPJoin, IVF, pagerank, curation
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "window_keep_latest",
+    "topk_per_group",
+    "q17_small_qty_revenue",
+    "dedup_minhash_lsh",
+    "dedup_prefix_filter_jaccard",
+    "curation_decontaminate",
+    "curation_domain_mix",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("plan-dump", extra_confs={"spark.ui.enabled": "false"})
+    qs = all_queries()
+    out = [
+        "# PLANS — formatted physical plans (generated)",
+        "",
+        f"Regenerate with `python tools/dump_plans.py` (sf_dir={sf_dir}).",
+        "One representative query per operator family; read for",
+        "`PushedFilters`/`ReadSchema` (scan-side work), `BroadcastHashJoin`",
+        "(dim joins), `partial_*` aggregates (map-side combine), and",
+        "WholeStageCodegen spans (JVM-side expressions).",
+        "",
+    ]
+    for name in SHOWCASE:
+        df = qs[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        out += [f"## {name}", "", "```", plan.rstrip(), "```", ""]
+    dest = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PLANS.md")
+    with open(dest, "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote {dest}")
+
+
+if __name__ == "__main__":
+    main()
