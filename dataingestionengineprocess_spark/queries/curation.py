@@ -351,3 +351,80 @@ def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact span-level duplication: fixed-length token windows shared
+# verbatim across documents (the fixed-window approximation of
+# suffix-array substring dedup -- flags boilerplate spans that
+# document-level near-dup misses).
+# ---------------------------------------------------------------------------
+
+#: Tokens per span window (stride 1).
+SPAN_LEN = 10
+
+_SPAN_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[i:i+{SPAN_LEN - 1}], ' ')
+                 for i in range(1, len(t) - {SPAN_LEN - 2})]) AS span
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= {SPAN_LEN}
+),
+shared AS (
+  SELECT span FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+  SELECT w.doc_id, count(*) AS n_windows,
+         sum(CASE WHEN shared.span IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+  FROM w LEFT JOIN shared ON w.span = shared.span
+  GROUP BY w.doc_id
+)
+SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       round(n_shared / n_windows, 6) AS shared_fraction
+FROM per_doc
+"""
+
+
+@register("curation_span_dedup", oracle=_SPAN_ORACLE)
+def curation_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of {SPAN_LEN}-token windows (stride 1) that
+    appear verbatim in at least one OTHER document. High fractions
+    mark boilerplate/templated docs for span-level scrubbing.
+
+    Scale: one explode + two uniform-key aggregations; the shared-span
+    membership join is keyed on the span itself (skewed hot spans are
+    exactly what AQE skew-join splits). At real corpus scale the span
+    string would be replaced by its 128-bit hash to narrow the
+    shuffle -- spelled here so the DuckDB oracle matches bytes.
+    """
+    toks = tokens("text")
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (SPAN_LEN - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, SPAN_LEN)),
+    )
+    w = (
+        load(spark, sf_dir, "documents")
+        .filter(F.size(toks) >= SPAN_LEN)
+        .select("doc_id", F.explode(spans).alias("span"))
+    )
+    shared = (
+        w.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("span", F.lit(1).alias("__shared"))
+    )
+    return (
+        w.join(shared, "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.coalesce("__shared", F.lit(0))).cast("long")
+            .alias("n_shared"),
+        )
+        .withColumn(
+            "shared_fraction",
+            F.round(F.col("n_shared") / F.col("n_windows"), 6),
+        )
+    )
