@@ -400,6 +400,12 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     the all-shingles join is filtered out BY CONSTRUCTION, not capped
     after the fact. Verification computes exact Jaccard on the full
     shingle arrays, so there are no false positives either.
+
+    NOTE: this operator executes EAGERLY at construction (the shared
+    shingle-set table is cached for its three references and released
+    only after the small pair result is checkpointed); callers that
+    only want a plan should use `ngram_jaccard_pairs` (same output,
+    lazy).
     """
     sh = df.select(
         F.col(id_col).alias("id"),

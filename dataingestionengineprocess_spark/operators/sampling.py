@@ -97,6 +97,12 @@ def systematic_weighted_sample(df: DataFrame, weight_col: str,
     boundaries and the running sum's row attribution inside a tie
     group are partition-order-dependent and the sample stops being
     reproducible.
+
+    Weights are taken as INTEGERS (cast to long): the exact `div`
+    arithmetic that makes the sample engine-reproducible needs
+    integral cumulative weights. Fractional weight columns (double /
+    decimal) should be pre-scaled (e.g. x1000 and rounded) by the
+    caller; the cast here truncates.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -108,10 +114,11 @@ def systematic_weighted_sample(df: DataFrame, weight_col: str,
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    wlong = F.col(weight_col).cast("long")
     part_totals = {
         r["__pid"]: r["t"]
         for r in parted.groupBy("__pid")
-        .agg(F.sum(weight_col).alias("t"))
+        .agg(F.sum(wlong).alias("t"))
         .collect()
     }
     if not part_totals:  # empty input -> empty sample, same schema
@@ -119,7 +126,7 @@ def systematic_weighted_sample(df: DataFrame, weight_col: str,
     offsets, acc = [], 0
     for pid in range(max(part_totals) + 1):
         offsets.append((pid, acc))
-        acc += part_totals.get(pid, 0) or 0
+        acc += int(part_totals.get(pid, 0) or 0)
     total = acc
     off = df.sparkSession.createDataFrame(
         offsets, "__pid int, __off long"
@@ -129,11 +136,14 @@ def systematic_weighted_sample(df: DataFrame, weight_col: str,
     )
     cum = (
         parted.join(F.broadcast(off), "__pid")
-        .withColumn("__cum", F.sum(weight_col).over(w) + F.col("__off"))
+        .withColumn("__cum", F.sum(wlong).over(w) + F.col("__off"))
     )
     stride = max(1, int(total) // k)
     # Selection points are stride, 2*stride, ...; the half-open weight
     # interval (cum - w, cum] contains one iff the integer quotient
     # advances. All-longs `div` keeps this exact at any scale.
-    keep = F.expr(f"(__cum div {stride}) > ((__cum - {weight_col}) div {stride})")
+    keep = F.expr(
+        f"(__cum div {stride}) > "
+        f"((__cum - cast({weight_col} as bigint)) div {stride})"
+    )
     return cum.filter(keep).drop("__cum", "__pid", "__off")

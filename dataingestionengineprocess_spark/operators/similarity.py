@@ -320,6 +320,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     falls back to a broadcast join + max_by argmax.
 
     Returns (query_id, neighbor_id, cos_sim, rank).
+
+    NOTE: like an MLlib ``fit``, CONSTRUCTING this plan trains the
+    coarse quantizer (k-means jobs / centroid collect run eagerly);
+    only the probe/search half is lazy. Plan-only consumers should
+    expect driver jobs at build time.
     """
     if label_col is None:
         cent = kmeans_centroids(
@@ -335,13 +340,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         ((r["clabel"], list(r["carr"])) for r in cent.collect()),
         key=lambda t: t[0],
     )
+    spark = corpus.sparkSession
+    if not cent_rows:
+        # empty corpus -> no lists -> no neighbors (schema-stable)
+        return spark.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, cos_sim double, rank long",
+        )
     labels = [t[0] for t in cent_rows]
     cvecs = [t[1] for t in cent_rows]
-    inline = (
-        cvecs
-        and len(cvecs) * len(cvecs[0]) <= _INLINE_CENTROID_BUDGET
-    )
-    spark = corpus.sparkSession
+    inline = len(cvecs) * len(cvecs[0]) <= _INLINE_CENTROID_BUDGET
     label_df = F.broadcast(spark.createDataFrame(
         [(j, l) for j, l in enumerate(labels)], ["__j", "clabel"]
     ))

@@ -185,6 +185,17 @@ def ingest_stream(spark: SparkSession, feed: FeedConfig, src_dir: str,
         # Zero-padded epoch so run-partition names sort chronologically
         # ("stream-10" < "stream-9" otherwise); see expire_runs.
         run_id = f"stream-{epoch_id:012d}"
+        # Checkpoint replay across the id-format change: a batch first
+        # written as unpadded "stream-<N>" would otherwise survive next
+        # to its padded replacement (dynamic overwrite only replaces
+        # the NEW partition name) and double the batch's rows.
+        legacy = os.path.join(
+            sinks.warehouse_dir, feed.name, f"_run_id=stream-{epoch_id}"
+        )
+        if epoch_id < 10 ** 11 and os.path.isdir(legacy):
+            import shutil
+
+            shutil.rmtree(legacy)
         read_obs = Observation(f"read_{run_id}")
         observed = batch_df.observe(
             read_obs, F.count(F.lit(1)).alias("rows")

@@ -104,14 +104,21 @@ def _driver_verified_names() -> set[str]:
     return seen
 
 
+_VERIFIED: set[str] | None = None
+
+
 def all_queries() -> dict[str, QueryFn]:
-    global _LOADED
+    global _LOADED, _VERIFIED
     if not _LOADED:
         _load_all()
         _LOADED = True
-    verified = _driver_verified_names()
-    ordered = [n for n in QUERIES if n not in verified]
-    ordered += [n for n in QUERIES if n in verified]
+    if _VERIFIED is None:
+        # computed once per process: artifacts only change between
+        # driver rounds, and a stable iteration order matters more
+        # than noticing a mid-session artifact drop
+        _VERIFIED = _driver_verified_names()
+    ordered = [n for n in QUERIES if n not in _VERIFIED]
+    ordered += [n for n in QUERIES if n in _VERIFIED]
     return {n: QUERIES[n] for n in ordered}
 
 

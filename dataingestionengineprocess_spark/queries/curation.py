@@ -284,7 +284,7 @@ r AS (
 kept AS (
   SELECT t.source, t.n_tokens
   FROM t JOIN r USING (source)
-  WHERE ((t.doc_id * 2654435761) % 4096) / 4096.0 < r.rate
+  WHERE (((t.doc_id % 1000003) * 2654435761) % 4096) / 4096.0 < r.rate
 )
 SELECT r.source, r.src_tokens, round(r.rate, 6) AS rate,
        CAST(count(kept.n_tokens) AS BIGINT) AS kept_docs,
@@ -332,7 +332,11 @@ def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (
         docs.join(F.broadcast(rates.select("source", "rate")), "source")
         .filter(
-            ((F.col("doc_id") * 2654435761) % 4096) / 4096.0
+            # pre-reduce mod a prime so the multiply stays inside
+            # int64 at ANY doc_id (DuckDB errors and Spark wraps past
+            # 2^63; either way the "identical arithmetic" guarantee
+            # would break exactly when the corpus gets large)
+            (((F.col("doc_id") % 1000003) * 2654435761) % 4096) / 4096.0
             < F.col("rate")
         )
         .groupBy("source")

@@ -279,35 +279,48 @@ def merge_upsert(spark: SparkSession, warehouse_dir: str, table: str,
 
 
 def expire_runs(spark: SparkSession, warehouse_dir: str, table: str,
-                keep_last: int, partition_col: str = "_run_id") -> dict:
+                keep_last: int, partition_col: str = "_run_id",
+                order: str = "name") -> dict:
     """Retention for run-partitioned tables: drop all but the newest
     ``keep_last`` partitions.
 
-    "Newest" is decided by the partition directory's filesystem
-    modification time (name as tie-break), NOT by partition-value
-    sort order: run ids are only sortable when produced by
-    ``new_run_id`` (time-prefixed), and callers can partition by
-    arbitrary ids ("stream-10" sorts before "stream-9"), so mtime is
-    the ordering that is always chronological.
+    ``order`` picks how "newest" is decided:
+
+    - ``"name"`` (default): lexicographic partition value. Both id
+      producers in this engine sort chronologically (``new_run_id``
+      is nanosecond-time-prefixed; ``ingest_stream`` zero-pads the
+      epoch id), and name order is STABLE under idempotent re-runs --
+      re-ingesting an old drop rewrites that run's partition without
+      promoting it to "newest", so retention never deletes genuinely
+      newer runs around it.
+    - ``"mtime"``: directory modification time (name as tie-break),
+      for tables partitioned by ids that don't sort chronologically.
+      Caveat: an idempotent RE-RUN of an old run refreshes its mtime
+      and makes it look newest -- don't combine mtime ordering with
+      replayable feeds.
 
     Partition deletion is a directory remove per expired run -- no
     rewrite of surviving data, which is the point of partitioning the
     table by run in the first place (S6's layout). Returns
     {kept, dropped}.
     """
+    if order not in ("name", "mtime"):
+        raise ValueError(f"order must be 'name' or 'mtime', got {order!r}")
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(os.path.join(warehouse_dir, table))
     fs = root.getFileSystem(conf)
     prefix = f"{partition_col}="
-    parts = [
-        name
-        for _, name in sorted(
-            (st.getModificationTime(), st.getPath().getName())
-            for st in fs.listStatus(root)
-            if st.isDirectory() and st.getPath().getName().startswith(prefix)
+    keyed = (
+        (
+            (st.getPath().getName(),)
+            if order == "name"
+            else (st.getModificationTime(), st.getPath().getName())
         )
-    ]
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().startswith(prefix)
+    )
+    parts = [key[-1] for key in sorted(keyed)]
     to_drop = parts[:-keep_last] if keep_last > 0 else parts
     for name in to_drop:
         fs.delete(

@@ -100,6 +100,14 @@ def read_csv_feed_by_name(spark: SparkSession, path: str,
       to rejects with the raw values preserved (try_cast semantics --
       ANSI-safe under Spark 4's default ANSI mode).
 
+    Limitation (CSV semantics): a STRUCTURALLY short row (fewer cells
+    than the header) parses as NULLs in the file's trailing columns
+    and is indistinguishable from legitimately empty cells, so it
+    lands in `clean` with NULLs rather than in rejects. Feeds whose
+    contract forbids empty cells should pair this reader with
+    `quality.not_null` rules (the positional `read_csv_feed` flags
+    such rows via _corrupt_record instead).
+
     Scale: same single parallel scan as the positional reader; the
     by-name projection and casts are map-only.
     """

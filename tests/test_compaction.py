@@ -64,10 +64,10 @@ def test_expire_runs_keeps_newest_partitions(spark, tmp_path):
     assert left == {"run-003", "run-004"}
 
 
-def test_expire_runs_orders_by_mtime_not_name(spark, tmp_path):
-    """Retention must be chronological even when partition names are
-    NOT lexicographically sortable: 'stream-10' < 'stream-9' by name,
-    but it is the newer run and must be the one kept."""
+def test_expire_runs_mtime_mode_for_unsortable_names(spark, tmp_path):
+    """order='mtime' keeps retention chronological when partition
+    names do NOT sort: 'stream-10' < 'stream-9' by name, but it is
+    the newer run and must be the one kept."""
     import time as _time
 
     from dataingestionengineprocess_spark.sinks.warehouse import expire_runs
@@ -80,7 +80,7 @@ def test_expire_runs_orders_by_mtime_not_name(spark, tmp_path):
         )
         _time.sleep(0.05)  # distinct directory mtimes
 
-    stats = expire_runs(spark, wh, "t", keep_last=1)
+    stats = expire_runs(spark, wh, "t", keep_last=1, order="mtime")
 
     assert stats == {"kept": 1, "dropped": 2}
     left = {
@@ -89,6 +89,38 @@ def test_expire_runs_orders_by_mtime_not_name(spark, tmp_path):
         .select("_run_id").distinct().collect()
     }
     assert left == {"stream-10"}
+
+
+def test_expire_runs_name_order_survives_rerun_of_old_run(spark, tmp_path):
+    """Default name order is stable under idempotent re-runs: an old
+    run re-ingested (fresh mtime!) must NOT displace newer runs from
+    retention -- the mtime ordering would delete run-002 here."""
+    import time as _time
+
+    from dataingestionengineprocess_spark.sinks.warehouse import expire_runs
+
+    wh = str(tmp_path)
+    for run in ["run-001", "run-002", "run-003"]:
+        df = spark.range(5).withColumn("_run_id", F.lit(run))
+        df.write.mode("append").partitionBy("_run_id").parquet(
+            os.path.join(wh, "t")
+        )
+        _time.sleep(0.05)
+    # partner re-drops run-001's file; its partition is rewritten
+    spark.range(5).withColumn("_run_id", F.lit("run-001")) \
+        .write.mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic") \
+        .partitionBy("_run_id").parquet(os.path.join(wh, "t"))
+
+    stats = expire_runs(spark, wh, "t", keep_last=2)
+
+    assert stats == {"kept": 2, "dropped": 1}
+    left = {
+        r["_run_id"]
+        for r in spark.read.parquet(os.path.join(wh, "t"))
+        .select("_run_id").distinct().collect()
+    }
+    assert left == {"run-002", "run-003"}
 
 
 def test_new_run_ids_sort_chronologically():

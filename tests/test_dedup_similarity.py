@@ -363,3 +363,14 @@ def test_prefix_filter_shrinks_candidate_space(spark, sf_dir):
         .count()
     )
     assert prefix_pairs < naive_pairs
+
+
+def test_ivf_empty_corpus_with_labels_returns_empty(spark):
+    from dataingestionengineprocess_spark.operators.similarity import ivf_topk
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label int"
+    )
+    out = ivf_topk(empty, empty, label_col="label")
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]

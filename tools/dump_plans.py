@@ -25,7 +25,11 @@ SHOWCASE = [
     "topk_per_group",
     "q17_small_qty_revenue",
     "dedup_minhash_lsh",
-    "dedup_prefix_filter_jaccard",
+    # NOT dedup_prefix_filter_jaccard / knn_ivf_ann: those operators
+    # intentionally run eager driver work at plan-construction time
+    # (cache-and-release, quantizer fit), so "plan without running"
+    # doesn't hold for them.
+    "dedup_ngram_jaccard",
     "curation_decontaminate",
     "curation_domain_mix",
 ]
