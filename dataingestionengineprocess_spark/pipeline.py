@@ -188,14 +188,17 @@ def ingest_stream(spark: SparkSession, feed: FeedConfig, src_dir: str,
         # Checkpoint replay across the id-format change: a batch first
         # written as unpadded "stream-<N>" would otherwise survive next
         # to its padded replacement (dynamic overwrite only replaces
-        # the NEW partition name) and double the batch's rows.
-        legacy = os.path.join(
-            sinks.warehouse_dir, feed.name, f"_run_id=stream-{epoch_id}"
-        )
-        if epoch_id < 10 ** 11 and os.path.isdir(legacy):
-            import shutil
-
-            shutil.rmtree(legacy)
+        # the NEW partition name) and double the batch's rows. Hadoop
+        # FS API so the cleanup also works on object stores.
+        if epoch_id < 10 ** 11:  # padded and unpadded names differ
+            legacy = os.path.join(
+                sinks.warehouse_dir, feed.name, f"_run_id=stream-{epoch_id}"
+            )
+            jvm = spark.sparkContext._jvm
+            lp = jvm.org.apache.hadoop.fs.Path(legacy)
+            fs = lp.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+            if fs.exists(lp):
+                fs.delete(lp, True)
         read_obs = Observation(f"read_{run_id}")
         observed = batch_df.observe(
             read_obs, F.count(F.lit(1)).alias("rows")
