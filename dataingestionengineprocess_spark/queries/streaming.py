@@ -366,3 +366,34 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     return run_to_table(agg, spark)
+
+
+# ---------------------------------------------------------------------------
+# Continuous rollup: the hypertable/continuous-aggregate pattern. The
+# query runs the INCREMENTAL maintenance path end to end (update-mode
+# stream -> keyed MERGE into a parquet rollup table) and returns the
+# maintained table; the oracle recomputes the rollup from scratch.
+# Exact-cents sums make the two bit-identical despite micro-batch
+# boundaries and merge order.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       count(*) AS n,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+           AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("stream_rollup_hourly", oracle=_ROLLUP_ORACLE)
+def stream_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.rollup import continuous_rollup, read_rollup
+
+    work = tempfile.mkdtemp(prefix="rollup_")
+    q = continuous_rollup(spark, sf_dir, f"{work}/wh", f"{work}/ckpt")
+    q.awaitTermination()
+    return read_rollup(spark, f"{work}/wh")
