@@ -75,6 +75,12 @@ BENCH_QUERIES = [
     "curation_sequence_packing",
     "curation_decontaminate",
     "curation_domain_mix",
+    # round-2 late additions: span dedup, audio decode, BPE estimate,
+    # incrementally-maintained rollup
+    "curation_span_dedup",
+    "multimodal_audio_features",
+    "text_bpe_token_estimate",
+    "stream_rollup_hourly",
 ]
 
 

@@ -350,13 +350,16 @@ def _wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .withColumn("__n", (F.lit(64) + F.pmod("doc_id", F.lit(128))).cast("int"))
     )
-    sample_u16 = (
-        "pmod((ascii(substring(text, cast(pmod(i, length(text)) as int) + 1, 1))"
-        " - 77) * 256, 65536)"
-    )
+    # two-stage transform so each sample value is computed ONCE (the
+    # per-byte hex expansion would otherwise re-derive it per byte --
+    # measured ~2x on the synthesis stage)
     samples_hex = F.expr(
-        "array_join(transform(sequence(0, __n - 1), i -> "
-        f"{_le_hex(sample_u16, 2)}), '')"
+        "array_join(transform("
+        "  transform(sequence(0, __n - 1), i ->"
+        "    pmod((ascii(substring(text,"
+        "         cast(pmod(i, length(text)) as int) + 1, 1)) - 77) * 256,"
+        "         65536)),"
+        f"  v -> {_le_hex('v', 2)}), '')"
     )
     # RIFF/WAVE constants, hex-encoded: 'RIFF' <riff_size> 'WAVE'
     # 'fmt ' 16 PCM mono 8000Hz 16000B/s block=2 bits=16 'data' <size>
