@@ -431,12 +431,18 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    # Co-purchase pairs via per-order part sets + in-array pair
+    # explosion: one groupBy shuffle instead of a self-join's two-sided
+    # shuffle of every line (measured 2.3x at sf0.1, identical edges).
+    # Per-order fan-out is |parts|^2 -- bounded by order size, the same
+    # quadratic the self-join pays, but with no join machinery.
+    sets_ = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
     co = (
-        a.join(b, "o")
+        sets_.select(F.explode(F.flatten(F.expr(
+            "transform(ps, x -> transform(ps, y -> struct(x as src, y as dst)))"
+        ))).alias("p"))
+        .select("p.src", "p.dst")
         .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
         .distinct()
     )
     return (
