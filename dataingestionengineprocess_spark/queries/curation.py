@@ -375,19 +375,18 @@ WITH w AS (
   FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
   WHERE len(t) >= {SPAN_LEN}
 ),
-shared AS (
-  SELECT span FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2
-),
-per_doc AS (
-  SELECT w.doc_id, count(*) AS n_windows,
-         sum(CASE WHEN shared.span IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
-  FROM w LEFT JOIN shared ON w.span = shared.span
-  GROUP BY w.doc_id
+flagged AS (
+  SELECT doc_id,
+         CASE WHEN min(doc_id) OVER (PARTITION BY span)
+                <> max(doc_id) OVER (PARTITION BY span)
+              THEN 1 ELSE 0 END AS is_shared
+  FROM w
 )
-SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
-       CAST(n_shared AS BIGINT) AS n_shared,
-       round(n_shared / n_windows, 6) AS shared_fraction
-FROM per_doc
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(is_shared) AS BIGINT) AS n_shared,
+       round(sum(is_shared) / count(*), 6) AS shared_fraction
+FROM flagged
+GROUP BY doc_id
 """
 
 
@@ -397,12 +396,16 @@ def curation_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     appear verbatim in at least one OTHER document. High fractions
     mark boilerplate/templated docs for span-level scrubbing.
 
-    Scale: one explode + two uniform-key aggregations; the shared-span
-    membership join is keyed on the span itself (skewed hot spans are
-    exactly what AQE skew-join splits). At real corpus scale the span
-    string would be replaced by its 128-bit hash to narrow the
-    shuffle -- spelled here so the DuckDB oracle matches bytes.
+    Scale: one explode + TWO shuffles total -- "shared" is decided
+    inside a window over the span partition (min(doc_id) != max(doc_id)
+    across the span's rows means another doc has it), so there is no
+    span-count aggregate and no join back. Skewed hot spans land in
+    one window partition each; at real corpus scale the span string
+    would be replaced by its 128-bit hash to narrow the shuffle --
+    spelled here so the DuckDB oracle matches bytes.
     """
+    from pyspark.sql import Window
+
     toks = tokens("text")
     spans = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (SPAN_LEN - 1)),
@@ -413,19 +416,16 @@ def curation_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size(toks) >= SPAN_LEN)
         .select("doc_id", F.explode(spans).alias("span"))
     )
-    shared = (
-        w.groupBy("span")
-        .agg(F.countDistinct("doc_id").alias("__nd"))
-        .filter(F.col("__nd") >= 2)
-        .select("span", F.lit(1).alias("__shared"))
+    sw = Window.partitionBy("span")
+    flagged = w.withColumn(
+        "is_shared",
+        (F.min("doc_id").over(sw) != F.max("doc_id").over(sw)).cast("int"),
     )
     return (
-        w.join(shared, "span", "left")
-        .groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_windows"),
-            F.sum(F.coalesce("__shared", F.lit(0))).cast("long")
-            .alias("n_shared"),
+            F.sum("is_shared").cast("long").alias("n_shared"),
         )
         .withColumn(
             "shared_fraction",
