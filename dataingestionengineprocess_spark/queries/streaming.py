@@ -397,3 +397,56 @@ def stream_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = continuous_rollup(spark, sf_dir, f"{work}/wh", f"{work}/ckpt")
     q.awaitTermination()
     return read_rollup(spark, f"{work}/wh")
+
+
+# ---------------------------------------------------------------------------
+# Streaming top-k: per tumbling window, the top-3 users by summed
+# value. Ranking is not expressible inside an update-mode stream, so
+# the idiomatic split is: the WINDOWED AGGREGATE runs streaming (state
+# = one row per (window, user)), the rank runs on the drained result.
+# Exact-cents sums keep the oracle bit-identical.
+# ---------------------------------------------------------------------------
+
+_TOPK_STREAM_ORACLE = """
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS win_start, user_id,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT win_start, user_id,
+         round(cents / 100.0, 2) AS total_value,
+         row_number() OVER (PARTITION BY win_start
+                            ORDER BY cents DESC, user_id) AS rnk
+  FROM agg
+)
+SELECT win_start, user_id, total_value, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+@register("stream_topk_users", oracle=_TOPK_STREAM_ORACLE)
+def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..streaming.analytics import read_events_stream, run_to_table
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+        .select(F.col("win.start").alias("win_start"), "user_id", "cents")
+    )
+    drained = run_to_table(agg, spark)
+    w = W.partitionBy("win_start").orderBy(F.desc("cents"), "user_id")
+    return (
+        drained.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "win_start", "user_id",
+            F.round(F.col("cents") / 100.0, 2).alias("total_value"),
+            "rnk",
+        )
+    )
