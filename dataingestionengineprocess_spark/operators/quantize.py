@@ -1,0 +1,349 @@
+"""Quantization-based embedding operators: semantic dedup (SemDeDup)
+and product-quantization ANN (ADC + exact re-rank).
+
+Both build on the same primitive the IVF path already proved out
+(`similarity.kmeans_centroids`): a coarse k-means fit whose centroids
+ride inside the plan as literals, so cluster assignment is a MAP-ONLY
+codegen expression -- the corpus is never shuffled just to learn its
+partition.
+
+Published shapes, re-expressed Spark-first:
+
+- **Semantic dedup** follows SemDeDup (Abbas et al., 2023,
+  arXiv:2303.09540): k-means the embedding space, then prune
+  near-duplicate *pairs only within a cluster*. The quadratic term is
+  bounded to (n/k)^2 per cluster and clusters are independent -- the
+  exact shape that let the paper run on LAION-scale corpora. The
+  within-cluster greedy scan is inherently sequential per cluster, so
+  it runs as `applyInPandas` (vectorized numpy inside, one Arrow batch
+  per cluster) -- the sanctioned escape hatch for per-group imperative
+  logic, not a row-at-a-time UDF.
+- **Product quantization** follows Jegou et al., 2011 ("Product
+  Quantization for Nearest Neighbor Search"): split the vector into
+  ``m`` subspaces, learn a tiny codebook per subspace, store each
+  vector as ``m`` small codes, and score queries against codes via an
+  asymmetric distance table (ADC). The corpus side of a PQ search
+  reads m bytes per vector instead of dim floats -- at 100 TB that is
+  the difference between scanning 256 GB of codes and 25 TB of floats.
+  A final exact re-rank over the top candidates restores ranking
+  fidelity (standard ADC + re-rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType, DoubleType, IntegerType, LongType, StructField, StructType,
+)
+
+from ..functions.vectors import as_double, cosine, dot
+from .similarity import _centroid_score_structs, kmeans_centroids
+
+__all__ = ["semantic_dedup", "pq_topk", "pq_codebooks"]
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_SCHEMA = StructType([
+    StructField("vec_id", LongType()),
+    StructField("clabel", IntegerType()),
+    StructField("keep", BooleanType()),
+    StructField("rep_id", LongType()),
+    StructField("rep_sim", DoubleType()),
+])
+
+
+def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
+                   n_clusters: int = 8, id_col: str = "vec_id",
+                   vec_col: str = "embedding", kmeans_iter: int = 3,
+                   sample_mod: int | None = None) -> DataFrame:
+    """SemDeDup-style near-duplicate pruning over an embedding column.
+
+    Returns one row per corpus vector:
+    ``(vec_id, clabel, keep, rep_id, rep_sim)`` -- ``keep`` is False
+    when the vector's cosine to an already-kept clustermate reaches
+    ``threshold``; ``rep_id``/``rep_sim`` then name that kept
+    representative (NULL for kept rows).
+
+    Greedy order inside a cluster is *farthest-from-centroid first*
+    (the SemDeDup paper's choice: among near-duplicates, keeping the
+    outlier preserves more diversity than keeping the prototype), ties
+    broken by id so the output is deterministic.
+
+    Scale design:
+    - The quantizer is the shared `kmeans_centroids` fit (literal
+      centroids, map-only assignment -- no shuffle to cluster).
+      ``n_clusters`` should grow with the corpus so the expected
+      cluster size stays bounded (the paper uses ~n/10k clusters);
+      the pairwise term is then k x (n/k)^2 = n^2/k, linear in n for
+      k proportional to n.
+    - The only wide stage is ONE groupBy(clabel) feeding
+      `applyInPandas`; inside, the greedy scan is vectorized numpy
+      (normalized matrix, one dot per kept-set extension).
+    - Pair decisions never leave their cluster, so clusters process
+      in parallel and independently -- no global state, no driver
+      loop.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent = kmeans_centroids(
+        corpus, n_clusters, id_col=id_col, vec_col=vec_col,
+        max_iter=kmeans_iter, sample_mod=sample_mod,
+    )
+    cvecs = [list(r["carr"]) for r in
+             sorted(cent.collect(), key=lambda r: r["clabel"])]
+
+    best = F.array_max(_centroid_score_structs(as_double(vec_col), cvecs))
+    assigned = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        as_double(vec_col).alias("v"),
+        (-best["nl"]).cast("int").alias("clabel"),
+        # score is dot(v, unit_centroid); dividing by |v| makes it the
+        # true cosine used for the farthest-first ordering.
+        (best["score"] / F.sqrt(dot(as_double(vec_col), as_double(vec_col))))
+        .alias("centroid_cos"),
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["centroid_cos", "vec_id"], ascending=[True, True]
+        ).reset_index(drop=True)
+        mat = np.stack(pdf["v"].to_numpy())
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        mat = mat / norms[:, None]
+
+        n = len(pdf)
+        keep_idx: list[int] = []
+        keep = np.ones(n, dtype=bool)
+        rep_id = np.full(n, -1, dtype=np.int64)
+        rep_sim = np.full(n, np.nan)
+        for i in range(n):
+            if keep_idx:
+                sims = mat[keep_idx] @ mat[i]
+                j = int(np.argmax(sims))
+                if sims[j] >= threshold:
+                    keep[i] = False
+                    rep_id[i] = pdf["vec_id"].iloc[keep_idx[j]]
+                    rep_sim[i] = round(float(sims[j]), 6)
+                    continue
+            keep_idx.append(i)
+        return pd.DataFrame({
+            "vec_id": pdf["vec_id"],
+            "clabel": pdf["clabel"],
+            "keep": keep,
+            "rep_id": pd.array(
+                [None if k else r for k, r in zip(keep, rep_id)],
+                dtype="Int64",
+            ),
+            "rep_sim": [None if k else s for k, s in zip(keep, rep_sim)],
+        })
+
+    return assigned.groupBy("clabel").applyInPandas(prune, _SEMDEDUP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+
+def _l2_score_structs(v: Column, cents: list[list[float]]) -> Column:
+    """array<struct<score double, nl int>>: argmax(score) == argmin of
+    L2 distance to centroid j, map-only. score = dot(v,c) - |c|^2/2
+    (the -|v|^2/2 term is constant across centroids, so it cancels in
+    the argmax). Same literal-matrix trick as
+    `similarity._centroid_score_structs`, but UN-normalized: PQ
+    codebooks quantize Euclidean cells, not directions."""
+    halfsq = [sum(x * x for x in c) / 2.0 for c in cents]
+    return F.transform(
+        F.lit([list(c) + [h] for c, h in zip(cents, halfsq)]),
+        lambda ch, i: F.struct(
+            (dot(v, F.slice(ch, 1, F.size(ch) - 1)) - F.element_at(ch, -1))
+            .alias("score"),
+            (-i).alias("nl"),
+        ),
+    )
+
+
+def pq_codebooks(corpus: DataFrame, m: int = 8, ks: int = 16,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 max_iter: int = 3, seed: int = 7,
+                 sample_mod: int | None = None) -> list[list[list[float]]]:
+    """Train the m per-subspace codebooks (ks centroids each) with L2
+    Lloyd's iterations. Returns ``codebooks[j][c] -> list[float]`` of
+    length dim/m.
+
+    All m subspace fits advance together in ONE job per iteration:
+    the assignment pass posexplodes each vector into its m (subspace,
+    code, subvector) triples map-side, and a single
+    groupBy(subspace, code) recomputes every codebook cell -- the
+    shuffle payload is m x ks x (dsub+1) doubles per partition, not
+    the corpus. (m sequential single-subspace fits would scan the
+    cache m x max_iter times; this scans it max_iter times.)
+
+    Init mirrors `kmeans_centroids`: a seeded xxhash64 top-ks sample
+    per subspace, deterministic across runs. Empty cells keep their
+    previous centroid.
+    """
+    vecs = corpus.select(F.col(id_col).alias("id"),
+                         as_double(vec_col).alias("v"))
+    if sample_mod and sample_mod > 1:
+        vecs = vecs.filter(F.pmod(F.xxhash64("id"), F.lit(sample_mod)) == 0)
+    vecs = vecs.persist()
+    try:
+        first = vecs.select(F.size("v").alias("d")).limit(1).collect()
+        if not first:
+            raise ValueError("empty corpus")
+        dim = first[0]["d"]
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        dsub = dim // m
+
+        init_rows = (
+            vecs.orderBy(F.xxhash64("id", F.lit(seed)), "id")
+            .limit(ks).collect()
+        )
+        if len(init_rows) < ks:
+            raise ValueError(f"corpus has fewer than ks={ks} vectors")
+        books = [
+            [list(r.v[j * dsub:(j + 1) * dsub]) for r in init_rows]
+            for j in range(m)
+        ]
+
+        for _ in range(max_iter):
+            # one struct per subspace: its code + its subvector
+            parts = F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (-F.array_max(_l2_score_structs(
+                        F.slice("v", j * dsub + 1, dsub), books[j]
+                    ))["nl"]).cast("int").alias("code"),
+                    F.slice("v", j * dsub + 1, dsub).alias("sv"),
+                )
+                for j in range(m)
+            ])
+            sums = (
+                vecs.select(F.explode(parts).alias("p"))
+                .select("p.j", "p.code", "p.sv")
+                .groupBy("j", "code")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(F.col("sv")[i]).alias(f"s{i}")
+                      for i in range(dsub)],
+                )
+                .collect()
+            )
+            upd = {
+                (r["j"], r["code"]): [r[f"s{i}"] / r["n"] for i in range(dsub)]
+                for r in sums
+            }
+            books = [
+                [upd.get((j, c), books[j][c]) for c in range(ks)]
+                for j in range(m)
+            ]
+    finally:
+        vecs.unpersist()
+    return books
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+            m: int = 8, ks: int = 16, refine: int = 32,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            max_iter: int = 3, sample_mod: int | None = None) -> DataFrame:
+    """PQ approximate top-k: encode the corpus as m codes, score
+    queries by asymmetric-distance inner product, exact-re-rank the
+    top ``refine`` candidates. Returns (query_id, neighbor_id,
+    cos_sim, rank) -- cos_sim is EXACT for returned rows (re-rank).
+
+    Plan shape (the 100 TB story):
+    1. *Encode* -- map-only: codebooks are plan literals, each corpus
+       vector becomes ``array<int>`` of m codes in codegen. On a real
+       deployment the codes are written once (m bytes/vector) and all
+       subsequent searches scan codes, never raw floats.
+    2. *ADC score* -- each query precomputes its m x ks inner-product
+       table against the codebook literal; the broadcast
+       queries-x-codes join then scores a candidate with m table
+       lookups (no dim-length math on the corpus side).
+    3. *Re-rank* -- the per-query top-``refine`` by ADC join back to
+       the corpus by id (equi join) for exact cosine; final top-k by
+       true similarity. Approximation error only costs recall when a
+       true neighbor falls outside the refine set.
+
+    Like `ivf_topk`, CONSTRUCTING the plan trains the quantizer
+    (eager driver jobs); the search half is lazy.
+    """
+    books = pq_codebooks(
+        corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col,
+        max_iter=max_iter, sample_mod=sample_mod,
+    )
+    dsub = len(books[0][0])
+
+    def codes_col() -> Column:
+        return F.array(*[
+            (-F.array_max(_l2_score_structs(
+                F.slice("cv", j * dsub + 1, dsub), books[j]
+            ))["nl"]).cast("int")
+            for j in range(m)
+        ])
+
+    coded = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        as_double(vec_col).alias("cv"),
+    ).withColumn("codes", codes_col()).select("neighbor_id", "codes")
+
+    # flat m*ks literal of codebook cells; tab[j*ks + c] = dot(q_j, cell)
+    flat_cells = F.lit([books[j][c] for j in range(m) for c in range(ks)])
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        as_double(vec_col).alias("qv"),
+    ).withColumn(
+        "tab",
+        F.transform(
+            flat_cells,
+            lambda cell, i: dot(
+                F.slice("qv", F.floor(i / ks).cast("int") * dsub + 1, dsub),
+                cell,
+            ),
+        ),
+    ).select("query_id", "tab")
+
+    adc = (
+        coded.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "adc_score",
+            F.aggregate(
+                F.transform(
+                    "codes",
+                    lambda c, j: F.element_at("tab", j * ks + c + 1),
+                ),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ),
+        )
+    )
+    wa = W.partitionBy("query_id").orderBy(F.desc("adc_score"), "neighbor_id")
+    cand = (
+        adc.withColumn("ar", F.row_number().over(wa))
+        .filter(F.col("ar") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+
+    qv = queries.select(F.col(id_col).cast("long").alias("query_id"),
+                        as_double(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).cast("long").alias("neighbor_id"),
+                       as_double(vec_col).alias("cv"))
+    exact = (
+        F.broadcast(cand)
+        .join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

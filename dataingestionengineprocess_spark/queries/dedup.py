@@ -225,3 +225,22 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return prefix_filter_jaccard_pairs(docs, n=3, threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, arXiv:2303.09540): k-means the embedding
+# space, prune near-duplicates within clusters only. Rows-only check
+# (the k-means fit is engine-specific); soundness and recall against
+# the exact cosine operator are asserted in
+# tests/test_dedup_similarity.py.
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_semantic_embedding")
+def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantize import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, threshold=0.92, n_clusters=8, kmeans_iter=3
+    ).orderBy("vec_id")

@@ -374,3 +374,127 @@ def test_ivf_empty_corpus_with_labels_returns_empty(spark):
     out = ivf_topk(empty, empty, label_col="label")
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/quantize.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_full_refine_equals_bruteforce(spark, emb):
+    """With refine >= corpus size every candidate is exact-re-ranked,
+    so PQ must equal brute force exactly (ordering and tie-breaks):
+    the approximation lives ONLY in candidate selection."""
+    from dataingestionengineprocess_spark.operators.quantize import pq_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5)
+    full = pq_topk(emb, queries, k=5, refine=1000)
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_pq_recall_at_5(spark, emb):
+    """ADC + top-32 re-rank on the near-random fixture: measured 0.69;
+    must comfortably beat the random-candidate floor (32/500)."""
+    from dataingestionengineprocess_spark.operators.quantize import pq_topk
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    e = {(r.query_id, r.neighbor_id)
+         for r in brute_force_topk(emb, queries, k=5).collect()}
+    a = {(r.query_id, r.neighbor_id)
+         for r in pq_topk(emb, queries, k=5, refine=32).collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"PQ recall@5 = {recall:.2f}"
+
+
+def test_pq_codebooks_deterministic(spark, emb):
+    """Seeded init + relational Lloyd's => identical codebooks across
+    fits (required by the driver's repeated-run checks)."""
+    from dataingestionengineprocess_spark.operators.quantize import (
+        pq_codebooks,
+    )
+
+    b1 = pq_codebooks(emb, m=8, ks=16, max_iter=2)
+    b2 = pq_codebooks(emb, m=8, ks=16, max_iter=2)
+    assert b1 == b2
+    assert len(b1) == 8 and all(len(bj) == 16 for bj in b1)
+    assert all(len(c) == 8 for bj in b1 for c in bj)  # 64/8 dims
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup shape, operators/quantize.py)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_planted_neardups(spark):
+    """Planted perturbed copies (cos ~0.999) must be pruned, each
+    naming its base as the kept representative. A couple of pairs may
+    straddle a cluster boundary (the documented SemDeDup
+    approximation), so require >= 25/30 — and every drop decision
+    must be sound (rep_sim >= threshold, rep actually kept)."""
+    import numpy as np
+
+    from dataingestionengineprocess_spark.operators.quantize import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(100, 64)).astype("float32")
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dups = base[:30] + rng.normal(size=(30, 64)).astype("float32") * 0.03
+    rows = [(i, base[i].tolist()) for i in range(100)]
+    rows += [(1000 + i, dups[i].tolist()) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    res = semantic_dedup(df, threshold=0.95, n_clusters=4, kmeans_iter=3)
+    out = res.collect()
+    assert len(out) == 130  # one verdict per input vector
+    kept = {r.vec_id for r in out if r.keep}
+    dropped = [r for r in out if not r.keep]
+    matched = sum(
+        1 for r in dropped
+        if r.rep_id is not None and abs(r.rep_id - r.vec_id) == 1000
+    )
+    assert matched >= 25, f"only {matched}/30 planted pairs pruned"
+    for r in dropped:
+        assert r.rep_sim is not None and r.rep_sim >= 0.95
+        assert r.rep_id in kept, "representative must itself be kept"
+
+
+def test_semantic_dedup_kept_set_is_separated(spark, emb):
+    """Soundness on the fixture: within every cluster the kept rows
+    are pairwise below the threshold (the greedy guarantee), and the
+    operator is deterministic across runs."""
+    from dataingestionengineprocess_spark.operators.quantize import (
+        semantic_dedup,
+    )
+    from dataingestionengineprocess_spark.functions.vectors import (
+        as_double,
+        cosine,
+    )
+
+    res = semantic_dedup(emb, threshold=0.92, n_clusters=8, kmeans_iter=3)
+    r1 = sorted(map(tuple, res.collect()))
+    r2 = sorted(map(tuple, semantic_dedup(
+        emb, threshold=0.92, n_clusters=8, kmeans_iter=3).collect()))
+    assert r1 == r2, "semantic dedup must be deterministic"
+
+    kept = res.filter("keep").select("vec_id", "clabel")
+    vecs = emb.select(
+        F.col("vec_id").alias("vid"), as_double("embedding").alias("v")
+    )
+    a = kept.join(vecs, kept.vec_id == vecs.vid).select(
+        F.col("vec_id").alias("id_a"), F.col("clabel"), F.col("v").alias("va")
+    )
+    b = kept.join(vecs, kept.vec_id == vecs.vid).select(
+        F.col("vec_id").alias("id_b"), F.col("clabel"), F.col("v").alias("vb")
+    )
+    viol = (
+        a.join(b, ["clabel"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.92)
+        .count()
+    )
+    assert viol == 0, f"{viol} same-cluster kept pairs above threshold"
