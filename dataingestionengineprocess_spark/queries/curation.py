@@ -432,3 +432,82 @@ def curation_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_shared") / F.col("n_windows"), 6),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking: split each document into overlapping
+# fixed-token windows -- the step that turns curated documents into
+# trainer-shaped sequences (and the retrieval-index unit for RAG).
+# ---------------------------------------------------------------------------
+
+#: Window/stride in whitespace tokens. 64/48 = 25% overlap, small
+#: enough that every fixture doc still yields a few chunks.
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(
+             0, CAST(ceil(greatest(0, n - {CHUNK_TOKENS})
+                          / {CHUNK_STRIDE}.0) AS BIGINT))) AS chunk_id
+  FROM t
+)
+SELECT doc_id, chunk_id,
+       CAST(least({CHUNK_TOKENS}, n - chunk_id * {CHUNK_STRIDE}) AS BIGINT)
+           AS chunk_tokens,
+       md5(array_to_string(
+           toks[chunk_id * {CHUNK_STRIDE} + 1 :
+                least(n, chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS})], ' '))
+           AS chunk_hash
+FROM c
+"""
+
+
+@register("curation_chunk_windows", oracle=_CHUNK_ORACLE)
+def curation_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunks per document: chunk i covers
+    tokens [i*stride, i*stride + window); the last window starts at
+    the final stride boundary that still has unseen tokens, so every
+    token lands in >= 1 chunk and short docs yield exactly one.
+
+    The output carries (chunk_tokens, md5(chunk_text)) rather than the
+    chunk text itself -- the hash pins the exact chunk content for the
+    oracle without hauling long strings through the comparison.
+
+    Scale: map-only (tokenize + sequence + posexplode inside codegen);
+    fan-out is ~n_tokens/stride rows per doc with no shuffle at all --
+    the one plan shape that is trivially 100 TB-safe. Downstream
+    packing/shuffling operates on the chunk rows, which are narrow.
+    """
+    toks = tokens("text")
+    n = F.size(toks)
+    i_max = F.ceil(
+        F.greatest(F.lit(0), n - F.lit(CHUNK_TOKENS)) / F.lit(float(CHUNK_STRIDE))
+    ).cast("int")
+    start = F.col("chunk_id").cast("int") * CHUNK_STRIDE
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            toks.alias("toks"),
+            n.alias("n"),
+            F.explode(F.sequence(F.lit(0), i_max)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.least(F.lit(CHUNK_TOKENS), F.col("n") - start).cast("long")
+            .alias("chunk_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("toks"), start + 1, F.lit(CHUNK_TOKENS))
+                )
+            ).alias("chunk_hash"),
+        )
+    )
