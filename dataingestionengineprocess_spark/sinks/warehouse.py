@@ -166,9 +166,10 @@ def compact_table(spark: SparkSession, warehouse_dir: str, table: str,
     single writer and no concurrent readers (run compaction in the
     maintenance window, as a real OPTIMIZE job does). A crash between
     the renames leaves the data intact under ``<path>__precompact``;
-    re-running compaction recovers. A truly atomic swap needs a
-    versioned-directory + pointer-file layout (a transaction-log table
-    format), which is out of scope for the plain-parquet warehouse.
+    re-running compaction recovers. For concurrent readers / always-on
+    tables use the versioned layout instead: `sinks.versioned
+    .VersionedTable.compact` publishes an immutable snapshot and never
+    makes the table path disappear.
 
     Parquet compression makes bytes-in a slight overestimate of
     bytes-out, which errs toward files under target -- the safe side.
