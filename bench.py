@@ -81,6 +81,10 @@ BENCH_QUERIES = [
     "multimodal_audio_features",
     "text_bpe_token_estimate",
     "stream_rollup_hourly",
+    # quantization family: SemDeDup semantic dedup, PQ ANN, chunking
+    "dedup_semantic_embedding",
+    "knn_pq_ann",
+    "curation_chunk_windows",
 ]
 
 

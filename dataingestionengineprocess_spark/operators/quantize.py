@@ -151,22 +151,89 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
 # ---------------------------------------------------------------------------
 
 
-def _l2_score_structs(v: Column, cents: list[list[float]]) -> Column:
-    """array<struct<score double, nl int>>: argmax(score) == argmin of
-    L2 distance to centroid j, map-only. score = dot(v,c) - |c|^2/2
-    (the -|v|^2/2 term is constant across centroids, so it cancels in
-    the argmax). Same literal-matrix trick as
-    `similarity._centroid_score_structs`, but UN-normalized: PQ
-    codebooks quantize Euclidean cells, not directions."""
-    halfsq = [sum(x * x for x in c) / 2.0 for c in cents]
-    return F.transform(
-        F.lit([list(c) + [h] for c, h in zip(cents, halfsq)]),
-        lambda ch, i: F.struct(
-            (dot(v, F.slice(ch, 1, F.size(ch) - 1)) - F.element_at(ch, -1))
-            .alias("score"),
-            (-i).alias("nl"),
-        ),
+def _cells_lit(books: list[list[list[float]]]) -> Column:
+    """One literal for ALL m codebooks: m x ks cells, each the dsub
+    centroid coordinates with |c|^2/2 appended. Keeping every
+    subspace inside a single literal + nested lambdas is what keeps
+    the generated code small: per-subspace copies of the expression
+    tree made plans compile ~m x larger for identical semantics."""
+    return F.lit([
+        [list(c) + [sum(x * x for x in c) / 2.0] for c in bj]
+        for bj in books
+    ])
+
+
+def _pq_codes(v: Column, cells: Column, m: int, dsub: int) -> Column:
+    """array<int> of m codes for vector ``v``, map-only: code j =
+    argmin_c L2(v_j, cell) via argmax of dot(v_j, c) - |c|^2/2 (the
+    -|v_j|^2/2 term is constant across cells, so it cancels).
+    UN-normalized scores -- PQ quantizes Euclidean cells, not
+    directions like the spherical IVF quantizer."""
+
+    def code_for(j: Column) -> Column:
+        sub = F.slice(v, j * dsub + 1, dsub)
+        scored = F.transform(
+            F.element_at(cells, j + 1),
+            lambda ch, i: F.struct(
+                (dot(sub, F.slice(ch, 1, dsub)) - F.element_at(ch, -1))
+                .alias("score"),
+                (-i).alias("nl"),
+            ),
+        )
+        return (-F.array_max(scored)["nl"]).cast("int")
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
+
+
+def pq_codebooks_local(corpus: DataFrame, m: int = 8, ks: int = 16,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       max_iter: int = 10, seed: int = 7,
+                       train_rows: int = 65536) -> list[list[list[float]]]:
+    """Train the m per-subspace codebooks on a bounded driver-side
+    sample (vectorized numpy Lloyd's). Returns the same
+    ``codebooks[j][c]`` shape as `pq_codebooks`.
+
+    This is the production shape for quantizer TRAINING, as distinct
+    from search: codebooks have m x ks x dsub parameters (a few KB) and
+    converge from ~10^5 vectors no matter how large the corpus is, so
+    training is a bounded-sample problem -- one deterministic
+    hash-ordered ``limit(train_rows)`` collect, then millisecond numpy
+    iterations, instead of a Spark job per Lloyd's step. Everything
+    corpus-sized (encoding, ADC scoring, re-rank) stays distributed in
+    `pq_topk`. Use `pq_codebooks` when even the training sample must
+    not be collected.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("id"),
+                      as_double(vec_col).alias("v"))
+        .orderBy(F.xxhash64("id", F.lit(seed)), "id")
+        .limit(train_rows)
+        .collect()
     )
+    if len(rows) < ks:
+        raise ValueError(f"corpus has fewer than ks={ks} vectors")
+    mat = np.array([r.v for r in rows])  # (n, dim)
+    dim = mat.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    sub = mat.reshape(len(rows), m, dsub)
+
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        x = sub[:, j, :]                      # (n, dsub)
+        cents = x[:ks].copy()                 # same init rule: first ks
+        for _ in range(max_iter):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ks):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = x[mask].mean(axis=0)
+        books.append([[float(v) for v in c] for c in cents])
+    return books
 
 
 def pq_codebooks(corpus: DataFrame, m: int = 8, ks: int = 16,
@@ -215,17 +282,19 @@ def pq_codebooks(corpus: DataFrame, m: int = 8, ks: int = 16,
         ]
 
         for _ in range(max_iter):
-            # one struct per subspace: its code + its subvector
-            parts = F.array(*[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    (-F.array_max(_l2_score_structs(
-                        F.slice("v", j * dsub + 1, dsub), books[j]
-                    ))["nl"]).cast("int").alias("code"),
+            # one struct per subspace: its code + its subvector; the
+            # codes come from ONE nested-lambda expression over one
+            # codebook literal (see _pq_codes), zipped to the slices.
+            codes = _pq_codes(F.col("v"), _cells_lit(books), m, dsub)
+            parts = F.zip_with(
+                codes,
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda code, j: F.struct(
+                    j.alias("j"),
+                    code.alias("code"),
                     F.slice("v", j * dsub + 1, dsub).alias("sv"),
-                )
-                for j in range(m)
-            ])
+                ),
+            )
             sums = (
                 vecs.select(F.explode(parts).alias("p"))
                 .select("p.j", "p.code", "p.sv")
@@ -253,7 +322,8 @@ def pq_codebooks(corpus: DataFrame, m: int = 8, ks: int = 16,
 def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             m: int = 8, ks: int = 16, refine: int = 32,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            max_iter: int = 3, sample_mod: int | None = None) -> DataFrame:
+            max_iter: int = 3, sample_mod: int | None = None,
+            train: str = "local") -> DataFrame:
     """PQ approximate top-k: encode the corpus as m codes, score
     queries by asymmetric-distance inner product, exact-re-rank the
     top ``refine`` candidates. Returns (query_id, neighbor_id,
@@ -273,27 +343,29 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
        true similarity. Approximation error only costs recall when a
        true neighbor falls outside the refine set.
 
-    Like `ivf_topk`, CONSTRUCTING the plan trains the quantizer
-    (eager driver jobs); the search half is lazy.
+    ``train="local"`` (default) fits the codebooks on a bounded
+    driver-side sample (`pq_codebooks_local` -- one collect, numpy
+    Lloyd's); ``train="distributed"`` keeps every training step
+    relational (`pq_codebooks`). Like `ivf_topk`, CONSTRUCTING the
+    plan trains the quantizer (eager driver work); the search half is
+    lazy.
     """
-    books = pq_codebooks(
-        corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col,
-        max_iter=max_iter, sample_mod=sample_mod,
-    )
+    if train == "local":
+        books = pq_codebooks_local(
+            corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        books = pq_codebooks(
+            corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col,
+            max_iter=max_iter, sample_mod=sample_mod,
+        )
     dsub = len(books[0][0])
-
-    def codes_col() -> Column:
-        return F.array(*[
-            (-F.array_max(_l2_score_structs(
-                F.slice("cv", j * dsub + 1, dsub), books[j]
-            ))["nl"]).cast("int")
-            for j in range(m)
-        ])
 
     coded = corpus.select(
         F.col(id_col).cast("long").alias("neighbor_id"),
-        as_double(vec_col).alias("cv"),
-    ).withColumn("codes", codes_col()).select("neighbor_id", "codes")
+        _pq_codes(as_double(vec_col), _cells_lit(books), m, dsub)
+        .alias("codes"),
+    )
 
     # flat m*ks literal of codebook cells; tab[j*ks + c] = dot(q_j, cell)
     flat_cells = F.lit([books[j][c] for j in range(m) for c in range(ks)])

@@ -396,17 +396,18 @@ def test_pq_full_refine_equals_bruteforce(spark, emb):
 
 
 def test_pq_recall_at_5(spark, emb):
-    """ADC + top-32 re-rank on the near-random fixture: measured 0.69;
-    must comfortably beat the random-candidate floor (32/500)."""
+    """ADC + top-48 re-rank on the near-random fixture: measured 0.73
+    (local-trained codebooks); must comfortably beat the
+    random-candidate floor (48/500)."""
     from dataingestionengineprocess_spark.operators.quantize import pq_topk
 
     queries = emb.filter(F.col("vec_id") < 20)
     e = {(r.query_id, r.neighbor_id)
          for r in brute_force_topk(emb, queries, k=5).collect()}
     a = {(r.query_id, r.neighbor_id)
-         for r in pq_topk(emb, queries, k=5, refine=32).collect()}
+         for r in pq_topk(emb, queries, k=5, refine=48).collect()}
     recall = len(e & a) / len(e)
-    assert recall >= 0.5, f"PQ recall@5 = {recall:.2f}"
+    assert recall >= 0.55, f"PQ recall@5 = {recall:.2f}"
 
 
 def test_pq_codebooks_deterministic(spark, emb):
@@ -498,3 +499,16 @@ def test_semantic_dedup_kept_set_is_separated(spark, emb):
         .count()
     )
     assert viol == 0, f"{viol} same-cluster kept pairs above threshold"
+
+
+def test_pq_local_codebooks_deterministic(spark, emb):
+    """The driver-side training path must also be deterministic
+    (hash-ordered sample + fixed init)."""
+    from dataingestionengineprocess_spark.operators.quantize import (
+        pq_codebooks_local,
+    )
+
+    b1 = pq_codebooks_local(emb, m=8, ks=16)
+    b2 = pq_codebooks_local(emb, m=8, ks=16)
+    assert b1 == b2
+    assert len(b1) == 8 and all(len(bj) == 16 for bj in b1)
