@@ -38,9 +38,15 @@ from pyspark.sql.types import (
 )
 
 from ..functions.vectors import as_double, cosine, dot
-from .similarity import _centroid_score_structs, kmeans_centroids
+from .similarity import (
+    _centroid_score_structs,
+    kmeans_centroids,
+    kmeans_centroids_local,
+)
 
-__all__ = ["semantic_dedup", "pq_topk", "pq_codebooks"]
+__all__ = [
+    "semantic_dedup", "pq_topk", "pq_codebooks", "pq_codebooks_local",
+]
 
 
 # ---------------------------------------------------------------------------
@@ -59,7 +65,8 @@ _SEMDEDUP_SCHEMA = StructType([
 def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
                    n_clusters: int = 8, id_col: str = "vec_id",
                    vec_col: str = "embedding", kmeans_iter: int = 3,
-                   sample_mod: int | None = None) -> DataFrame:
+                   sample_mod: int | None = None,
+                   train: str = "local") -> DataFrame:
     """SemDeDup-style near-duplicate pruning over an embedding column.
 
     Returns one row per corpus vector:
@@ -74,7 +81,7 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
     broken by id so the output is deterministic.
 
     Scale design:
-    - The quantizer is the shared `kmeans_centroids` fit (literal
+    - The quantizer is a shared k-means fit (literal
       centroids, map-only assignment -- no shuffle to cluster).
       ``n_clusters`` should grow with the corpus so the expected
       cluster size stays bounded (the paper uses ~n/10k clusters);
@@ -90,10 +97,15 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
     import numpy as np
     import pandas as pd
 
-    cent = kmeans_centroids(
-        corpus, n_clusters, id_col=id_col, vec_col=vec_col,
-        max_iter=kmeans_iter, sample_mod=sample_mod,
-    )
+    if train == "local":
+        cent = kmeans_centroids_local(
+            corpus, n_clusters, id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        cent = kmeans_centroids(
+            corpus, n_clusters, id_col=id_col, vec_col=vec_col,
+            max_iter=kmeans_iter, sample_mod=sample_mod,
+        )
     cvecs = [list(r["carr"]) for r in
              sorted(cent.collect(), key=lambda r: r["clabel"])]
 
@@ -205,21 +217,23 @@ def pq_codebooks_local(corpus: DataFrame, m: int = 8, ks: int = 16,
     """
     import numpy as np
 
-    rows = (
+    # toPandas, not collect: one Arrow batch, no python Row objects
+    # (see kmeans_centroids_local -- the collect cost dwarfed the fit).
+    pdf = (
         corpus.select(F.col(id_col).alias("id"),
                       as_double(vec_col).alias("v"))
         .orderBy(F.xxhash64("id", F.lit(seed)), "id")
         .limit(train_rows)
-        .collect()
+        .toPandas()
     )
-    if len(rows) < ks:
+    if len(pdf) < ks:
         raise ValueError(f"corpus has fewer than ks={ks} vectors")
-    mat = np.array([r.v for r in rows])  # (n, dim)
+    mat = np.array(pdf["v"].tolist())    # (n, dim)
     dim = mat.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
-    sub = mat.reshape(len(rows), m, dsub)
+    sub = mat.reshape(len(pdf), m, dsub)
 
     books: list[list[list[float]]] = []
     for j in range(m):

@@ -266,6 +266,59 @@ def kmeans_centroids(corpus: DataFrame, n_clusters: int,
     return centroid_df(centroids)
 
 
+def kmeans_centroids_local(corpus: DataFrame, n_clusters: int,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           max_iter: int = 10, seed: int = 42,
+                           train_rows: int = 65536) -> DataFrame:
+    """`kmeans_centroids` semantics (spherical Lloyd's, same
+    (clabel, carr) output shape) fit on a bounded driver-side sample
+    with vectorized numpy -- the FAISS-style training split: the
+    model is k x dim floats that converge from ~10^5 vectors no
+    matter the corpus size, so training collects ONE deterministic
+    hash-ordered sample and iterates in milliseconds instead of one
+    Spark job per Lloyd's step. Assignment of the full corpus stays
+    map-only in the caller (literal centroids), exactly as with the
+    relational fit. Same init rule (smallest xxhash64(id, seed)), so
+    results are deterministic across runs; they differ from the
+    relational fit only by float-summation order and sample bounds.
+    """
+    import numpy as np
+
+    # toPandas, not collect: the sample lands as ONE Arrow batch
+    # (columnar, zero row-object materialization) -- collect() spent
+    # more time building python Rows than the whole Lloyd's fit.
+    pdf = (
+        corpus.select(F.col(id_col).alias("id"),
+                      as_double(vec_col).alias("v"))
+        .orderBy(F.xxhash64("id", F.lit(seed)), "id")
+        .limit(train_rows)
+        .toPandas()
+    )
+    if len(pdf) < n_clusters:
+        raise ValueError(
+            f"corpus has fewer than n_clusters={n_clusters} vectors"
+        )
+    x = np.array(pdf["v"].tolist())            # (n, dim)
+    cents = x[:n_clusters].copy()
+    for _ in range(max_iter):
+        units = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+        )
+        # argmax cosine, ties to the lowest centroid index (argmax
+        # returns the first max, matching the relational tie-break)
+        assign = (x @ units.T).argmax(axis=1)
+        for c in range(n_clusters):
+            mask = assign == c
+            if mask.any():
+                cents[c] = x[mask].mean(axis=0)
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(j, [float(v) for v in c]) for j, c in enumerate(cents)],
+        "clabel int, carr array<double>",
+    )
+
+
 def _centroid_vectors(corpus: DataFrame, vec_col: str,
                       label_col: str) -> DataFrame:
     """(clabel, carr) centroid vectors as array<double>, built
