@@ -50,8 +50,30 @@ _POINTER = "_LATEST"
 _WIDTH = 10  # zero-padded => lexicographic order == numeric order
 
 
-def _vname(n: int) -> str:
-    return f"v{n:0{_WIDTH}d}"
+def _vname(n: int, epoch: int | None = None) -> str:
+    """Version dir name; an exactly-once producer's epoch rides IN the
+    name (``v0000000007-e42``) so it commits atomically with the
+    snapshot's ``_SUCCESS`` marker -- a separate epoch file could land
+    before/after the marker and tear the dedup decision."""
+    base = f"v{n:0{_WIDTH}d}"
+    return base if epoch is None else f"{base}-e{epoch}"
+
+
+def _parse_vname(name: str) -> tuple[int, int | None] | None:
+    """(version, epoch|None) from a version dir name, else None."""
+    if not name.startswith("v"):
+        return None
+    body, _, esuf = name[1:].partition("-e")
+    try:
+        n = int(body)
+    except ValueError:
+        return None
+    if not esuf:
+        return n, None
+    try:
+        return n, int(esuf)
+    except ValueError:
+        return None
 
 
 class VersionedTable:
@@ -71,44 +93,41 @@ class VersionedTable:
     def _exists(self, p: str) -> bool:
         return self._fs.exists(self._hp(p))
 
-    def _committed(self, n: int) -> bool:
-        return self._exists(
-            os.path.join(self.path, _VDIR, _vname(n), "_SUCCESS")
-        )
+    def _dirs(self, committed_only: bool = True) -> dict[int, str]:
+        """version number -> dir name (``v…`` or ``v…-e…``)."""
+        vroot = os.path.join(self.path, _VDIR)
+        if not self._exists(vroot):
+            return {}
+        out: dict[int, str] = {}
+        for st in self._fs.listStatus(self._hp(vroot)):
+            name = st.getPath().getName()
+            parsed = _parse_vname(name) if st.isDirectory() else None
+            if parsed is None:
+                continue
+            n, _ = parsed
+            if committed_only and not self._exists(
+                os.path.join(vroot, name, "_SUCCESS")
+            ):
+                continue
+            out[n] = name
+        return out
 
     # -- introspection ------------------------------------------------------
 
     def versions(self) -> list[int]:
         """Committed version numbers, ascending."""
-        vroot = os.path.join(self.path, _VDIR)
-        if not self._exists(vroot):
-            return []
-        out = []
-        for st in self._fs.listStatus(self._hp(vroot)):
-            name = st.getPath().getName()
-            if st.isDirectory() and name.startswith("v"):
-                try:
-                    n = int(name[1:])
-                except ValueError:
-                    continue
-                if self._committed(n):
-                    out.append(n)
-        return sorted(out)
+        return sorted(self._dirs())
 
-    def _all_version_numbers(self) -> list[int]:
-        """Committed or not -- for claiming the next number."""
-        vroot = os.path.join(self.path, _VDIR)
-        if not self._exists(vroot):
-            return []
-        out = []
-        for st in self._fs.listStatus(self._hp(vroot)):
-            name = st.getPath().getName()
-            if st.isDirectory() and name.startswith("v"):
-                try:
-                    out.append(int(name[1:]))
-                except ValueError:
-                    continue
-        return sorted(out)
+    def last_epoch(self) -> int | None:
+        """Largest producer epoch among committed snapshots (None when
+        no snapshot carries one). The exactly-once question -- "has
+        this epoch already been applied?" -- reads from here."""
+        epochs = [
+            _parse_vname(name)[1]
+            for name in self._dirs().values()
+            if _parse_vname(name)[1] is not None
+        ]
+        return max(epochs) if epochs else None
 
     def current_version(self) -> int | None:
         """Largest committed version; the pointer is consulted first
@@ -127,33 +146,39 @@ class VersionedTable:
         resolves the current version at PLAN time and pins it -- the
         returned frame keeps reading that snapshot even if newer
         versions publish mid-query (snapshot isolation)."""
+        dirs = self._dirs()
         if version is None:
-            version = self.current_version()
-            if version is None:
+            if not dirs:
                 raise FileNotFoundError(
                     f"versioned table {self.path} has no committed version"
                 )
-        elif not self._committed(version):
+            version = max(dirs)
+        elif version not in dirs:
             raise FileNotFoundError(
                 f"{self.path} has no committed version {version}"
             )
         return self.spark.read.parquet(
-            os.path.join(self.path, _VDIR, _vname(version))
+            os.path.join(self.path, _VDIR, dirs[version])
         )
 
     # -- write --------------------------------------------------------------
 
-    def publish(self, df: DataFrame, n_files: int | None = None) -> int:
+    def publish(self, df: DataFrame, n_files: int | None = None,
+                epoch: int | None = None) -> int:
         """Write ``df`` as the next snapshot and make it current.
 
         Commit point = Spark's ``_SUCCESS`` marker in the new version
         dir; the pointer update after it is best-effort cache refresh.
         A crash before the marker leaves an invisible partial dir; a
         crash after it but before the pointer write still counts as
-        committed (readers resolve by listing)."""
-        existing = self._all_version_numbers()
-        n = (existing[-1] + 1) if existing else 1
-        target = os.path.join(self.path, _VDIR, _vname(n))
+        committed (readers resolve by listing).
+
+        ``epoch`` stamps an exactly-once producer id (e.g. a streaming
+        micro-batch epoch) into the version name, atomically with the
+        commit -- see `merge`'s replay dedup."""
+        pending = self._dirs(committed_only=False)
+        n = (max(pending) + 1) if pending else 1
+        target = os.path.join(self.path, _VDIR, _vname(n, epoch))
         writer = df.repartition(n_files) if n_files else df
         writer.write.mode("error").parquet(target)
         self._write_pointer(n)
@@ -183,11 +208,12 @@ class VersionedTable:
         table -- retention is the snapshot-isolation horizon."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        vs = self.versions()
+        dirs = self._dirs()
+        vs = sorted(dirs)
         doomed = vs[:-keep_last] if len(vs) > keep_last else []
         for n in doomed:
             self._fs.delete(
-                self._hp(os.path.join(self.path, _VDIR, _vname(n))), True
+                self._hp(os.path.join(self.path, _VDIR, dirs[n])), True
             )
         return {"expired": doomed, "kept": vs[len(doomed):]}
 
@@ -197,10 +223,11 @@ class VersionedTable:
         two-rename swap, concurrent readers are safe the whole time:
         they hold the old immutable snapshot; the flip is the commit
         marker of the new one."""
-        cur = self.current_version()
-        if cur is None:
+        dirs = self._dirs()
+        if not dirs:
             raise FileNotFoundError(f"nothing to compact at {self.path}")
-        vpath = os.path.join(self.path, _VDIR, _vname(cur))
+        cur = max(dirs)
+        vpath = os.path.join(self.path, _VDIR, dirs[cur])
         summary = self._fs.getContentSummary(self._hp(vpath))
         total = summary.getLength()
         n_files = max(1, math.ceil(total / target_file_bytes))
@@ -208,11 +235,24 @@ class VersionedTable:
         return {"from_version": cur, "to_version": new, "bytes": total}
 
     def merge(self, updates: DataFrame, keys: list[str],
-              order_col: str) -> dict:
+              order_col: str, epoch: int | None = None) -> dict:
         """Keep-latest MERGE as a snapshot publish (same semantics as
         `warehouse.merge_upsert`: greatest ``order_col`` per key wins,
         ties break toward the update). Metrics ride along on the
-        single write action via ``observe()`` -- no extra scans."""
+        single write action via ``observe()`` -- no extra scans.
+
+        ``epoch`` makes the merge EXACTLY-ONCE under micro-batch
+        replay: if a committed snapshot already carries an epoch >=
+        this one, the batch was applied before a checkpoint-lagged
+        retry and the call returns ``{"skipped": True}`` without
+        writing -- the foreachBatch idempotent-sink pattern, with the
+        applied-epoch record committed atomically inside the version
+        name instead of in a side store."""
+        if epoch is not None:
+            last = self.last_epoch()
+            if last is not None and epoch <= last:
+                return {"skipped": True, "epoch": epoch,
+                        "last_epoch": last}
         from pyspark.sql import Observation
         from pyspark.sql.window import Window
 
@@ -243,7 +283,7 @@ class VersionedTable:
             .drop("__rn", "__src")
             .observe(out_obs, F.count(F.lit(1)).alias("rows_after"))
         )
-        new = self.publish(survivors)
+        new = self.publish(survivors, epoch=epoch)
         inputs = in_obs.get
         return {
             "from_version": cur,

@@ -161,3 +161,12 @@ def test_domain_mix_rate_join_broadcasts(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "curation_domain_mix")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_chunk_windows_is_map_only(spark, sf_dir, qs):
+    """Context-window chunking must be pure scan-side fan-out:
+    tokenize + sequence + explode inside the scan stage, ZERO
+    exchanges -- the property that makes it free at 100 TB."""
+    plan = _plan(spark, sf_dir, qs, "curation_chunk_windows")
+    assert "Exchange" not in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan

@@ -131,3 +131,80 @@ def test_merge_tie_breaks_toward_update(spark, table):
     table.publish(_df(spark, [(1, "old", 10)]))
     table.merge(_df(spark, [(1, "new", 10)]), keys=["k"], order_col="ts")
     assert [r.val for r in table.read().collect()] == ["new"]
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once: epochs committed atomically in the version name
+# ---------------------------------------------------------------------------
+
+
+def test_merge_epoch_replay_is_skipped(spark, table):
+    """A replayed micro-batch epoch must be a no-op: the applied-epoch
+    record lives in the committed version's name, so the dedup
+    decision survives crashes between sink commit and checkpoint
+    commit."""
+    table.publish(_df(spark, [(1, "a", 10)]), epoch=1)
+    assert table.last_epoch() == 1
+
+    first = table.merge(_df(spark, [(2, "b", 20)]), keys=["k"],
+                        order_col="ts", epoch=2)
+    assert "skipped" not in first and table.last_epoch() == 2
+
+    replay = table.merge(_df(spark, [(2, "DIFFERENT", 99)]), keys=["k"],
+                         order_col="ts", epoch=2)
+    assert replay["skipped"] is True
+    assert {r.val for r in table.read().collect()} == {"a", "b"}
+    # older epochs are equally dead
+    stale = table.merge(_df(spark, [(3, "c", 1)]), keys=["k"],
+                        order_col="ts", epoch=1)
+    assert stale["skipped"] is True
+    assert table.read().count() == 2
+
+
+def test_upsert_stream_versioned_end_to_end(spark, tmp_path):
+    """Streaming keep-latest into a versioned table: final state is
+    correct, every batch became a snapshot, a checkpointed re-run adds
+    nothing, and a simulated epoch replay is skipped."""
+    from pyspark.sql import types as T
+
+    from dataingestionengineprocess_spark.pipeline import (
+        upsert_stream_versioned,
+    )
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("ver", T.LongType()),
+    ])
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl, ckpt = str(tmp_path / "vtbl"), str(tmp_path / "ckpt")
+    (src / "a.csv").write_text("k,v,ver\n1,old,1\n2,b,1\n1,dup_newer,2\n")
+    (src / "b.csv").write_text("k,v,ver\n1,new,3\n3,c,1\n")
+
+    upsert_stream_versioned(
+        spark, schema, str(src), tbl, keys=["k"], order_col="ver",
+        checkpoint_dir=ckpt, max_files_per_trigger=1,
+    ).awaitTermination()
+
+    vt = VersionedTable(spark, tbl)
+    got = {(r.k, r.v, r.ver) for r in vt.read().collect()}
+    assert got == {(1, "new", 3), (2, "b", 1), (3, "c", 1)}
+    assert len(vt.versions()) == 2          # one snapshot per batch
+    assert vt.last_epoch() == 1             # epochs 0, 1
+
+    # checkpointed re-run: file ledger delivers nothing new
+    upsert_stream_versioned(
+        spark, schema, str(src), tbl, keys=["k"], order_col="ver",
+        checkpoint_dir=ckpt,
+    ).awaitTermination()
+    assert len(vt.versions()) == 2
+    assert {(r.k, r.v, r.ver) for r in vt.read().collect()} == got
+
+    # simulated at-least-once replay of the LAST epoch hits the guard
+    replay = vt.merge(
+        spark.createDataFrame([(9, "ghost", 9)], schema),
+        keys=["k"], order_col="ver", epoch=1,
+    )
+    assert replay["skipped"] is True
+    assert {(r.k, r.v, r.ver) for r in vt.read().collect()} == got
