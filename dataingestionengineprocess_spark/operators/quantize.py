@@ -46,6 +46,7 @@ from .similarity import (
 
 __all__ = [
     "semantic_dedup", "pq_topk", "pq_codebooks", "pq_codebooks_local",
+    "build_pq_index", "pq_search_index",
 ]
 
 
@@ -374,12 +375,21 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             max_iter=max_iter, sample_mod=sample_mod,
         )
     dsub = len(books[0][0])
-
     coded = corpus.select(
         F.col(id_col).cast("long").alias("neighbor_id"),
         _pq_codes(as_double(vec_col), _cells_lit(books), m, dsub)
         .alias("codes"),
     )
+    return _pq_search(coded, books, corpus, queries, k=k, refine=refine,
+                      id_col=id_col, vec_col=vec_col)
+
+
+def _pq_search(coded: DataFrame, books: list[list[list[float]]],
+               corpus: DataFrame, queries: DataFrame, k: int,
+               refine: int, id_col: str, vec_col: str) -> DataFrame:
+    """ADC score + exact re-rank over an already-encoded codes frame
+    (shared by `pq_topk` and the persisted-index `pq_search_index`)."""
+    m, ks, dsub = len(books), len(books[0]), len(books[0][0])
 
     # flat m*ks literal of codebook cells; tab[j*ks + c] = dot(q_j, cell)
     flat_cells = F.lit([books[j][c] for j in range(m) for c in range(ks)])
@@ -433,3 +443,83 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ index: build once, search many
+# ---------------------------------------------------------------------------
+
+
+def build_pq_index(corpus: DataFrame, index_path: str, m: int = 8,
+                   ks: int = 16, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> dict:
+    """Materialize a PQ index as two versioned tables under
+    ``index_path``: ``codes`` (one row per corpus vector: id + m small
+    codes) and ``books`` (the m x ks codebook cells). This is the
+    production split `pq_topk`'s docstring promises: the raw-float
+    corpus is scanned ONCE at build time; every later search scans
+    only the codes table (m bytes per vector) plus a broadcast of the
+    few-KB codebooks.
+
+    Versioned storage means index rebuilds are atomic publishes --
+    searches running during a rebuild keep their pinned snapshot, and
+    a crashed rebuild is invisible. Returns {codes_version,
+    books_version, n_vectors}.
+    """
+    import os as _os
+
+    from ..sinks.versioned import VersionedTable
+
+    spark = corpus.sparkSession
+    books = pq_codebooks_local(
+        corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col,
+    )
+    dsub = len(books[0][0])
+    coded = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        _pq_codes(as_double(vec_col), _cells_lit(books), m, dsub)
+        .alias("codes"),
+    )
+    books_df = spark.createDataFrame(
+        [(j, c, books[j][c]) for j in range(m) for c in range(ks)],
+        "j int, c int, cell array<double>",
+    )
+    codes_t = VersionedTable(spark, _os.path.join(index_path, "codes"))
+    books_t = VersionedTable(spark, _os.path.join(index_path, "books"))
+    bv = books_t.publish(books_df)
+    cv = codes_t.publish(coded)
+    return {
+        "codes_version": cv,
+        "books_version": bv,
+        "n_vectors": codes_t.read(cv).count(),
+    }
+
+
+def pq_search_index(spark, index_path: str, queries: DataFrame,
+                    corpus: DataFrame, k: int = 5, refine: int = 48,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Search a persisted PQ index (`build_pq_index`): loads the
+    current ``books`` snapshot to the driver (m x ks cells, a few KB
+    -- the index *model*), scans the current ``codes`` snapshot for
+    ADC scoring, and re-ranks the survivors against ``corpus`` raw
+    vectors by id. The corpus argument exists ONLY for the final
+    ``refine``-row exact join; the scan side of the search never
+    touches it."""
+    import os as _os
+
+    from ..sinks.versioned import VersionedTable
+
+    books_rows = (
+        VersionedTable(spark, _os.path.join(index_path, "books"))
+        .read().collect()
+    )
+    cells: dict[tuple[int, int], list[float]] = {
+        (r.j, r.c): list(r.cell) for r in books_rows
+    }
+    m = 1 + max(j for j, _ in cells)
+    ks = 1 + max(c for _, c in cells)
+    books = [[cells[(j, c)] for c in range(ks)] for j in range(m)]
+    coded = VersionedTable(spark, _os.path.join(index_path, "codes")).read()
+    return _pq_search(coded, books, corpus, queries, k=k, refine=refine,
+                      id_col=id_col, vec_col=vec_col)

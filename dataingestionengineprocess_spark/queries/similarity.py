@@ -96,6 +96,26 @@ def knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@register("knn_pq_index_search")
+def knn_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The build-once/search-many PQ workflow: materialize the index
+    (codes + codebooks as versioned tables), then answer the top-k
+    from the persisted codes. Returns exactly what knn_pq_ann returns
+    (same training rule) -- asserted in pytest -- so the persisted
+    path is provably lossless vs the direct path. Rows-only check."""
+    import tempfile
+
+    from ..operators.quantize import build_pq_index, pq_search_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = tempfile.mkdtemp(prefix="pq_index_")
+    build_pq_index(emb, idx)
+    return pq_search_index(
+        spark, idx, queries, emb, k=5, refine=48
+    ).orderBy("query_id", "rank")
+
+
 @register("similarity_join_brp_lsh")
 def similarity_join_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH self-join (rows-only: bucket

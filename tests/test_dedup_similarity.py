@@ -512,3 +512,37 @@ def test_pq_local_codebooks_deterministic(spark, emb):
     b2 = pq_codebooks_local(emb, m=8, ks=16)
     assert b1 == b2
     assert len(b1) == 8 and all(len(bj) == 16 for bj in b1)
+
+
+def test_pq_persisted_index_matches_direct_search(spark, emb, tmp_path):
+    """build_pq_index + pq_search_index must return exactly what the
+    direct pq_topk returns (same codebook training rule), and the
+    index must survive a rebuild atomically (searches resolve the new
+    snapshot; the old one remains until expired)."""
+    from dataingestionengineprocess_spark.operators.quantize import (
+        build_pq_index,
+        pq_search_index,
+        pq_topk,
+    )
+    from dataingestionengineprocess_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    idx = str(tmp_path / "pq_index")
+    stats = build_pq_index(emb, idx)
+    assert stats["n_vectors"] == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    direct = sorted(map(tuple, pq_topk(
+        emb, queries, k=5, refine=48).collect()))
+    via_index = sorted(map(tuple, pq_search_index(
+        spark, idx, queries, emb, k=5, refine=48).collect()))
+    assert direct == via_index
+
+    # rebuild: a second publish; search now uses the new snapshot
+    build_pq_index(emb, idx)
+    codes_t = VersionedTable(spark, idx + "/codes")
+    assert codes_t.versions() == [1, 2]
+    again = sorted(map(tuple, pq_search_index(
+        spark, idx, queries, emb, k=5, refine=48).collect()))
+    assert again == direct
