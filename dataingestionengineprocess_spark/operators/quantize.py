@@ -67,7 +67,8 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
                    n_clusters: int = 8, id_col: str = "vec_id",
                    vec_col: str = "embedding", kmeans_iter: int = 3,
                    sample_mod: int | None = None,
-                   train: str = "local") -> DataFrame:
+                   train: str = "local",
+                   max_cluster: int | None = 200_000) -> DataFrame:
     """SemDeDup-style near-duplicate pruning over an embedding column.
 
     Returns one row per corpus vector:
@@ -94,6 +95,16 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
     - Pair decisions never leave their cluster, so clusters process
       in parallel and independently -- no global state, no driver
       loop.
+    - ``max_cluster`` bounds the memory of any one prune task: a
+      cluster larger than it (degenerate corpora -- mass-duplicated
+      boilerplate collapses into one cell) is salt-split
+      deterministically (xxhash64 of the id) into ceil(size/cap)
+      shards that prune independently. The documented tradeoff is
+      recall ACROSS shards of the same oversized cluster; soundness
+      (every drop has a kept rep at >= threshold) is unaffected. The
+      split is visible in the output: sharded rows keep their clabel,
+      so callers can count shards per cluster -- no silent behavior
+      change.
     """
     import numpy as np
     import pandas as pd
@@ -120,6 +131,28 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
         (best["score"] / F.sqrt(dot(as_double(vec_col), as_double(vec_col))))
         .alias("centroid_cos"),
     )
+
+    group_keys = ["clabel"]
+    if max_cluster:
+        sizes = assigned.groupBy("clabel").agg(
+            F.count(F.lit(1)).alias("__csize")
+        )
+        assigned = (
+            assigned.join(F.broadcast(sizes), "clabel")
+            .withColumn(
+                "__shard",
+                F.when(
+                    F.col("__csize") > max_cluster,
+                    F.pmod(
+                        F.xxhash64("vec_id"),
+                        F.ceil(F.col("__csize") / F.lit(max_cluster))
+                        .cast("long"),
+                    ),
+                ).otherwise(F.lit(0)).cast("int"),
+            )
+            .drop("__csize")
+        )
+        group_keys = ["clabel", "__shard"]
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
@@ -156,7 +189,9 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
             "rep_sim": [None if k else s for k, s in zip(keep, rep_sim)],
         })
 
-    return assigned.groupBy("clabel").applyInPandas(prune, _SEMDEDUP_SCHEMA)
+    return assigned.groupBy(*group_keys).applyInPandas(
+        prune, _SEMDEDUP_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -546,3 +546,42 @@ def test_pq_persisted_index_matches_direct_search(spark, emb, tmp_path):
     again = sorted(map(tuple, pq_search_index(
         spark, idx, queries, emb, k=5, refine=48).collect()))
     assert again == direct
+
+
+def test_semantic_dedup_oversized_cluster_salt_split(spark):
+    """A degenerate corpus (one cluster swallowing everything) must
+    salt-split into bounded shards: the prune still runs, every drop
+    decision stays sound, and near-identical copies that hash into
+    the same shard are still pruned."""
+    import numpy as np
+
+    from dataingestionengineprocess_spark.operators.quantize import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(3)
+    center = rng.normal(size=64)
+    center /= np.linalg.norm(center)
+    # 120 tiny perturbations of ONE vector: a single dense cluster
+    rows = [
+        (i, (center + rng.normal(size=64) * 0.01).astype("float32").tolist())
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = semantic_dedup(
+        df, threshold=0.95, n_clusters=2, kmeans_iter=2, max_cluster=30
+    ).collect()
+    assert len(out) == 120
+    kept = [r for r in out if r.keep]
+    dropped = [r for r in out if not r.keep]
+    # ~4 shards of ~30 near-identical vectors: each shard keeps ~1
+    assert len(dropped) >= 100, f"only {len(dropped)} dropped"
+    kept_ids = {r.vec_id for r in kept}
+    for r in dropped:
+        assert r.rep_sim >= 0.95 and r.rep_id in kept_ids
+    # un-capped, the same corpus collapses to ~1 representative
+    full = semantic_dedup(
+        df, threshold=0.95, n_clusters=2, kmeans_iter=2, max_cluster=None
+    ).collect()
+    assert sum(1 for r in full if r.keep) <= len(kept)
