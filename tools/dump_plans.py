@@ -32,6 +32,8 @@ SHOWCASE = [
     "dedup_ngram_jaccard",
     "curation_decontaminate",
     "curation_domain_mix",
+    # map-only chunk fan-out: the zero-exchange plan is the point
+    "curation_chunk_windows",
 ]
 
 
