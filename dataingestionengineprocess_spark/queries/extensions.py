@@ -302,3 +302,83 @@ def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_parts", "total_price",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Versioned-table snapshot diff (CDC between versions): publish the
+# orders fixture as snapshot v1, MERGE a deterministic correction
+# batch into v2, then diff the two snapshots. Exercises the
+# sinks/versioned layout (atomic publish + keep-latest merge + time
+# travel) inside the oracle gate: DuckDB recomputes the same diff
+# straight from the fixture, so any divergence in publish/merge/read
+# semantics hash-mismatches.
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0
+              THEN round(o_totalprice * 1.1, 2)
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate
+  FROM orders
+)
+SELECT v1.o_orderkey AS o_orderkey,
+       v1.o_totalprice AS old_price,
+       v2.o_totalprice AS new_price,
+       round(v2.o_totalprice - v1.o_totalprice, 2) AS price_delta
+FROM v1 JOIN v2 USING (o_orderkey)
+WHERE v1.o_totalprice <> v2.o_totalprice
+"""
+
+
+@register("warehouse_snapshot_diff", oracle=_SNAPSHOT_DIFF_ORACLE)
+def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two snapshots of a versioned table.
+
+    v1 = the orders fixture; v2 = v1 MERGEd with a correction batch
+    (every 97th order re-priced +10%, a later order date so
+    keep-latest picks it). The result reads BOTH snapshots via time
+    travel and reports the changed keys -- on a lakehouse table this
+    is the "what changed between versions" audit query, here proven
+    end-to-end against an oracle that recomputes the corrections
+    relationally.
+
+    Scale: the diff is one equi-join between two snapshot scans on the
+    table key; at 100 TB you'd partition both snapshots identically at
+    publish time so the join is co-located.
+    """
+    import tempfile
+
+    from ..sinks.versioned import VersionedTable
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vdiff_"))
+    v1 = vt.publish(base)
+    updates = (
+        base.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+        .withColumn("o_orderdate", F.date_add(F.col("o_orderdate"), 1))
+    )
+    vt.merge(updates, keys=["o_orderkey"], order_col="o_orderdate")
+
+    old = vt.read(v1).select(
+        F.col("o_orderkey"), F.col("o_totalprice").alias("old_price")
+    )
+    new = vt.read().select(
+        F.col("o_orderkey"), F.col("o_totalprice").alias("new_price")
+    )
+    return (
+        old.join(new, "o_orderkey")
+        .filter(F.col("old_price") != F.col("new_price"))
+        .select(
+            "o_orderkey", "old_price", "new_price",
+            F.round(F.col("new_price") - F.col("old_price"), 2)
+            .alias("price_delta"),
+        )
+    )
