@@ -208,3 +208,85 @@ def test_upsert_stream_versioned_end_to_end(spark, tmp_path):
     )
     assert replay["skipped"] is True
     assert {(r.k, r.v, r.ver) for r in vt.read().collect()} == got
+
+
+# ---------------------------------------------------------------------------
+# Model-based property: random op sequences vs a pure-python model
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _ops():
+    publish = st.tuples(
+        st.just("publish"),
+        st.lists(st.tuples(st.integers(0, 5), st.integers(0, 50)),
+                 min_size=1, max_size=4),
+    )
+    merge = st.tuples(
+        st.just("merge"),
+        st.lists(st.tuples(st.integers(0, 5), st.integers(0, 50)),
+                 min_size=1, max_size=4),
+    )
+    expire = st.tuples(st.just("expire"), st.integers(1, 3))
+    return st.lists(st.one_of(publish, merge, expire),
+                    min_size=1, max_size=6)
+
+
+@given(_ops())
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_versioned_table_matches_model(spark, tmp_path_factory, ops):
+    """Any publish/merge/expire sequence must leave the current
+    snapshot equal to a trivial in-memory model (dict keyed by k,
+    keep-latest on ts with update-wins ties), and every surviving
+    older version must replay to its historical model state."""
+    tmp = tmp_path_factory.mktemp("vt_model")
+    table = VersionedTable(spark, str(tmp / "tbl"))
+
+    model: dict[int, tuple[int, int]] = {}   # k -> (ts, seq)
+    history: dict[int, dict[int, tuple[int, int]]] = {}
+    seq = 0
+
+    def df_for(rows):
+        return spark.createDataFrame(
+            [(k, f"s{seq}_{i}", ts) for i, (k, ts) in enumerate(rows)],
+            "k int, val string, ts long",
+        )
+
+    for op, arg in ops:
+        if op == "publish" and not history:
+            # bootstrap only (mirrors upsert_stream_versioned): dedup
+            # keep-latest within the batch, update (later index) wins ties
+            batch = {}
+            for i, (k, ts) in enumerate(arg):
+                if k not in batch or ts >= batch[k][0]:
+                    batch[k] = (ts, i)
+            model = dict(batch)
+            rows = [(k, ts) for k, (ts, i) in sorted(batch.items())]
+            v = table.publish(spark.createDataFrame(
+                [(k, f"b{i}", ts) for i, (k, ts) in enumerate(rows)],
+                "k int, val string, ts long",
+            ))
+            history[v] = dict(model)
+        elif op in ("publish", "merge"):
+            if not history:
+                continue
+            for k, ts in arg:
+                if k not in model or ts >= model[k][0]:
+                    model[k] = (ts, seq)
+            v = table.merge(df_for(arg), keys=["k"], order_col="ts")[
+                "to_version"]
+            history[v] = dict(model)
+            seq += 1
+        else:  # expire
+            out = table.expire(keep_last=arg)
+            for gone in out["expired"]:
+                history.pop(gone, None)
+
+    for v, snap in history.items():
+        got = {r.k: r.ts for r in table.read(v).collect()}
+        assert got == {k: ts for k, (ts, _) in snap.items()}, (
+            f"version {v}: {got} != model"
+        )
