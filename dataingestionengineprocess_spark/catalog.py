@@ -31,6 +31,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def scratch_dir(tag: str, *parts: str) -> str:
+    """Stable per-(tag, parts) scratch path for queries that must
+    materialize intermediate tables (versioned-table demos, index
+    builds). Unlike ``tempfile.mkdtemp``, repeat invocations REUSE the
+    same location and wipe it first, so a driver or bench loop that
+    calls a query N times holds one copy on disk, not N leaked ones.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    suffix = hashlib.md5("|".join(parts).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"engine_scratch_{tag}_{suffix}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame.
 

@@ -110,6 +110,15 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
     import pandas as pd
 
     if train == "local":
+        if sample_mod is not None:
+            raise ValueError(
+                "sample_mod tunes the DISTRIBUTED trainer; the local "
+                "path is already sample-bounded (train_rows). Pass "
+                "train='distributed' to use it."
+            )
+        # kmeans_iter likewise tunes the distributed trainer (its
+        # per-iteration cost is a Spark job); the local fit iterates
+        # to its own cheap default.
         cent = kmeans_centroids_local(
             corpus, n_clusters, id_col=id_col, vec_col=vec_col,
         )
@@ -134,6 +143,12 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
 
     group_keys = ["clabel"]
     if max_cluster:
+        # The sizing aggregate and the main pass both consume
+        # `assigned` (a corpus scan + k-by-dim centroid scoring);
+        # materialize it once so the scoring isn't paid twice --
+        # the same localCheckpoint move the minhash banded-signature
+        # subtree makes for its 3x-referenced plan.
+        assigned = assigned.localCheckpoint()
         sizes = assigned.groupBy("clabel").agg(
             F.count(F.lit(1)).alias("__csize")
         )
@@ -253,15 +268,9 @@ def pq_codebooks_local(corpus: DataFrame, m: int = 8, ks: int = 16,
     """
     import numpy as np
 
-    # toPandas, not collect: one Arrow batch, no python Row objects
-    # (see kmeans_centroids_local -- the collect cost dwarfed the fit).
-    pdf = (
-        corpus.select(F.col(id_col).alias("id"),
-                      as_double(vec_col).alias("v"))
-        .orderBy(F.xxhash64("id", F.lit(seed)), "id")
-        .limit(train_rows)
-        .toPandas()
-    )
+    from .similarity import sample_vectors_pandas
+
+    pdf = sample_vectors_pandas(corpus, id_col, vec_col, train_rows, seed)
     if len(pdf) < ks:
         raise ValueError(f"corpus has fewer than ks={ks} vectors")
     mat = np.array(pdf["v"].tolist())    # (n, dim)
@@ -401,6 +410,12 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     lazy.
     """
     if train == "local":
+        if sample_mod is not None:
+            raise ValueError(
+                "sample_mod tunes the DISTRIBUTED trainer; the local "
+                "path is already sample-bounded (train_rows). Pass "
+                "train='distributed' to use it."
+            )
         books = pq_codebooks_local(
             corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col,
         )
@@ -488,21 +503,22 @@ def _pq_search(coded: DataFrame, books: list[list[list[float]]],
 def build_pq_index(corpus: DataFrame, index_path: str, m: int = 8,
                    ks: int = 16, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> dict:
-    """Materialize a PQ index as two versioned tables under
-    ``index_path``: ``codes`` (one row per corpus vector: id + m small
-    codes) and ``books`` (the m x ks codebook cells). This is the
-    production split `pq_topk`'s docstring promises: the raw-float
-    corpus is scanned ONCE at build time; every later search scans
-    only the codes table (m bytes per vector) plus a broadcast of the
-    few-KB codebooks.
+    """Materialize a PQ index as ONE versioned table: ``code`` rows
+    (one per corpus vector: id + m small codes) and ``cell`` rows (the
+    m x ks codebook cells) share a snapshot under a ``kind``
+    discriminator. This is the production split `pq_topk`'s docstring
+    promises: the raw-float corpus is scanned ONCE at build time;
+    every later search scans only the codes (m ints per vector) plus
+    the few-KB codebook rows.
 
-    Versioned storage means index rebuilds are atomic publishes --
-    searches running during a rebuild keep their pinned snapshot, and
-    a crashed rebuild is invisible. Returns {codes_version,
-    books_version, n_vectors}.
+    Codes are meaningless without the exact codebooks that produced
+    them, so both halves commit in the SAME snapshot -- a two-table
+    layout could crash between publishes (or race a reader) into new
+    codebooks paired with old codes, silently mis-scoring every
+    search. One snapshot = rebuilds are atomic, in-flight searches
+    keep their pinned version, and a crashed rebuild is invisible.
+    Returns {version, n_vectors}.
     """
-    import os as _os
-
     from ..sinks.versioned import VersionedTable
 
     spark = corpus.sparkSession
@@ -511,50 +527,50 @@ def build_pq_index(corpus: DataFrame, index_path: str, m: int = 8,
     )
     dsub = len(books[0][0])
     coded = corpus.select(
+        F.lit("code").alias("kind"),
         F.col(id_col).cast("long").alias("neighbor_id"),
         _pq_codes(as_double(vec_col), _cells_lit(books), m, dsub)
         .alias("codes"),
+        F.lit(None).cast("int").alias("j"),
+        F.lit(None).cast("int").alias("c"),
+        F.lit(None).cast("array<double>").alias("cell"),
     )
-    books_df = spark.createDataFrame(
-        [(j, c, books[j][c]) for j in range(m) for c in range(ks)],
+    cells = spark.createDataFrame(
+        [("cell", None, None, j, c, books[j][c])
+         for j in range(m) for c in range(ks)],
+        "kind string, neighbor_id long, codes array<int>, "
         "j int, c int, cell array<double>",
     )
-    codes_t = VersionedTable(spark, _os.path.join(index_path, "codes"))
-    books_t = VersionedTable(spark, _os.path.join(index_path, "books"))
-    bv = books_t.publish(books_df)
-    cv = codes_t.publish(coded)
-    return {
-        "codes_version": cv,
-        "books_version": bv,
-        "n_vectors": codes_t.read(cv).count(),
-    }
+    vt = VersionedTable(spark, index_path)
+    v = vt.publish(coded.unionByName(cells))
+    n = vt.read(v).filter(F.col("kind") == "code").count()
+    return {"version": v, "n_vectors": n}
 
 
 def pq_search_index(spark, index_path: str, queries: DataFrame,
                     corpus: DataFrame, k: int = 5, refine: int = 48,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
-    """Search a persisted PQ index (`build_pq_index`): loads the
-    current ``books`` snapshot to the driver (m x ks cells, a few KB
-    -- the index *model*), scans the current ``codes`` snapshot for
-    ADC scoring, and re-ranks the survivors against ``corpus`` raw
-    vectors by id. The corpus argument exists ONLY for the final
-    ``refine``-row exact join; the scan side of the search never
-    touches it."""
-    import os as _os
-
+    """Search a persisted PQ index (`build_pq_index`): resolves ONE
+    index snapshot, loads its codebook rows to the driver (m x ks
+    cells, a few KB -- the index *model*), scans its code rows for ADC
+    scoring, and re-ranks the survivors against ``corpus`` raw vectors
+    by id. Codes and codebooks come from the same pinned snapshot, so
+    a rebuild committing mid-search can never mix generations. The
+    corpus argument exists ONLY for the final ``refine``-row exact
+    join; the scan side of the search never touches it."""
     from ..sinks.versioned import VersionedTable
 
-    books_rows = (
-        VersionedTable(spark, _os.path.join(index_path, "books"))
-        .read().collect()
-    )
+    snap = VersionedTable(spark, index_path).read()
+    books_rows = snap.filter(F.col("kind") == "cell").collect()
     cells: dict[tuple[int, int], list[float]] = {
         (r.j, r.c): list(r.cell) for r in books_rows
     }
     m = 1 + max(j for j, _ in cells)
     ks = 1 + max(c for _, c in cells)
     books = [[cells[(j, c)] for c in range(ks)] for j in range(m)]
-    coded = VersionedTable(spark, _os.path.join(index_path, "codes")).read()
+    coded = snap.filter(F.col("kind") == "code").select(
+        "neighbor_id", "codes"
+    )
     return _pq_search(coded, books, corpus, queries, k=k, refine=refine,
                       id_col=id_col, vec_col=vec_col)

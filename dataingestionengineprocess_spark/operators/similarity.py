@@ -266,6 +266,23 @@ def kmeans_centroids(corpus: DataFrame, n_clusters: int,
     return centroid_df(centroids)
 
 
+def sample_vectors_pandas(corpus: DataFrame, id_col: str, vec_col: str,
+                          n_rows: int, seed: int):
+    """Deterministic bounded training sample as a pandas frame
+    (columns id, v): hash-ordered xxhash64(id, seed) top-n fetched as
+    ONE Arrow batch via toPandas -- collect() spends more time
+    building python Rows than a whole numpy Lloyd's fit. Shared by
+    every local (driver-side) quantizer trainer so the sampling rule
+    can never drift between them."""
+    return (
+        corpus.select(F.col(id_col).alias("id"),
+                      as_double(vec_col).alias("v"))
+        .orderBy(F.xxhash64("id", F.lit(seed)), "id")
+        .limit(n_rows)
+        .toPandas()
+    )
+
+
 def kmeans_centroids_local(corpus: DataFrame, n_clusters: int,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
@@ -285,16 +302,7 @@ def kmeans_centroids_local(corpus: DataFrame, n_clusters: int,
     """
     import numpy as np
 
-    # toPandas, not collect: the sample lands as ONE Arrow batch
-    # (columnar, zero row-object materialization) -- collect() spent
-    # more time building python Rows than the whole Lloyd's fit.
-    pdf = (
-        corpus.select(F.col(id_col).alias("id"),
-                      as_double(vec_col).alias("v"))
-        .orderBy(F.xxhash64("id", F.lit(seed)), "id")
-        .limit(train_rows)
-        .toPandas()
-    )
+    pdf = sample_vectors_pandas(corpus, id_col, vec_col, train_rows, seed)
     if len(pdf) < n_clusters:
         raise ValueError(
             f"corpus has fewer than n_clusters={n_clusters} vectors"

@@ -300,6 +300,17 @@ def upsert_stream(spark: SparkSession, schema: T.StructType, src_dir: str,
     )
 
 
+def checkpoint_app_id(checkpoint_dir: str) -> str:
+    """Producer id for exactly-once sinks: a stable 8-hex-char hash of
+    the checkpoint location. One checkpoint == one epoch sequence ==
+    one producer; a fresh checkpoint gets a fresh id."""
+    import hashlib
+
+    return hashlib.sha1(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:8]
+
+
 def upsert_stream_versioned(spark: SparkSession, schema: T.StructType,
                             src_dir: str, table_path: str, keys: list[str],
                             order_col: str, checkpoint_dir: str,
@@ -312,13 +323,19 @@ def upsert_stream_versioned(spark: SparkSession, schema: T.StructType,
     exactly-once END TO END: after a crash between sink commit and
     checkpoint commit, Structured Streaming re-delivers the epoch, and
     `VersionedTable.merge` sees a committed snapshot already carrying
-    that epoch (the id lives in the version dir name, atomic with the
-    snapshot's commit marker) and skips it -- the transactional-sink
-    pattern lakehouse formats implement with a txnAppId/txnVersion
-    log, here expressed with nothing but directories. Concurrent
-    readers stay on their pinned snapshot throughout (no merge
-    window where the table path is missing, unlike the plain-parquet
-    `upsert_stream`)."""
+    that (app, epoch) (the ids live in the version dir name, atomic
+    with the snapshot's commit marker) and skips it -- the
+    transactional-sink pattern lakehouse formats implement with a
+    txnAppId/txnVersion log, here expressed with nothing but
+    directories. The app id derives from the checkpoint location
+    (`checkpoint_app_id`) because that is exactly the scope in which
+    Structured Streaming promises monotone epochs: a stream restarted
+    with a FRESH checkpoint restarts at epoch 0 and must NOT be
+    deduplicated against the old stream's epochs -- its batches merge
+    normally (keep-latest semantics make reprocessing safe).
+    Concurrent readers stay on their pinned snapshot throughout (no
+    merge window where the table path is missing, unlike the
+    plain-parquet `upsert_stream`)."""
     from pyspark.sql.window import Window
 
     from .sinks.versioned import VersionedTable
@@ -332,6 +349,7 @@ def upsert_stream_versioned(spark: SparkSession, schema: T.StructType,
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.csv(src_dir)
     vt = VersionedTable(spark, table_path)
+    app = checkpoint_app_id(checkpoint_dir)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -342,11 +360,11 @@ def upsert_stream_versioned(spark: SparkSession, schema: T.StructType,
             vt.publish(
                 batch_df.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1).drop("__rn"),
-                epoch=epoch_id,
+                epoch=epoch_id, app=app,
             )
         else:
             vt.merge(batch_df, keys=keys, order_col=order_col,
-                     epoch=epoch_id)
+                     epoch=epoch_id, app=app)
 
     return (
         stream.writeStream

@@ -351,14 +351,13 @@ def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     table key; at 100 TB you'd partition both snapshots identically at
     publish time so the join is co-located.
     """
-    import tempfile
-
+    from ..catalog import scratch_dir
     from ..sinks.versioned import VersionedTable
 
     base = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderdate"
     )
-    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vdiff_"))
+    vt = VersionedTable(spark, scratch_dir("vdiff", sf_dir))
     v1 = vt.publish(base)
     updates = (
         base.filter(F.col("o_orderkey") % 97 == 0)

@@ -103,13 +103,12 @@ def knn_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the persisted codes. Returns exactly what knn_pq_ann returns
     (same training rule) -- asserted in pytest -- so the persisted
     path is provably lossless vs the direct path. Rows-only check."""
-    import tempfile
-
+    from ..catalog import scratch_dir
     from ..operators.quantize import build_pq_index, pq_search_index
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    idx = tempfile.mkdtemp(prefix="pq_index_")
+    idx = scratch_dir("pq_index", sf_dir)
     build_pq_index(emb, idx)
     return pq_search_index(
         spark, idx, queries, emb, k=5, refine=48

@@ -1,17 +1,18 @@
 """Versioned warehouse tables: atomic publish via immutable version
-directories + a pointer file.
+directories.
 
 `compact_table` / `merge_upsert` (warehouse.py) rewrite a table with a
 two-rename swap whose contract is single-writer / no-concurrent-reader
 (the table path briefly does not exist mid-swap). This module is the
 layout their docstrings point at for when that contract is too weak --
-the same snapshot pattern public table formats use (Iceberg's
-``version-hint.text``, Delta's ``_last_checkpoint``):
+the directory half of the snapshot pattern public table formats use:
 
     <table>/
-      _v/v0000000001/   immutable parquet snapshot (committed once
-      _v/v0000000002/     Spark's ``_SUCCESS`` marker lands)
-      _LATEST           one-line pointer: name of the current version
+      _v/v0000000001/              immutable parquet snapshot
+      _v/v0000000002-pAPP-e42/     (committed once Spark's _SUCCESS
+                                    marker lands; an exactly-once
+                                    producer's app id + epoch ride in
+                                    the name)
 
 Correctness rules, in order of authority:
 
@@ -20,60 +21,65 @@ Correctness rules, in order of authority:
    snapshots from a crashed publish are never visible and never
    block progress -- the next publish simply claims the next number.
 2. The source of truth for "current" is *the largest committed
-   version*. ``_LATEST`` is a cache of that answer: readers verify it
-   and fall back to listing when it is missing, stale, or pointing at
-   an uncommitted dir. Crash-between-write-and-pointer therefore
-   still yields a correct (new) read -- unlike a pointer-as-truth
-   design where losing the pointer loses the table.
+   version*, resolved by listing ``_v`` (dozens of entries, one cheap
+   RPC). No pointer file: a cached pointer either needs the listing
+   to validate anyway or becomes a second source of truth that can
+   disagree with the first.
 3. Version directories are immutable after commit. A reader that
    resolved version N keeps reading N's files for the whole query
    even while N+1 publishes -- no torn reads, no vanishing paths.
-   ``expire`` is the only mutation, and it refuses to touch the
-   newest ``keep_last`` committed versions.
+   ``expire`` is the only mutation; it refuses to touch the newest
+   ``keep_last`` committed versions AND any snapshot that is the
+   last record of a producer's applied epoch (the exactly-once
+   ledger -- see `merge`).
 
-At 100 TB the extra cost is one pointer read OR one tiny directory
-listing (dozens of entries) per query plan -- noise against the scan
--- and compaction/merge become always-online operations instead of
-maintenance-window ones.
+At 100 TB the extra cost is one tiny directory listing per query plan
+-- noise against the scan -- and compaction/merge become always-online
+operations instead of maintenance-window ones.
 """
 
 from __future__ import annotations
 
 import math
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _VDIR = "_v"
-_POINTER = "_LATEST"
 _WIDTH = 10  # zero-padded => lexicographic order == numeric order
+_NAME_RE = re.compile(
+    rf"^v(\d{{{_WIDTH}}})(?:-p([0-9a-f]{{1,16}}))?(?:-e(\d+))?$"
+)
 
 
-def _vname(n: int, epoch: int | None = None) -> str:
-    """Version dir name; an exactly-once producer's epoch rides IN the
-    name (``v0000000007-e42``) so it commits atomically with the
-    snapshot's ``_SUCCESS`` marker -- a separate epoch file could land
-    before/after the marker and tear the dedup decision."""
+def _vname(n: int, epoch: int | None = None, app: str | None = None) -> str:
+    """Version dir name; an exactly-once producer's (app, epoch) rides
+    IN the name (``v0000000007-p1a2b3c4d-e42``) so it commits
+    atomically with the snapshot's ``_SUCCESS`` marker -- a separate
+    marker file could land before/after the commit and tear the
+    replay-dedup decision. ``app`` scopes epochs to one producer
+    (e.g. one streaming checkpoint): epochs restart at 0 whenever a
+    stream gets a fresh checkpoint, so an UNscoped guard would
+    silently drop every batch of the new stream."""
+    if app is not None and not re.fullmatch(r"[0-9a-f]{1,16}", app):
+        raise ValueError(f"app must be 1-16 lowercase hex chars, got {app!r}")
     base = f"v{n:0{_WIDTH}d}"
-    return base if epoch is None else f"{base}-e{epoch}"
+    if app is not None:
+        base += f"-p{app}"
+    if epoch is not None:
+        base += f"-e{epoch}"
+    return base
 
 
-def _parse_vname(name: str) -> tuple[int, int | None] | None:
-    """(version, epoch|None) from a version dir name, else None."""
-    if not name.startswith("v"):
+def _parse_vname(name: str) -> tuple[int, str | None, int | None] | None:
+    """(version, app|None, epoch|None) from a version dir name."""
+    m = _NAME_RE.match(name)
+    if not m:
         return None
-    body, _, esuf = name[1:].partition("-e")
-    try:
-        n = int(body)
-    except ValueError:
-        return None
-    if not esuf:
-        return n, None
-    try:
-        return n, int(esuf)
-    except ValueError:
-        return None
+    n, app, epoch = m.groups()
+    return int(n), app, int(epoch) if epoch is not None else None
 
 
 class VersionedTable:
@@ -94,7 +100,7 @@ class VersionedTable:
         return self._fs.exists(self._hp(p))
 
     def _dirs(self, committed_only: bool = True) -> dict[int, str]:
-        """version number -> dir name (``v…`` or ``v…-e…``)."""
+        """version number -> dir name (``v…`` / ``v…-pAPP-eN``)."""
         vroot = os.path.join(self.path, _VDIR)
         if not self._exists(vroot):
             return {}
@@ -104,7 +110,7 @@ class VersionedTable:
             parsed = _parse_vname(name) if st.isDirectory() else None
             if parsed is None:
                 continue
-            n, _ = parsed
+            n = parsed[0]
             if committed_only and not self._exists(
                 os.path.join(vroot, name, "_SUCCESS")
             ):
@@ -118,24 +124,21 @@ class VersionedTable:
         """Committed version numbers, ascending."""
         return sorted(self._dirs())
 
-    def last_epoch(self) -> int | None:
-        """Largest producer epoch among committed snapshots (None when
-        no snapshot carries one). The exactly-once question -- "has
-        this epoch already been applied?" -- reads from here."""
+    def last_epoch(self, app: str | None = None) -> int | None:
+        """Largest applied epoch for producer ``app`` among committed
+        snapshots (None when that producer has none). The exactly-once
+        question -- "has this (app, epoch) already been applied?" --
+        reads from here. Epochs of OTHER producers are invisible:
+        they restart independently and must not suppress each other."""
         epochs = [
-            _parse_vname(name)[1]
-            for name in self._dirs().values()
-            if _parse_vname(name)[1] is not None
+            e for _, a, e in map(_parse_vname, self._dirs().values())
+            if e is not None and a == app
         ]
         return max(epochs) if epochs else None
 
     def current_version(self) -> int | None:
-        """Largest committed version; the pointer is consulted first
-        and trusted only when it names a committed dir >= any
-        committed dir the listing shows... which requires the listing
-        anyway -- so the pointer here is a fast-path HINT for engines
-        that cannot list cheaply, and a debugging breadcrumb; this
-        local implementation always verifies against the listing."""
+        """Largest committed version (resolved by listing -- the
+        single source of truth)."""
         vs = self.versions()
         return vs[-1] if vs else None
 
@@ -164,92 +167,101 @@ class VersionedTable:
     # -- write --------------------------------------------------------------
 
     def publish(self, df: DataFrame, n_files: int | None = None,
-                epoch: int | None = None) -> int:
+                epoch: int | None = None, app: str | None = None) -> int:
         """Write ``df`` as the next snapshot and make it current.
 
         Commit point = Spark's ``_SUCCESS`` marker in the new version
-        dir; the pointer update after it is best-effort cache refresh.
-        A crash before the marker leaves an invisible partial dir; a
-        crash after it but before the pointer write still counts as
-        committed (readers resolve by listing).
+        dir. A crash before the marker leaves an invisible partial
+        dir; the next publish claims a higher number.
 
-        ``epoch`` stamps an exactly-once producer id (e.g. a streaming
-        micro-batch epoch) into the version name, atomically with the
-        commit -- see `merge`'s replay dedup."""
+        ``(app, epoch)`` stamps an exactly-once producer id (e.g. a
+        streaming checkpoint + micro-batch epoch) into the version
+        name, atomically with the commit -- see `merge`'s replay
+        dedup."""
         pending = self._dirs(committed_only=False)
         n = (max(pending) + 1) if pending else 1
-        target = os.path.join(self.path, _VDIR, _vname(n, epoch))
+        target = os.path.join(self.path, _VDIR, _vname(n, epoch, app))
         writer = df.repartition(n_files) if n_files else df
         writer.write.mode("error").parquet(target)
-        self._write_pointer(n)
         return n
-
-    def _write_pointer(self, n: int) -> None:
-        tmp = os.path.join(self.path, f"{_POINTER}.{_vname(n)}.tmp")
-        out = self._fs.create(self._hp(tmp), True)
-        try:
-            out.write(bytearray(_vname(n).encode()))
-        finally:
-            out.close()
-        dest = self._hp(os.path.join(self.path, _POINTER))
-        # rename-over-existing is not portable: remove then rename.
-        # Losing the race (or crashing) between the two is harmless --
-        # the pointer is a hint, the listing is the truth.
-        self._fs.delete(dest, False)
-        if not self._fs.rename(self._hp(tmp), dest):
-            self._fs.delete(self._hp(tmp), False)
 
     # -- maintenance --------------------------------------------------------
 
     def expire(self, keep_last: int = 2) -> dict:
         """Delete snapshots older than the newest ``keep_last``
-        committed ones (never the current). Readers pinned to an
-        expired snapshot fail like readers of a vacuumed lakehouse
-        table -- retention is the snapshot-isolation horizon."""
+        committed ones -- EXCEPT any snapshot that is the newest
+        record of some producer's applied epoch. Those are the
+        exactly-once ledger: deleting the last ``-pAPP-eN`` dir would
+        make a checkpoint-lagged replay of epoch N look new and
+        re-apply it. (`compact` carries the newest stamp forward, so
+        under normal maintenance the protected snapshot soon becomes
+        old enough to release.) Readers pinned to an expired snapshot
+        fail like readers of a vacuumed lakehouse table -- retention
+        is the snapshot-isolation horizon."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         dirs = self._dirs()
         vs = sorted(dirs)
-        doomed = vs[:-keep_last] if len(vs) > keep_last else []
+        # newest version per (app) among epoch-stamped snapshots
+        ledger: dict[str | None, int] = {}
+        for n in vs:
+            _, app, epoch = _parse_vname(dirs[n])
+            if epoch is not None and n >= ledger.get(app, -1):
+                ledger[app] = n
+        protected = set(ledger.values())
+        doomed = [
+            n for n in (vs[:-keep_last] if len(vs) > keep_last else [])
+            if n not in protected
+        ]
         for n in doomed:
             self._fs.delete(
                 self._hp(os.path.join(self.path, _VDIR, dirs[n])), True
             )
-        return {"expired": doomed, "kept": vs[len(doomed):]}
+        return {"expired": doomed,
+                "kept": [n for n in vs if n not in doomed]}
 
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
         """Online OPTIMIZE: rewrite the current snapshot right-sized
         into a NEW version. Unlike `warehouse.compact_table`'s
         two-rename swap, concurrent readers are safe the whole time:
         they hold the old immutable snapshot; the flip is the commit
-        marker of the new one."""
+        marker of the new one. The source snapshot's (app, epoch)
+        stamp is carried forward so compaction never erases the
+        exactly-once ledger (see `expire`)."""
         dirs = self._dirs()
         if not dirs:
             raise FileNotFoundError(f"nothing to compact at {self.path}")
         cur = max(dirs)
+        _, app, epoch = _parse_vname(dirs[cur])
         vpath = os.path.join(self.path, _VDIR, dirs[cur])
         summary = self._fs.getContentSummary(self._hp(vpath))
         total = summary.getLength()
         n_files = max(1, math.ceil(total / target_file_bytes))
-        new = self.publish(self.read(cur), n_files=n_files)
+        new = self.publish(self.read(cur), n_files=n_files,
+                           epoch=epoch, app=app)
         return {"from_version": cur, "to_version": new, "bytes": total}
 
     def merge(self, updates: DataFrame, keys: list[str],
-              order_col: str, epoch: int | None = None) -> dict:
+              order_col: str, epoch: int | None = None,
+              app: str | None = None) -> dict:
         """Keep-latest MERGE as a snapshot publish (same semantics as
         `warehouse.merge_upsert`: greatest ``order_col`` per key wins,
         ties break toward the update). Metrics ride along on the
         single write action via ``observe()`` -- no extra scans.
 
-        ``epoch`` makes the merge EXACTLY-ONCE under micro-batch
-        replay: if a committed snapshot already carries an epoch >=
-        this one, the batch was applied before a checkpoint-lagged
-        retry and the call returns ``{"skipped": True}`` without
-        writing -- the foreachBatch idempotent-sink pattern, with the
+        ``(app, epoch)`` makes the merge EXACTLY-ONCE under micro-batch
+        replay: if a committed snapshot of the SAME producer (``app``)
+        already carries an epoch >= this one, the batch was applied
+        before a checkpoint-lagged retry and the call returns
+        ``{"skipped": True}`` without writing -- the foreachBatch
+        transactional-sink pattern (txnAppId/txnVersion), with the
         applied-epoch record committed atomically inside the version
-        name instead of in a side store."""
+        name instead of in a side store. A DIFFERENT producer's epochs
+        never suppress this one: a stream restarted with a fresh
+        checkpoint gets a fresh app id and its epoch 0 merges
+        normally (keep-latest semantics make the reprocessing safe)."""
         if epoch is not None:
-            last = self.last_epoch()
+            last = self.last_epoch(app)
             if last is not None and epoch <= last:
                 return {"skipped": True, "epoch": epoch,
                         "last_epoch": last}
@@ -283,7 +295,7 @@ class VersionedTable:
             .drop("__rn", "__src")
             .observe(out_obs, F.count(F.lit(1)).alias("rows_after"))
         )
-        new = self.publish(survivors, epoch=epoch)
+        new = self.publish(survivors, epoch=epoch, app=app)
         inputs = in_obs.get
         return {
             "from_version": cur,

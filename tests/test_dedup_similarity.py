@@ -539,10 +539,10 @@ def test_pq_persisted_index_matches_direct_search(spark, emb, tmp_path):
         spark, idx, queries, emb, k=5, refine=48).collect()))
     assert direct == via_index
 
-    # rebuild: a second publish; search now uses the new snapshot
+    # rebuild: a second atomic snapshot (codes + codebooks together);
+    # search now uses the new version
     build_pq_index(emb, idx)
-    codes_t = VersionedTable(spark, idx + "/codes")
-    assert codes_t.versions() == [1, 2]
+    assert VersionedTable(spark, idx).versions() == [1, 2]
     again = sorted(map(tuple, pq_search_index(
         spark, idx, queries, emb, k=5, refine=48).collect()))
     assert again == direct

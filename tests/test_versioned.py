@@ -70,10 +70,12 @@ def test_uncommitted_version_is_invisible(spark, table):
     assert table.versions() == [1, 3]
 
 
-def test_missing_pointer_falls_back_to_listing(spark, table):
+def test_listing_is_single_source_of_truth(spark, table):
+    """No pointer file exists to go stale: current resolves purely
+    from the version-dir listing."""
     table.publish(_df(spark, [(1, "a", 1)]))
     table.publish(_df(spark, [(1, "b", 2)]))
-    os.remove(os.path.join(table.path, "_LATEST"))
+    assert not os.path.exists(os.path.join(table.path, "_LATEST"))
     assert table.current_version() == 2
     assert [r.val for r in table.read().collect()] == ["b"]
 
@@ -187,11 +189,14 @@ def test_upsert_stream_versioned_end_to_end(spark, tmp_path):
         checkpoint_dir=ckpt, max_files_per_trigger=1,
     ).awaitTermination()
 
+    from dataingestionengineprocess_spark.pipeline import checkpoint_app_id
+
+    app = checkpoint_app_id(ckpt)
     vt = VersionedTable(spark, tbl)
     got = {(r.k, r.v, r.ver) for r in vt.read().collect()}
     assert got == {(1, "new", 3), (2, "b", 1), (3, "c", 1)}
     assert len(vt.versions()) == 2          # one snapshot per batch
-    assert vt.last_epoch() == 1             # epochs 0, 1
+    assert vt.last_epoch(app) == 1          # epochs 0, 1 for THIS app
 
     # checkpointed re-run: file ledger delivers nothing new
     upsert_stream_versioned(
@@ -204,9 +209,21 @@ def test_upsert_stream_versioned_end_to_end(spark, tmp_path):
     # simulated at-least-once replay of the LAST epoch hits the guard
     replay = vt.merge(
         spark.createDataFrame([(9, "ghost", 9)], schema),
-        keys=["k"], order_col="ver", epoch=1,
+        keys=["k"], order_col="ver", epoch=1, app=app,
     )
     assert replay["skipped"] is True
+    assert {(r.k, r.v, r.ver) for r in vt.read().collect()} == got
+
+    # a FRESH checkpoint is a new producer: its epoch 0 must NOT be
+    # suppressed by the old stream's epochs -- reprocessing proceeds
+    # (and keep-latest makes it idempotent on the data)
+    ckpt2 = str(tmp_path / "ckpt_fresh")
+    upsert_stream_versioned(
+        spark, schema, str(src), tbl, keys=["k"], order_col="ver",
+        checkpoint_dir=ckpt2,
+    ).awaitTermination()
+    assert len(vt.versions()) > 2, \
+        "new-checkpoint batches must merge, not be silently skipped"
     assert {(r.k, r.v, r.ver) for r in vt.read().collect()} == got
 
 
@@ -290,3 +307,35 @@ def test_versioned_table_matches_model(spark, tmp_path_factory, ops):
         assert got == {k: ts for k, (ts, _) in snap.items()}, (
             f"version {v}: {got} != model"
         )
+
+
+def test_expire_never_deletes_epoch_ledger(spark, table):
+    """The newest epoch-stamped snapshot per producer survives
+    retention even when older than the keep_last horizon: deleting it
+    would un-record the applied epoch and let a lagged replay
+    re-apply its batch."""
+    table.publish(_df(spark, [(1, "a", 1)]), epoch=7, app="aabb")
+    for i in range(2, 6):
+        table.publish(_df(spark, [(1, f"v{i}", i)]))   # no epoch
+    out = table.expire(keep_last=2)
+    assert 1 not in out["expired"], "epoch ledger must survive"
+    assert 1 in table.versions()
+    assert table.last_epoch("aabb") == 7
+    # and the replay guard still works after retention
+    replay = table.merge(_df(spark, [(9, "x", 9)]), keys=["k"],
+                         order_col="ts", epoch=7, app="aabb")
+    assert replay["skipped"] is True
+
+
+def test_compact_carries_epoch_stamp_forward(spark, table):
+    """Compaction republishes the current snapshot; losing its
+    (app, epoch) stamp would strand the exactly-once ledger on an
+    old version forever. After compact, the NEW current version holds
+    the stamp, so normal retention can eventually release the old
+    one."""
+    table.publish(_df(spark, [(1, "a", 1)]), epoch=3, app="cdcd")
+    table.compact(target_file_bytes=1 << 30)
+    assert table.last_epoch("cdcd") == 3
+    out = table.expire(keep_last=1)
+    assert out["expired"] == [1], "old snapshot releasable post-compact"
+    assert table.last_epoch("cdcd") == 3
