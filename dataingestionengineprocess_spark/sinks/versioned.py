@@ -142,6 +142,31 @@ class VersionedTable:
         vs = self.versions()
         return vs[-1] if vs else None
 
+    def history(self) -> DataFrame:
+        """One row per committed snapshot (the DESCRIBE HISTORY
+        equivalent): version, producer app/epoch stamps, byte size,
+        file count, and whether it is current. Driver-side listing
+        only -- no data files are opened."""
+        rows = []
+        cur = None
+        dirs = self._dirs()
+        if dirs:
+            cur = max(dirs)
+        for n in sorted(dirs):
+            _, app, epoch = _parse_vname(dirs[n])
+            summary = self._fs.getContentSummary(
+                self._hp(os.path.join(self.path, _VDIR, dirs[n]))
+            )
+            rows.append((
+                n, app, epoch, summary.getLength(),
+                int(summary.getFileCount()), n == cur,
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "version int, app string, epoch long, bytes long, "
+            "n_files int, is_current boolean",
+        )
+
     # -- read ---------------------------------------------------------------
 
     def read(self, version: int | None = None) -> DataFrame:

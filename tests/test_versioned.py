@@ -339,3 +339,17 @@ def test_compact_carries_epoch_stamp_forward(spark, table):
     out = table.expire(keep_last=1)
     assert out["expired"] == [1], "old snapshot releasable post-compact"
     assert table.last_epoch("cdcd") == 3
+
+
+def test_history_lists_snapshots_with_stamps(spark, table):
+    table.publish(_df(spark, [(1, "a", 1)]), epoch=0, app="abcd")
+    table.merge(_df(spark, [(2, "b", 2)]), keys=["k"], order_col="ts",
+                epoch=1, app="abcd")
+    table.publish(_df(spark, [(3, "c", 3)]))
+    h = {r.version: r for r in table.history().collect()}
+    assert set(h) == {1, 2, 3}
+    assert h[1].app == "abcd" and h[1].epoch == 0
+    assert h[2].app == "abcd" and h[2].epoch == 1
+    assert h[3].app is None and h[3].epoch is None
+    assert h[3].is_current and not h[1].is_current
+    assert all(r.bytes > 0 and r.n_files > 0 for r in h.values())
