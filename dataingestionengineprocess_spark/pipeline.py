@@ -336,10 +336,6 @@ def upsert_stream_versioned(spark: SparkSession, schema: T.StructType,
     Concurrent readers stay on their pinned snapshot throughout (no
     merge window where the table path is missing, unlike the
     plain-parquet `upsert_stream`)."""
-    from pyspark.sql.window import Window
-
-    from .sinks.versioned import VersionedTable
-
     reader = (
         spark.readStream.schema(schema)
         .option("header", True)
@@ -347,7 +343,23 @@ def upsert_stream_versioned(spark: SparkSession, schema: T.StructType,
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.csv(src_dir)
+    return upsert_stream_into_versioned(
+        reader.csv(src_dir), table_path, keys, order_col, checkpoint_dir
+    )
+
+
+def upsert_stream_into_versioned(stream: DataFrame, table_path: str,
+                                 keys: list[str], order_col: str,
+                                 checkpoint_dir: str):
+    """Core of `upsert_stream_versioned` for an already-built
+    streaming DataFrame: every micro-batch keep-latest-MERGEs into the
+    versioned table, stamped (checkpoint-derived app, epoch) for
+    exactly-once replay dedup."""
+    from pyspark.sql.window import Window
+
+    from .sinks.versioned import VersionedTable
+
+    spark = stream.sparkSession
     vt = VersionedTable(spark, table_path)
     app = checkpoint_app_id(checkpoint_dir)
 

@@ -450,3 +450,69 @@ def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once streaming MERGE into a versioned table, inside the
+# oracle gate: replay the events fixture as two deterministic file
+# batches, keep-latest-upsert per user into snapshot versions, read
+# the final table. The drained result is a pure function of the
+# fixture, so DuckDB oracles it with a keep-latest window -- any
+# divergence in the snapshot/merge/epoch machinery hash-mismatches.
+# ---------------------------------------------------------------------------
+
+_UPSERT_VERSIONED_ORACLE = """
+SELECT user_id, event_id, ts, event_type, round(value, 2) AS value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@register("stream_upsert_versioned_latest", oracle=_UPSERT_VERSIONED_ORACLE)
+def stream_upsert_versioned_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user maintained as a versioned keep-latest
+    table fed by a micro-batch stream (ST7+ exactly-once path).
+
+    The fixture splits into two deterministic files (even/odd
+    event_id) streamed one per trigger, so at least one real MERGE
+    (not just the bootstrap publish) executes; keep-latest by the
+    total order (ts, event_id) makes the final state independent of
+    batch arrival order. Scratch dirs are wiped per call, so repeat
+    invocations re-run the whole stream identically.
+    """
+    import os
+
+    from ..catalog import load, scratch_dir
+    from ..pipeline import upsert_stream_into_versioned
+    from ..sinks.versioned import VersionedTable
+
+    scratch = scratch_dir("vupsert", sf_dir)
+    src = os.path.join(scratch, "src")
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    for parity in (0, 1):
+        (events.filter(F.col("event_id") % 2 == parity)
+         .coalesce(1).write.mode("append").parquet(src))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ord", F.struct("ts", "event_id"))
+    )
+    tbl = os.path.join(scratch, "tbl")
+    upsert_stream_into_versioned(
+        stream, tbl, keys=["user_id"], order_col="ord",
+        checkpoint_dir=os.path.join(scratch, "ck"),
+    ).awaitTermination()
+
+    return (
+        VersionedTable(spark, tbl).read()
+        .select("user_id", "event_id", "ts", "event_type",
+                F.round("value", 2).alias("value"))
+    )
