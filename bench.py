@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "dedup_semantic_embedding",
     "knn_pq_ann",
     "curation_chunk_windows",
+    # exactly-once streaming MERGE into versioned snapshots
+    "stream_upsert_versioned_latest",
 ]
 
 

@@ -354,7 +354,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              vec_col: str = "embedding",
              label_col: str | None = None,
              n_lists: int = 8, kmeans_iter: int = 5,
-             kmeans_sample_mod: int | None = None) -> DataFrame:
+             kmeans_sample_mod: int | None = None,
+             train: str = "distributed") -> DataFrame:
     """IVF-style approximate top-k: inverted-file partition by nearest
     centroid, search only the `nprobe` closest lists per query.
 
@@ -387,13 +388,21 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     only the probe/search half is lazy. Plan-only consumers should
     expect driver jobs at build time.
     """
-    if label_col is None:
+    if label_col is not None:
+        cent = _centroid_vectors(corpus, vec_col, label_col)
+    elif train == "local":
+        # Bounded driver-side fit (see kmeans_centroids_local): the
+        # deployable default when quantizer-training Spark jobs are
+        # not worth their fixed cost. Distributed stays the default
+        # here for back-compat and as the never-collect exemplar.
+        cent = kmeans_centroids_local(
+            corpus, n_lists, id_col=id_col, vec_col=vec_col,
+        )
+    else:
         cent = kmeans_centroids(
             corpus, n_lists, id_col=id_col, vec_col=vec_col,
             max_iter=kmeans_iter, sample_mod=kmeans_sample_mod,
         )
-    else:
-        cent = _centroid_vectors(corpus, vec_col, label_col)
 
     # (label value, vector) sorted by label -- index j stands in for
     # the label in tie-breaks (ascending label == ascending j).

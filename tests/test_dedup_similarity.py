@@ -585,3 +585,15 @@ def test_semantic_dedup_oversized_cluster_salt_split(spark):
         df, threshold=0.95, n_clusters=2, kmeans_iter=2, max_cluster=None
     ).collect()
     assert sum(1 for r in full if r.keep) <= len(kept)
+
+
+def test_ivf_local_training_full_probe_equals_bruteforce(spark, emb):
+    """Exhaustive probe must equal brute force REGARDLESS of which
+    trainer fit the quantizer -- the partition only decides what gets
+    probed, never the scores."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5)
+    full = ivf_topk(emb, queries, k=5, nprobe=8, n_lists=8, train="local")
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, full.collect())
+    )
