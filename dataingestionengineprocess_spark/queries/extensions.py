@@ -366,18 +366,15 @@ def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vt.merge(updates, keys=["o_orderkey"], order_col="o_orderdate")
 
-    old = vt.read(v1).select(
-        F.col("o_orderkey"), F.col("o_totalprice").alias("old_price")
-    )
-    new = vt.read().select(
-        F.col("o_orderkey"), F.col("o_totalprice").alias("new_price")
-    )
     return (
-        old.join(new, "o_orderkey")
-        .filter(F.col("old_price") != F.col("new_price"))
+        vt.diff(keys=["o_orderkey"], v_from=v1)
+        .filter(F.col("change_type") == "update")
         .select(
-            "o_orderkey", "old_price", "new_price",
-            F.round(F.col("new_price") - F.col("old_price"), 2)
-            .alias("price_delta"),
+            "o_orderkey",
+            F.col("old.o_totalprice").alias("old_price"),
+            F.col("new.o_totalprice").alias("new_price"),
+            F.round(
+                F.col("new.o_totalprice") - F.col("old.o_totalprice"), 2
+            ).alias("price_delta"),
         )
     )

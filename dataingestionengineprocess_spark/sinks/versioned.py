@@ -210,6 +210,40 @@ class VersionedTable:
         writer.write.mode("error").parquet(target)
         return n
 
+    def diff(self, keys: list[str], v_from: int,
+             v_to: int | None = None) -> DataFrame:
+        """Change-data-capture between two snapshots: one row per key
+        whose presence or payload changed, with ``change_type`` in
+        {insert, delete, update} and the full old/new payloads as
+        structs (NULL on the missing side). ``v_to=None`` diffs
+        against current.
+
+        One full-outer equi-join on the key across two snapshot scans
+        -- at 100 TB, publish both snapshots partitioned by the key so
+        the join is co-located. Payload comparison is struct equality
+        over the non-key columns (null-safe)."""
+        new_v = self.current_version() if v_to is None else v_to
+        old_df, new_df = self.read(v_from), self.read(new_v)
+        payload = [c for c in old_df.columns if c not in keys]
+        old_s = old_df.select(
+            *keys, F.struct(*payload).alias("old")
+        )
+        new_s = new_df.select(
+            *keys, F.struct(*payload).alias("new")
+        )
+        joined = old_s.join(new_s, keys, "full_outer")
+        return (
+            joined.withColumn(
+                "change_type",
+                F.when(F.col("old").isNull(), F.lit("insert"))
+                .when(F.col("new").isNull(), F.lit("delete"))
+                .when(~F.col("old").eqNullSafe(F.col("new")),
+                      F.lit("update")),
+            )
+            .filter(F.col("change_type").isNotNull())
+            .select(*keys, "change_type", "old", "new")
+        )
+
     # -- maintenance --------------------------------------------------------
 
     def expire(self, keep_last: int = 2) -> dict:

@@ -353,3 +353,17 @@ def test_history_lists_snapshots_with_stamps(spark, table):
     assert h[3].app is None and h[3].epoch is None
     assert h[3].is_current and not h[1].is_current
     assert all(r.bytes > 0 and r.n_files > 0 for r in h.values())
+
+
+def test_diff_reports_inserts_updates_deletes(spark, table):
+    table.publish(_df(spark, [(1, "a", 10), (2, "b", 10), (3, "c", 10)]))
+    # v2: 2 updated, 3 deleted, 4 inserted, 1 unchanged
+    table.publish(_df(spark, [(1, "a", 10), (2, "b2", 20), (4, "d", 20)]))
+    d = {r.k: r for r in table.diff(keys=["k"], v_from=1).collect()}
+    assert set(d) == {2, 3, 4}
+    assert d[2].change_type == "update" and d[2].old.val == "b" \
+        and d[2].new.val == "b2"
+    assert d[3].change_type == "delete" and d[3].new is None
+    assert d[4].change_type == "insert" and d[4].old is None
+    # self-diff is empty
+    assert table.diff(keys=["k"], v_from=2, v_to=2).count() == 0
