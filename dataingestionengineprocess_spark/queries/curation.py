@@ -511,3 +511,98 @@ def curation_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_hash"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level sequence packing: the two steps a trainer pipeline
+# actually chains -- split documents into token windows, then pack the
+# CHUNKS (not the raw docs) into fixed budgets, so no pack ever holds
+# a fragment longer than the window.
+# ---------------------------------------------------------------------------
+
+_CHUNK_PACKING_ORACLE = f"""
+WITH t AS (
+  SELECT d.doc_id, d.source, string_split(d.text, ' ') AS toks,
+         len(string_split(d.text, ' ')) AS n
+  FROM documents d
+),
+chunks AS (
+  SELECT doc_id, source,
+         unnest(generate_series(
+             0, CAST(ceil(greatest(0, n - {CHUNK_TOKENS})
+                          / {CHUNK_STRIDE}.0) AS BIGINT))) AS chunk_id,
+         n
+  FROM t
+),
+sized AS (
+  SELECT doc_id, source, chunk_id,
+         least({CHUNK_TOKENS}, n - chunk_id * {CHUNK_STRIDE}) AS chunk_tokens
+  FROM chunks
+),
+cum AS (
+  SELECT source, doc_id, chunk_id, chunk_tokens,
+         sum(chunk_tokens) OVER (PARTITION BY source
+                                 ORDER BY doc_id, chunk_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW)
+             - chunk_tokens AS prev_cum
+  FROM sized
+)
+SELECT source,
+       CAST(floor(prev_cum / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+       count(*)                                          AS n_chunks,
+       CAST(sum(chunk_tokens) AS BIGINT)                 AS pack_tokens
+FROM cum
+GROUP BY source, pack_id
+"""
+
+
+@register("curation_chunk_packing", oracle=_CHUNK_PACKING_ORACLE)
+def curation_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack overlapping context-window chunks into fixed token
+    budgets: chunk fan-out (map-only, `curation_chunk_windows`'
+    shape) feeds the per-source cumulative-sum pack assignment
+    (`curation_sequence_packing`'s shape). Composing the two is the
+    actual trainer data path; the only wide stage remains the one
+    window shuffle on the packing key."""
+    toks = tokens("text")
+    n = F.size(toks)
+    i_max = F.ceil(
+        F.greatest(F.lit(0), n - F.lit(CHUNK_TOKENS))
+        / F.lit(float(CHUNK_STRIDE))
+    ).cast("int")
+    start = F.col("chunk_id").cast("long") * CHUNK_STRIDE
+    chunks = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "source", n.alias("n"),
+            F.explode(F.sequence(F.lit(0), i_max)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id", "source",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.least(F.lit(CHUNK_TOKENS), F.col("n") - start).cast("long")
+            .alias("chunk_tokens"),
+        )
+    )
+    w = (
+        W.partitionBy("source").orderBy("doc_id", "chunk_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        chunks
+        .withColumn(
+            "prev_cum",
+            F.sum("chunk_tokens").over(w) - F.col("chunk_tokens"),
+        )
+        .withColumn(
+            "pack_id",
+            F.floor(F.col("prev_cum") / F.lit(float(PACK_BUDGET)))
+            .cast("long"),
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_tokens").cast("long").alias("pack_tokens"),
+        )
+    )
