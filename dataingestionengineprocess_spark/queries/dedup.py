@@ -244,3 +244,83 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         emb, threshold=0.92, n_clusters=8, kmeans_iter=3
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Capstone: the deduplicated corpus itself. Chains the whole near-dup
+# pipeline -- PPJoin candidate pairs -> connected components ->
+# canonical member per cluster -> anti-join the drops out of the
+# corpus. The oracle recomputes everything from scratch (exact
+# Jaccard pairs + recursive-CTE components), so the full chain is
+# hash-checked end to end, not just its stages.
+# ---------------------------------------------------------------------------
+
+_CANONICAL_CORPUS_ORACLE = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                               for i in range(1, len(t) - 1)])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 3
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+comp AS (
+  SELECT s AS doc_id, least(min(d), s) AS component_id
+  FROM reach GROUP BY s
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.doc_id = c.component_id
+"""
+
+
+@register("dedup_canonical_corpus", oracle=_CANONICAL_CORPUS_ORACLE)
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus a training run would actually consume: every
+    near-dup cluster collapsed to its canonical (min-id) member,
+    singletons untouched.
+
+    Pipeline: PPJoin prefix-filtered exact-Jaccard pairs (candidate
+    space bounded by rare-prefix collisions) -> iterative
+    label-propagation components -> keep = canonical or unclustered,
+    applied as a broadcast anti-join against the drop set (clusters
+    are a vanishing fraction of a real corpus, so the drop set is the
+    small side)."""
+    from ..operators.components import (
+        canonical_per_component,
+        connected_components,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = prefix_filter_jaccard_pairs(docs, n=3, threshold=0.6)
+    cc = connected_components(pairs, "id_a", "id_b")
+    drops = (
+        canonical_per_component(cc)
+        .filter(~F.col("keep"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return docs.join(
+        F.broadcast(drops), "doc_id", "left_anti"
+    ).select("doc_id", "lang", "source", "n_chars")
