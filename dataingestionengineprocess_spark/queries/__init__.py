@@ -117,7 +117,13 @@ def all_queries() -> dict[str, QueryFn]:
         # driver rounds, and a stable iteration order matters more
         # than noticing a mid-session artifact drop
         _VERIFIED = _driver_verified_names()
-    ordered = [n for n in QUERIES if n not in _VERIFIED]
+    # Three tiers, front to back: unverified queries WITH an oracle
+    # (each one the driver checks is a full hash comparison), then
+    # unverified rows-only queries (weaker check, still evidence),
+    # then everything already covered by a prior round's artifact.
+    # Within each tier the import order above is preserved.
+    ordered = [n for n in QUERIES if n not in _VERIFIED and n in ORACLES]
+    ordered += [n for n in QUERIES if n not in _VERIFIED and n not in ORACLES]
     ordered += [n for n in QUERIES if n in _VERIFIED]
     return {n: QUERIES[n] for n in ordered}
 

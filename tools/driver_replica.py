@@ -1,0 +1,114 @@
+"""Pre-flight the driver's correctness gate locally.
+
+Replicates what the driver does each round: take the first N entries
+of ``__spark_entry__.queries()`` (the driver checks a bounded window
+from the front), run each at sf0.01 on Spark AND its ``oracle_sql()``
+on DuckDB, compare row count + sorted column names + an
+order-insensitive value digest. Prints one line per query and a
+summary, exits non-zero on any mismatch.
+
+    python tools/driver_replica.py [N] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+SF = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+
+def _norm_cell(v) -> str:
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, float) and v == 0.0:
+        return "0.0"
+    if isinstance(v, (pd.Timestamp, dt.datetime, dt.date, np.datetime64)):
+        return str(pd.Timestamp(v))
+    if isinstance(v, float):
+        return repr(round(v, 9))
+    if isinstance(v, np.integer):
+        return str(int(v))
+    if isinstance(v, np.floating):
+        return _norm_cell(float(v))
+    if isinstance(v, (list, np.ndarray)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def digest(df: pd.DataFrame) -> str:
+    cols = sorted(df.columns)
+    rows = sorted(
+        ",".join(_norm_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    )
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(r.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    from dataingestionengineprocess_spark.catalog import TABLES, table_path
+    from dataingestionengineprocess_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    spark = get_spark()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(SF, t)}')"
+        )
+
+    names = list(qs)[:N]
+    failures = []
+    for i, name in enumerate(names):
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"{i:3d} {name:40s} SPARK-ERROR {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"{i:3d} {name:40s} rows-only rows={len(sdf)} "
+                  f"{time.time() - t0:.1f}s")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"{i:3d} {name:40s} ORACLE-ERROR {type(e).__name__}: {e}")
+            continue
+        ok_rows = len(sdf) == len(odf)
+        ok_cols = sorted(sdf.columns) == sorted(odf.columns)
+        ok_hash = ok_rows and ok_cols and digest(sdf) == digest(odf)
+        status = "PASS" if ok_hash else "FAIL"
+        if not ok_hash:
+            failures.append(name)
+        print(f"{i:3d} {name:40s} {status} rows={len(sdf)}/{len(odf)} "
+              f"cols={'ok' if ok_cols else sorted(sdf.columns)} "
+              f"{time.time() - t0:.1f}s")
+    print(f"\n{len(names) - len(failures)}/{len(names)} pass; "
+          f"failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
