@@ -441,20 +441,47 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         - F.ceil(F.lit(t_eff) * F.col("n") - F.lit(1e-9))
         + 1
     ).cast("int")
-    # Candidate generation stays NARROW: only (id, prefix-shingle)
-    # rows enter the self-join and only (id_a, id_b) pairs get
-    # deduplicated -- the full shingle arrays would otherwise ride
-    # through two shuffles. Verification re-joins the arrays once per
-    # side afterwards (the same narrow-pair-dedup move
-    # minhash_neardup_pairs makes).
+    # Candidate generation stays NARROW: only (id, prefix-shingle,
+    # position, set-size) rows enter the self-join and only
+    # (id_a, id_b) pairs get deduplicated -- the full shingle arrays
+    # would otherwise ride through two shuffles. Verification re-joins
+    # the arrays once per side afterwards (the same narrow-pair-dedup
+    # move minhash_neardup_pairs makes).
     pref = toksets.select(
-        "id", F.explode(F.slice("toks", F.lit(1), plen)).alias("p")
+        "id", F.col("n"),
+        F.posexplode(F.slice("toks", F.lit(1), plen)).alias("pos0", "p"),
+    ).select("id", "n", (F.col("pos0") + 1).alias("pos"), "p")
+    a = pref.select(F.col("id").alias("id_a"), F.col("n").alias("pna"),
+                    F.col("pos").alias("pia"), "p")
+    b = pref.select(F.col("id").alias("id_b"), F.col("n").alias("pnb"),
+                    F.col("pos").alias("pib"), "p")
+    # Two more PPJoin prunes, both exactness-safe (a qualifying pair's
+    # FIRST common token always survives them, see below), applied
+    # BEFORE the dedup shuffle so pruned candidates never move:
+    # - LENGTH filter: jac <= min(|A|,|B|)/max(|A|,|B|), so a
+    #   qualifying pair's sizes are within a factor 1/t_eff.
+    # - POSITIONAL filter: toks are in one canonical order, so a match
+    #   at positions (i, j) bounds the intersection by
+    #   1 + min(|A|-i, |B|-j); a qualifying pair needs
+    #   I >= ceil(t_eff*(|A|+|B|)/(1+t_eff)) (jac>=t <=> I>=t*(|A|+|B|)/(1+t)).
+    #   For the pair's first common token every common token sits at
+    #   or after (i, j), so that row's bound holds and the pair is kept.
+    #   The 1e-9 slack keeps both float comparisons conservative.
+    alpha = F.ceil(
+        F.lit(t_eff) * (F.col("pna") + F.col("pnb")) / F.lit(1.0 + t_eff)
+        - F.lit(1e-9)
     )
-    a = pref.select(F.col("id").alias("id_a"), "p")
-    b = pref.select(F.col("id").alias("id_b"), "p")
+    ubound = F.lit(1) + F.least(
+        F.col("pna") - F.col("pia"), F.col("pnb") - F.col("pib")
+    )
     pair_ids = (
         a.join(b, "p")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("pna") >= F.lit(t_eff) * F.col("pnb") - F.lit(1e-9))
+            & (F.col("pnb") >= F.lit(t_eff) * F.col("pna") - F.lit(1e-9))
+            & (ubound >= alpha)
+        )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -488,3 +515,104 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     )
     toksets.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental (new-batch vs corpus) near-dup admission
+# ---------------------------------------------------------------------------
+
+
+def incremental_jaccard_admission(corpus: DataFrame, new_docs: DataFrame,
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text", n: int = 3,
+                                  threshold: float = 0.6) -> DataFrame:
+    """Admit or reject each NEW document against an EXISTING corpus by
+    exact n-gram Jaccard -- the daily-crawl shape: dedup cost scales
+    with the new batch, never with corpus^2.
+
+    Returns one row per new doc: (id, status 'admit'|'reject',
+    match_id, jaccard) where match_id/jaccard describe the best
+    corpus match at or above ``threshold`` (ties -> smallest
+    match_id), NULL for admitted docs.
+
+    Scale design -- why incremental is cheap when the corpus is 100 TB
+    and the batch is 0.1%:
+
+    - Shingles of the NEW side are small; their distinct set is
+      broadcast as a semi-join filter over the corpus shingle scan,
+      so corpus rows whose shingles appear nowhere in the batch are
+      dropped at scan speed and never shuffle. (At petabyte corpus
+      scale the same role is played by a pre-built shingle->doc
+      inverted index, i.e. the corpus side of this join materialized
+      once and reused per batch.)
+    - The equi-join on the shingle then only moves corpus docs that
+      share >= 1 shingle with some new doc; per-pair verification is
+      a count + size arithmetic, as in `ngram_jaccard_pairs`.
+    - Best-match selection is a per-new-doc max_by aggregation, not a
+      window over the full pair set.
+    """
+    sh_new = new_docs.select(
+        F.col(id_col).alias("new_id"),
+        F.explode(shingles(text_col, n)).alias("s"),
+    )
+    sh_corp = corpus.select(
+        F.col(id_col).alias("corp_id"),
+        F.explode(shingles(text_col, n)).alias("s"),
+    )
+    # Prune the (large) corpus shingle stream to shingles the batch
+    # actually mentions before any wide join.
+    sh_corp = sh_corp.join(
+        F.broadcast(sh_new.select("s").distinct()), "s", "left_semi"
+    )
+
+    # Set sizes are computed MAP-ONLY per doc (size of the shingle
+    # array), independent of the semi-join pruning above -- counting
+    # the pruned stream instead would inflate jaccard for corpus docs
+    # that lost shingles to the prune.
+    n_new = new_docs.select(
+        F.col(id_col).alias("new_id"),
+        F.size(shingles(text_col, n)).alias("n_a"),
+    ).filter(F.col("n_a") > 0)
+    n_corp = corpus.select(
+        F.col(id_col).alias("corp_id"),
+        F.size(shingles(text_col, n)).alias("n_b"),
+    ).filter(F.col("n_b") > 0)
+
+    inter = (
+        sh_new.join(sh_corp, "s")
+        .groupBy("new_id", "corp_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.round(
+        F.col("n_inter")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+    )
+    best = (
+        inter.join(n_new, "new_id")
+        .join(n_corp, "corp_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("new_id")
+        .agg(
+            # max_by with a struct orders by (jaccard, -corp_id):
+            # highest jaccard wins, ties -> smallest corpus id.
+            F.max(F.struct(F.col("jaccard"), (-F.col("corp_id")).alias("nid")))
+            .alias("m"),
+        )
+        .select(
+            "new_id",
+            (-F.col("m.nid")).alias("match_id"),
+            F.col("m.jaccard").alias("jaccard"),
+        )
+    )
+    return (
+        new_docs.select(F.col(id_col).alias("new_id"))
+        .join(F.broadcast(best), "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            F.when(F.col("match_id").isNull(), F.lit("admit"))
+            .otherwise(F.lit("reject")).alias("status"),
+            "match_id",
+            "jaccard",
+        )
+    )

@@ -324,3 +324,64 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(
         F.broadcast(drops), "doc_id", "left_anti"
     ).select("doc_id", "lang", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Incremental admission: dedup a NEW batch against the EXISTING corpus
+# (the daily-crawl shape -- cost scales with the batch, not corpus^2).
+# The batch split is deterministic (doc_id % 8 == 7 plays "today's
+# crawl"), so the whole admit/reject decision is exactly oracled.
+# ---------------------------------------------------------------------------
+
+_INCREMENTAL_ORACLE = """
+WITH sh AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                               for i in range(1, len(t) - 1)])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 3
+),
+sh_new  AS (SELECT id, s FROM sh WHERE id % 8 = 7),
+sh_corp AS (SELECT id, s FROM sh WHERE id % 8 <> 7),
+n_new  AS (SELECT id, count(*) AS n_a FROM sh_new GROUP BY id),
+n_corp AS (SELECT id, count(*) AS n_b FROM sh_corp GROUP BY id),
+inter AS (
+  SELECT a.id AS new_id, b.id AS corp_id, count(*) AS n_inter
+  FROM sh_new a JOIN sh_corp b ON a.s = b.s
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.new_id, i.corp_id,
+         round(i.n_inter / (na.n_a + nc.n_b - i.n_inter), 4) AS jaccard
+  FROM inter i
+  JOIN n_new na ON na.id = i.new_id
+  JOIN n_corp nc ON nc.id = i.corp_id
+),
+best AS (
+  SELECT new_id, corp_id AS match_id, jaccard
+  FROM (
+    SELECT new_id, corp_id, jaccard,
+           row_number() OVER (PARTITION BY new_id
+                              ORDER BY jaccard DESC, corp_id) AS rn
+    FROM scored WHERE jaccard >= 0.6
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       CASE WHEN b.match_id IS NULL THEN 'admit' ELSE 'reject' END AS status,
+       CAST(b.match_id AS BIGINT) AS match_id,
+       b.jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % 8 = 7) d
+LEFT JOIN best b ON d.doc_id = b.new_id
+"""
+
+
+@register("dedup_incremental_admission", oracle=_INCREMENTAL_ORACLE)
+def dedup_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_jaccard_admission
+
+    docs = load(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 8 == 7)
+    corpus = docs.filter(F.col("doc_id") % 8 != 7)
+    return incremental_jaccard_admission(
+        corpus, new_batch, n=3, threshold=0.6
+    )

@@ -66,12 +66,15 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in pytest."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    # Quantizer trained on a 1/4 hash-sample with 3 Lloyd's rounds:
-    # the production configuration (never Lloyd's-iterate the full
-    # corpus); recall is governed by nprobe, not quantizer polish.
+    # Quantizer: bounded driver-side fit (the FAISS-style deployable
+    # default -- a k x dim model converges from a ~10^5-vector hash
+    # sample no matter the corpus size, so training never runs Spark
+    # jobs per Lloyd's round). The fully-distributed trainer
+    # (`kmeans_centroids`) remains available via train="distributed"
+    # and is exercised in pytest; recall is governed by nprobe either
+    # way.
     return ivf_topk(
-        emb, queries, k=5, nprobe=2, n_lists=8,
-        kmeans_iter=3, kmeans_sample_mod=4,
+        emb, queries, k=5, nprobe=2, n_lists=8, train="local",
     ).orderBy("query_id", "rank")
 
 

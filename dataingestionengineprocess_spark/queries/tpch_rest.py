@@ -504,9 +504,11 @@ GROUP BY s.s_name
 @register("q21_waiting_suppliers", oracle=_Q21_ORACLE)
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One fact-fact join, then ONE orderkey-keyed aggregation derives
-    # both EXISTS-counts (suppliers on the order, late suppliers on
-    # the order) and the distinct late pairs -- the oracle's three
-    # CTEs collapse into a single pass over the joined facts.
+    # everything: the supplier count, the late-supplier SET (bounded
+    # by order size, ~7 lines in TPC-H shapes), and therefore the one
+    # guilty supplier when that set is a singleton. The oracle's three
+    # CTEs collapse into a single pass over the joined facts with no
+    # second scan and no extra distinct shuffle.
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     flagged = (
@@ -519,24 +521,22 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("__late"),
         )
     )
+    # collect_set skips nulls, so only late suppliers land in the set.
     per_order = flagged.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
+        F.collect_set(
             F.when(F.col("__late"), F.col("l_suppkey"))
-        ).alias("n_late"),
+        ).alias("late_set"),
     )
-    late_pairs = (
-        flagged.filter("__late").select("l_orderkey", "l_suppkey").distinct()
+    guilty = (
+        per_order.filter(
+            (F.col("n_supp") >= 2) & (F.size("late_set") == 1)
+        )
+        .select(F.element_at("late_set", 1).alias("l_suppkey"))
     )
     eu = _region_suppliers(spark, sf_dir, "EUROPE")
     return (
-        late_pairs.join(
-            per_order.filter(
-                (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
-            ),
-            "l_orderkey",
-        )
-        .join(F.broadcast(eu), F.col("l_suppkey") == eu.s_suppkey)
+        guilty.join(F.broadcast(eu), F.col("l_suppkey") == eu.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -597,3 +597,52 @@ def test_ivf_local_training_full_probe_equals_bruteforce(spark, emb):
     assert sorted(map(tuple, exact.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def test_incremental_admission_semantics(spark):
+    """New docs rejected iff a corpus doc matches at >= threshold;
+    best match wins with smallest-id tie-break; sub-shingle-length
+    docs always admit."""
+    from dataingestionengineprocess_spark.operators.dedup import (
+        incremental_jaccard_admission,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),   # near-dup of 1
+            (3, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),  # == doc 1
+            (11, "totally different words entirely here"),
+            (12, "hi"),                                   # < 3 tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in incremental_jaccard_admission(
+        corpus, new, n=3, threshold=0.5).collect()}
+
+    assert out[10].status == "reject"
+    # doc 1 is an exact match (jaccard 1.0); doc 2 ties lower
+    assert out[10].match_id == 1 and out[10].jaccard == 1.0
+    assert out[11].status == "admit" and out[11].match_id is None
+    assert out[12].status == "admit"
+
+
+def test_incremental_admission_tiebreak(spark):
+    """Equal-jaccard corpus matches resolve to the smallest corpus id."""
+    from dataingestionengineprocess_spark.operators.dedup import (
+        incremental_jaccard_admission,
+    )
+
+    text = "w1 w2 w3 w4 w5"
+    corpus = spark.createDataFrame(
+        [(7, text), (5, text), (9, text)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(100, text)], "doc_id long, text string")
+    row = incremental_jaccard_admission(corpus, new).collect()[0]
+    assert row.status == "reject" and row.match_id == 5 and row.jaccard == 1.0
