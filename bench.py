@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "curation_chunk_windows",
     # exactly-once streaming MERGE into versioned snapshots
     "stream_upsert_versioned_latest",
+    # round-2 continuations: incremental corpus admission, video decode
+    "dedup_incremental_admission",
+    "multimodal_video_features",
 ]
 
 

@@ -144,3 +144,47 @@ def test_wav_payloads_decode_with_stdlib(spark):
             assert w.getframerate() == 8000
             assert w.getsampwidth() == 2
             assert w.getnframes() == 64 + r.doc_id % 128
+
+
+def test_y4m_decoder_walks_real_streams():
+    """The y4m parser reads dims from the header and walks FRAME
+    markers; malformed containers raise like any decoder."""
+    import numpy as np
+    import pytest
+
+    from dataingestionengineprocess_spark.queries.multimodal import _decode_y4m
+
+    f0 = bytes(range(6))          # 3x2 frame
+    f1 = bytes(x + 100 for x in range(6))
+    stream = (b"YUV4MPEG2 W3 H2 F25:1 Ip A1:1 Cmono\n"
+              + b"FRAME\n" + f0 + b"FRAME\n" + f1)
+    w, h, frames = _decode_y4m(stream)
+    assert (w, h) == (3, 2)
+    assert len(frames) == 2
+    assert list(frames[0]) == list(f0)
+    assert int(np.sum(frames[1]) - np.sum(frames[0])) == 600
+
+    with pytest.raises(ValueError):
+        _decode_y4m(b"RIFF" + stream[4:])              # wrong container
+    with pytest.raises(ValueError):
+        _decode_y4m(stream.replace(b"Cmono", b"C420"))  # chroma planes
+    with pytest.raises(ValueError):
+        _decode_y4m(stream[:-3])                        # truncated frame
+
+
+def test_y4m_payloads_have_scene_cut(spark):
+    """The synthesized corpus videos carry a genuine luma step at the
+    half-way scene change, and the feature query reports it."""
+    from dataingestionengineprocess_spark.queries.multimodal import (
+        multimodal_video_features,
+    )
+
+    rows = multimodal_video_features(
+        spark, "/root/testdata/sf0.001").limit(20).collect()
+    assert rows
+    for r in rows:
+        assert r.n_frames == 4 + r.doc_id % 6
+        assert r.width == 16 + r.doc_id % 8
+        assert 0.0 < r.sampled_mean_luma < 255.0
+        # lowercase->uppercase switch shifts letters by 32 luma levels
+        assert r.n_scene_cuts >= 1
