@@ -1,0 +1,131 @@
+"""Distributed BPE (byte-pair-encoding) merge training.
+
+The tokenizer-training operator of an LLM data pipeline: learn the
+merge table from the corpus itself (Sennrich et al. 2016,
+arXiv:1508.07909 -- the algorithm every BPE tokenizer trainer
+implements over word frequencies).
+
+Scale design -- why this trains on 100 TB:
+
+- The corpus is scanned ONCE, into a (word, freq) vocabulary table.
+  Zipf's law makes that table millions of rows regardless of corpus
+  bytes -- the iterative part never touches the corpus again. This is
+  the same corpus→word-counts split SentencePiece and the HF trainer
+  make.
+- Each merge round is one narrow shuffle (explode adjacent symbol
+  pairs from the vocab, sum freq by pair) + a driver fetch of exactly
+  ONE row (the argmax pair) + a MAP-ONLY merge rewrite of the symbol
+  arrays, expressed entirely with higher-order functions (aggregate /
+  element_at) inside codegen -- no Python in the loop.
+- The vocab table is localCheckpoint'ed each round, so the plan stays
+  flat across any number of merges (the iterative-Spark lineage trap).
+- Determinism: ties on pair frequency break to the lexicographically
+  smallest (left, right), so the merge table is reproducible across
+  runs and cluster shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def _adjacent_pairs(syms: str = "syms") -> Column:
+    """array<struct<l,r>> of adjacent symbol pairs."""
+    return F.zip_with(
+        F.slice(syms, 1, F.size(syms) - 1),
+        F.slice(syms, 2, F.size(syms) - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+
+
+def _merge_expr(syms_col: Column, left: str, right: str) -> Column:
+    """Rewrite a symbol array replacing each non-overlapping adjacent
+    (left, right) occurrence with the merged symbol -- left-to-right,
+    exactly like the reference BPE algorithm. Pure higher-order
+    aggregate (runs inside codegen): the accumulator carries the
+    rebuilt array plus a skip flag for the element consumed by a
+    merge."""
+    n = F.size(syms_col)
+    init = F.struct(
+        F.array().cast("array<string>").alias("res"),
+        F.lit(False).alias("skip"),
+    )
+
+    def step(acc: Column, i: Column) -> Column:
+        cur = F.element_at(syms_col, i + 1)
+        nxt = F.element_at(syms_col, i + 2)
+        take_merge = (
+            (i < n - 1) & (cur == F.lit(left)) & (nxt == F.lit(right))
+        )
+        return (
+            F.when(acc.getField("skip"), F.struct(
+                acc.getField("res").alias("res"), F.lit(False).alias("skip")))
+            .when(take_merge, F.struct(
+                F.concat(acc.getField("res"),
+                         F.array(F.lit(left + right))).alias("res"),
+                F.lit(True).alias("skip")))
+            .otherwise(F.struct(
+                F.concat(acc.getField("res"), F.array(cur)).alias("res"),
+                F.lit(False).alias("skip")))
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(0), n - 1), init, step,
+        lambda acc: acc.getField("res"),
+    )
+
+
+def bpe_train_merges(docs: DataFrame, text_col: str = "text",
+                     num_merges: int = 24, min_freq: int = 2) -> DataFrame:
+    """Learn ``num_merges`` BPE merges from the corpus.
+
+    Returns (rank, left, right, merged, pair_freq): merge ``rank`` is
+    applied order (0-based); ``pair_freq`` is the corpus frequency the
+    pair had when chosen. Stops early when no pair reaches
+    ``min_freq``.
+
+    NOTE: like an MLlib ``fit``, CONSTRUCTING this result runs the
+    training loop eagerly (one Spark job per merge round).
+    """
+    if num_merges <= 0:
+        raise ValueError(f"num_merges must be positive, got {num_merges}")
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("freq"))
+        .select(
+            "freq",
+            F.expr("filter(split(w, ''), x -> x != '')").alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(num_merges):
+        # Argmax pair in ONE aggregation tree (map-side partials ->
+        # single reduce), no global sort: min over struct(-count, l, r)
+        # realizes "highest count, ties to the lexicographically
+        # smallest pair".
+        top = (
+            vocab.select("freq", F.explode(_adjacent_pairs()).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("c"))
+            .agg(F.min(F.struct(
+                (-F.col("c")).alias("nc"), "l", "r")).alias("m"))
+            .collect()
+        )
+        if not top or top[0]["m"] is None or -top[0]["m"]["nc"] < min_freq:
+            break
+        l, r, c = top[0]["m"]["l"], top[0]["m"]["r"], int(-top[0]["m"]["nc"])
+        merges.append((rank, l, r, l + r, c))
+        vocab = vocab.select(
+            "freq", _merge_expr(F.col("syms"), l, r).alias("syms")
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, pair_freq long",
+    )

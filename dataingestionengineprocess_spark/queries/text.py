@@ -448,3 +448,16 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.length("text") / F.size(pieces), 4)
         .alias("chars_per_piece"),
     )
+
+
+@register("text_bpe_train_merges")
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN a BPE merge table from the corpus (Sennrich 2016): word
+    frequencies in one scan, then per-merge rounds over the small
+    vocab table only (operators/bpe.py). Rows-only check (iterative
+    argmax is not SQL-expressible); pytest verifies the merges equal a
+    pure-Python reference trainer on the same corpus."""
+    from ..operators.bpe import bpe_train_merges
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, num_merges=24).orderBy("rank")

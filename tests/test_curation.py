@@ -60,3 +60,80 @@ def test_domain_mix_rates_and_budgets(spark):
     # uniform fixture sources -> mean tokens ~= every source's tokens,
     # so every rate is ~1 and nearly everything is kept.
     assert sum(r.kept_docs for r in rows) > 0
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training
+# ---------------------------------------------------------------------------
+
+
+def _reference_bpe(word_freqs: dict[str, int], num_merges: int,
+                   min_freq: int = 2) -> list[tuple[str, str, int]]:
+    """Pure-Python reference (Sennrich 2016 pseudocode): same
+    tie-break (max count, then lexicographically smallest pair)."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    out = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        if c < min_freq:
+            break
+        out.append((l, r, c))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new_vocab[tuple(res)] = new_vocab.get(tuple(res), 0) + f
+        vocab = new_vocab
+    return out
+
+
+def test_bpe_train_matches_reference(spark):
+    """Distributed merge learning == the sequential reference
+    algorithm, merge for merge, on a real fixture slice."""
+    from collections import Counter
+
+    from dataingestionengineprocess_spark.operators.bpe import bpe_train_merges
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    word_freqs = Counter(
+        w for r in docs.collect() for w in r.text.split(" ")
+    )
+    expect = _reference_bpe(dict(word_freqs), num_merges=12)
+
+    got = [
+        (r.left, r.right, r.pair_freq)
+        for r in bpe_train_merges(docs, num_merges=12).orderBy("rank").collect()
+    ]
+    assert got == expect
+    assert len(got) == 12  # fixture corpus is rich enough to not stall
+
+
+def test_bpe_merge_rewrite_is_left_to_right(spark):
+    """Overlapping occurrences merge left-to-right without overlap:
+    'aaa' under merge (a,a) -> ['aa','a'], like the reference."""
+    from dataingestionengineprocess_spark.operators.bpe import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa aaa")], "doc_id long, text string"
+    )
+    rows = bpe_train_merges(docs, num_merges=2, min_freq=2).collect()
+    assert [(r.left, r.right) for r in rows] == [("a", "a"), ("aa", "a")]
+    # adjacent-pair counting sees 2 (a,a) pairs per 'aaa', x3 words
+    assert rows[0].pair_freq == 6
