@@ -93,7 +93,8 @@ def run_stages(feed: FeedConfig, clean: DataFrame) -> tuple[DataFrame, DataFrame
     return curated, result.quarantined
 
 
-def ingest_batch(spark: SparkSession, feed: FeedConfig, src_path: str,
+def ingest_batch(spark: SparkSession, feed: FeedConfig,
+                 src_path: str | list[str],
                  sinks: SinkConfig, run_id: str | None = None) -> RunStatus:
     """One landing-zone batch, end to end. Idempotent per run_id: the
     warehouse write replaces the run's own partition on re-run.
@@ -385,3 +386,132 @@ def upsert_stream_into_versioned(stream: DataFrame, table_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def replay_quarantine(spark: SparkSession, feed: FeedConfig,
+                      sinks: SinkConfig,
+                      run_id: str | None = None) -> RunStatus:
+    """Re-run the stage chain over the feed's QUARANTINE table -- the
+    recovery path after a rule fix: rows that now pass flow to the
+    dual sinks under a fresh run id, rows that still violate rewrite
+    the quarantine table (it only ever shrinks).
+
+    Validation re-evaluates ``feed.rules`` as they are NOW -- the
+    whole point is that the rules changed since the rows were
+    quarantined.
+
+    Both outputs are localCheckpoint'ed BEFORE any write: the
+    still-failing branch overwrites the very table this run is
+    reading, and Spark cannot scan and overwrite one path in a single
+    plan. The counts come from the materialized checkpoints (an
+    in-memory size, not a re-read of the batch), so the A8
+    one-pass-telemetry policy still holds.
+    """
+    started = time.time()
+    run_id = run_id or f"replay-{new_run_id()}"
+    src = (
+        spark.read.parquet(
+            os.path.join(sinks.warehouse_dir, f"{feed.name}_quarantine")
+        )
+        .drop("_violations")
+    )
+
+    curated, still_failing = run_stages(feed, src)
+    curated = (
+        curated.withColumn("_run_id", F.lit(run_id))
+        .localCheckpoint(eager=True)
+    )
+    still_failing = (
+        still_failing.withColumn(
+            "_violations", F.array_join("_violations", ",")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    write_warehouse(curated, sinks.warehouse_dir, feed.name,
+                    partition_cols=["_run_id"], mode="overwrite")
+    write_oltp(curated.drop("_run_id"), sinks, f"{feed.name}_oltp",
+               mode="append")
+    write_warehouse(still_failing, sinks.warehouse_dir,
+                    f"{feed.name}_quarantine", mode="overwrite")
+
+    rows_loaded = curated.count()
+    rows_quarantined = still_failing.count()
+    status = RunStatus(
+        run_id=run_id, feed=feed.name,
+        rows_read=rows_loaded + rows_quarantined,
+        rows_loaded=rows_loaded, rows_rejected=0,
+        rows_quarantined=rows_quarantined,
+        started_at=started, finished_at=time.time(),
+    )
+    write_status(spark, sinks.warehouse_dir, status)
+    return status
+
+
+def _list_landing_files(spark: SparkSession, landing_dir: str,
+                        suffix: str = ".csv") -> list[tuple[str, int, int]]:
+    """(path, size, mtime_ms) for every data file under the landing
+    prefix, via the Hadoop FS API (works on object stores too)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(landing_dir)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return []
+    out = []
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        if p.endswith(suffix):
+            out.append((p, int(st.getLen()), int(st.getModificationTime())))
+    return sorted(out)
+
+
+def ingest_new_files(spark: SparkSession, feed: FeedConfig,
+                     landing_dir: str, sinks: SinkConfig,
+                     run_id: str | None = None) -> RunStatus | None:
+    """Batch-mode landing-zone sweep with a durable FILE LEDGER: the
+    reference's "Lambda will look for new file in specific S3
+    location" (Untitled Diagram.drawio:150-151) as a pull model.
+
+    Every (path, size, mtime) identity already recorded in
+    ``<feed>_ledger`` is skipped; everything else is ingested as ONE
+    batch (a re-dropped file -- same path, new size/mtime -- counts as
+    new and re-ingests under the new run id). Returns None when the
+    sweep finds nothing, making it safe to run on a schedule.
+
+    This is the batch counterpart of `ingest_stream`'s checkpoint file
+    tracking: same exactly-once-per-file goal, but the ledger is a
+    queryable warehouse table (auditable lineage) instead of an opaque
+    streaming checkpoint.
+
+    Scale: the ledger holds one narrow row per file ever ingested --
+    millions of rows at most; the membership check is a driver-side
+    set difference over just (path, size, mtime) triples.
+    """
+    ledger_path = os.path.join(sinks.warehouse_dir, f"{feed.name}_ledger")
+    files = _list_landing_files(spark, landing_dir)
+    seen: set[tuple[str, int, int]] = set()
+    jvm = spark.sparkContext._jvm
+    lp = jvm.org.apache.hadoop.fs.Path(ledger_path)
+    fs = lp.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(lp):
+        seen = {
+            (r["path"], r["size"], r["mtime_ms"])
+            for r in spark.read.parquet(ledger_path).collect()
+        }
+    new = [f for f in files if f not in seen]
+    if not new:
+        return None
+
+    run_id = run_id or new_run_id()
+    status = ingest_batch(
+        spark, feed, [p for p, _, _ in new], sinks, run_id=run_id
+    )
+    ledger_rows = spark.createDataFrame(
+        [(p, s, m, run_id) for p, s, m in new],
+        "path string, size long, mtime_ms long, run_id string",
+    )
+    ledger_rows.coalesce(1).write.mode("append").parquet(ledger_path)
+    return status

@@ -29,7 +29,8 @@ class CsvBatch:
     rejects: DataFrame
 
 
-def read_csv_feed(spark: SparkSession, path: str, schema: T.StructType,
+def read_csv_feed(spark: SparkSession, path: str | list[str],
+                  schema: T.StructType,
                   header: bool = True, timestamp_format: str | None = None,
                   source_file_col: str = "_source_file",
                   mode: str = "PERMISSIVE") -> CsvBatch:
@@ -50,6 +51,12 @@ def read_csv_feed(spark: SparkSession, path: str, schema: T.StructType,
     """
     if mode not in ("PERMISSIVE", "DROPMALFORMED", "FAILFAST"):
         raise ValueError(f"unknown CSV mode {mode!r}")
+    # A re-dropped file reuses its path: invalidate any cached plan /
+    # file listing for these paths, or the new read silently serves the
+    # PREVIOUS drop's cached rows (the .cache() below registers by
+    # path-keyed plan in the session CacheManager).
+    for p in (path if isinstance(path, list) else [path]):
+        spark.catalog.refreshByPath(p)
     full_schema = schema
     if mode == "PERMISSIVE":
         full_schema = T.StructType(

@@ -292,3 +292,94 @@ def test_csv_by_name_rejects_uncastable_cells_and_missing_columns(spark, tmp_pat
     p2.write_text("id,other\n" "1,x\n")
     with pytest.raises(ValueError, match="contract violation"):
         read_csv_feed_by_name(spark, str(p2), schema)
+
+
+def test_replay_quarantine_after_rule_fix(spark, landing, sinks):
+    """Rows quarantined under strict rules flow to the sinks once the
+    rules are relaxed; the quarantine table only ever shrinks."""
+    from dataingestionengineprocess_spark.pipeline import replay_quarantine
+
+    (landing / "drop1.csv").write_text(GOOD_CSV)
+    feed = _feed(spark)
+    first = ingest_batch(spark, feed, str(landing / "drop1.csv"), sinks)
+    assert first.rows_quarantined == 2
+
+    # the rule fix: negative amounts allowed, BOGUS recognized
+    feed.rules = [
+        not_null("order_id"),
+        in_range("amount", -100.0, 1_000_000.0),
+        one_of("status", ["OPEN", "CLOSED", "BOGUS"]),
+    ]
+    status = replay_quarantine(spark, feed, sinks)
+    assert status.rows_read == 2
+    assert status.rows_loaded == 2
+    assert status.rows_quarantined == 0
+
+    wh = spark.read.parquet(os.path.join(sinks.warehouse_dir, "orders_feed"))
+    assert {r.order_id for r in wh.collect()} == {1, 2, 3, 4}
+    assert {r.order_id for r in wh.filter(
+        F.col("_run_id") == status.run_id).collect()} == {3, 4}
+    quar = spark.read.parquet(
+        os.path.join(sinks.warehouse_dir, "orders_feed_quarantine"))
+    assert quar.count() == 0
+
+    # replay status lands in the _runs table like any run
+    runs = read_status(spark, sinks.warehouse_dir)
+    assert runs.filter(F.col("run_id") == status.run_id).count() == 1
+
+
+def test_replay_quarantine_partial(spark, landing, sinks):
+    """A partial rule fix loads only the now-passing rows and keeps
+    the rest quarantined with fresh violation labels."""
+    from dataingestionengineprocess_spark.pipeline import replay_quarantine
+
+    (landing / "drop1.csv").write_text(GOOD_CSV)
+    feed = _feed(spark)
+    ingest_batch(spark, feed, str(landing / "drop1.csv"), sinks)
+
+    feed.rules = [
+        not_null("order_id"),
+        in_range("amount", -100.0, 1_000_000.0),   # -5 now fine
+        one_of("status", ["OPEN", "CLOSED"]),      # BOGUS still out
+    ]
+    status = replay_quarantine(spark, feed, sinks)
+    assert status.rows_loaded == 1
+    assert status.rows_quarantined == 1
+    quar = spark.read.parquet(
+        os.path.join(sinks.warehouse_dir, "orders_feed_quarantine"))
+    rows = quar.collect()
+    assert len(rows) == 1 and rows[0].order_id == 4
+    assert rows[0]._violations == "one_of_status"
+
+
+def test_ingest_new_files_ledger(spark, landing, sinks):
+    """The landing sweep ingests each file identity exactly once and
+    re-ingests a re-dropped (changed) file."""
+    import time as _t
+
+    from dataingestionengineprocess_spark.pipeline import ingest_new_files
+
+    feed = _feed(spark)
+    (landing / "a.csv").write_text(GOOD_CSV)
+    s1 = ingest_new_files(spark, feed, str(landing), sinks)
+    assert s1 is not None and s1.rows_read == 5
+
+    # nothing new -> no run at all
+    assert ingest_new_files(spark, feed, str(landing), sinks) is None
+
+    # a second file: only IT is ingested
+    (landing / "b.csv").write_text(BAD_ROWS_CSV)
+    s2 = ingest_new_files(spark, feed, str(landing), sinks)
+    assert s2 is not None
+    assert s2.rows_read == 3 and s2.rows_rejected == 2
+
+    # re-dropped file with new content = new identity -> re-ingested
+    _t.sleep(0.05)  # ensure a distinct mtime
+    (landing / "a.csv").write_text(GOOD_CSV + "9,erin,1.0,OPEN,2024-01-05 08:00:00\n")
+    s3 = ingest_new_files(spark, feed, str(landing), sinks)
+    assert s3 is not None and s3.rows_read == 6
+
+    ledger = spark.read.parquet(
+        os.path.join(sinks.warehouse_dir, "orders_feed_ledger"))
+    assert ledger.count() == 3
+    assert ledger.select("run_id").distinct().count() == 3
