@@ -31,7 +31,8 @@ _CHECKPOINT_EVERY = 1
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iterations: int = 8, damping: float = 0.85,
-             checkpoint_every: int = _CHECKPOINT_EVERY) -> DataFrame:
+             checkpoint_every: int = _CHECKPOINT_EVERY,
+             out_degrees: DataFrame | None = None) -> DataFrame:
     """PageRank over a directed edge list -> (node, rank).
 
     Ranks are scaled so they sum to the node count N (the random-surfer
@@ -40,8 +41,20 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     nodes (no out-edges) appear as destinations only; their mass leaks,
     which is the standard simplification when the graph is made
     symmetric upstream (as the co-purchase query does).
+
+    ``out_degrees`` (node, degree): callers that already know each
+    node's out-degree (e.g. a symmetric graph built from undirected
+    pairs, where degree == undirected degree) pass it here -- the
+    node-count table is broadcast-joined onto the edges, skipping the
+    groupBy shuffle over the full edge list that deriving degrees
+    in-operator would cost.
     """
-    out_deg = edges.groupBy(src).agg(F.count("*").alias("__deg"))
+    if out_degrees is not None:
+        out_deg = F.broadcast(out_degrees.select(
+            F.col("node").alias(src), F.col("degree").alias("__deg")
+        ))
+    else:
+        out_deg = edges.groupBy(src).agg(F.count("*").alias("__deg"))
     # Materialize the static side ONCE. The edge list is often an
     # expensive subtree (the co-purchase query builds it from a
     # self-join + distinct); without this every iteration -- and every

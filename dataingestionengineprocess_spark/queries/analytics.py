@@ -436,17 +436,30 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle of every line (measured 2.3x at sf0.1, identical edges).
     # Per-order fan-out is |parts|^2 -- bounded by order size, the same
     # quadratic the self-join pays, but with no join machinery.
+    #
+    # The graph is symmetric, so only src < dst pairs are exploded and
+    # de-duplicated (HALF the distinct's shuffle volume); the mirror
+    # direction is a narrow union afterwards, and per-node degrees come
+    # from the half-pair table + a broadcast join inside pagerank()
+    # instead of a groupBy over the full mirrored edge list.
     sets_ = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
-    co = (
-        sets_.select(F.explode(F.flatten(F.expr(
-            "transform(ps, x -> transform(ps, y -> struct(x as src, y as dst)))"
-        ))).alias("p"))
+    half = (
+        sets_.select(F.explode(F.expr(
+            "filter(flatten(transform(ps,"
+            " x -> transform(ps, y -> struct(x as src, y as dst)))),"
+            " p -> p.src < p.dst)"
+        )).alias("p"))
         .select("p.src", "p.dst")
-        .filter(F.col("src") != F.col("dst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    deg = (
+        half.select(F.explode(F.array("src", "dst")).alias("node"))
+        .groupBy("node").agg(F.count("*").alias("degree"))
+    )
+    co = half.union(half.select(F.col("dst"), F.col("src")))
     return (
-        pagerank(co, iterations=8)
+        pagerank(co, iterations=8, out_degrees=deg)
         .select("node", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), "node")
         .limit(50)
