@@ -188,3 +188,48 @@ def test_y4m_payloads_have_scene_cut(spark):
         assert 0.0 < r.sampled_mean_luma < 255.0
         # lowercase->uppercase switch shifts letters by 32 luma levels
         assert r.n_scene_cuts >= 1
+
+
+def test_binary_file_source_decodes_mixed_media(spark, tmp_path):
+    """End-to-end file ingestion: real PGM/WAV/y4m files on disk ->
+    binaryFile source -> magic-byte routing -> the same parsers the
+    synthesized queries use; corrupt files become error rows, not job
+    failures."""
+    from dataingestionengineprocess_spark.queries.multimodal import (
+        _pgm_payloads,
+        _wav_payloads,
+        _y4m_payloads,
+    )
+    from dataingestionengineprocess_spark.sources.binary_source import (
+        media_features,
+        read_binary_dir,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    media = tmp_path / "media"
+    media.mkdir()
+    for maker, name in [(_pgm_payloads, "img_{}.pgm"),
+                        (_wav_payloads, "snd_{}.wav"),
+                        (_y4m_payloads, "vid_{}.y4m")]:
+        for r in maker(spark, sf).limit(3).collect():
+            (media / name.format(r.doc_id)).write_bytes(bytes(r.payload))
+    (media / "broken.pgm").write_bytes(b"P5\n9 9\n255\nshort")
+    (media / "notes.txt").write_bytes(b"not media at all")
+
+    feats = media_features(read_binary_dir(spark, str(media))).collect()
+    by_kind = {}
+    for r in feats:
+        by_kind.setdefault(r.kind, []).append(r)
+    assert len(by_kind["image"]) == 3
+    assert len(by_kind["audio"]) == 3
+    assert len(by_kind["video"]) == 3
+    assert len(by_kind["error"]) == 2
+    for r in by_kind["image"]:
+        assert r.width and r.height and r.n_frames == 1
+        assert 0.0 < r.mean_value < 255.0
+    for r in by_kind["audio"]:
+        assert r.sample_rate == 8000 and r.n_values >= 64
+    for r in by_kind["video"]:
+        assert r.n_frames >= 4 and r.n_values == r.width * r.height * r.n_frames
+    errs = {r.error for r in by_kind["error"]}
+    assert any("magic" in e for e in errs)

@@ -170,3 +170,39 @@ def test_chunk_windows_is_map_only(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "curation_chunk_windows")
     assert "Exchange" not in plan, plan
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """At warehouse scale Spark injects a RUNTIME BLOOM FILTER for a
+    selective dim side of a shuffle join: the dim's join keys are
+    bloom-aggregated and the fact scan is pre-filtered with
+    might_contain BEFORE the shuffle, so non-joining fact rows never
+    move. The default thresholds are sized for multi-GB scans (fact
+    side >= 10 GB), so this test scales them down to fixture size --
+    asserting the mechanism the production config relies on."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter("o_totalprice > 400000")
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority").count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
