@@ -583,3 +583,110 @@ def events_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_anomaly"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift monitor: compare each monitored column's bucket
+# distribution between a REFERENCE window and the CURRENT window --
+# the check an ingestion engine runs on every new delivery to catch a
+# partner silently changing units, enum domains, or mix. Metrics are
+# pure arithmetic (total-variation distance + smoothed chi^2), chosen
+# over PSI's ln() so both engines compute bit-identical doubles.
+# One scan builds all columns' bucket counts (unpivot-style union of
+# narrow projections of the same cached scan); totals ride on a tiny
+# per-column rollup.
+# ---------------------------------------------------------------------------
+
+_DRIFT_SPLIT = "1998-01-01"
+
+_DRIFT_ORACLE = f"""
+WITH src AS (
+  SELECT CASE WHEN o_orderdate < TIMESTAMP '{_DRIFT_SPLIT}'
+              THEN 'ref' ELSE 'cur' END AS which,
+         o_orderpriority,
+         CAST(CAST(floor(o_totalprice / 50000) AS BIGINT) AS VARCHAR)
+             AS price_bin
+  FROM orders
+),
+buckets AS (
+  SELECT 'o_orderpriority' AS column_name, o_orderpriority AS bucket,
+         sum(CASE WHEN which = 'ref' THEN 1 ELSE 0 END) AS cr,
+         sum(CASE WHEN which = 'cur' THEN 1 ELSE 0 END) AS cc
+  FROM src GROUP BY 2
+  UNION ALL
+  SELECT 'price_bin', price_bin,
+         sum(CASE WHEN which = 'ref' THEN 1 ELSE 0 END),
+         sum(CASE WHEN which = 'cur' THEN 1 ELSE 0 END)
+  FROM src GROUP BY 2
+),
+tot AS (
+  SELECT *,
+         sum(cr) OVER (PARTITION BY column_name) AS nr,
+         sum(cc) OVER (PARTITION BY column_name) AS nc,
+         count(*) OVER (PARTITION BY column_name) AS k
+  FROM buckets
+)
+SELECT column_name,
+       CAST(max(nr) AS BIGINT) AS n_ref,
+       CAST(max(nc) AS BIGINT) AS n_cur,
+       CAST(max(k) AS BIGINT) AS n_buckets,
+       round(0.5 * sum(abs(CAST(cc AS DOUBLE) / nc
+                           - CAST(cr AS DOUBLE) / nr)), 6) AS tvd,
+       round(sum(power((cc + 0.5) / (nc + 0.5 * k)
+                       - (cr + 0.5) / (nr + 0.5 * k), 2)
+                 / ((cr + 0.5) / (nr + 0.5 * k))), 6) AS chi2
+FROM tot
+GROUP BY column_name
+"""
+
+
+@register("quality_drift_orders", oracle=_DRIFT_ORACLE)
+def quality_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-vs-current drift per monitored column: bucket the
+    column (categorical as-is, numeric into fixed-width bins), compare
+    proportions with total-variation distance and the 0.5-smoothed
+    chi^2 (finite even for buckets absent on one side).
+
+    Scale: one scan of the fact table feeds every monitored column
+    (the per-column projections are branches of the same cached scan);
+    bucket tables are tiny (k buckets x columns), so everything after
+    the first groupBy is driver-trivial but stays distributed."""
+    o = load(spark, sf_dir, "orders").withColumn(
+        "__which",
+        F.when(F.col("o_orderdate") < F.lit(_DRIFT_SPLIT).cast("timestamp"),
+               "ref").otherwise("cur"),
+    ).cache()
+    monitored = o.select(
+        "__which",
+        F.lit("o_orderpriority").alias("column_name"),
+        F.col("o_orderpriority").alias("bucket"),
+    ).unionAll(o.select(
+        "__which",
+        F.lit("price_bin").alias("column_name"),
+        F.floor(F.col("o_totalprice") / 50000).cast("long")
+        .cast("string").alias("bucket"),
+    ))
+    buckets = monitored.groupBy("column_name", "bucket").agg(
+        F.sum(F.when(F.col("__which") == "ref", 1).otherwise(0)).alias("cr"),
+        F.sum(F.when(F.col("__which") == "cur", 1).otherwise(0)).alias("cc"),
+    )
+    totals = buckets.groupBy("column_name").agg(
+        F.sum("cr").alias("nr"), F.sum("cc").alias("nc"),
+        F.count("*").alias("k"),
+    )
+    j = buckets.join(F.broadcast(totals), "column_name")
+    pr_s = (F.col("cr") + 0.5) / (F.col("nr") + 0.5 * F.col("k"))
+    pc_s = (F.col("cc") + 0.5) / (F.col("nc") + 0.5 * F.col("k"))
+    return (
+        j.groupBy("column_name")
+        .agg(
+            F.max("nr").cast("long").alias("n_ref"),
+            F.max("nc").cast("long").alias("n_cur"),
+            F.max("k").cast("long").alias("n_buckets"),
+            F.round(0.5 * F.sum(F.abs(
+                F.col("cc").cast("double") / F.col("nc")
+                - F.col("cr").cast("double") / F.col("nr")
+            )), 6).alias("tvd"),
+            F.round(F.sum(F.pow(pc_s - pr_s, 2) / pr_s), 6).alias("chi2"),
+        )
+    )
