@@ -516,3 +516,131 @@ def stream_upsert_versioned_latest(spark: SparkSession, sf_dir: str) -> DataFram
         .select("user_id", "event_id", "ts", "event_type",
                 F.round("value", 2).alias("value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental near-dup admission: the daily-crawl pipeline as
+# a STREAM. Each micro-batch of documents is admitted/rejected against
+# the accumulated seen-corpus by exact n-gram Jaccard, then added to
+# it -- dedup state grows with the corpus while per-batch cost tracks
+# the batch (operators/dedup.incremental_jaccard_admission's broadcast
+# semi-join prune). Epochs are IN THE DATA (doc_id % 3) and file
+# modification times force the file source to deliver them in epoch
+# order, so the whole run is deterministic and the final admission
+# table has an exact DuckDB oracle: a doc is rejected iff a
+# strictly-earlier-epoch doc matches at >= 0.6.
+# ---------------------------------------------------------------------------
+
+_STREAM_ADMIT_ORACLE = """
+WITH sh AS (
+  SELECT doc_id AS id, doc_id % 3 AS epoch,
+         unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                               for i in range(1, len(t) - 1)])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 3
+),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS new_id, b.id AS corp_id, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND b.epoch < a.epoch
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.new_id, i.corp_id,
+         round(i.n_inter / (na.n + nb.n - i.n_inter), 4) AS jaccard
+  FROM inter i
+  JOIN sizes na ON na.id = i.new_id
+  JOIN sizes nb ON nb.id = i.corp_id
+),
+best AS (
+  SELECT new_id, corp_id AS match_id, jaccard
+  FROM (
+    SELECT new_id, corp_id, jaccard,
+           row_number() OVER (PARTITION BY new_id
+                              ORDER BY jaccard DESC, corp_id) AS rn
+    FROM scored WHERE jaccard >= 0.6
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, CAST(d.doc_id % 3 AS BIGINT) AS epoch,
+       CASE WHEN b.match_id IS NULL THEN 'admit' ELSE 'reject' END AS status,
+       CAST(b.match_id AS BIGINT) AS match_id,
+       b.jaccard
+FROM documents d
+LEFT JOIN best b ON d.doc_id = b.new_id
+"""
+
+
+@register("stream_incremental_dedup", oracle=_STREAM_ADMIT_ORACLE)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain a 3-epoch document stream through per-batch near-dup
+    admission against the accumulated corpus; return every admission
+    decision. Scratch dirs are wiped per call so repeat invocations
+    re-run the whole stream identically."""
+    import os
+
+    from ..catalog import load, scratch_dir
+    from ..operators.dedup import incremental_jaccard_admission
+
+    scratch = scratch_dir("streamdedup", sf_dir)
+    src = os.path.join(scratch, "src")
+    seen_path = os.path.join(scratch, "seen")
+    out_path = os.path.join(scratch, "out")
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    stamped: set[str] = set()
+    for k in range(3):
+        (docs.filter(F.col("doc_id") % 3 == k)
+         .coalesce(1).write.mode("append").parquet(src))
+        # Strictly-increasing mtimes per EPOCH (part-file names are
+        # uuid-random, so "new since last write" is the only reliable
+        # write-order signal): the file source orders pending files by
+        # modification time, so epochs arrive in order.
+        for name in os.listdir(src):
+            if name.endswith(".parquet") and name not in stamped:
+                t = 1e9 + k * 10
+                os.utime(os.path.join(src, name), (t, t))
+                stamped.add(name)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)
+        if batch.isEmpty():
+            return
+        sess = batch.sparkSession
+        jvm = sess.sparkContext._jvm
+        sp = jvm.org.apache.hadoop.fs.Path(seen_path)
+        fs = sp.getFileSystem(sess.sparkContext._jsc.hadoopConfiguration())
+        if fs.exists(sp):
+            corpus = sess.read.parquet(seen_path)
+            decisions = incremental_jaccard_admission(
+                corpus, batch, n=3, threshold=0.6
+            )
+        else:
+            decisions = batch.select(
+                "doc_id", F.lit("admit").alias("status"),
+                F.lit(None).cast("long").alias("match_id"),
+                F.lit(None).cast("double").alias("jaccard"),
+            )
+        decisions.write.mode("append").parquet(out_path)
+        batch.write.mode("append").parquet(seen_path)
+
+    (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(scratch, "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    return (
+        spark.read.parquet(out_path)
+        .select(
+            "doc_id",
+            F.pmod("doc_id", F.lit(3)).cast("long").alias("epoch"),
+            "status", "match_id", "jaccard",
+        )
+        .orderBy("doc_id")
+    )
