@@ -26,6 +26,7 @@ Scale design -- why this trains on 100 TB:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -128,4 +129,59 @@ def bpe_train_merges(docs: DataFrame, text_col: str = "text",
     return spark.createDataFrame(
         merges,
         "rank int, left string, right string, merged string, pair_freq long",
+    )
+
+
+def bpe_encode_counts(docs: DataFrame, merges: list[tuple[str, str]],
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Apply a learned merge table; return per-doc piece counts
+    (id, n_tokens, n_pieces).
+
+    Scale design -- encode the VOCABULARY, not the corpus: the corpus
+    explodes to (doc, word) pairs, but the Python kernel runs once per
+    DISTINCT word (Zipf-bounded), and per-doc piece counts come from a
+    broadcast join of the tiny word->pieces map back onto the word
+    stream plus one sum. The merge list itself is driver-small (one
+    row per learned merge) and ships inside the UDF closure.
+
+    Merges apply in rank order, each exhaustively left-to-right --
+    identical semantics to the training-time rewrite, so
+    ``bpe_encode_counts(docs, merges_from_bpe_train_merges)`` is the
+    exact apply-side of the trainer.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    merge_list = list(merges)
+
+    @pandas_udf("int")
+    def n_pieces(words: pd.Series) -> pd.Series:
+        def enc(w: str) -> int:
+            syms = list(w)
+            for left, right in merge_list:
+                i, res = 0, []
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == left
+                            and syms[i + 1] == right):
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            return len(syms)
+        return words.map(enc)
+
+    pairs = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("w")
+    )
+    vocab = pairs.select("w").distinct().withColumn("np", n_pieces("w"))
+    return (
+        pairs.join(F.broadcast(vocab), "w")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("np").cast("long").alias("n_pieces"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "n_pieces")
     )

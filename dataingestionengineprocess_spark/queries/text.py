@@ -461,3 +461,26 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return bpe_train_merges(docs, num_merges=24).orderBy("rank")
+
+
+@register("text_bpe_encode")
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply BPE: learn 16 merges from the corpus, then
+    encode every document with them (vocabulary-level kernel +
+    broadcast join-back; operators/bpe.py). Rows-only check; pytest
+    verifies train+encode against the pure-Python reference."""
+    from ..operators.bpe import bpe_encode_counts, bpe_train_merges
+
+    docs = load(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train_merges(docs, num_merges=16).orderBy("rank").collect()
+    ]
+    return (
+        bpe_encode_counts(docs, merges)
+        .withColumn(
+            "compression",
+            F.round(F.col("n_pieces") / F.col("n_tokens"), 4),
+        )
+        .orderBy("doc_id")
+    )

@@ -137,3 +137,52 @@ def test_bpe_merge_rewrite_is_left_to_right(spark):
     assert [(r.left, r.right) for r in rows] == [("a", "a"), ("aa", "a")]
     # adjacent-pair counting sees 2 (a,a) pairs per 'aaa', x3 words
     assert rows[0].pair_freq == 6
+
+
+def test_bpe_encode_matches_reference(spark):
+    """Distributed encode (vocab kernel + join-back) == sequential
+    reference apply, doc for doc."""
+    from collections import Counter
+
+    from dataingestionengineprocess_spark.operators.bpe import (
+        bpe_encode_counts,
+        bpe_train_merges,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(40)
+    )
+    rows = docs.collect()
+    word_freqs = Counter(w for r in rows for w in r.text.split(" "))
+    ref_merges = _reference_bpe(dict(word_freqs), num_merges=10)
+    merges = [(l, r) for l, r, _ in ref_merges]
+
+    def ref_encode(w: str) -> int:
+        syms = list(w)
+        for left, right in merges:
+            i, res = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return len(syms)
+
+    expect = {
+        r.doc_id: sum(ref_encode(w) for w in r.text.split(" "))
+        for r in rows
+    }
+    got = {
+        r.doc_id: r.n_pieces
+        for r in bpe_encode_counts(docs, merges).collect()
+    }
+    assert got == expect
+    # trained merges must actually compress
+    trained = [(r.left, r.right) for r in
+               bpe_train_merges(docs, num_merges=10).collect()]
+    assert trained == merges
