@@ -690,3 +690,46 @@ def quality_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.pow(pc_s - pr_s, 2) / pr_s), 6).alias("chi2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC time-series downsampling: per-hour open/high/low/close over the
+# event value stream -- the canonical telemetry/market downsample. One
+# shuffle on the hour bucket; open/close are min_by/max_by against the
+# (ts, event_id) TOTAL order (partial-aggregating, no window sort), so
+# results are deterministic under timestamp ties.
+# ---------------------------------------------------------------------------
+
+_OHLC_ORACLE = """
+WITH r AS (
+  SELECT date_trunc('hour', ts) AS hour, value, ts, event_id,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+       round(max(value), 4) AS high,
+       round(min(value), 4) AS low,
+       round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close
+FROM r GROUP BY hour
+"""
+
+
+@register("events_ohlc_hourly", oracle=_OHLC_ORACLE)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ord_ = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.min_by("value", ord_), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", ord_), 4).alias("close"),
+        )
+    )
