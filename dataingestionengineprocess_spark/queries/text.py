@@ -484,3 +484,33 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy-hitter tokens via the two-pass Misra-Gries shape: bounded-
+# memory per-partition sketches nominate candidates, an exact recount
+# over the candidate-filtered stream keeps the true >= phi*N items --
+# output is exact (oracle-checkable) while the full token domain never
+# shuffles (operators/heavyhitters.py).
+# ---------------------------------------------------------------------------
+
+_HH_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS item FROM documents
+),
+tot AS (SELECT count(*) AS n_total FROM toks)
+SELECT item AS token, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(n_total AS BIGINT) AS n_total
+FROM toks, tot
+GROUP BY item, n_total
+HAVING count(*) >= ceil(0.005 * n_total)
+"""
+
+
+@register("text_heavy_hitter_tokens", oracle=_HH_ORACLE)
+def text_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.heavyhitters import heavy_hitters
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    return heavy_hitters(toks, "token", phi=0.005)

@@ -646,3 +646,27 @@ def test_incremental_admission_tiebreak(spark):
     new = spark.createDataFrame([(100, text)], "doc_id long, text string")
     row = incremental_jaccard_admission(corpus, new).collect()[0]
     assert row.status == "reject" and row.match_id == 5 and row.jaccard == 1.0
+
+
+def test_heavy_hitters_exact_on_skewed_stream(spark):
+    """Two-pass MG heavy hitters == exact groupBy+HAVING on a skewed,
+    multi-partition stream (the sketch may over-nominate, never
+    under-nominate; the recount kills false positives)."""
+    from dataingestionengineprocess_spark.operators.heavyhitters import (
+        heavy_hitters,
+    )
+
+    rows = (
+        [("hot",)] * 500 + [("warm",)] * 120
+        + [(f"cold_{i}",) for i in range(2000)]
+        + [(f"cool_{i % 40}",) for i in range(400)]
+    )
+    df = spark.createDataFrame(rows, "item string").repartition(16)
+    phi = 0.03  # N=3020 -> threshold ceil(90.6)=91
+    got = {(r.item, r.cnt) for r in heavy_hitters(df, "item", phi=phi).collect()}
+    exact = {
+        (r.item, r.cnt)
+        for r in df.groupBy("item").agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 91).collect()
+    }
+    assert got == exact and ("hot", 500) in got and ("warm", 120) in got
