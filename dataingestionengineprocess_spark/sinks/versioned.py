@@ -363,3 +363,52 @@ class VersionedTable:
             "rows_updated": int(inputs["rows_updated"] or 0),
             "rows_after": int(out_obs.get["rows_after"]),
         }
+
+    def delete(self, predicate, keys_df: DataFrame | None = None,
+               keys: list[str] | None = None) -> dict:
+        """Row-level DELETE as a snapshot publish: the new version
+        contains every current row EXCEPT those matching -- the
+        right-to-be-forgotten / bad-partner-batch lifecycle op.
+
+        Two forms:
+        - ``delete(predicate)``: drop rows where the Column/SQL-string
+          predicate holds;
+        - ``delete(None, keys_df=ids, keys=["user_id"])``: drop rows
+          whose key appears in ``keys_df`` (broadcast anti-join -- the
+          deletion list is always tiny relative to the table).
+
+        Counts ride on the single write action via ``observe()``.
+        NOTE on physical erasure: like every snapshot store, deleted
+        rows remain readable through OLDER versions (time travel)
+        until ``expire()`` reclaims them -- a compliance delete is
+        ``delete(...)`` followed by ``expire(keep_last=1)``.
+        """
+        from pyspark.sql import Observation
+
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"nothing to delete from at {self.path}")
+        existing = self.read(cur)
+
+        if keys_df is not None:
+            if not keys:
+                raise ValueError("keys_df requires keys")
+            marked = existing.join(
+                F.broadcast(keys_df.select(*keys).dropDuplicates()),
+                keys, "left_anti",
+            )
+        else:
+            if predicate is None:
+                raise ValueError("pass a predicate or keys_df")
+            cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+            marked = existing.filter(~cond.eqNullSafe(True))
+
+        obs = Observation("vdelete_kept")
+        kept = marked.observe(obs, F.count(F.lit(1)).alias("rows_after"))
+        new = self.publish(kept)
+        rows_after = int(obs.get["rows_after"])
+        return {
+            "from_version": cur,
+            "to_version": new,
+            "rows_after": rows_after,
+        }

@@ -42,16 +42,23 @@ class SinkConfig:
 def write_warehouse(df: DataFrame, warehouse_dir: str, table: str,
                     partition_cols: list[str] | None = None,
                     mode: str = "append",
-                    bloom_filter_cols: list[str] | None = None) -> str:
+                    bloom_filter_cols: list[str] | None = None,
+                    file_format: str = "parquet") -> str:
     """Bulk-load curated rows into the warehouse layout (S6).
 
-    ``bloom_filter_cols`` writes a parquet bloom filter per listed
-    column: point-lookup predicates on high-cardinality non-sort
-    columns (order ids, user ids) can then skip row groups that
+    ``bloom_filter_cols`` writes a per-column bloom filter:
+    point-lookup predicates on high-cardinality non-sort columns
+    (order ids, user ids) can then skip row groups/stripes that
     min/max stats alone cannot, because a hash-distributed id spans
     nearly the full min/max range in EVERY row group. Costs a few
     hundred KB per column chunk; reserve it for id-lookup columns.
+
+    ``file_format``: ``parquet`` (default) or ``orc`` -- both columnar
+    with pushdown + pruning; ORC for warehouses standardized on the
+    Hive/ORC stack.
     """
+    if file_format not in ("parquet", "orc"):
+        raise ValueError(f"unsupported warehouse format {file_format!r}")
     path = os.path.join(warehouse_dir, table)
     writer = df.write.mode(mode)
     if partition_cols:
@@ -59,9 +66,14 @@ def write_warehouse(df: DataFrame, warehouse_dir: str, table: str,
         if mode == "overwrite":
             # replace only the partitions present in df, not the table
             writer = writer.option("partitionOverwriteMode", "dynamic")
-    for c in bloom_filter_cols or []:
-        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
-    writer.parquet(path)
+    if file_format == "orc" and bloom_filter_cols:
+        writer = writer.option(
+            "orc.bloom.filter.columns", ",".join(bloom_filter_cols)
+        )
+    elif file_format == "parquet":
+        for c in bloom_filter_cols or []:
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    writer.format(file_format).save(path)
     return path
 
 

@@ -104,3 +104,30 @@ def test_avro_source_is_gated_absent(spark, tmp_path):
     # If the module IS present (future env), exercise the round-trip.
     got = spark.read.format("avro").load(str(tmp_path / "a"))
     assert got.count() == 1
+
+
+def test_warehouse_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC warehouse format: partitioned write + read back + predicate
+    pushdown reaching the ORC scan (same contract as parquet)."""
+    from dataingestionengineprocess_spark.sinks.warehouse import write_warehouse
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(300)],
+        "id long, grp string, v double",
+    )
+    write_warehouse(df, str(tmp_path), "orc_t",
+                    partition_cols=["grp"], file_format="orc",
+                    bloom_filter_cols=["id"])
+    back = spark.read.orc(str(tmp_path / "orc_t"))
+    assert back.count() == 300
+    assert set(back.columns) == {"id", "grp", "v"}
+
+    q = back.filter(F.col("v") > 290.0).select("id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "orc" in plan.lower()
+    assert "PushedFilters: [" in plan and "GreaterThan(v,290.0)" in plan, plan
+    assert q.count() == 9
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        write_warehouse(df, str(tmp_path), "bad", file_format="avro")

@@ -367,3 +367,38 @@ def test_diff_reports_inserts_updates_deletes(spark, table):
     assert d[4].change_type == "insert" and d[4].old is None
     # self-diff is empty
     assert table.diff(keys=["k"], v_from=2, v_to=2).count() == 0
+
+
+def test_delete_predicate_and_keys(spark, tmp_path):
+    """DELETE publishes a new snapshot without the matching rows; old
+    versions still serve them until expire() reclaims (the documented
+    compliance-delete pair)."""
+    from dataingestionengineprocess_spark.sinks.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.publish(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0), (4, "c", 40.0)],
+        "id long, grp string, v double",
+    ))
+
+    res = vt.delete("grp = 'a'")
+    assert res["rows_after"] == 2
+    assert {r.id for r in vt.read().collect()} == {2, 4}
+    # time travel still sees the deleted rows on the old version
+    assert {r.id for r in vt.read(res["from_version"]).collect()} == {1, 2, 3, 4}
+
+    ids = spark.createDataFrame([(2,)], "id long")
+    res2 = vt.delete(None, keys_df=ids, keys=["id"])
+    assert {r.id for r in vt.read().collect()} == {4}
+    assert res2["rows_after"] == 1
+
+    # compliance pair: expire removes the versions that still held them
+    vt.expire(keep_last=1)
+    assert vt.versions() == [vt.current_version()]
+
+    # null-safe predicate: rows where the predicate is NULL are KEPT
+    vt2 = VersionedTable(spark, str(tmp_path / "t2"))
+    vt2.publish(spark.createDataFrame(
+        [(1, None), (2, 5.0)], "id long, v double"))
+    vt2.delete("v > 1")
+    assert {r.id for r in vt2.read().collect()} == {1}
