@@ -733,3 +733,125 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max_by("value", ord_), 4).alias("close"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel (MATCH_RECOGNIZE-style): per user, the earliest
+# view -> first click strictly after it -> first purchase strictly
+# after that. Sequential-pattern semantics expressed as three
+# min-after aggregations -- each stage is one narrow groupBy over a
+# stage-filtered event scan, no per-user Python and no window sort of
+# raw events.
+# ---------------------------------------------------------------------------
+
+_ORDERED_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, v.t_view, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id, v.t_view
+),
+p AS (
+  SELECT e.user_id, c.t_click, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id, c.t_click
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       CASE WHEN p.user_id IS NOT NULL THEN 'purchase'
+            WHEN c.user_id IS NOT NULL THEN 'click'
+            ELSE 'view' END AS funnel_stage
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+@register("events_ordered_funnel", oracle=_ORDERED_FUNNEL_ORACLE)
+def events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+        .select("user_id", "t_click")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id", "t_click")
+        .agg(F.min("ts").alias("t_purchase"))
+        .select("user_id", "t_purchase")
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", "t_view", "t_click", "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), "purchase")
+            .when(F.col("t_click").isNotNull(), "click")
+            .otherwise("view").alias("funnel_stage"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the co-purchase graph: the canonical graph
+# cohesion metric. Edges are canonical (a < b) half-pairs, so each
+# triangle a<b<c is counted exactly once by the wedge join
+# (e1=(a,b), e2=(b,c)) closed by e3=(a,c). Two equi-joins -- the
+# distributed triangle plan; no vertex ever sees more than its own
+# wedge neighborhood.
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = """
+WITH u AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM u a JOIN u b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges
+FROM pairs e1
+JOIN pairs e2 ON e1.b = e2.a
+JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+@register("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    u = li.distinct()
+    a = u.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+    b = u.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = pairs
+    e2 = pairs.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = pairs.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    edges = pairs.agg(F.count("*").alias("n_edges"))
+    return tri.join(F.broadcast(edges))
