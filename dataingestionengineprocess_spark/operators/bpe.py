@@ -34,11 +34,16 @@ from ..functions.text import tokens
 
 
 def _adjacent_pairs(syms: str = "syms") -> Column:
-    """array<struct<l,r>> of adjacent symbol pairs."""
-    return F.zip_with(
+    """array<struct<l,r>> of adjacent symbol pairs. Guarded so arrays
+    shorter than 2 symbols yield an empty pair array instead of a
+    negative slice length (a runtime error)."""
+    pairs = F.zip_with(
         F.slice(syms, 1, F.size(syms) - 1),
         F.slice(syms, 2, F.size(syms) - 1),
         lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return F.when(F.size(syms) >= 2, pairs).otherwise(
+        F.array().cast("array<struct<l:string,r:string>>")
     )
 
 
@@ -73,10 +78,12 @@ def _merge_expr(syms_col: Column, left: str, right: str) -> Column:
                 F.lit(False).alias("skip")))
         )
 
-    return F.aggregate(
+    rewritten = F.aggregate(
         F.sequence(F.lit(0), n - 1), init, step,
         lambda acc: acc.getField("res"),
     )
+    # sequence(0, -1) would DESCEND; empty arrays pass through as-is.
+    return F.when(n >= 1, rewritten).otherwise(syms_col)
 
 
 def bpe_train_merges(docs: DataFrame, text_col: str = "text",
@@ -96,6 +103,9 @@ def bpe_train_merges(docs: DataFrame, text_col: str = "text",
     spark = docs.sparkSession
     vocab = (
         docs.select(F.explode(tokens(text_col)).alias("w"))
+        # consecutive/leading/trailing spaces split into empty tokens;
+        # they carry no symbols and must not enter the vocab
+        .filter(F.col("w") != "")
         .groupBy("w").agg(F.count("*").alias("freq"))
         .select(
             "freq",

@@ -34,11 +34,16 @@ if TYPE_CHECKING:  # pragma: no cover
 
 
 def _mg_partition(it: Iterator["pd.DataFrame"], k: int):
-    """Misra-Gries(k) over one partition's item stream."""
+    """Misra-Gries(k) over one partition's item stream. Also emits the
+    partition's row count as one ``item IS NULL`` sentinel row, so the
+    global N rides along on this pass instead of costing the stream a
+    separate counting scan."""
     import pandas as pd
 
     counters: dict[str, int] = {}
+    n = 0
     for pdf in it:
+        n += len(pdf)
         for item in pdf["item"]:
             if item in counters:
                 counters[item] += 1
@@ -53,7 +58,10 @@ def _mg_partition(it: Iterator["pd.DataFrame"], k: int):
                         dead.append(key)
                 for key in dead:
                     del counters[key]
-    yield pd.DataFrame({"item": list(counters.keys())})
+    yield pd.DataFrame({
+        "item": list(counters.keys()) + [None],
+        "part_n": [0] * len(counters) + [n],
+    })
 
 
 def heavy_hitters(items: DataFrame, item_col: str,
@@ -73,16 +81,19 @@ def heavy_hitters(items: DataFrame, item_col: str,
     def mg(it):
         return _mg_partition(it, k)
 
-    candidates = (
-        stream.mapInPandas(mg, schema="item string")
-        .distinct()
-    )
+    # One sketch pass produces BOTH the candidate set and the global N
+    # (sentinel rows), computed once (localCheckpoint: two consumers).
+    sketch = stream.mapInPandas(
+        mg, schema="item string, part_n long"
+    ).localCheckpoint(eager=True)
+    candidates = sketch.filter(F.col("item").isNotNull()) \
+        .select("item").distinct()
+    total = sketch.agg(F.sum("part_n").alias("n_total"))
     counted = (
         stream.join(F.broadcast(candidates), "item", "left_semi")
         .groupBy("item")
         .agg(F.count("*").alias("cnt"))
     )
-    total = stream.agg(F.count("*").alias("n_total"))
     return (
         counted.join(F.broadcast(total))
         .filter(F.col("cnt") >= F.ceil(F.lit(phi) * F.col("n_total")))

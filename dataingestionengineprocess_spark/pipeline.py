@@ -400,43 +400,57 @@ def replay_quarantine(spark: SparkSession, feed: FeedConfig,
     whole point is that the rules changed since the rows were
     quarantined.
 
-    Both outputs are localCheckpoint'ed BEFORE any write: the
-    still-failing branch overwrites the very table this run is
-    reading, and Spark cannot scan and overwrite one path in a single
-    plan. The counts come from the materialized checkpoints (an
-    in-memory size, not a re-read of the batch), so the A8
-    one-pass-telemetry policy still holds.
+    The curated output is localCheckpoint'ed BEFORE its writes (two
+    sinks, one execution). The still-failing rows are never only in
+    volatile storage: they are written DURABLY to a side directory
+    first, and only then swapped into the quarantine path with the
+    same two-rename protocol `compact_table` uses -- a crash anywhere
+    leaves either the old quarantine table or the new one (plus a
+    recoverable ``__prereplay`` copy) on disk, never a truncated
+    table backed by nothing but executor-local checkpoint blocks.
+    The counts come from materialized data (an in-memory/one-dir
+    size, not a re-read of the batch), so the A8 one-pass-telemetry
+    policy still holds.
     """
     started = time.time()
     run_id = run_id or f"replay-{new_run_id()}"
-    src = (
-        spark.read.parquet(
-            os.path.join(sinks.warehouse_dir, f"{feed.name}_quarantine")
-        )
-        .drop("_violations")
-    )
+    quar_path = os.path.join(sinks.warehouse_dir,
+                             f"{feed.name}_quarantine")
+    src = spark.read.parquet(quar_path).drop("_violations")
 
     curated, still_failing = run_stages(feed, src)
     curated = (
         curated.withColumn("_run_id", F.lit(run_id))
         .localCheckpoint(eager=True)
     )
-    still_failing = (
-        still_failing.withColumn(
-            "_violations", F.array_join("_violations", ",")
-        )
-        .localCheckpoint(eager=True)
+    still_failing = still_failing.withColumn(
+        "_violations", F.array_join("_violations", ",")
     )
 
     write_warehouse(curated, sinks.warehouse_dir, feed.name,
                     partition_cols=["_run_id"], mode="overwrite")
     write_oltp(curated.drop("_run_id"), sinks, f"{feed.name}_oltp",
                mode="append")
-    write_warehouse(still_failing, sinks.warehouse_dir,
-                    f"{feed.name}_quarantine", mode="overwrite")
+
+    # Durable side write, then swap (never overwrite the table being
+    # read in this very run).
+    tmp = quar_path + "__replaying"
+    old = quar_path + "__prereplay"
+    still_failing.write.mode("overwrite").parquet(tmp)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(quar_path).getFileSystem(conf)
+    hp = lambda s: jvm.org.apache.hadoop.fs.Path(s)  # noqa: E731
+    fs.delete(hp(old), True)
+    if not fs.rename(hp(quar_path), hp(old)):
+        raise IOError(f"replay_quarantine: could not move {quar_path} aside")
+    if not fs.rename(hp(tmp), hp(quar_path)):
+        fs.rename(hp(old), hp(quar_path))  # roll back
+        raise IOError(f"replay_quarantine: could not move {tmp} into place")
+    fs.delete(hp(old), True)
 
     rows_loaded = curated.count()
-    rows_quarantined = still_failing.count()
+    rows_quarantined = spark.read.parquet(quar_path).count()
     status = RunStatus(
         run_id=run_id, feed=feed.name,
         rows_read=rows_loaded + rows_quarantined,

@@ -651,11 +651,14 @@ def quality_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the per-column projections are branches of the same cached scan);
     bucket tables are tiny (k buckets x columns), so everything after
     the first groupBy is driver-trivial but stays distributed."""
+    # No cache: the two monitored-column branches are narrow columnar
+    # projections of one parquet scan (cheap to re-read), and a cache
+    # pinned here would outlive the query with no handle to unpersist.
     o = load(spark, sf_dir, "orders").withColumn(
         "__which",
         F.when(F.col("o_orderdate") < F.lit(_DRIFT_SPLIT).cast("timestamp"),
                "ref").otherwise("cur"),
-    ).cache()
+    )
     monitored = o.select(
         "__which",
         F.lit("o_orderpriority").alias("column_name"),

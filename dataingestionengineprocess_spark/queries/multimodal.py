@@ -120,18 +120,30 @@ def _pgm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _decode_pgm(b: bytes) -> tuple[int, int, "object"]:
     """REAL P5 (binary PGM) parser: header -> (width, height), pixel
-    buffer -> numpy array. Raises on malformed input like any decoder."""
-    if b[:3] != b"P5\n":
+    buffer -> numpy array. Raises on malformed input like any decoder.
+    Per the PGM spec, header fields (magic, width, height, maxval) are
+    separated by ARBITRARY whitespace -- 'P5 ' and CRLF headers from
+    other writers decode the same as our own 'P5\\n' synthesis."""
+    ws = (b" ", b"\t", b"\r", b"\n")
+    if b[:2] != b"P5" or b[2:3] not in ws:
         raise ValueError("not a binary PGM payload")
-    rest = b[3:]
-    nl = rest.index(b"\n")
-    w_s, h_s = rest[:nl].split()
-    width, height = int(w_s), int(h_s)
-    rest = rest[nl + 1:]
-    nl = rest.index(b"\n")
-    if int(rest[:nl]) != 255:
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(b) and b[pos:pos + 1] in ws:
+            pos += 1
+        if b[pos:pos + 1] == b"#":
+            raise ValueError("PGM comments unsupported")
+        start = pos
+        while pos < len(b) and b[pos:pos + 1] not in ws:
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PGM header")
+        vals.append(int(b[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from pixels
+    width, height, maxval = vals
+    if maxval != 255:
         raise ValueError("unsupported maxval")
-    data = rest[nl + 1:]
+    data = b[pos:]
     if len(data) != width * height:
         raise ValueError(
             f"pixel buffer is {len(data)} bytes, want {width * height}"

@@ -58,7 +58,9 @@ def _sniff_decode(path: str, b: bytes) -> dict:
            "n_frames": None, "sample_rate": None, "n_values": None,
            "mean_value": None, "error": None}
     try:
-        if b[:3] == b"P5\n":
+        # Any whitespace may follow the P5 magic per the PGM spec;
+        # route on the magic alone and let the parser validate.
+        if b[:2] == b"P5" and b[2:3] in (b"\n", b" ", b"\t", b"\r"):
             w, h, arr = _decode_pgm(b)
             from ..queries.multimodal import _luma_sum
 

@@ -186,3 +186,17 @@ def test_bpe_encode_matches_reference(spark):
     trained = [(r.left, r.right) for r in
                bpe_train_merges(docs, num_merges=10).collect()]
     assert trained == merges
+
+
+def test_bpe_train_survives_messy_whitespace(spark):
+    """Consecutive/leading/trailing spaces split into empty tokens;
+    training must skip them instead of crashing on a negative slice."""
+    from dataingestionengineprocess_spark.operators.bpe import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab  ab"), (2, " ab ab "), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = bpe_train_merges(docs, num_merges=2, min_freq=2).collect()
+    assert [(r.left, r.right) for r in rows] == [("a", "b")]
+    assert rows[0].pair_freq == 5

@@ -8,15 +8,12 @@ normalization -- if this passes, the driver's value hash should too).
 
 from __future__ import annotations
 
-import datetime as dt
-import math
-
 import duckdb
-import numpy as np
 import pandas as pd
 import pytest
 
 from dataingestionengineprocess_spark.catalog import TABLES, table_path
+from dataingestionengineprocess_spark.oracle_compare import normalize_frame
 from dataingestionengineprocess_spark.queries import all_oracles, all_queries
 
 SF = "/root/testdata/sf0.001"
@@ -33,31 +30,8 @@ def ddb():
     con.close()
 
 
-def _norm_cell(v) -> str:
-    if v is None or (isinstance(v, float) and math.isnan(v)):
-        return "NULL"
-    if isinstance(v, float) and v == 0.0:
-        return "0.0"  # collapse -0.0 vs 0.0
-    if isinstance(v, (pd.Timestamp, dt.datetime, dt.date, np.datetime64)):
-        return str(pd.Timestamp(v))
-    if isinstance(v, float):
-        return repr(v)
-    if isinstance(v, (np.integer,)):
-        return str(int(v))
-    if isinstance(v, (np.floating,)):
-        return _norm_cell(float(v))
-    return str(v)
-
-
 def normalize(df: pd.DataFrame) -> list[tuple[str, ...]]:
-    cols = sorted(df.columns)
-    if len(cols) != len(set(df.columns)):
-        raise AssertionError(f"duplicate column names: {list(df.columns)}")
-    rows = [
-        tuple(_norm_cell(v) for v in row)
-        for row in df[cols].itertuples(index=False, name=None)
-    ]
-    return sorted(rows)
+    return normalize_frame(df)
 
 
 def _params():

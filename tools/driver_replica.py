@@ -12,9 +12,6 @@ summary, exits non-zero on any mismatch.
 
 from __future__ import annotations
 
-import datetime as dt
-import hashlib
-import math
 import os
 import sys
 import time
@@ -22,42 +19,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
-import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
+
+from dataingestionengineprocess_spark.oracle_compare import digest_frame  # noqa: E402
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 50
 SF = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
 
-def _norm_cell(v) -> str:
-    if v is None or (isinstance(v, float) and math.isnan(v)):
-        return "NULL"
-    if isinstance(v, float) and v == 0.0:
-        return "0.0"
-    if isinstance(v, (pd.Timestamp, dt.datetime, dt.date, np.datetime64)):
-        return str(pd.Timestamp(v))
-    if isinstance(v, float):
-        return repr(round(v, 9))
-    if isinstance(v, np.integer):
-        return str(int(v))
-    if isinstance(v, np.floating):
-        return _norm_cell(float(v))
-    if isinstance(v, (list, np.ndarray)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
-    return str(v)
-
-
-def digest(df: pd.DataFrame) -> str:
-    cols = sorted(df.columns)
-    rows = sorted(
-        ",".join(_norm_cell(v) for v in row)
-        for row in df[cols].itertuples(index=False, name=None)
-    )
-    h = hashlib.sha256()
-    for r in rows:
-        h.update(r.encode())
-        h.update(b"\n")
-    return h.hexdigest()[:16]
+def digest(df: "pd.DataFrame") -> str:
+    # 9-digit float rounding absorbs engine ulp drift in the pre-flight;
+    # the strict gate (tests/test_oracle_parity.py) uses no rounding.
+    return digest_frame(df, float_digits=9)
 
 
 def main() -> int:
