@@ -93,3 +93,32 @@ def validate(df: DataFrame, rules: list) -> ValidationResult:
     passed = marked.filter(F.size(VIOLATIONS_COL) == 0).drop(VIOLATIONS_COL)
     quarantined = marked.filter(F.size(VIOLATIONS_COL) > 0)
     return ValidationResult(passed=passed, quarantined=quarantined)
+
+
+def schema_drift(old, new) -> list[dict]:
+    """Detect schema changes between two deliveries of a feed:
+    added / removed / type-changed columns (the partner silently
+    reordering columns is handled upstream by the header-aware
+    by-name CSV reader; this catches the changes that need a human).
+
+    Accepts DataFrames or StructTypes. Pure metadata -- no job runs.
+    Returns a list of {column, change, old_type, new_type} dicts,
+    sorted by column name (empty list == no drift).
+    """
+    def fields(s):
+        st = s.schema if hasattr(s, "schema") else s
+        return {f.name: f.dataType.simpleString() for f in st.fields}
+
+    o, n = fields(old), fields(new)
+    out = []
+    for c in sorted(o.keys() | n.keys()):
+        if c not in n:
+            out.append({"column": c, "change": "removed",
+                        "old_type": o[c], "new_type": None})
+        elif c not in o:
+            out.append({"column": c, "change": "added",
+                        "old_type": None, "new_type": n[c]})
+        elif o[c] != n[c]:
+            out.append({"column": c, "change": "type_changed",
+                        "old_type": o[c], "new_type": n[c]})
+    return out

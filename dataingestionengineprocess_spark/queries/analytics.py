@@ -858,3 +858,73 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.agg(F.count("*").alias("n_edges"))
     return tri.join(F.broadcast(edges))
+
+
+# ---------------------------------------------------------------------------
+# Pairwise correlation matrix across the lineitem numeric columns in
+# ONE aggregation pass (all pairs as parallel corr aggregates over the
+# same scan), long format.
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+_CORR_ORACLE = " UNION ALL ".join(
+    f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+        round(corr({a}, {b}), 6) AS pearson_r FROM lineitem"""
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1:]
+)
+
+
+@register("agg_corr_matrix", oracle=_CORR_ORACLE)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    ]
+    wide = li.agg(*[
+        F.round(F.corr(a, b), 6).alias(f"{a}__{b}") for a, b in pairs
+    ])
+    stack = ", ".join(
+        f"'{a}', '{b}', {a}__{b}" for a, b in pairs
+    )
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack}) AS (col_a, col_b, pearson_r)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile binning (feature discretization): deciles of order value
+# over the (o_totalprice, o_orderkey) total order via ntile, rolled up
+# to per-bin stats -- the discretizer a feature pipeline applies before
+# bucketed training tables.
+# ---------------------------------------------------------------------------
+
+_QBIN_ORACLE = """
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM (
+  SELECT o_totalprice,
+         CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+             AS bin
+  FROM orders
+) GROUP BY bin
+"""
+
+
+@register("ml_quantile_bins", oracle=_QBIN_ORACLE)
+def ml_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

@@ -69,3 +69,27 @@ def test_percentile_approx_close_to_exact(spark, sf_dir):
     for k in exact:
         for e, a in zip(exact[k], approx[k]):
             assert abs(a - e) / e < 0.02, (k, e, a)
+
+
+def test_schema_drift_detection(spark):
+    from pyspark.sql import types as T
+
+    from dataingestionengineprocess_spark.operators.quality import schema_drift
+
+    old = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("legacy", T.StringType()),
+    ])
+    new = spark.createDataFrame(
+        [], "id long, amount string, added_col date")
+    drift = schema_drift(old, new)
+    assert drift == [
+        {"column": "added_col", "change": "added",
+         "old_type": None, "new_type": "date"},
+        {"column": "amount", "change": "type_changed",
+         "old_type": "double", "new_type": "string"},
+        {"column": "legacy", "change": "removed",
+         "old_type": "string", "new_type": None},
+    ]
+    assert schema_drift(old, old) == []
