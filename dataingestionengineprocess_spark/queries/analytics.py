@@ -928,3 +928,62 @@ def ml_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution end-to-end: blocked fuzzy pairs -> connected
+# components -> one canonical record per entity. The composition of
+# the fuzzy-join idiom above with the dedup clustering machinery --
+# the master-data pipeline that collapses near-identical catalog
+# records. Oracle closes the same pair graph with a recursive CTE.
+# ---------------------------------------------------------------------------
+
+_ENTITY_ORACLE = """
+WITH RECURSIVE pairs AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+   AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 6
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+comp AS (
+  SELECT s AS p_partkey, least(min(d), s) AS entity_id
+  FROM reach GROUP BY s
+)
+SELECT p.p_partkey, c.entity_id, p.p_name,
+       count(*) OVER (PARTITION BY c.entity_id) AS entity_size,
+       p.p_partkey = c.entity_id AS canonical
+FROM comp c JOIN part p ON p.p_partkey = c.p_partkey
+"""
+
+
+@register("entity_resolution_parts", oracle=_ENTITY_ORACLE)
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import (
+        canonical_per_component,
+        connected_components,
+    )
+
+    pairs = join_fuzzy_levenshtein(spark, sf_dir).select("key_a", "key_b")
+    cc = connected_components(pairs, "key_a", "key_b")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        canonical_per_component(cc)
+        .select(
+            F.col("node").alias("p_partkey"),
+            F.col("component").alias("entity_id"),
+            F.col("cluster_size").alias("entity_size"),
+            F.col("keep").alias("canonical"),
+        )
+        .join(p, "p_partkey")
+        .select("p_partkey", "entity_id", "p_name", "entity_size", "canonical")
+    )
