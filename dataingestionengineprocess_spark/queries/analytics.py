@@ -811,11 +811,13 @@ def events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Triangle counting over the co-purchase graph: the canonical graph
-# cohesion metric. Edges are canonical (a < b) half-pairs, so each
-# triangle a<b<c is counted exactly once by the wedge join
-# (e1=(a,b), e2=(b,c)) closed by e3=(a,c). Two equi-joins -- the
-# distributed triangle plan; no vertex ever sees more than its own
-# wedge neighborhood.
+# cohesion metric. Edges are oriented by the DEGREE total order
+# (lower-degree endpoint first, ties to the smaller id) -- the
+# compact-forward trick: every triangle is counted exactly once under
+# ANY vertex total order, and degree order bounds each node's wedge
+# fan-out by O(sqrt(m)) instead of its raw degree, so one hot hub
+# cannot blow up the wedge join. The DuckDB oracle counts under the
+# plain id order -- same number, proving orientation-invariance.
 # ---------------------------------------------------------------------------
 
 _TRIANGLE_ORACLE = """
@@ -848,12 +850,37 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    e1 = pairs
-    e2 = pairs.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    e3 = pairs.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    # Undirected degree per node from the half-pairs, broadcast onto
+    # the edges to re-orient them lower-degree-endpoint-first.
+    deg = (
+        pairs.select(F.explode(F.array("a", "b")).alias("n"))
+        .groupBy("n").agg(F.count("*").alias("d"))
+    )
+    ranked = (
+        pairs.join(F.broadcast(deg.withColumnRenamed("n", "a")
+                   .withColumnRenamed("d", "da")), "a")
+        .join(F.broadcast(deg.withColumnRenamed("n", "b")
+              .withColumnRenamed("d", "db")), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint(eager=True)
+    # Wedges fan out only from each edge's LOWER-degree endpoint:
+    # e1=(u,v), e2=(u,w) with v < w (each unordered wedge once),
+    # closed by the edge between v and w in EITHER orientation --
+    # canonicalized back to id order so the close stays an equi-join.
+    e2 = oriented.select(F.col("u"), F.col("v").alias("w"))
+    closing = oriented.select(
+        F.least("u", "v").alias("v"), F.greatest("u", "v").alias("w")
+    )
     tri = (
-        e1.join(e2, "b")
-        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        oriented.join(e2, "u")
+        .filter(F.col("v") < F.col("w"))
+        .join(closing, ["v", "w"], "left_semi")
         .agg(F.count("*").alias("n_triangles"))
     )
     edges = pairs.agg(F.count("*").alias("n_edges"))
