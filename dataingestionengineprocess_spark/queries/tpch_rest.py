@@ -76,7 +76,7 @@ ranked AS (
   FROM ps JOIN eu ON ps.l_suppkey = eu.s_suppkey
 )
 SELECT r.s_acctbal, r.s_name, r.n_name, p.p_partkey, p.p_type,
-       round(r.unit_cost, 4) AS unit_cost
+       floor(r.unit_cost * 10000 + 0.5) / 10000 AS unit_cost
 FROM ranked r JOIN part p ON r.l_partkey = p.p_partkey
 WHERE p.p_type = 'LARGE' AND p.p_size <= 10 AND r.unit_cost = r.min_cost
 """
@@ -102,7 +102,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
-            F.round("unit_cost", 4).alias("unit_cost"),
+            # floor-based rounding: Spark's round() re-rounds via the
+            # SHORTEST decimal repr (BigDecimal.valueOf) while DuckDB
+            # rounds the binary value, so a quotient sitting 1 ulp
+            # below a .xxxx5 boundary rounds differently; floor(x*1e4
+            # + 0.5)/1e4 is identical IEEE arithmetic in both engines.
+            (F.floor(F.col("unit_cost") * 10000 + 0.5) / 10000)
+            .alias("unit_cost"),
         )
     )
 
