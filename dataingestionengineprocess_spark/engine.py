@@ -71,6 +71,29 @@ class IngestionEngine:
             checkpoint_dir, max_files_per_trigger,
         )
 
+    def run_sweep(self, feed_name: str, landing_dir: str,
+                  run_id: str | None = None):
+        """Batch landing-zone sweep with the durable file ledger:
+        ingest every file identity not yet recorded, as one run.
+        Returns the RunStatus, or None when nothing new landed."""
+        from .pipeline import ingest_new_files
+
+        return ingest_new_files(
+            self.spark, self.feed(feed_name), landing_dir, self.sinks,
+            run_id,
+        )
+
+    def replay_quarantine(self, feed_name: str,
+                          run_id: str | None = None):
+        """Re-run the stage chain over the feed's quarantine table
+        under the CURRENT rules (the recovery path after a rule fix);
+        now-passing rows load, the quarantine table shrinks."""
+        from .pipeline import replay_quarantine
+
+        return replay_quarantine(
+            self.spark, self.feed(feed_name), self.sinks, run_id
+        )
+
     # -- curated outputs ------------------------------------------------------
 
     def warehouse_table(self, table: str,

@@ -90,3 +90,29 @@ def test_warehouse_schema_evolution(engine, spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score", "_run_id"}
     rows = {r.id: r for r in merged.collect()}
     assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_sweep_and_replay_via_facade(engine, tmp_path):
+    """The lifecycle surface a reference user drives: ledgered sweep
+    (exactly-once per file), then quarantine replay after a rule fix."""
+    from dataingestionengineprocess_spark.operators.quality import in_range
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.csv").write_text("id,v\n1,10.0\n2,-5.0\n")
+
+    feed = _feed()
+    feed.rules = [not_null("id"), in_range("v", 0.0, 100.0)]
+    engine.register_feed(feed)
+
+    s1 = engine.run_sweep("mini", str(landing))
+    assert s1 is not None
+    assert s1.rows_loaded == 1 and s1.rows_quarantined == 1
+    assert engine.run_sweep("mini", str(landing)) is None  # ledgered
+
+    feed.rules = [not_null("id"), in_range("v", -100.0, 100.0)]
+    s2 = engine.replay_quarantine("mini")
+    assert s2.rows_loaded == 1 and s2.rows_quarantined == 0
+    assert engine.warehouse_table("mini").count() == 2
+    # both runs (sweep + replay) signed the status table
+    assert engine.status().count() == 2
