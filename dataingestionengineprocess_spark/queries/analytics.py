@@ -811,8 +811,12 @@ def events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Triangle counting over the co-purchase graph: the canonical graph
-# cohesion metric. Edges are oriented by the DEGREE total order
-# (lower-degree endpoint first, ties to the smaller id) -- the
+# cohesion metric. The bipartite order-part projection is made SPARSE
+# first -- an edge requires co-purchase in >= 2 DISTINCT orders, the
+# standard projection-graph threshold (a single shared basket is
+# noise, and the un-thresholded projection's wedge count grows like
+# m^1.5: ~10^9 at sf0.1). Edges are then oriented by the DEGREE total
+# order (lower-degree endpoint first, ties to the smaller id) -- the
 # compact-forward trick: every triangle is counted exactly once under
 # ANY vertex total order, and degree order bounds each node's wedge
 # fan-out by O(sqrt(m)) instead of its raw degree, so one hot hub
@@ -825,9 +829,11 @@ WITH u AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ),
 pairs AS (
-  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  SELECT a.l_partkey AS a, b.l_partkey AS b
   FROM u a JOIN u b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
 )
 SELECT CAST(count(*) AS BIGINT) AS n_triangles,
        (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges
@@ -846,8 +852,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b, "k")
         .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("__n_orders"))
+        .filter(F.col("__n_orders") >= 2)
         .select("a", "b")
-        .distinct()
         .localCheckpoint(eager=True)
     )
     # Undirected degree per node from the half-pairs, broadcast onto
@@ -873,15 +881,25 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # e1=(u,v), e2=(u,w) with v < w (each unordered wedge once),
     # closed by the edge between v and w in EITHER orientation --
     # canonicalized back to id order so the close stays an equi-join.
+    # Wedge counts are PRE-AGGREGATED per (v, w) before the closing
+    # join: the raw wedge fan-out streams straight into a map-side
+    # partial count, so the join (and any sort for it) sees at most
+    # one row per distinct endpoint pair instead of every wedge --
+    # the difference between spilling a 100M-row wedge stream and
+    # joining an edge-bounded table.
     e2 = oriented.select(F.col("u"), F.col("v").alias("w"))
     closing = oriented.select(
         F.least("u", "v").alias("v"), F.greatest("u", "v").alias("w")
     )
-    tri = (
+    wedge_counts = (
         oriented.join(e2, "u")
         .filter(F.col("v") < F.col("w"))
-        .join(closing, ["v", "w"], "left_semi")
-        .agg(F.count("*").alias("n_triangles"))
+        .groupBy("v", "w")
+        .agg(F.count("*").alias("wc"))
+    )
+    tri = (
+        wedge_counts.join(closing, ["v", "w"], "left_semi")
+        .agg(F.sum("wc").cast("long").alias("n_triangles"))
     )
     edges = pairs.agg(F.count("*").alias("n_edges"))
     return tri.join(F.broadcast(edges))
