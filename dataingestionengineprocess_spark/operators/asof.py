@@ -60,3 +60,44 @@ def asof_join_backward(left: DataFrame, right: DataFrame, on: str,
     for c in payload_cols:
         out = out.withColumn(c, F.col("__matched")[c])
     return out.drop("__is_left", "__axis_ts", "__payload", "__matched")
+
+
+def asof_join_forward(left: DataFrame, right: DataFrame, on: str,
+                      left_ts: str, right_ts: str,
+                      payload_cols: list[str],
+                      how: str = "inner") -> DataFrame:
+    """For each left row, attach the right row with the SMALLEST
+    ``right_ts >= left_ts`` within the same ``on`` key (the mirror of
+    `asof_join_backward`; same union-and-fill shape, with the carry
+    running over the FOLLOWING frame).
+
+    ``right`` must be unique per (on, right_ts), as for backward.
+    """
+    l_tag = left.withColumn("__is_left", F.lit(1)).withColumn(
+        "__axis_ts", F.col(left_ts)
+    )
+    r_tag = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__axis_ts"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__payload"),
+    ).withColumn("__is_left", F.lit(0))
+
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    # LEFT rows sort before right rows at the same timestamp, so an
+    # exact-tie snapshot is inside the probe's following frame
+    # (>= semantics).
+    w = (
+        W.partitionBy(on)
+        .orderBy(F.col("__axis_ts"), F.col("__is_left").desc())
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    filled = unioned.withColumn(
+        "__matched", F.first("__payload", ignorenulls=True).over(w)
+    )
+    out = filled.filter(F.col("__is_left") == 1)
+    if how == "inner":
+        out = out.filter(F.col("__matched").isNotNull())
+    for c in payload_cols:
+        out = out.withColumn(c, F.col("__matched")[c])
+    return out.drop("__is_left", "__axis_ts", "__payload", "__matched")

@@ -321,7 +321,7 @@ WITH v1 AS (
 v2 AS (
   SELECT o_orderkey,
          CASE WHEN o_orderkey % 97 = 0
-              THEN round(o_totalprice * 1.1, 2)
+              THEN floor(o_totalprice * 1.1 * 100 + 0.5) / 100
               ELSE o_totalprice END AS o_totalprice,
          o_orderdate
   FROM orders
@@ -329,7 +329,8 @@ v2 AS (
 SELECT v1.o_orderkey AS o_orderkey,
        v1.o_totalprice AS old_price,
        v2.o_totalprice AS new_price,
-       round(v2.o_totalprice - v1.o_totalprice, 2) AS price_delta
+       floor((v2.o_totalprice - v1.o_totalprice) * 100 + 0.5) / 100
+           AS price_delta
 FROM v1 JOIN v2 USING (o_orderkey)
 WHERE v1.o_totalprice <> v2.o_totalprice
 """
@@ -361,7 +362,13 @@ def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = vt.publish(base)
     updates = (
         base.filter(F.col("o_orderkey") % 97 == 0)
-        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+        # floor-based rounding (FIXTURES.md): x*1.1 lands exactly on
+        # half-cent boundaries where Spark's repr-based round() and
+        # DuckDB's binary round() disagree by a cent.
+        .withColumn(
+            "o_totalprice",
+            F.floor(F.col("o_totalprice") * 1.1 * 100 + 0.5) / 100,
+        )
         .withColumn("o_orderdate", F.date_add(F.col("o_orderdate"), 1))
     )
     vt.merge(updates, keys=["o_orderkey"], order_col="o_orderdate")
@@ -373,8 +380,9 @@ def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.col("old.o_totalprice").alias("old_price"),
             F.col("new.o_totalprice").alias("new_price"),
-            F.round(
-                F.col("new.o_totalprice") - F.col("old.o_totalprice"), 2
-            ).alias("price_delta"),
+            (F.floor(
+                (F.col("new.o_totalprice") - F.col("old.o_totalprice"))
+                * 100 + 0.5
+            ) / 100).alias("price_delta"),
         )
     )

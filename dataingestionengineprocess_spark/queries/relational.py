@@ -1121,3 +1121,51 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
         F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J7 forward direction: for each ERROR event, the same user's next
+# PURCHASE event at-or-after it (the "time to recovery/conversion"
+# attribution shape; both sides interleave inside the events window).
+# DuckDB's native ASOF JOIN supports the forward inequality directly,
+# so the whole direction is exactly oracled.
+# ---------------------------------------------------------------------------
+
+_ASOF_FWD_ORACLE = """
+WITH probe AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+snap AS (
+  SELECT user_id, ts AS p_ts, max(event_id) AS purchase_event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, s.purchase_event_id,
+       CAST(date_diff('second', p.ts, s.p_ts) AS BIGINT) AS secs_to_purchase
+FROM probe p
+ASOF JOIN snap s
+  ON p.user_id = s.user_id AND p.ts <= s.p_ts
+"""
+
+
+@register("asof_join_next_purchase", oracle=_ASOF_FWD_ORACLE)
+def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_forward
+
+    ev = load(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    snap = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("p_ts"))
+        .agg(F.max("event_id").alias("purchase_event_id"))
+    )
+    joined = asof_join_forward(
+        probe, snap, on="user_id", left_ts="ts", right_ts="p_ts",
+        payload_cols=["purchase_event_id", "p_ts"], how="inner",
+    )
+    return joined.select(
+        "event_id", "user_id", "purchase_event_id",
+        (F.unix_timestamp(F.col("p_ts")) - F.unix_timestamp(F.col("ts")))
+        .cast("long").alias("secs_to_purchase"),
+    )

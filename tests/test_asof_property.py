@@ -60,3 +60,43 @@ def test_asof_matches_reference(spark, case):
         if v is not None
     }
     assert got == expect
+
+
+def _reference_forward(left, right):
+    """Per-row reference: earliest right value at-or-after, else None."""
+    out = {}
+    for k, lt in left:
+        best = None
+        for k2, rt in right:
+            if k2 == k and rt >= lt and (best is None or rt < best):
+                best = rt
+        out[(k, lt)] = best
+    return out
+
+
+@given(asof_case())
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_asof_forward_matches_reference(spark, case):
+    from dataingestionengineprocess_spark.operators.asof import (
+        asof_join_forward,
+    )
+
+    left_rows, right_rows = case
+    left = spark.createDataFrame(
+        [(k, t) for k, t in left_rows], "k int, lt bigint"
+    )
+    right = spark.createDataFrame(
+        [(k, t, t) for k, t in right_rows], "k int, rt bigint, rv bigint"
+    ) if right_rows else spark.createDataFrame([], "k int, rt bigint, rv bigint")
+
+    joined = asof_join_forward(
+        left, right, on="k", left_ts="lt", right_ts="rt",
+        payload_cols=["rv"], how="inner",
+    )
+    got = {(r.k, r.lt): r.rv for r in joined.collect()}
+    expect = {
+        kl: v for kl, v in _reference_forward(left_rows, right_rows).items()
+        if v is not None
+    }
+    assert got == expect
