@@ -962,6 +962,14 @@ FROM (
 
 @register("ml_quantile_bins", oracle=_QBIN_ORACLE)
 def ml_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT equal-count bins via a global ntile -- which means one
+    total sort with a single-task final window: correct and
+    oracle-checkable, but NOT the 100 TB path. At scale the same
+    discretizer is approxQuantile cutpoints + a map-only bucket
+    assignment (exactly how `sinks/warehouse.zorder_write` ranks its
+    clustering axes) -- bins are then approximate at the boundaries,
+    which feature pipelines accept. This query pins the exact
+    semantics the approximate path is judged against."""
     o = load(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
