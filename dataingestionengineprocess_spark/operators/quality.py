@@ -104,10 +104,20 @@ def schema_drift(old, new) -> list[dict]:
     Accepts DataFrames or StructTypes. Pure metadata -- no job runs.
     Returns a list of {column, change, old_type, new_type} dicts,
     sorted by column name (empty list == no drift).
+
+    Duplicate column names (a malformed but real CSV hazard) are kept
+    as a MULTISET per name: the types compare as comma-joined sorted
+    lists, so "two 'amount' columns became one" reports as
+    ``type_changed`` instead of silently matching.
     """
     def fields(s):
         st = s.schema if hasattr(s, "schema") else s
-        return {f.name: f.dataType.simpleString() for f in st.fields}
+        per_name: dict[str, list[str]] = {}
+        for f in st.fields:
+            per_name.setdefault(f.name, []).append(
+                f.dataType.simpleString()
+            )
+        return {c: ",".join(sorted(ts)) for c, ts in per_name.items()}
 
     o, n = fields(old), fields(new)
     out = []

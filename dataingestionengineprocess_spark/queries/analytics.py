@@ -899,7 +899,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tri = (
         wedge_counts.join(closing, ["v", "w"], "left_semi")
-        .agg(F.sum("wc").cast("long").alias("n_triangles"))
+        # coalesce: sum over an empty (triangle-free) result is NULL,
+        # but the count contract (and the oracle's count(*)) says 0.
+        .agg(F.coalesce(F.sum("wc"), F.lit(0))
+             .cast("long").alias("n_triangles"))
     )
     edges = pairs.agg(F.count("*").alias("n_edges"))
     return tri.join(F.broadcast(edges))
@@ -915,7 +918,8 @@ _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 _CORR_ORACLE = " UNION ALL ".join(
     f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
-        round(corr({a}, {b}), 6) AS pearson_r FROM lineitem"""
+        floor(corr({a}, {b}) * 1000000 + 0.5) / 1000000 AS pearson_r
+        FROM lineitem"""
     for i, a in enumerate(_CORR_COLS)
     for b in _CORR_COLS[i + 1:]
 )
@@ -929,8 +933,12 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, a in enumerate(_CORR_COLS)
         for b in _CORR_COLS[i + 1:]
     ]
+    # floor-based rounding (FIXTURES.md): corr values are arbitrary
+    # doubles, where repr-based round() can split from DuckDB's
+    # binary round on .xxxxxx5 boundaries.
     wide = li.agg(*[
-        F.round(F.corr(a, b), 6).alias(f"{a}__{b}") for a, b in pairs
+        (F.floor(F.corr(a, b) * 1000000 + 0.5) / 1000000)
+        .alias(f"{a}__{b}") for a, b in pairs
     ])
     stack = ", ".join(
         f"'{a}', '{b}', {a}__{b}" for a, b in pairs

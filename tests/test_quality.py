@@ -93,3 +93,34 @@ def test_schema_drift_detection(spark):
          "old_type": "string", "new_type": None},
     ]
     assert schema_drift(old, old) == []
+
+
+def test_schema_drift_duplicate_column_names(spark):
+    from pyspark.sql import types as T
+
+    from dataingestionengineprocess_spark.operators.quality import schema_drift
+
+    two_amounts = T.StructType([
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("amount", T.DoubleType()),
+    ])
+    one_amount = T.StructType([T.StructField("amount", T.DoubleType())])
+    drift = schema_drift(two_amounts, one_amount)
+    assert drift == [{"column": "amount", "change": "type_changed",
+                      "old_type": "double,double", "new_type": "double"}]
+
+
+def test_triangle_count_zero_on_triangle_free_graph(spark, tmp_path):
+    """sum over an empty wedge set must coalesce to 0, not NULL (the
+    oracle counts 0)."""
+    from dataingestionengineprocess_spark.queries.analytics import (
+        graph_triangle_count,
+    )
+
+    # a path graph: orders share pairs but never close a triangle;
+    # with the >=2-basket threshold nothing survives at all
+    rows = [(1, 10), (1, 11), (2, 11), (2, 12), (3, 12), (3, 13)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    df.write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = graph_triangle_count(spark, str(tmp_path)).collect()[0]
+    assert out.n_triangles == 0 and out.n_edges == 0
