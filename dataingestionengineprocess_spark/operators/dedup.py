@@ -522,13 +522,42 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
-def incremental_jaccard_admission(corpus: DataFrame, new_docs: DataFrame,
+def build_shingle_index(corpus: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3) -> DataFrame:
+    """The corpus side of incremental admission, materialized: one row
+    per (shingle, doc) with the doc's total distinct-shingle count
+    DENORMALIZED onto every row -- (s, corp_id, n_b).
+
+    At 100 TB this table is built once (or maintained incrementally by
+    appending each admitted batch's rows) and partitioned/bucketed by
+    ``s``; per-batch admission then never re-shingles or re-scans the
+    corpus text at all.
+    """
+    sized = corpus.select(
+        F.col(id_col).alias("corp_id"),
+        shingles(text_col, n).alias("__sh"),
+    ).withColumn("n_b", F.size("__sh")).filter(F.col("n_b") > 0)
+    return sized.select(
+        F.explode("__sh").alias("s"), "corp_id", "n_b"
+    )
+
+
+def incremental_jaccard_admission(corpus: DataFrame | None,
+                                  new_docs: DataFrame,
                                   id_col: str = "doc_id",
                                   text_col: str = "text", n: int = 3,
-                                  threshold: float = 0.6) -> DataFrame:
+                                  threshold: float = 0.6,
+                                  corpus_index: DataFrame | None = None,
+                                  ) -> DataFrame:
     """Admit or reject each NEW document against an EXISTING corpus by
     exact n-gram Jaccard -- the daily-crawl shape: dedup cost scales
     with the new batch, never with corpus^2.
+
+    The corpus side is consumed ONLY through its shingle inverted
+    index (s, corp_id, n_b): pass ``corpus_index`` (a table built once
+    by `build_shingle_index` and reused across batches -- the 100 TB
+    deployment) or pass ``corpus`` and the index subtree is built
+    inline for this call.
 
     Returns one row per new doc: (id, status 'admit'|'reject',
     match_id, jaccard) where match_id/jaccard describe the best
@@ -539,49 +568,47 @@ def incremental_jaccard_admission(corpus: DataFrame, new_docs: DataFrame,
     and the batch is 0.1%:
 
     - Shingles of the NEW side are small; their distinct set is
-      broadcast as a semi-join filter over the corpus shingle scan,
-      so corpus rows whose shingles appear nowhere in the batch are
-      dropped at scan speed and never shuffle. (At petabyte corpus
-      scale the same role is played by a pre-built shingle->doc
-      inverted index, i.e. the corpus side of this join materialized
-      once and reused per batch.)
+      broadcast as a semi-join filter over the index scan, so index
+      rows whose shingles appear nowhere in the batch are dropped at
+      scan speed and never shuffle (with the index bucketed by ``s``
+      this is a partition-pruned point read).
     - The equi-join on the shingle then only moves corpus docs that
       share >= 1 shingle with some new doc; per-pair verification is
-      a count + size arithmetic, as in `ngram_jaccard_pairs`.
+      count + size arithmetic over the index's denormalized n_b --
+      the corpus text is never touched.
     - Best-match selection is a per-new-doc max_by aggregation, not a
       window over the full pair set.
     """
+    if corpus_index is None:
+        if corpus is None:
+            raise ValueError("pass corpus or corpus_index")
+        corpus_index = build_shingle_index(corpus, id_col, text_col, n)
+
     sh_new = new_docs.select(
         F.col(id_col).alias("new_id"),
         F.explode(shingles(text_col, n)).alias("s"),
     )
-    sh_corp = corpus.select(
-        F.col(id_col).alias("corp_id"),
-        F.explode(shingles(text_col, n)).alias("s"),
-    )
-    # Prune the (large) corpus shingle stream to shingles the batch
-    # actually mentions before any wide join.
-    sh_corp = sh_corp.join(
+    # Prune the (large) index stream to shingles the batch mentions
+    # before any wide join.
+    sh_corp = corpus_index.join(
         F.broadcast(sh_new.select("s").distinct()), "s", "left_semi"
     )
 
-    # Set sizes are computed MAP-ONLY per doc (size of the shingle
-    # array), independent of the semi-join pruning above -- counting
-    # the pruned stream instead would inflate jaccard for corpus docs
-    # that lost shingles to the prune.
+    # The NEW side's set sizes are computed MAP-ONLY per doc (size of
+    # the shingle array); the corpus side's n_b rides on the index
+    # rows, where it was computed at build time from the UNPRUNED
+    # shingle sets (counting the pruned stream would inflate jaccard).
     n_new = new_docs.select(
         F.col(id_col).alias("new_id"),
         F.size(shingles(text_col, n)).alias("n_a"),
     ).filter(F.col("n_a") > 0)
-    n_corp = corpus.select(
-        F.col(id_col).alias("corp_id"),
-        F.size(shingles(text_col, n)).alias("n_b"),
-    ).filter(F.col("n_b") > 0)
 
     inter = (
         sh_new.join(sh_corp, "s")
         .groupBy("new_id", "corp_id")
-        .agg(F.count("*").alias("n_inter"))
+        # n_b is constant per corp_id (denormalized); max() just
+        # carries it through the aggregate.
+        .agg(F.count("*").alias("n_inter"), F.max("n_b").alias("n_b"))
     )
     jac = F.round(
         F.col("n_inter")
@@ -589,7 +616,6 @@ def incremental_jaccard_admission(corpus: DataFrame, new_docs: DataFrame,
     )
     best = (
         inter.join(n_new, "new_id")
-        .join(n_corp, "corp_id")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .groupBy("new_id")

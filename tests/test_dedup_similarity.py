@@ -670,3 +670,30 @@ def test_heavy_hitters_exact_on_skewed_stream(spark):
         .filter(F.col("cnt") >= 91).collect()
     }
     assert got == exact and ("hot", 500) in got and ("warm", 120) in got
+
+
+def test_incremental_admission_via_persisted_index(spark, tmp_path):
+    """A shingle index built ONCE (and persisted) answers multiple
+    batches identically to the direct corpus path."""
+    from dataingestionengineprocess_spark.operators.dedup import (
+        build_shingle_index,
+        incremental_jaccard_admission,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    idx_path = str(tmp_path / "shingle_idx")
+    build_shingle_index(corpus).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    for batch_mod in (0, 2):
+        batch = docs.filter(F.col("doc_id") % 4 == batch_mod).limit(40)
+        direct = incremental_jaccard_admission(
+            corpus, batch, n=3, threshold=0.5
+        )
+        via_index = incremental_jaccard_admission(
+            None, batch, n=3, threshold=0.5, corpus_index=idx
+        )
+        assert sorted(map(tuple, direct.collect())) == sorted(
+            map(tuple, via_index.collect())
+        )
