@@ -606,3 +606,91 @@ def curation_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chunk_tokens").cast("long").alias("pack_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/validation/test split: the split key is the
+# NEAR-DUP CLUSTER's canonical id, not the document id -- two
+# near-duplicate documents can never land on opposite sides of the
+# train/eval boundary (the contamination path a doc-keyed random
+# split leaves wide open). Deterministic md5 bucketing (80/10/10)
+# makes the split reproducible on any cluster shape and exactly
+# oracle-checkable; the DuckDB oracle recomputes the clusters with a
+# recursive CTE and the same bucket arithmetic.
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                               for i in range(1, len(t) - 1)])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 3
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+comp AS (
+  SELECT s AS doc_id, least(min(d), s) AS component FROM reach GROUP BY s
+),
+assigned AS (
+  SELECT d.doc_id,
+         coalesce(c.component, d.doc_id) AS component,
+         CAST('0x' || substr(md5(CAST(coalesce(c.component, d.doc_id)
+                                      AS VARCHAR)), 1, 6) AS BIGINT) % 10
+             AS bucket
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, component,
+       CASE WHEN bucket < 8 THEN 'train'
+            WHEN bucket = 8 THEN 'validation'
+            ELSE 'test' END AS split
+FROM assigned
+"""
+
+
+@register("curation_leakage_safe_split", oracle=_SPLIT_ORACLE)
+def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = prefix_filter_jaccard_pairs(docs, n=3, threshold=0.6)
+    cc = connected_components(pairs, "id_a", "id_b")
+    comp = (
+        docs.select("doc_id")
+        .join(cc, docs.doc_id == cc.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("component").cast("string")), 1, 6),
+               16, 10).cast("long") % 10
+    )
+    return comp.select(
+        "doc_id", "component",
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "validation")
+        .otherwise("test").alias("split"),
+    )

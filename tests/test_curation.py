@@ -200,3 +200,38 @@ def test_bpe_train_survives_messy_whitespace(spark):
     rows = bpe_train_merges(docs, num_merges=2, min_freq=2).collect()
     assert [(r.left, r.right) for r in rows] == [("a", "b")]
     assert rows[0].pair_freq == 5
+
+
+def test_leakage_safe_split_keeps_neardups_together(spark):
+    """The split's whole point: every near-dup pair lands in ONE split,
+    and the 80/10/10 proportions roughly hold."""
+    from dataingestionengineprocess_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+    from dataingestionengineprocess_spark.queries.curation import (
+        curation_leakage_safe_split,
+    )
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    split = curation_leakage_safe_split(spark, sf)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = prefix_filter_jaccard_pairs(docs, n=3, threshold=0.6)
+
+    a = split.select(F.col("doc_id").alias("id_a"),
+                     F.col("split").alias("split_a"))
+    b = split.select(F.col("doc_id").alias("id_b"),
+                     F.col("split").alias("split_b"))
+    straddling = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert straddling == 0
+
+    counts = {r.split: r.n for r in
+              split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert counts["train"] / total > 0.7
+    assert 0 < counts["validation"] and 0 < counts["test"]
