@@ -386,3 +386,19 @@ def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) / 100).alias("price_delta"),
         )
     )
+
+
+@register("agg_cms_supplier_freq")
+def agg_cms_supplier_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch point frequencies for a fixed supplier probe
+    set over lineitem (operators/cms.py) -- the mergeable
+    point-frequency sketch next to HLL (distinct) and Misra-Gries
+    (heavy hitters). Rows-only check (sketch estimates are
+    engine-specific); pytest asserts the never-undercount and
+    eps*N-overshoot guarantees against exact counts."""
+    from ..operators.cms import cms_point_estimates
+
+    li = load(spark, sf_dir, "lineitem")
+    return cms_point_estimates(
+        li, "l_suppkey", probes=[1, 2, 3, 5, 8, 13, 21],
+    )

@@ -349,3 +349,29 @@ def test_freq_items_contains_true_heavy_hitters(spark):
         .filter(F.col("count") > support * total).collect()
     }
     assert exact <= approx
+
+
+def test_cms_guarantees_vs_exact(spark):
+    """CMS never undercounts; overshoot bounded by eps * N for the
+    probe set (with margin: the bound is probabilistic)."""
+    from pyspark.sql import functions as F
+
+    from dataingestionengineprocess_spark.operators.cms import (
+        build_cms,
+        cms_estimate,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    n = li.count()
+    eps = 0.001
+    sk = build_cms(li, "l_suppkey", eps=eps)
+    exact = {
+        r.l_suppkey: r.c
+        for r in li.groupBy("l_suppkey").agg(F.count("*").alias("c")).collect()
+    }
+    probes = sorted(exact)[:10] + [999999]  # incl. an absent key
+    ests = cms_estimate(spark, sk, probes)
+    for p, e in zip(probes, ests):
+        true = exact.get(p, 0)
+        assert e >= true, (p, e, true)
+        assert e <= true + 3 * eps * n, (p, e, true)
