@@ -54,7 +54,10 @@ def cms_point_estimates(df: DataFrame, col: str, probes: list,
     spark = df.sparkSession
     sk = build_cms(df, col, eps, confidence, seed)
     ests = cms_estimate(spark, sk, probes)
+    # probe column keeps the source column's type (count_min_sketch
+    # supports integral AND string columns)
+    probe_type = df.schema[col].dataType.simpleString()
     return spark.createDataFrame(
         [(p, e) for p, e in zip(probes, ests)],
-        f"{col} long, est_count long",
+        f"{col} {probe_type}, est_count long",
     )

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions.text import shingles, token_count, tokens
+from .dedup import NEARDUP_COMPONENTS_CTE
 from . import register
 
 # ---------------------------------------------------------------------------
@@ -619,43 +620,11 @@ def curation_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recursive CTE and the same bucket arithmetic.
 # ---------------------------------------------------------------------------
 
-_SPLIT_ORACLE = """
-WITH RECURSIVE sh AS (
-  SELECT doc_id AS id,
-         unnest(list_distinct([array_to_string(t[i:i+2], ' ')
-                               for i in range(1, len(t) - 1)])) AS s
-  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-  WHERE len(t) >= 3
-),
-sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
-inter AS (
-  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
-  GROUP BY a.id, b.id
-),
-pairs AS (
-  SELECT id_a, id_b
-  FROM inter
-  JOIN sizes sa ON sa.id = id_a
-  JOIN sizes sb ON sb.id = id_b
-  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
-),
-edges AS (
-  SELECT id_a AS s, id_b AS d FROM pairs
-  UNION ALL SELECT id_b, id_a FROM pairs
-),
-reach(s, d) AS (
-  SELECT s, d FROM edges
-  UNION
-  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
-),
-comp AS (
-  SELECT s AS doc_id, least(min(d), s) AS component FROM reach GROUP BY s
-),
+_SPLIT_ORACLE = "WITH RECURSIVE " + NEARDUP_COMPONENTS_CTE + """,
 assigned AS (
   SELECT d.doc_id,
-         coalesce(c.component, d.doc_id) AS component,
-         CAST('0x' || substr(md5(CAST(coalesce(c.component, d.doc_id)
+         coalesce(c.component_id, d.doc_id) AS component,
+         CAST('0x' || substr(md5(CAST(coalesce(c.component_id, d.doc_id)
                                       AS VARCHAR)), 1, 6) AS BIGINT) % 10
              AS bucket
   FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id

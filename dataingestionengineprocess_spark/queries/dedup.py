@@ -70,7 +70,7 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
-WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.6
 """
 
 
@@ -154,8 +154,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # parity for a genuinely iterative distributed algorithm.
 # ---------------------------------------------------------------------------
 
-_CLUSTER_ORACLE = """
-WITH RECURSIVE sh AS (
+#: Shared oracle prefix: the near-dup cluster definition (shingles ->
+#: exact-jaccard pairs -> recursive closure -> min-id component). ONE
+#: copy, referenced by every oracle that needs the clusters -- the
+#: near-dup definition (shingle n, threshold, rounding) must never
+#: drift between oracles.
+NEARDUP_COMPONENTS_CTE = """
+sh AS (
   SELECT doc_id AS id,
          unnest(list_distinct([array_to_string(t[i:i+2], ' ')
                                for i in range(1, len(t) - 1)])) AS s
@@ -173,7 +178,7 @@ pairs AS (
   FROM inter
   JOIN sizes sa ON sa.id = id_a
   JOIN sizes sb ON sb.id = id_b
-  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+  WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.6
 ),
 edges AS (
   SELECT id_a AS s, id_b AS d FROM pairs
@@ -189,6 +194,9 @@ comp AS (
   SELECT s AS doc_id, least(min(d), s) AS component_id
   FROM reach GROUP BY s
 )
+"""
+
+_CLUSTER_ORACLE = "WITH RECURSIVE " + NEARDUP_COMPONENTS_CTE + """
 SELECT doc_id, component_id,
        count(*) OVER (PARTITION BY component_id) AS cluster_size,
        doc_id = component_id AS keep
@@ -255,41 +263,7 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash-checked end to end, not just its stages.
 # ---------------------------------------------------------------------------
 
-_CANONICAL_CORPUS_ORACLE = """
-WITH RECURSIVE sh AS (
-  SELECT doc_id AS id,
-         unnest(list_distinct([array_to_string(t[i:i+2], ' ')
-                               for i in range(1, len(t) - 1)])) AS s
-  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-  WHERE len(t) >= 3
-),
-sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
-inter AS (
-  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
-  GROUP BY a.id, b.id
-),
-pairs AS (
-  SELECT id_a, id_b
-  FROM inter
-  JOIN sizes sa ON sa.id = id_a
-  JOIN sizes sb ON sb.id = id_b
-  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
-),
-edges AS (
-  SELECT id_a AS s, id_b AS d FROM pairs
-  UNION ALL
-  SELECT id_b, id_a FROM pairs
-),
-reach(s, d) AS (
-  SELECT s, d FROM edges
-  UNION
-  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
-),
-comp AS (
-  SELECT s AS doc_id, least(min(d), s) AS component_id
-  FROM reach GROUP BY s
-)
+_CANONICAL_CORPUS_ORACLE = "WITH RECURSIVE " + NEARDUP_COMPONENTS_CTE + """
 SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 WHERE c.doc_id IS NULL OR c.doc_id = c.component_id

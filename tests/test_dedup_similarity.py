@@ -687,7 +687,8 @@ def test_incremental_admission_via_persisted_index(spark, tmp_path):
     idx = spark.read.parquet(idx_path)
 
     for batch_mod in (0, 2):
-        batch = docs.filter(F.col("doc_id") % 4 == batch_mod).limit(40)
+        batch = (docs.filter(F.col("doc_id") % 4 == batch_mod)
+                 .orderBy("doc_id").limit(40))
         direct = incremental_jaccard_admission(
             corpus, batch, n=3, threshold=0.5
         )
