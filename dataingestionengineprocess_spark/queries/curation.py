@@ -663,3 +663,72 @@ def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket == 8, "validation")
         .otherwise("test").alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The training-mix report: the corpus a run would actually train on
+# (near-dup clusters collapsed to canonicals) crossed with the
+# leakage-safe split, rolled up to per-(lang, split) doc/token/char
+# budgets -- the one-page answer to "what are we training on?".
+# Composes the shared cluster CTE, the md5 split arithmetic, and
+# whitespace token counts; everything exact, everything oracled.
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = "WITH RECURSIVE " + NEARDUP_COMPONENTS_CTE + """,
+assigned AS (
+  SELECT d.doc_id, d.lang, d.text, d.n_chars,
+         coalesce(c.component_id, d.doc_id) AS component,
+         CAST('0x' || substr(md5(CAST(coalesce(c.component_id, d.doc_id)
+                                      AS VARCHAR)), 1, 6) AS BIGINT) % 10
+             AS bucket
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT lang,
+       CASE WHEN bucket < 8 THEN 'train'
+            WHEN bucket = 8 THEN 'validation'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM assigned
+WHERE doc_id = component
+GROUP BY 1, 2
+"""
+
+
+@register("curation_training_mix", oracle=_MIX_ORACLE)
+def curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+    from ..operators.components import connected_components
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = prefix_filter_jaccard_pairs(docs, n=3, threshold=0.6)
+    cc = connected_components(pairs, "id_a", "id_b")
+    assigned = (
+        docs.join(cc, docs.doc_id == cc.node, "left")
+        .select(
+            "doc_id", "lang", "text", "n_chars",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("component").cast("string")), 1, 6),
+               16, 10).cast("long") % 10
+    )
+    return (
+        assigned.filter(F.col("doc_id") == F.col("component"))
+        .select(
+            "lang", "n_chars",
+            F.size(tokens("text")).alias("__nt"),
+            F.when(bucket < 8, "train")
+            .when(bucket == 8, "validation")
+            .otherwise("test").alias("split"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
