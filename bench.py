@@ -90,6 +90,15 @@ BENCH_QUERIES = [
     # round-2 continuations: incremental corpus admission, video decode
     "dedup_incremental_admission",
     "multimodal_video_features",
+    # round-2 late additions: time-series, funnel, sketches, drift,
+    # discretization, forward as-of
+    "events_ohlc_hourly",
+    "events_ordered_funnel",
+    "text_heavy_hitter_tokens",
+    "quality_drift_orders",
+    "agg_corr_matrix",
+    "ml_quantile_bins",
+    "asof_join_next_purchase",
 ]
 
 
