@@ -11,6 +11,8 @@ so assert their relationship to the exact baselines instead).
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from dataingestionengineprocess_spark.catalog import load
@@ -698,3 +700,67 @@ def test_incremental_admission_via_persisted_index(spark, tmp_path):
         assert sorted(map(tuple, direct.collect())) == sorted(
             map(tuple, via_index.collect())
         )
+
+
+def _reference_admission(corpus_rows, new_rows, n=2, threshold=0.5):
+    """Per-doc reference: best corpus match by exact shingle jaccard
+    (rounded like the operator), ties to the smallest corpus id."""
+    def sh(text):
+        toks = text.split(" ")
+        return {
+            " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+        } if len(toks) >= n else set()
+
+    corp = {i: sh(t) for i, t in corpus_rows}
+    out = {}
+    for i, t in new_rows:
+        s_new = sh(t)
+        best = None
+        for j, s_c in corp.items():
+            if not s_new or not s_c:
+                continue
+            inter = len(s_new & s_c)
+            if not inter:
+                continue
+            jac = round(inter / (len(s_new) + len(s_c) - inter), 4)
+            if jac >= threshold and (
+                best is None or (jac, -j) > (best[1], -best[0])
+            ):
+                best = (j, jac)
+        out[i] = best
+    return out
+
+
+@given(st.data())
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_incremental_admission_property(spark, data):
+    """Hypothesis: the distributed admission equals the per-doc
+    reference on arbitrary small corpora (shared vocab forces
+    collisions, distinct ids, messy short docs included)."""
+    from dataingestionengineprocess_spark.operators.dedup import (
+        incremental_jaccard_admission,
+    )
+
+    words = ["aa", "bb", "cc", "dd"]
+    doc = st.lists(
+        st.sampled_from(words), min_size=0, max_size=6
+    ).map(" ".join)
+    corpus_rows = list(enumerate(
+        data.draw(st.lists(doc, min_size=1, max_size=6))
+    ))
+    new_rows = [
+        (100 + i, t)
+        for i, t in enumerate(data.draw(st.lists(doc, min_size=1, max_size=5)))
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    got = {
+        r.doc_id: (r.match_id, r.jaccard) if r.status == "reject" else None
+        for r in incremental_jaccard_admission(
+            corpus, new, n=2, threshold=0.5
+        ).collect()
+    }
+    expect = _reference_admission(corpus_rows, new_rows, n=2, threshold=0.5)
+    assert got == {k: v for k, v in expect.items()}
