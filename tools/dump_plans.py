@@ -34,6 +34,14 @@ SHOWCASE = [
     "curation_domain_mix",
     # map-only chunk fan-out: the zero-exchange plan is the point
     "curation_chunk_windows",
+    # round-2 continuations: single-pass q21 rewrite, sequential-
+    # pattern funnel (three min-after aggs, no window over raw
+    # events), index-backed incremental admission, and the forward
+    # as-of (running-frame carry, no shrinking frame)
+    "q21_waiting_suppliers",
+    "events_ordered_funnel",
+    "dedup_incremental_admission",
+    "asof_join_next_purchase",
 ]
 
 
