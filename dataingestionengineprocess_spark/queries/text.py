@@ -514,3 +514,39 @@ def text_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens("text")).alias("token"))
     return heavy_hitters(toks, "token", phi=0.005)
+
+
+# ---------------------------------------------------------------------------
+# Portable-hash deterministic stratified sample: the same downsampling
+# policy as `sample_stratified_corpus`, keyed on md5 instead of
+# xxhash64 -- md5 exists in BOTH engines, so the sampled doc SET
+# itself is exactly oracled (not just its per-stratum counts). The
+# engine's production sampler stays xxhash64 (faster, codegen'd);
+# this query proves the membership rule end to end.
+# ---------------------------------------------------------------------------
+
+_MD5_SAMPLE_ORACLE = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+              AS BIGINT) % 1000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket
+FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 250 ELSE 500 END
+"""
+
+
+@register("sample_md5_stratified", oracle=_MD5_SAMPLE_ORACLE)
+def sample_md5_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+               16, 10).cast("long") % 1000
+    )
+    cut = F.when(F.col("lang") == "en", 250).otherwise(500)
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < cut)
+    )
