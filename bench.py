@@ -99,6 +99,15 @@ BENCH_QUERIES = [
     "agg_corr_matrix",
     "ml_quantile_bins",
     "asof_join_next_purchase",
+    # model-prep surface: hashed-classifier inference, PMI mining,
+    # containment dedup, hard-negative mining, interval overlap join,
+    # feature scaling
+    "text_classifier_score",
+    "text_pmi_bigrams",
+    "dedup_containment_pairs",
+    "knn_hard_negatives",
+    "join_interval_overlap",
+    "ml_feature_scaling",
 ]
 
 

@@ -268,6 +268,47 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: |A∩B| / min(|A|, |B|).
+
+    The asymmetric companion to :func:`ngram_jaccard_pairs`. Jaccard
+    punishes length mismatch -- a paragraph quoted verbatim inside a
+    10x longer article scores |A|/(|B|) ~= 0.1 and slips through any
+    usable threshold. Containment normalizes by the SMALLER shingle
+    set, so subset duplication (quotes, boilerplate wrappers, chunk
+    overlap from context-window splitting) scores ~1.0 regardless of
+    the length ratio. Standard pairing in web-corpus dedup: Jaccard
+    for near-identical pages, containment for embedded copies.
+
+    Same relational scale shape as Jaccard: shingle equi-join (only
+    docs sharing a shingle ever meet), AQE skew-split on hot shingles.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+
+    a = sh.select(F.col("id").alias("id_a"), "s")
+    b = sh.select(F.col("id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    cont = F.col("n_inter") / F.least("n_a", "n_b")
+    return (
+        inter.join(sz_a, "id_a").join(sz_b, "id_b")
+        .withColumn("containment", F.round(cont, 4))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

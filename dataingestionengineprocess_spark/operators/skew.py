@@ -80,3 +80,52 @@ def range_bucket_join(facts: DataFrame, fact_col: str, bands: DataFrame,
         )
         .drop("__bucket")
     )
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          bucket_width: int,
+                          l_start: str = "l_start", l_end: str = "l_end",
+                          r_start: str = "r_start", r_end: str = "r_end",
+                          ) -> DataFrame:
+    """Interval x interval OVERLAP join as a bucketed equi-join.
+
+    The interval generalization of :func:`range_bucket_join` (which is
+    point-in-interval): pairs where ``[l_start, l_end]`` and
+    ``[r_start, r_end]`` overlap (closed-interval semantics:
+    ``l_start <= r_end AND r_start <= l_end``). Spark plans the raw
+    theta predicate as a nested-loop cross product; here both sides
+    explode into the fixed-width grid cells they touch and meet in a
+    hash join on the cell id.
+
+    A pair that overlaps across k shared cells must be emitted ONCE.
+    The usual ``distinct`` after the join is itself a full shuffle of
+    the pair set; instead each pair is emitted only in the FIRST cell
+    both intervals occupy -- ``bucket == max(floor(l_start/w),
+    floor(r_start/w))`` -- which is computable per joined row, so the
+    dedup costs a codegen'd filter, zero extra shuffles.
+
+    Interval columns are numeric (use epoch seconds for time). Pick
+    ``bucket_width`` near the typical interval length: each side then
+    explodes to O(1) cells per row.
+    """
+    w = int(bucket_width)
+    lcell = F.explode(
+        F.sequence(F.floor(F.col(l_start) / w), F.floor(F.col(l_end) / w))
+    )
+    rcell = F.explode(
+        F.sequence(F.floor(F.col(r_start) / w), F.floor(F.col(r_end) / w))
+    )
+    lx = left.withColumn("__cell", lcell)
+    rx = right.withColumn("__cell", rcell)
+    first_shared = F.greatest(
+        F.floor(F.col(l_start) / w), F.floor(F.col(r_start) / w)
+    )
+    return (
+        lx.join(rx, "__cell")
+        .filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("__cell") == first_shared)
+        )
+        .drop("__cell")
+    )

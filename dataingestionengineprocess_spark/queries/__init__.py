@@ -60,6 +60,7 @@ def _load_all() -> None:
     # their relative priority holds within the unverified group.
     from . import dedup  # noqa: F401
     from . import similarity  # noqa: F401
+    from . import mlprep  # noqa: F401
     from . import curation  # noqa: F401
     from . import text  # noqa: F401
     from . import scalars  # noqa: F401

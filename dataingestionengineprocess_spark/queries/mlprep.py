@@ -1,0 +1,379 @@
+"""Model-prep query surface: classifier scoring, association mining,
+containment dedup, contrastive mining, interval joins, feature scaling.
+
+Round-2 additions to the LLM-data-pipeline mandate (driver brief;
+the reference's engine box is opaque, Untitled Diagram.drawio:153-154,
+so these derive from standard corpus-curation practice, not from
+reference code):
+
+- ``text_classifier_score``: fastText-shaped linear classifier
+  INFERENCE over hashed token buckets -- the quality/domain gate every
+  web-scale corpus pass runs. Map-only: zero shuffles.
+- ``text_pmi_bigrams``: pointwise mutual information collocations --
+  the classic association-mining pass over a tokenized corpus.
+- ``dedup_containment_pairs``: asymmetric containment near-dup
+  (catches subset duplication Jaccard misses).
+- ``knn_hard_negatives``: contrastive-training negative mining --
+  nearest neighbors restricted to a DIFFERENT label.
+- ``join_interval_overlap``: interval x interval overlap join on the
+  bucket grid (no nested-loop theta join).
+- ``ml_feature_scaling``: winsorize / min-max / z-score feature
+  normalization from exact per-segment statistics.
+
+Every query here is DuckDB-oracled; engine-portable hashing uses md5
+(present in both engines) rather than xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.text import tokens
+from ..functions.vectors import as_double, cosine
+from ..operators.dedup import containment_pairs
+from ..operators.skew import interval_overlap_join
+from . import register
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear classifier inference (fastText-shaped).
+#
+# Real curation pipelines score every document with a small linear
+# model over hashed n-gram features (quality filters, domain routers,
+# toxicity gates). Training is out of scope for an engine; INFERENCE
+# is the engine problem: at 100 TB the scoring pass must be map-only.
+# This query is exactly that: token -> hash bucket -> weight lookup ->
+# mean -> sigmoid, all inside whole-stage codegen over the scan --
+# no shuffle, no Python, no model broadcast even (the "model" is a
+# deterministic function of the bucket id, standing in for a
+# broadcast weight array; a learned model would broadcast a 4096-float
+# map and join the same way).
+# ---------------------------------------------------------------------------
+
+_N_BUCKETS = 4096
+_MIX = 2654435761  # Knuth multiplicative-hash constant
+_SCALE = 8.0
+_BIAS = 0.1
+
+_CLS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, lang, len(toks) AS n_tokens,
+         list_sum(list_transform(toks, tok ->
+             ((CAST('0x' || substr(md5(tok), 1, 6) AS BIGINT) % {_N_BUCKETS})
+              * {_MIX}) % 100001 / 100000.0 - 0.5)) AS wsum
+  FROM t WHERE len(toks) >= 1
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(1.0 / (1.0 + exp(-({_SCALE} * wsum / n_tokens + {_BIAS}))), 6)
+           AS score,
+       (1.0 / (1.0 + exp(-({_SCALE} * wsum / n_tokens + {_BIAS}))) >= 0.5)
+           AS keep
+FROM s
+"""
+
+
+@register("text_classifier_score", oracle=_CLS_ORACLE)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens("text")
+    wsum = F.aggregate(
+        F.transform(toks, lambda tok: weight_of(tok)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    logit = F.lit(_SCALE) * wsum / F.size(toks) + F.lit(_BIAS)
+    score = 1.0 / (1.0 + F.exp(-logit))
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.size(toks) >= 1)
+        .select(
+            "doc_id", "lang",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.round(score, 6).alias("score"),
+            (score >= 0.5).alias("keep"),
+        )
+    )
+
+
+def weight_of(tok):
+    """Deterministic per-token weight: md5 -> bucket -> mixed weight in
+    [-0.5, 0.5]. Engine-portable (md5 + integer arithmetic only)."""
+    bucket = (
+        F.conv(F.substring(F.md5(tok), 1, 6), 16, 10).cast("long") % _N_BUCKETS
+    )
+    return (bucket * F.lit(_MIX)) % 100001 / F.lit(100000.0) - 0.5
+
+
+# ---------------------------------------------------------------------------
+# PMI bigram collocations.
+#
+# pmi(x, y) = ln( p(x,y) / (p(x) p(y)) ) with p(x,y) over adjacent
+# bigram positions and p(x) over all token positions. Computed as a
+# log-sum (ln c_xy + 2 ln N_uni - ln N_big - ln c_x - ln c_y) so no
+# intermediate product overflows double exactness at corpus scale.
+# Scale shape: two token-domain aggregations (bigram counts, unigram
+# counts) + joins on the word -- vocab-sized tables, NOT broadcast
+# (web vocab is 10^8; AQE may still choose broadcast when it fits) --
+# then a top-k TakeOrdered, no global sort.
+# ---------------------------------------------------------------------------
+
+_PMI_ORACLE = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+uni AS (SELECT unnest(t) AS w FROM toks),
+ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+utot AS (SELECT count(*) AS n_uni FROM uni),
+big AS (
+  SELECT unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS bg
+  FROM toks WHERE len(t) >= 2
+),
+bcnt AS (SELECT bg, count(*) AS c_xy FROM big GROUP BY bg),
+btot AS (SELECT count(*) AS n_big FROM big)
+SELECT w1, w2, c_xy, pmi FROM (
+  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+         CAST(c_xy AS BIGINT) AS c_xy,
+         round(ln(c_xy) + 2 * ln(n_uni) - ln(n_big) - ln(u1.c) - ln(u2.c), 6)
+             AS pmi
+  FROM bcnt CROSS JOIN utot CROSS JOIN btot
+  JOIN ucnt u1 ON u1.w = split_part(bg, ' ', 1)
+  JOIN ucnt u2 ON u2.w = split_part(bg, ' ', 2)
+  WHERE c_xy >= 5
+)
+ORDER BY pmi DESC, w1, w2 LIMIT 50
+"""
+
+
+@register("text_pmi_bigrams", oracle=_PMI_ORACLE)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(tokens("text").alias("t"))
+    uni = docs.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    utot = uni.agg(F.count("*").alias("n_uni"))
+    bigrams = (
+        docs.filter(F.size("t") >= 2)
+        .select(
+            F.explode(F.expr(
+                "transform(slice(t, 1, size(t) - 1),"
+                " (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+            )).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    bcnt = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    btot = bigrams.agg(F.count("*").alias("n_big"))
+    pmi = F.round(
+        F.log("c_xy") + 2 * F.log("n_uni") - F.log("n_big")
+        - F.log("c1") - F.log("c2"),
+        6,
+    )
+    return (
+        bcnt.filter(F.col("c_xy") >= 5)
+        .join(ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .select("w1", "w2", "c_xy", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup pairs (operators/dedup.containment_pairs).
+# ---------------------------------------------------------------------------
+
+_CONTAIN_ORACLE = """
+WITH sh AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                               for i in range(1, len(t) - 1)])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 3
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(n_inter / least(sa.n_sh, sb.n_sh), 4) AS containment
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(n_inter / least(sa.n_sh, sb.n_sh), 4) >= 0.8
+"""
+
+
+@register("dedup_containment_pairs", oracle=_CONTAIN_ORACLE)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return containment_pairs(docs, n=3, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# Contrastive hard-negative mining: for each probe vector, the top-k
+# most-similar vectors with a DIFFERENT label. The standard mining
+# pass for contrastive/triplet training data. Same broadcast-probes x
+# corpus-scan shape as knn_bruteforce_cosine (few probes, one pass
+# over the corpus, per-probe top-k inside the shuffle-light window) --
+# with the label-mismatch predicate pushed below the similarity
+# compute, so same-label rows never cost a dot product.
+# ---------------------------------------------------------------------------
+
+_COS = """list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"""
+
+_HARDNEG_ORACLE = f"""
+SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim, rank
+FROM (
+  SELECT a.vec_id AS query_id, a.label AS query_label,
+         b.vec_id AS neighbor_id, b.label AS neighbor_label,
+         round({_COS}, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_COS}, 6) DESC, b.vec_id) AS rank
+  FROM embeddings a
+  JOIN embeddings b ON a.label <> b.label
+  WHERE a.vec_id % 50 = 0
+) WHERE rank <= 5
+"""
+
+
+@register("knn_hard_negatives", oracle=_HARDNEG_ORACLE)
+def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        as_double("embedding").alias("q_emb"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        as_double("embedding").alias("c_emb"),
+    )
+    sim = F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6)
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        corpus.join(
+            F.broadcast(probes),
+            F.col("neighbor_label") != F.col("query_label"),
+        )
+        .withColumn("cos_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "query_label", "neighbor_id", "neighbor_label",
+                "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join over the bucket grid: per-user daily activity
+# intervals x per-(event_type, hour) burst intervals. Both interval
+# sets derive from the SAME events scan (cheap aggs); the join itself
+# is the operator under test -- operators/skew.interval_overlap_join
+# turns the theta overlap predicate into an hour-grid equi-join with
+# emit-at-first-shared-cell dedup (no distinct shuffle).
+# ---------------------------------------------------------------------------
+
+_OVERLAP_ORACLE = """
+WITH l AS (
+  SELECT user_id,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS l_start,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS l_end
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+),
+r AS (
+  SELECT event_type,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS r_start,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS r_end
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+)
+SELECT user_id, event_type, l_start, l_end, r_start, r_end,
+       least(l_end, r_end) - greatest(l_start, r_start) AS overlap_s
+FROM l JOIN r ON l_start <= r_end AND r_start <= l_end
+"""
+
+
+@register("join_interval_overlap", oracle=_OVERLAP_ORACLE)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    left = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("__d"))
+        .agg(F.min(epoch).alias("l_start"), F.max(epoch).alias("l_end"))
+        .drop("__d")
+    )
+    right = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("__h"))
+        .agg(F.min(epoch).alias("r_start"), F.max(epoch).alias("r_end"))
+        .drop("__h")
+    )
+    pairs = interval_overlap_join(left, right, bucket_width=3600)
+    return pairs.select(
+        "user_id", "event_type", "l_start", "l_end", "r_start", "r_end",
+        (F.least("l_end", "r_end") - F.greatest("l_start", "r_start"))
+        .alias("overlap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature scaling from exact per-segment statistics: winsorized clip
+# at [p05, p95], min-max over the winsor bounds, z-score. One
+# aggregation pass builds the per-segment stats table (segments are
+# few -> broadcast back onto the fact scan), so the normalize itself
+# is map-only -- the standard two-pass shape for fitting scalers at
+# 100 TB.
+# ---------------------------------------------------------------------------
+
+_SCALING_ORACLE = """
+WITH j AS (
+  SELECT o_orderkey, c_mktsegment AS segment, o_totalprice AS price
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+stats AS (
+  SELECT segment,
+         percentile_cont(0.05) WITHIN GROUP (ORDER BY price) AS p05,
+         percentile_cont(0.95) WITHIN GROUP (ORDER BY price) AS p95,
+         avg(price) AS mu, stddev_samp(price) AS sigma
+  FROM j GROUP BY segment
+)
+SELECT o_orderkey, j.segment,
+       round(least(greatest(price, p05), p95), 4) AS winsorized,
+       round((least(greatest(price, p05), p95) - p05) / (p95 - p05), 6)
+           AS minmax,
+       round((price - mu) / sigma, 6) AS zscore
+FROM j JOIN stats ON j.segment = stats.segment
+"""
+
+
+@register("ml_feature_scaling", oracle=_SCALING_ORACLE)
+def ml_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    j = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select(
+        "o_orderkey", F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").alias("price"),
+    )
+    stats = j.groupBy("segment").agg(
+        F.percentile("price", F.lit(0.05)).alias("p05"),
+        F.percentile("price", F.lit(0.95)).alias("p95"),
+        F.avg("price").alias("mu"),
+        F.stddev_samp("price").alias("sigma"),
+    )
+    clipped = F.least(F.greatest(F.col("price"), F.col("p05")), F.col("p95"))
+    return (
+        j.join(F.broadcast(stats), "segment")
+        .select(
+            "o_orderkey", "segment",
+            F.round(clipped, 4).alias("winsorized"),
+            F.round((clipped - F.col("p05")) / (F.col("p95") - F.col("p05")), 6)
+            .alias("minmax"),
+            F.round((F.col("price") - F.col("mu")) / F.col("sigma"), 6)
+            .alias("zscore"),
+        )
+    )
