@@ -206,3 +206,23 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_classifier_score_is_map_only(spark, sf_dir, qs):
+    """Hashed-classifier inference must be a pure scan-side pass:
+    hash + weight + sigmoid inside whole-stage codegen over the
+    documents scan, ZERO exchanges -- the property that makes the
+    corpus-wide quality gate free at 100 TB."""
+    plan = _plan(spark, sf_dir, qs, "text_classifier_score")
+    assert "Exchange" not in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_interval_overlap_is_hash_join_not_nested_loop(spark, sf_dir, qs):
+    """The overlap theta predicate must be rewritten onto the bucket
+    grid: the pair generation is a hash join on the cell id, never a
+    BroadcastNestedLoopJoin/CartesianProduct over the interval sets."""
+    plan = _plan(spark, sf_dir, qs, "join_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan

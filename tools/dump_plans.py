@@ -42,6 +42,10 @@ SHOWCASE = [
     "events_ordered_funnel",
     "dedup_incremental_admission",
     "asof_join_next_purchase",
+    # model-prep surface: the zero-exchange classifier pass and the
+    # bucket-grid interval overlap join (hash join, no nested loop)
+    "text_classifier_score",
+    "join_interval_overlap",
 ]
 
 
