@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "knn_hard_negatives",
     "join_interval_overlap",
     "ml_feature_scaling",
+    "curation_cdc_chunks",
+    "curation_quality_resample",
 ]
 
 

@@ -732,3 +732,156 @@ def curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC): chunk boundaries from token CONTENT,
+# not fixed offsets. Fixed-size chunking breaks dedup the moment one
+# token is inserted upstream -- every later chunk shifts. CDC hashes a
+# ROLLING 2-token window and places a boundary wherever the hash
+# % DIVISOR == 0, so an edit only redraws the chunks touching it and
+# every other chunk keeps its identity (the rsync/LBFS trick,
+# standard in dedup storage and useful for chunk-level corpus dedup).
+# The window is 2 tokens (not 1) so the rule stays non-degenerate on
+# tiny vocabularies: the fixture corpus has ~31 distinct tokens --
+# none of which happens to hash to a boundary -- but ~1000 distinct
+# bigrams.
+#
+# Scale shape: posexplode -> boundary flag -> running sum within the
+# doc -> group back. The window partitions by doc_id (bounded by doc
+# length, never corpus length); the re-group shuffles (doc_id,
+# chunk_id) pairs. The hash is md5-derived so the boundary rule is
+# engine-portable and the chunk SET itself is exactly oracled.
+# ---------------------------------------------------------------------------
+
+_CDC_DIVISOR = 16
+
+_CDC_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, u.tok AS tok, u.pos AS pos, u.win AS win FROM (
+    SELECT doc_id,
+           unnest([{{'tok': t[i], 'pos': i,
+                     'win': CASE WHEN i >= 2
+                                 THEN t[i-1] || ' ' || t[i] END}}
+                   for i in range(1, len(t) + 1)]) AS u
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  )
+),
+flagged AS (
+  SELECT doc_id, tok, pos,
+         CASE WHEN win IS NOT NULL
+                   AND CAST('0x' || substr(md5(win), 1, 6) AS BIGINT)
+                       % {_CDC_DIVISOR} = 0
+              THEN 1 ELSE 0 END AS boundary
+  FROM tok
+),
+chunked AS (
+  SELECT doc_id, tok, pos,
+         sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS chunk_id
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(coalesce(chunk_id, 0) AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+FROM chunked
+GROUP BY doc_id, coalesce(chunk_id, 0)
+"""
+
+
+@register("curation_cdc_chunks", oracle=_CDC_ORACLE)
+def curation_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    boundary = (
+        F.col("win").isNotNull()
+        & (F.conv(F.substring(F.md5(F.col("win")), 1, 6), 16, 10)
+           .cast("long") % _CDC_DIVISOR == 0)
+    ).cast("int")
+    w = (
+        W.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    toks = (
+        docs.select("doc_id", tokens("text").alias("t"))
+        .select("doc_id", "t", F.posexplode("t").alias("pos", "tok"))
+        # rolling 2-token window: previous token || current (pos is
+        # 0-based, element_at is 1-based, so element_at(t, pos) IS the
+        # previous token); null on the first token of a doc.
+        .withColumn(
+            "win",
+            F.when(
+                F.col("pos") > 0,
+                F.concat_ws(" ", F.element_at("t", F.col("pos")), F.col("tok")),
+            ),
+        )
+        .drop("t")
+    )
+    chunked = toks.withColumn(
+        "chunk_id",
+        F.coalesce(F.sum(boundary).over(w), F.lit(0)).cast("long"),
+    )
+    return (
+        chunked.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.md5(F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("pos", "tok")))
+                .getField("tok")
+            )).alias("chunk_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-proportional resampling: the downstream consumer of the
+# hashed-classifier gate (queries/mlprep.text_classifier_score).
+# Instead of a hard keep/drop at 0.5, each doc survives with
+# probability proportional to its classifier score -- the standard
+# soft-filter that preserves distributional coverage while tilting
+# the mix toward quality. Deterministic: the coin is the portable
+# md5 hash of doc_id, so membership is exactly oracled and re-runs
+# reproduce the same corpus. Map-only end to end: score and coin both
+# compute inside the scan, zero shuffles.
+# ---------------------------------------------------------------------------
+
+_QRESAMPLE_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, lang, source,
+         1.0 / (1.0 + exp(-(8.0 * list_sum(list_transform(
+             string_split(text, ' '), tok ->
+             ((CAST('0x' || substr(md5(tok), 1, 6) AS BIGINT) % 4096)
+              * 2654435761) % 100001 / 100000.0 - 0.5))
+             / len(string_split(text, ' ')) + 0.1))) AS score,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+             % 1000000 AS coin
+  FROM documents
+)
+SELECT doc_id, lang, source, round(score, 6) AS score
+FROM s WHERE coin < score * 1000000
+"""
+
+
+@register("curation_quality_resample", oracle=_QRESAMPLE_ORACLE)
+def curation_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .mlprep import weight_of, _SCALE, _BIAS
+
+    toks = tokens("text")
+    wsum = F.aggregate(
+        F.transform(toks, lambda tok: weight_of(tok)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    score = 1.0 / (1.0 + F.exp(-(F.lit(_SCALE) * wsum / F.size(toks)
+                                 + F.lit(_BIAS))))
+    coin = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+               16, 10).cast("long") % 1000000
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .withColumn("__score", score)
+        .filter(coin < F.col("__score") * 1000000)
+        .select("doc_id", "lang", "source",
+                F.round("__score", 6).alias("score"))
+    )

@@ -97,3 +97,29 @@ def test_classifier_score_is_deterministic_and_bounded(spark):
     for r in a:
         assert 0.0 <= r.score <= 1.0
         assert r.keep == (r.score >= 0.5)
+
+
+def test_cdc_chunks_resist_shift(spark, tmp_path):
+    """The property fixed-size chunking lacks: inserting one token at
+    the FRONT of a doc must leave the tail chunks' fingerprints
+    intact (boundaries are content-defined, so only chunks touching
+    the edit change)."""
+    import pyspark.sql.functions as F
+    from dataingestionengineprocess_spark.queries.curation import (
+        curation_cdc_chunks,
+    )
+
+    base = " ".join(f"tok{i % 37}x{(i * 7) % 23}" for i in range(200))
+    spark.createDataFrame(
+        [(1, base), (2, "inserted " + base)], ["doc_id", "text"]
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    chunks = curation_cdc_chunks(spark, str(tmp_path)).collect()
+    fps = {1: set(), 2: set()}
+    for r in chunks:
+        fps[r.doc_id].add(r.chunk_fp)
+    shared = fps[1] & fps[2]
+    # Every chunk after the first boundary is identical; only the
+    # head chunk (which absorbed the inserted token) differs.
+    assert len(shared) >= len(fps[1]) - 1
+    assert len(shared) > 5, f"degenerate chunking: {len(fps[1])} chunks"
