@@ -421,12 +421,65 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # linked (both directions, so the graph is symmetric and dangling-free)
 # and link analysis surfaces the "hub" parts. Iterative: one shuffle
 # per iteration, lineage checkpoint-truncated -- see operators/graph.py.
-# Rows-only (an 8-iteration float fixpoint is not SQL-expressible);
-# tests/test_graph.py pins conservation + degree-correlation.
+#
+# FULLY ORACLED (upgraded from rows-only): the iteration count is a
+# fixed 8, so the "fixpoint" is just 8 unrolled join+agg steps -- the
+# oracle builds pr1..pr8 as chained CTEs over the same co-purchase
+# edge derivation. Ranks are compared at round-6; double drift from
+# engine-different summation order is ~1e-13 after 8 damped
+# iterations, far inside the rounding. tests/test_graph.py still pins
+# the structural invariants (conservation, degree correlation).
 # ---------------------------------------------------------------------------
 
 
-@register("graph_pagerank_parts")
+def _pagerank_oracle(iterations: int = 8, damping: float = 0.85) -> str:
+    steps = []
+    prev = "pr0"
+    for k in range(1, iterations + 1):
+        steps.append(f"""
+pr{k} AS (
+  SELECT n.node, {1 - damping} + {damping} * coalesce(s.contrib, 0.0) AS rank
+  FROM nodes n LEFT JOIN (
+     SELECT e.dst AS node, sum(p.rank * e.w) AS contrib
+     FROM edges e JOIN {prev} p ON p.node = e.src
+     GROUP BY e.dst
+  ) s ON s.node = n.node
+)""")
+        prev = f"pr{k}"
+    return f"""
+WITH sets AS (
+  SELECT l_orderkey, list_distinct(list(l_partkey)) AS ps
+  FROM lineitem GROUP BY l_orderkey
+),
+half AS (
+  SELECT DISTINCT p.src AS src, p.dst AS dst FROM (
+    SELECT unnest(flatten(list_transform(ps,
+        x -> list_transform(list_filter(ps, y -> y > x),
+                            y -> {{'src': x, 'dst': y}})))) AS p
+    FROM sets
+  )
+),
+deg AS (
+  SELECT node, CAST(count(*) AS DOUBLE) AS degree FROM (
+    SELECT src AS node FROM half UNION ALL SELECT dst AS node FROM half
+  ) GROUP BY node
+),
+edges AS (
+  SELECT h.src, h.dst, 1.0 / d.degree AS w
+  FROM half h JOIN deg d ON d.node = h.src
+  UNION ALL
+  SELECT h.dst AS src, h.src AS dst, 1.0 / d.degree AS w
+  FROM half h JOIN deg d ON d.node = h.dst
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+pr0 AS (SELECT node, 1.0 AS rank FROM nodes),
+{",".join(steps)}
+SELECT node, round(rank, 6) AS rank FROM {prev}
+ORDER BY round(rank, 6) DESC, node LIMIT 50
+"""
+
+
+@register("graph_pagerank_parts", oracle=_pagerank_oracle())
 def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
