@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "ml_feature_scaling",
     "curation_cdc_chunks",
     "curation_quality_resample",
+    "stream_classifier_gate",
 ]
 
 

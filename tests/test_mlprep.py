@@ -123,3 +123,34 @@ def test_cdc_chunks_resist_shift(spark, tmp_path):
     # head chunk (which absorbed the inserted token) differs.
     assert len(shared) >= len(fps[1]) - 1
     assert len(shared) > 5, f"degenerate chunking: {len(fps[1])} chunks"
+
+
+def test_classifier_score_composes_as_quality_rule(spark):
+    """The curation gate plugs into the ingest pipeline's declarative
+    rule system unchanged: a Rule wrapping the score expression
+    quarantines low-quality docs in the same single validation scan
+    as the schema rules."""
+    import pyspark.sql.functions as F
+    from dataingestionengineprocess_spark.operators.quality import (
+        Rule, not_null, validate,
+    )
+    from dataingestionengineprocess_spark.functions.text import tokens
+    from dataingestionengineprocess_spark.queries.mlprep import (
+        weight_of, _SCALE, _BIAS,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = tokens("text")
+    wsum = F.aggregate(
+        F.transform(toks, lambda t: weight_of(t)), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    score = 1.0 / (1.0 + F.exp(-(F.lit(_SCALE) * wsum / F.size(toks)
+                                 + F.lit(_BIAS))))
+    res = validate(docs, [not_null("text"), Rule("quality_score", score >= 0.5)])
+    n_pass, n_quar = res.passed.count(), res.quarantined.count()
+    assert n_pass + n_quar == docs.count()
+    assert n_quar > 0  # the fixture has low-scoring docs
+    flagged = res.quarantined.select(
+        F.explode("_violations").alias("v")).distinct().collect()
+    assert {"quality_score"} == {r.v for r in flagged} - {"not_null_text"}
