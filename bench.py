@@ -111,6 +111,12 @@ BENCH_QUERIES = [
     "curation_cdc_chunks",
     "curation_quality_resample",
     "stream_classifier_gate",
+    # feature-prep: lag features, negative sampling, sequence pairs,
+    # leave-one-out target encoding
+    "ml_lag_features",
+    "rec_negative_sampling",
+    "events_next_item_pairs",
+    "ml_target_encoding",
 ]
 
 

@@ -377,3 +377,202 @@ def ml_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("zscore"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lag-feature generation for supervised time-series training: per
+# user, the value's lags 1..3 and the trailing-3 mean, emitted only
+# for complete windows. One window spec shared by every feature
+# column, so the plan sorts each user partition ONCE; at 100 TB the
+# partition key (user) bounds sort width, and there is exactly one
+# shuffle (hash by user) regardless of feature count.
+# ---------------------------------------------------------------------------
+
+_LAG_ORACLE = """
+SELECT user_id, event_id,
+       round(value, 4) AS target,
+       round(lag(value, 1) OVER w, 4) AS lag1,
+       round(lag(value, 2) OVER w, 4) AS lag2,
+       round(lag(value, 3) OVER w, 4) AS lag3,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4)
+           AS trailing3_mean
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+QUALIFY lag(value, 3) OVER w IS NOT NULL
+"""
+
+
+@register("ml_lag_features", oracle=_LAG_ORACLE)
+def ml_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trail = w.rowsBetween(-3, -1)
+    return (
+        ev.select(
+            "user_id", "event_id",
+            F.round("value", 4).alias("target"),
+            F.round(F.lag("value", 1).over(w), 4).alias("lag1"),
+            F.round(F.lag("value", 2).over(w), 4).alias("lag2"),
+            F.round(F.lag("value", 3).over(w), 4).alias("lag3"),
+            F.round(F.avg("value").over(trail), 4).alias("trailing3_mean"),
+            F.lag("value", 3).over(w).alias("__complete"),
+        )
+        .filter(F.col("__complete").isNotNull())
+        .drop("__complete")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Negative sampling for recommender / retrieval training: for each
+# sampled customer, k part-ids the customer has NOT ordered, chosen by
+# a portable hash so the sample is reproducible (and exactly oracled).
+#
+# The naive formulation is customers x parts anti-join interactions --
+# a cross join that dies at catalog scale. Here each customer emits
+# only 2k hash-derived CANDIDATE items (map-only fan-out); the single
+# shuffle is the anti-join of |users| * 2k candidate rows against the
+# interaction set, and the first k survivors (by draw index) win.
+# Over-drawing 2x bounds the miss probability; a production variant
+# re-draws the rare user whose 2k candidates were all seen.
+# ---------------------------------------------------------------------------
+
+_NEG_K = 5
+_NEG_DRAWS = 2 * _NEG_K
+
+_NEGSAMPLE_ORACLE = f"""
+WITH n AS (SELECT count(*) AS n_parts FROM part),
+users AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0),
+cand AS (
+  SELECT c_custkey, i,
+         CAST('0x' || substr(md5(c_custkey || '#' || i), 1, 6) AS BIGINT)
+             % n_parts + 1 AS item
+  FROM users CROSS JOIN n CROSS JOIN generate_series(1, {_NEG_DRAWS}) g(i)
+),
+seen AS (
+  SELECT DISTINCT o_custkey AS c_custkey, l_partkey AS item
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+fresh AS (
+  SELECT c.c_custkey, c.item, min(c.i) AS draw
+  FROM cand c ANTI JOIN seen s USING (c_custkey, item)
+  GROUP BY c.c_custkey, c.item
+)
+SELECT c_custkey, item, draw, rank FROM (
+  SELECT c_custkey, item, draw,
+         row_number() OVER (PARTITION BY c_custkey
+                            ORDER BY draw, item) AS rank
+  FROM fresh
+) WHERE rank <= {_NEG_K}
+"""
+
+
+@register("rec_negative_sampling", oracle=_NEGSAMPLE_ORACLE)
+def rec_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    n_parts = load(spark, sf_dir, "part").agg(
+        F.count("*").alias("n_parts"))
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    seen = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c_custkey"),
+                F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    item = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit("#"),
+                           F.col("i").cast("string"))), 1, 6), 16, 10)
+        .cast("long") % F.col("n_parts") + 1
+    )
+    cand = (
+        cust.select("c_custkey")
+        .crossJoin(F.broadcast(n_parts))
+        .withColumn("i", F.explode(F.sequence(F.lit(1), F.lit(_NEG_DRAWS))))
+        .select("c_custkey", "i", item.alias("item"))
+    )
+    fresh = (
+        cand.join(seen, ["c_custkey", "item"], "left_anti")
+        .groupBy("c_custkey", "item")
+        .agg(F.min("i").alias("draw"))
+    )
+    w = W.partitionBy("c_custkey").orderBy("draw", "item")
+    return (
+        fresh.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _NEG_K)
+        .select("c_custkey", "item", "draw", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Next-item training pairs for sequence models: per user, each event
+# becomes (context = last-3 event types, next = this type). The same
+# single-sort-per-user window shape as ml_lag_features; the context is
+# packed as a '>'-joined string (concat_ws skips the nulls of short
+# heads identically in both engines).
+# ---------------------------------------------------------------------------
+
+_NEXTITEM_ORACLE = """
+SELECT user_id, event_id,
+       concat_ws('>', lag(event_type, 3) OVER w, lag(event_type, 2) OVER w,
+                 lag(event_type, 1) OVER w) AS context,
+       event_type AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+QUALIFY lag(event_type, 1) OVER w IS NOT NULL
+"""
+
+
+@register("events_next_item_pairs", oracle=_NEXTITEM_ORACLE)
+def events_next_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id", "event_id",
+            F.concat_ws(
+                ">", F.lag("event_type", 3).over(w),
+                F.lag("event_type", 2).over(w),
+                F.lag("event_type", 1).over(w),
+            ).alias("context"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("context") != "")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding: the category feature becomes the
+# mean target of the OTHER rows in the category -- the standard
+# leakage-safe categorical encoding. One aggregation pass builds
+# (sum, n) per category (few categories -> broadcast back), the
+# encode itself is map-only arithmetic: (sum - own) / (n - 1).
+# ---------------------------------------------------------------------------
+
+_TARGETENC_ORACLE = """
+WITH g AS (
+  SELECT o_orderpriority, sum(o_totalprice) AS s, count(*) AS n
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderkey, o.o_orderpriority,
+       round(CASE WHEN n > 1 THEN (s - o_totalprice) / (n - 1) END, 6)
+           AS loo_mean_price
+FROM orders o JOIN g ON o.o_orderpriority = g.o_orderpriority
+"""
+
+
+@register("ml_target_encoding", oracle=_TARGETENC_ORACLE)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    g = orders.groupBy("o_orderpriority").agg(
+        F.sum("o_totalprice").alias("s"), F.count("*").alias("n"))
+    loo = F.when(
+        F.col("n") > 1,
+        (F.col("s") - F.col("o_totalprice")) / (F.col("n") - 1),
+    )
+    return (
+        orders.join(F.broadcast(g), "o_orderpriority")
+        .select("o_orderkey", "o_orderpriority",
+                F.round(loo, 6).alias("loo_mean_price"))
+    )
