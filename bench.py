@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "rec_negative_sampling",
     "events_next_item_pairs",
     "ml_target_encoding",
+    "curation_chunk_dedup_stats",
+    "embedding_whitening",
 ]
 
 

@@ -885,3 +885,71 @@ def curation_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source",
                 F.round("__score", 6).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level dedup stats over the CDC chunks: because boundaries are
+# content-defined, a boilerplate passage repeated across documents
+# lands in chunks with IDENTICAL fingerprints no matter where it sits
+# in each document -- so a plain fingerprint groupBy surfaces
+# cross-document repetition that doc-level dedup (different docs) and
+# fixed-offset chunking (shifted copies) both miss. Output: every
+# chunk fingerprint shared by >= 2 documents, with its spread.
+# Scale shape: the CDC fan-out plus ONE (fp) aggregation -- no pair
+# join at all; cost is linear in corpus tokens.
+# ---------------------------------------------------------------------------
+
+_CHUNK_DEDUP_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, u.tok AS tok, u.pos AS pos, u.win AS win FROM (
+    SELECT doc_id,
+           unnest([{{'tok': t[i], 'pos': i,
+                     'win': CASE WHEN i >= 2
+                                 THEN t[i-1] || ' ' || t[i] END}}
+                   for i in range(1, len(t) + 1)]) AS u
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  )
+),
+flagged AS (
+  SELECT doc_id, tok, pos,
+         CASE WHEN win IS NOT NULL
+                   AND CAST('0x' || substr(md5(win), 1, 6) AS BIGINT)
+                       % {_CDC_DIVISOR} = 0
+              THEN 1 ELSE 0 END AS boundary
+  FROM tok
+),
+chunked AS (
+  SELECT doc_id, tok, pos,
+         sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS chunk_id
+  FROM flagged
+),
+chunks AS (
+  SELECT doc_id, coalesce(chunk_id, 0) AS chunk_id,
+         count(*) AS n_tokens,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+  FROM chunked GROUP BY doc_id, coalesce(chunk_id, 0)
+)
+SELECT chunk_fp,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(max(n_tokens) AS BIGINT) AS n_tokens
+FROM chunks
+GROUP BY chunk_fp
+HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+@register("curation_chunk_dedup_stats", oracle=_CHUNK_DEDUP_ORACLE)
+def curation_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = curation_cdc_chunks(spark, sf_dir)
+    return (
+        chunks.groupBy("chunk_fp")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("n_tokens").alias("n_tokens"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -576,3 +576,58 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderpriority",
                 F.round(loo, 6).alias("loo_mean_price"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding whitening (per-dimension standardization): center and
+# scale every dimension to zero-mean/unit-variance over the corpus --
+# the preprocessing that makes product-quantization codebooks and
+# euclidean-LSH buckets behave when raw dimensions have wildly
+# different scales. Two-pass shape at scale: pass 1 is a posexplode +
+# per-dim aggregate (dims x few stats -- a tiny table), pass 2
+# broadcasts the stats and rebuilds each vector; only the rebuild's
+# groupBy(vec_id) shuffles, carrying (vec_id, dim, w) triples.
+# ---------------------------------------------------------------------------
+
+_WHITEN_ORACLE = """
+WITH x AS (
+  SELECT vec_id, label, u.dim AS dim, u.val AS val FROM (
+    SELECT vec_id, label,
+           unnest([{'dim': i, 'val': CAST(e[i] AS DOUBLE)}
+                   for i in range(1, len(e) + 1)]) AS u
+    FROM (SELECT vec_id, label, embedding AS e FROM embeddings)
+  )
+),
+stats AS (
+  SELECT dim, avg(val) AS mu, stddev_samp(val) AS sigma FROM x GROUP BY dim
+)
+SELECT vec_id, label,
+       list_transform(
+           array_agg({'dim': x.dim, 'w': round((val - mu) / sigma, 6)}
+                     ORDER BY x.dim),
+           s -> s.w) AS whitened
+FROM x JOIN stats ON x.dim = stats.dim
+GROUP BY vec_id, label
+"""
+
+
+@register("embedding_whitening", oracle=_WHITEN_ORACLE)
+def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", "label",
+        F.posexplode(as_double("embedding")).alias("dim0", "val"),
+    ).withColumn("dim", F.col("dim0") + 1).drop("dim0")
+    stats = x.groupBy("dim").agg(
+        F.avg("val").alias("mu"), F.stddev_samp("val").alias("sigma"))
+    return (
+        x.join(F.broadcast(stats), "dim")
+        .withColumn("w", F.round((F.col("val") - F.col("mu")) / F.col("sigma"), 6))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "w"))),
+                lambda s: s.getField("w"),
+            ).alias("whitened")
+        )
+    )
