@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "ml_target_encoding",
     "curation_chunk_dedup_stats",
     "embedding_whitening",
+    "join_scd2_temporal",
 ]
 
 

@@ -1169,3 +1169,58 @@ def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp(F.col("p_ts")) - F.unix_timestamp(F.col("ts")))
         .cast("long").alias("secs_to_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J7+: SCD2 temporal dimension join -- each fact row joins the
+# dimension VERSION that was active at the fact's event time (the
+# warehouse "slowly changing dimension type 2" lookup; Flink calls it
+# a temporal table join). The dim here is each customer's order
+# priority, effective from the order date it was last set; facts are
+# line-item ship events, which pick up the priority active when they
+# shipped. Composition, not new machinery: the keyed backward as-of
+# operator (operators/asof.py) IS the SCD2 join -- one union + one
+# shuffle + one in-partition sort, no per-version interval explosion.
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH dim AS (
+  SELECT o_custkey AS custkey, o_orderdate AS eff_date,
+         max_by(o_orderpriority, o_orderkey) AS priority
+  FROM orders GROUP BY o_custkey, o_orderdate
+),
+facts AS (
+  SELECT l_orderkey, l_linenumber, o_custkey AS custkey, l_shipdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT f.l_orderkey, f.l_linenumber, f.custkey, f.l_shipdate,
+       d.priority AS active_priority
+FROM facts f
+ASOF JOIN dim d
+  ON f.custkey = d.custkey AND f.l_shipdate >= d.eff_date
+"""
+
+
+@register("join_scd2_temporal", oracle=_SCD2_ORACLE)
+def join_scd2_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_backward
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    dim = orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("eff_date"),
+    ).agg(F.max_by("o_orderpriority", "o_orderkey").alias("priority"))
+    facts = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "l_linenumber",
+                F.col("o_custkey").alias("custkey"), "l_shipdate")
+    )
+    joined = asof_join_backward(
+        facts, dim, on="custkey", left_ts="l_shipdate", right_ts="eff_date",
+        payload_cols=["priority"], how="inner",
+    )
+    return joined.select(
+        "l_orderkey", "l_linenumber", "custkey", "l_shipdate",
+        F.col("priority").alias("active_priority"),
+    )
