@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "curation_chunk_dedup_stats",
     "embedding_whitening",
     "join_scd2_temporal",
+    "embedding_random_projection",
 ]
 
 

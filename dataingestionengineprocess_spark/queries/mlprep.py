@@ -631,3 +631,55 @@ def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("whitened")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection: embed 64-dim vectors into
+# 16 dims with a +/-1 sign matrix (Achlioptas 2003) -- the standard
+# first step before LSH/clustering when the raw dimension is high.
+# The sign matrix is DERIVED from md5("i:j") parity, so both engines
+# construct the identical matrix independently and the projection is
+# exactly oracled; a production variant would broadcast a trained /
+# seeded matrix the same way. Map-only: k x d multiply-adds per row
+# inside codegen, zero shuffles (the classifier-gate plan property).
+# ---------------------------------------------------------------------------
+
+_JL_IN = 64
+_JL_OUT = 16
+
+
+def _jl_sign(i: int, j: int) -> float:
+    """+1/-1 from the parity of md5('i:j')'s first hex digit --
+    bit-identical to the oracle's CASE over DuckDB md5."""
+    import hashlib
+
+    h = hashlib.md5(f"{i}:{j}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+
+_JL_ORACLE = f"""
+SELECT vec_id, label,
+ [round(list_sum([e[i] *
+      (CASE WHEN CAST('0x' || substr(md5((i-1) || ':' || (j-1)), 1, 1)
+                 AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END)
+   for i in range(1, {_JL_IN + 1})]) / sqrt({_JL_OUT}.0), 6)
+  for j in range(1, {_JL_OUT + 1})] AS projected
+FROM (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+"""
+
+
+@register("embedding_random_projection", oracle=_JL_ORACLE)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = as_double("embedding")
+    cols = []
+    for j in range(_JL_OUT):
+        signs = F.array(*[F.lit(_jl_sign(i, j)) for i in range(_JL_IN)])
+        acc = F.aggregate(
+            F.zip_with(e, signs, lambda x, s: x * s),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+        cols.append(F.round(acc / math.sqrt(_JL_OUT), 6))
+    return emb.select("vec_id", "label", F.array(*cols).alias("projected"))
