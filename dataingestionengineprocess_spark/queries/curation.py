@@ -756,8 +756,11 @@ def curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CDC_DIVISOR = 16
 
-_CDC_ORACLE = f"""
-WITH tok AS (
+#: Shared CTE chain producing the CDC chunk table (doc_id, chunk_id,
+#: n_tokens, chunk_fp) -- the single SQL source for every oracle that
+#: consumes CDC chunks, so the boundary rule cannot fork between them.
+_CDC_CTES = f"""
+tok AS (
   SELECT doc_id, u.tok AS tok, u.pos AS pos, u.win AS win FROM (
     SELECT doc_id,
            unnest([{{'tok': t[i], 'pos': i,
@@ -781,13 +784,19 @@ chunked AS (
                              ROWS BETWEEN UNBOUNDED PRECEDING
                                       AND 1 PRECEDING) AS chunk_id
   FROM flagged
-)
-SELECT doc_id,
-       CAST(coalesce(chunk_id, 0) AS BIGINT) AS chunk_id,
-       CAST(count(*) AS BIGINT) AS n_tokens,
-       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
-FROM chunked
-GROUP BY doc_id, coalesce(chunk_id, 0)
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(coalesce(chunk_id, 0) AS BIGINT) AS chunk_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+  FROM chunked
+  GROUP BY doc_id, coalesce(chunk_id, 0)
+)"""
+
+_CDC_ORACLE = f"""
+WITH {_CDC_CTES}
+SELECT doc_id, chunk_id, n_tokens, chunk_fp FROM chunks
 """
 
 
@@ -842,18 +851,20 @@ def curation_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # soft-filter that preserves distributional coverage while tilting
 # the mix toward quality. Deterministic: the coin is the portable
 # md5 hash of doc_id, so membership is exactly oracled and re-runs
-# reproduce the same corpus. Map-only end to end: score and coin both
-# compute inside the scan, zero shuffles.
+# reproduce the same corpus (modulo the transcendental-boundary
+# caveat on mlprep.classifier_score: a coin landing within ~1 ulp of
+# score*1e6 could flip between engines, P ~ 1e-10/doc). Map-only end
+# to end: score and coin both compute inside the scan, zero shuffles.
 # ---------------------------------------------------------------------------
 
-_QRESAMPLE_ORACLE = f"""
+
+def _qresample_oracle() -> str:
+    from .mlprep import classifier_score_sql
+
+    score = classifier_score_sql("string_split(text, ' ')")
+    return f"""
 WITH s AS (
-  SELECT doc_id, lang, source,
-         1.0 / (1.0 + exp(-(8.0 * list_sum(list_transform(
-             string_split(text, ' '), tok ->
-             ((CAST('0x' || substr(md5(tok), 1, 6) AS BIGINT) % 4096)
-              * 2654435761) % 100001 / 100000.0 - 0.5))
-             / len(string_split(text, ' ')) + 0.1))) AS score,
+  SELECT doc_id, lang, source, {score} AS score,
          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
              % 1000000 AS coin
   FROM documents
@@ -863,17 +874,11 @@ FROM s WHERE coin < score * 1000000
 """
 
 
-@register("curation_quality_resample", oracle=_QRESAMPLE_ORACLE)
+@register("curation_quality_resample", oracle=_qresample_oracle())
 def curation_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .mlprep import weight_of, _SCALE, _BIAS
+    from .mlprep import classifier_score
 
-    toks = tokens("text")
-    wsum = F.aggregate(
-        F.transform(toks, lambda tok: weight_of(tok)),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    score = 1.0 / (1.0 + F.exp(-(F.lit(_SCALE) * wsum / F.size(toks)
-                                 + F.lit(_BIAS))))
+    score = classifier_score("text")
     coin = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
                16, 10).cast("long") % 1000000
@@ -900,37 +905,7 @@ def curation_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CHUNK_DEDUP_ORACLE = f"""
-WITH tok AS (
-  SELECT doc_id, u.tok AS tok, u.pos AS pos, u.win AS win FROM (
-    SELECT doc_id,
-           unnest([{{'tok': t[i], 'pos': i,
-                     'win': CASE WHEN i >= 2
-                                 THEN t[i-1] || ' ' || t[i] END}}
-                   for i in range(1, len(t) + 1)]) AS u
-    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-  )
-),
-flagged AS (
-  SELECT doc_id, tok, pos,
-         CASE WHEN win IS NOT NULL
-                   AND CAST('0x' || substr(md5(win), 1, 6) AS BIGINT)
-                       % {_CDC_DIVISOR} = 0
-              THEN 1 ELSE 0 END AS boundary
-  FROM tok
-),
-chunked AS (
-  SELECT doc_id, tok, pos,
-         sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                                      AND 1 PRECEDING) AS chunk_id
-  FROM flagged
-),
-chunks AS (
-  SELECT doc_id, coalesce(chunk_id, 0) AS chunk_id,
-         count(*) AS n_tokens,
-         md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
-  FROM chunked GROUP BY doc_id, coalesce(chunk_id, 0)
-)
+WITH {_CDC_CTES}
 SELECT chunk_fp,
        CAST(count(*) AS BIGINT) AS n_copies,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,

@@ -56,35 +56,67 @@ _MIX = 2654435761  # Knuth multiplicative-hash constant
 _SCALE = 8.0
 _BIAS = 0.1
 
+
+def weight_of(tok):
+    """Deterministic per-token weight: md5 -> bucket -> mixed weight in
+    [-0.5, 0.5]. Engine-portable (md5 + integer arithmetic only)."""
+    bucket = (
+        F.conv(F.substring(F.md5(tok), 1, 6), 16, 10).cast("long") % _N_BUCKETS
+    )
+    return (bucket * F.lit(_MIX)) % 100001 / F.lit(100000.0) - 0.5
+
+
+def classifier_score(text_col):
+    """The full classifier score expression -- sigmoid(SCALE * mean
+    token weight + BIAS) -- shared by every consumer of the gate
+    (batch query, streaming gate, quality resampler, pipeline Rule)
+    so the formula lives in exactly one Spark site.
+
+    Boundary caveat (applies to any predicate ON the score, e.g.
+    ``>= 0.5`` or the resampler's hash coin): the score is
+    transcendental, so two engines can disagree in the last ulp; a
+    membership predicate flips only when the score sits within ~1e-16
+    of the threshold, i.e. with probability ~1e-10 per document --
+    negligible at gate scale, but not the pure-integer certainty of
+    the md5-membership samplers."""
+    toks = tokens(text_col)
+    wsum = F.aggregate(
+        F.transform(toks, lambda t: weight_of(t)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return 1.0 / (1.0 + F.exp(-(F.lit(_SCALE) * wsum / F.size(toks)
+                                + F.lit(_BIAS))))
+
+
+def classifier_score_sql(toks_sql: str) -> str:
+    """The identical score as a DuckDB SQL expression over a token-list
+    expression -- the single source for every oracle that embeds the
+    classifier."""
+    return (
+        f"1.0 / (1.0 + exp(-({_SCALE} * list_sum(list_transform({toks_sql}, "
+        f"tok -> ((CAST('0x' || substr(md5(tok), 1, 6) AS BIGINT) "
+        f"% {_N_BUCKETS}) * {_MIX}) % 100001 / 100000.0 - 0.5)) "
+        f"/ len({toks_sql}) + {_BIAS})))"
+    )
+
+
+_CLS_SCORE = classifier_score_sql("toks")
+
 _CLS_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
-),
-s AS (
-  SELECT doc_id, lang, len(toks) AS n_tokens,
-         list_sum(list_transform(toks, tok ->
-             ((CAST('0x' || substr(md5(tok), 1, 6) AS BIGINT) % {_N_BUCKETS})
-              * {_MIX}) % 100001 / 100000.0 - 0.5)) AS wsum
-  FROM t WHERE len(toks) >= 1
 )
-SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
-       round(1.0 / (1.0 + exp(-({_SCALE} * wsum / n_tokens + {_BIAS}))), 6)
-           AS score,
-       (1.0 / (1.0 + exp(-({_SCALE} * wsum / n_tokens + {_BIAS}))) >= 0.5)
-           AS keep
-FROM s
+SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+       round({_CLS_SCORE}, 6) AS score,
+       ({_CLS_SCORE} >= 0.5) AS keep
+FROM t WHERE len(toks) >= 1
 """
 
 
 @register("text_classifier_score", oracle=_CLS_ORACLE)
 def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens("text")
-    wsum = F.aggregate(
-        F.transform(toks, lambda tok: weight_of(tok)),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    logit = F.lit(_SCALE) * wsum / F.size(toks) + F.lit(_BIAS)
-    score = 1.0 / (1.0 + F.exp(-logit))
+    score = classifier_score("text")
     return (
         load(spark, sf_dir, "documents")
         .filter(F.size(toks) >= 1)
@@ -95,15 +127,6 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (score >= 0.5).alias("keep"),
         )
     )
-
-
-def weight_of(tok):
-    """Deterministic per-token weight: md5 -> bucket -> mixed weight in
-    [-0.5, 0.5]. Engine-portable (md5 + integer arithmetic only)."""
-    bucket = (
-        F.conv(F.substring(F.md5(tok), 1, 6), 16, 10).cast("long") % _N_BUCKETS
-    )
-    return (bucket * F.lit(_MIX)) % 100001 / F.lit(100000.0) - 0.5
 
 
 # ---------------------------------------------------------------------------
@@ -446,7 +469,7 @@ users AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0),
 cand AS (
   SELECT c_custkey, i,
          CAST('0x' || substr(md5(c_custkey || '#' || i), 1, 6) AS BIGINT)
-             % n_parts + 1 AS item
+             % n_parts AS item
   FROM users CROSS JOIN n CROSS JOIN generate_series(1, {_NEG_DRAWS}) g(i)
 ),
 seen AS (
@@ -480,11 +503,14 @@ def rec_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_partkey").alias("item"))
         .distinct()
     )
+    # item ids are 0-based dense (p_partkey in [0, n_parts)): the
+    # candidate domain must match exactly or the sampler emits
+    # phantom items / can never draw the boundary key.
     item = (
         F.conv(F.substring(
             F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit("#"),
                            F.col("i").cast("string"))), 1, 6), 16, 10)
-        .cast("long") % F.col("n_parts") + 1
+        .cast("long") % F.col("n_parts")
     )
     cand = (
         cust.select("c_custkey")
@@ -528,6 +554,11 @@ QUALIFY lag(event_type, 1) OVER w IS NOT NULL
 def events_next_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # Keep-predicate matches the oracle's QUALIFY exactly: a row
+    # qualifies iff it HAS a predecessor (lag1 non-null) -- filtering
+    # on context != '' instead would diverge the moment an event_type
+    # is NULL (lag1 null but lag2 fills the context) or '' (context
+    # empty though lag1 exists).
     return (
         ev.select(
             "user_id", "event_id",
@@ -537,8 +568,10 @@ def events_next_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lag("event_type", 1).over(w),
             ).alias("context"),
             F.col("event_type").alias("next_type"),
+            F.lag("event_type", 1).over(w).alias("__lag1"),
         )
-        .filter(F.col("context") != "")
+        .filter(F.col("__lag1").isNotNull())
+        .drop("__lag1")
     )
 
 

@@ -657,41 +657,31 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (test_classifier_score_is_map_only), just fed by the file source.
 # ---------------------------------------------------------------------------
 
-_GATE_ORACLE = """
+def _gate_oracle() -> str:
+    from .mlprep import classifier_score_sql
+
+    score = classifier_score_sql("string_split(text, ' ')")
+    return f"""
 WITH s AS (
-  SELECT doc_id, lang,
-         1.0 / (1.0 + exp(-(8.0 * list_sum(list_transform(
-             string_split(text, ' '), tok ->
-             ((CAST('0x' || substr(md5(tok), 1, 6) AS BIGINT) % 4096)
-              * 2654435761) % 100001 / 100000.0 - 0.5))
-             / len(string_split(text, ' ')) + 0.1))) AS score
-  FROM documents
+  SELECT doc_id, lang, {score} AS score FROM documents
 )
 SELECT doc_id, lang, round(score, 6) AS score
 FROM s WHERE score >= 0.5
 """
 
 
-@register("stream_classifier_gate", oracle=_GATE_ORACLE)
+@register("stream_classifier_gate", oracle=_gate_oracle())
 def stream_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import table_path
-    from ..functions.text import tokens
-    from .mlprep import weight_of, _SCALE, _BIAS
+    from .mlprep import classifier_score
 
     path = table_path(sf_dir, "documents")
     schema = spark.read.parquet(path).schema
     docs = spark.readStream.schema(schema).parquet(
         path.replace("documents.parquet", "documents.[p]arquet")
     )
-    toks = tokens("text")
-    wsum = F.aggregate(
-        F.transform(toks, lambda tok: weight_of(tok)),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    score = 1.0 / (1.0 + F.exp(-(F.lit(_SCALE) * wsum / F.size(toks)
-                                 + F.lit(_BIAS))))
     gated = (
-        docs.withColumn("__score", score)
+        docs.withColumn("__score", classifier_score("text"))
         .filter(F.col("__score") >= 0.5)
         .select("doc_id", "lang", F.round("__score", 6).alias("score"))
     )

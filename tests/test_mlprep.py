@@ -134,19 +134,10 @@ def test_classifier_score_composes_as_quality_rule(spark):
     from dataingestionengineprocess_spark.operators.quality import (
         Rule, not_null, validate,
     )
-    from dataingestionengineprocess_spark.functions.text import tokens
-    from dataingestionengineprocess_spark.queries.mlprep import (
-        weight_of, _SCALE, _BIAS,
-    )
+    from dataingestionengineprocess_spark.queries.mlprep import classifier_score
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    toks = tokens("text")
-    wsum = F.aggregate(
-        F.transform(toks, lambda t: weight_of(t)), F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    score = 1.0 / (1.0 + F.exp(-(F.lit(_SCALE) * wsum / F.size(toks)
-                                 + F.lit(_BIAS))))
+    score = classifier_score("text")
     res = validate(docs, [not_null("text"), Rule("quality_score", score >= 0.5)])
     n_pass, n_quar = res.passed.count(), res.quarantined.count()
     assert n_pass + n_quar == docs.count()
