@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "embedding_whitening",
     "join_scd2_temporal",
     "embedding_random_projection",
+    "curation_export_corpus",
 ]
 
 

@@ -928,3 +928,64 @@ def curation_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus EXPORT: the capstone materialization. The
+# training corpus (near-dup clusters collapsed to canonicals, each
+# doc carrying its leakage-safe split) is WRITTEN to a versioned
+# table -- atomic publish, so a consumer never sees a half-written
+# corpus -- and the returned manifest is computed from the READBACK
+# of that table, not from the in-flight DataFrame. Passing the exact
+# oracle therefore proves the whole chain: dedup -> split -> publish
+# -> read round-trips every row. (The manifest equals
+# curation_training_mix by construction -- same corpus -- which is
+# the point: the materialized artifact matches the declarative
+# answer.)
+# ---------------------------------------------------------------------------
+
+
+@register("curation_export_corpus", oracle=_MIX_ORACLE)
+def curation_export_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import scratch_dir
+    from ..operators.components import connected_components
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+    from ..sinks.versioned import VersionedTable
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = prefix_filter_jaccard_pairs(docs, n=3, threshold=0.6)
+    cc = connected_components(pairs, "id_a", "id_b")
+    assigned = (
+        docs.join(cc, docs.doc_id == cc.node, "left")
+        .select(
+            "doc_id", "lang", "text", "n_chars",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("component").cast("string")), 1, 6),
+               16, 10).cast("long") % 10
+    )
+    corpus = (
+        assigned.filter(F.col("doc_id") == F.col("component"))
+        .select(
+            "doc_id", "lang", "text", "n_chars",
+            F.when(bucket < 8, "train")
+            .when(bucket == 8, "validation")
+            .otherwise("test").alias("split"),
+        )
+        # cluster output files by split so a train-only consumer
+        # reads a contiguous file subset
+        .repartition("split")
+    )
+    vt = VersionedTable(spark, scratch_dir("corpus_export", sf_dir))
+    vt.publish(corpus)
+    return (
+        vt.read()
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
