@@ -226,3 +226,28 @@ def test_interval_overlap_is_hash_join_not_nested_loop(spark, sf_dir, qs):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """The engine's join-strategy control surface: each Spark join
+    hint must reach the physical plan (a user tuning a 100 TB join
+    relies on these overrides actually winning over the planner's
+    default choice)."""
+    import pyspark.sql.functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    j = orders.join(cust.hint("broadcast"),
+                    orders.o_custkey == cust.c_custkey)
+    assert "BroadcastHashJoin" in plan_of(j)
+
+    j = orders.join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
+    assert "SortMergeJoin" in plan_of(j)
+
+    j = orders.join(cust.hint("shuffle_hash"),
+                    orders.o_custkey == cust.c_custkey)
+    assert "ShuffledHashJoin" in plan_of(j)
