@@ -56,24 +56,28 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     )
 
     for _ in range(max_iter):
+        # Change detection rides the SAME aggregation that computes the
+        # new labels: self rows are tagged, so min-over-tagged recovers
+        # the previous label without the extra labels-vs-new join (and
+        # its shuffle) a separate comparison pass would cost per round.
         neigh = (
             edges.join(labels, edges["d"] == labels["node"])
-            .select(edges["s"].alias("node"), "component")
+            .select(edges["s"].alias("node"), "component",
+                    F.lit(0).alias("is_self"))
         )
-        new_labels = (
-            labels.union(neigh)
+        merged = (
+            labels.withColumn("is_self", F.lit(1))
+            .union(neigh)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("is_self") == 1, F.col("component")))
+                .alias("prev"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.select("node", F.col("component").alias("prev")), "node"
-            )
-            .filter(F.col("component") != F.col("prev"))
-            .count()
-        )
-        labels = new_labels
+        changed = merged.filter(F.col("component") != F.col("prev")).count()
+        labels = merged.select("node", "component")
         if changed == 0:
             break
 
