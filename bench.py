@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "join_scd2_temporal",
     "embedding_random_projection",
     "curation_export_corpus",
+    "dedup_canonical_by_quality",
+    "quality_report_by_source",
 ]
 
 

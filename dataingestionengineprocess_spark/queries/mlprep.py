@@ -716,3 +716,100 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cols.append(F.round(acc / math.sqrt(_JL_OUT), 6))
     return emb.select("vec_id", "label", F.array(*cols).alias("projected"))
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware canonical selection: near-dup clusters collapse to
+# their BEST member by classifier score (tie-break: smaller doc_id)
+# instead of the min-id member -- the policy real curation runs want
+# ("of these 40 mirror copies, keep the cleanest"). Composition of
+# three shared pieces: PPJoin pair generation, label-propagation
+# components, and the classifier score; selection itself is one
+# max_by aggregation per cluster, no window sort.
+# ---------------------------------------------------------------------------
+
+
+def _canonical_quality_oracle() -> str:
+    from .dedup import NEARDUP_COMPONENTS_CTE
+
+    score = classifier_score_sql("string_split(text, ' ')")
+    return "WITH RECURSIVE " + NEARDUP_COMPONENTS_CTE + f""",
+scored AS (
+  SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component,
+         round({score}, 6) AS score
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT component, cluster_size, doc_id AS keep_doc_id, best_score FROM (
+  SELECT component, doc_id,
+         CAST(count(*) OVER w AS BIGINT) AS cluster_size,
+         max(score) OVER w AS best_score,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM scored
+  WINDOW w AS (PARTITION BY component)
+) WHERE rn = 1
+"""
+
+
+@register("dedup_canonical_by_quality", oracle=_canonical_quality_oracle())
+def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = prefix_filter_jaccard_pairs(docs, n=3, threshold=0.6)
+    cc = connected_components(pairs, "id_a", "id_b")
+    scored = (
+        docs.join(cc, docs.doc_id == cc.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+            F.round(classifier_score("text"), 6).alias("score"),
+        )
+    )
+    return (
+        scored.groupBy("component")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.max_by(
+                "doc_id",
+                F.array(F.col("score"), (-F.col("doc_id")).cast("double")),
+            ).alias("keep_doc_id"),
+            F.max("score").alias("best_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality report: the table a data-mixing decision reads --
+# for each source, document count, mean classifier score, and the
+# fraction passing the gate. One aggregation over the map-only score.
+# ---------------------------------------------------------------------------
+
+
+def _source_quality_oracle() -> str:
+    score = classifier_score_sql("string_split(text, ' ')")
+    return f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg({score}), 6) AS mean_score,
+       round(avg(CASE WHEN {score} >= 0.5 THEN 1.0 ELSE 0.0 END), 6)
+           AS keep_rate
+FROM documents
+GROUP BY source
+"""
+
+
+@register("quality_report_by_source", oracle=_source_quality_oracle())
+def quality_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    score = classifier_score("text")
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(score), 6).alias("mean_score"),
+            F.round(F.avg(F.when(score >= 0.5, 1.0).otherwise(0.0)), 6)
+            .alias("keep_rate"),
+        )
+    )
