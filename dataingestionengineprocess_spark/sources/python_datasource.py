@@ -25,8 +25,11 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -106,7 +109,100 @@ class PartnerFeedDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType) -> PartnerFeedStreamReader:
         return PartnerFeedStreamReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "PartnerFeedWriter":
+        return PartnerFeedWriter(self.options)
+
+    def streamWriter(self, schema: StructType,
+                     overwrite: bool) -> "PartnerFeedStreamWriter":
+        return PartnerFeedStreamWriter(self.options)
+
 
 def register(spark) -> None:
     """Idempotently register the source on a session."""
     spark.dataSource.register(PartnerFeedDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Writer side (Spark 4 DataSourceWriter / DataSourceStreamWriter):
+# the feed's OUTBOUND mirror -- JSON-lines deliveries with the same
+# two-phase commit contract Spark's file sinks use. Tasks write to
+# dot-prefixed temp files (invisible to readers and to Spark's own
+# JSON scanner) and report them in WriterCommitMessages; only the
+# driver's commit() renames them into place and drops _SUCCESS, so a
+# failed job leaves nothing visible and abort() removes the temps.
+# Paths here are plain local-FS (this container's test reality); a
+# production build swaps os.rename for the Hadoop FileSystem API as
+# sinks/warehouse.py does -- the commit PROTOCOL is identical.
+#
+# The streaming variant adds per-epoch idempotence: commit(batchId)
+# first checks a _batch-<id> marker and skips the rename set when the
+# epoch was already committed -- replayed epochs (checkpoint recovery)
+# do not double their files.
+# ---------------------------------------------------------------------------
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, rows: int) -> None:
+        self.tmp_path, self.rows = tmp_path, rows
+
+
+class _JsonlWriterBase:
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator) -> _FileCommit:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _FileCommit(tmp, n)
+
+    def _publish(self, messages, marker: str) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            final = m.tmp_path.replace("/.tmp-", "/part-")
+            os.rename(m.tmp_path, final)
+        with open(os.path.join(self.path, marker), "w") as f:
+            f.write(str(sum(m.rows for m in messages if m is not None)))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(m.tmp_path)
+            except FileNotFoundError:
+                pass
+
+
+class PartnerFeedWriter(_JsonlWriterBase, DataSourceWriter):
+    def commit(self, messages) -> None:
+        self._publish(messages, "_SUCCESS")
+
+
+class PartnerFeedStreamWriter(_JsonlWriterBase, DataSourceStreamWriter):
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        marker = os.path.join(self.path, f"_batch-{batchId}")
+        if os.path.exists(marker):
+            # replayed epoch: files were already published; drop the
+            # replay's temps instead of double-committing
+            self.abort(messages)
+            return
+        self._publish(messages, f"_batch-{batchId}")
+
+    def abort(self, messages, batchId: int | None = None) -> None:
+        _JsonlWriterBase.abort(self, messages)
