@@ -46,6 +46,10 @@ SHOWCASE = [
     # bucket-grid interval overlap join (hash join, no nested loop)
     "text_classifier_score",
     "join_interval_overlap",
+    # SCD2 via the keyed as-of carry (union + one shuffle + one
+    # in-partition sort) and the map-only JL projection
+    "join_scd2_temporal",
+    "embedding_random_projection",
 ]
 
 
