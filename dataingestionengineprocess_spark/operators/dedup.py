@@ -661,15 +661,19 @@ def incremental_jaccard_admission(corpus: DataFrame | None,
         .filter(F.col("jaccard") >= threshold)
         .groupBy("new_id")
         .agg(
-            # max_by with a struct orders by (jaccard, -corp_id):
-            # highest jaccard wins, ties -> smallest corpus id.
-            F.max(F.struct(F.col("jaccard"), (-F.col("corp_id")).alias("nid")))
+            # min over struct(-jaccard, corp_id): smallest -jaccard is
+            # the HIGHEST jaccard, ties -> smallest corpus id. The
+            # negation sits on the numeric score, never on the id, so
+            # string doc ids (valid for every other dedup operator)
+            # work here too instead of failing under ANSI arithmetic.
+            F.min(F.struct((-F.col("jaccard")).alias("nj"),
+                           F.col("corp_id")))
             .alias("m"),
         )
         .select(
             "new_id",
-            (-F.col("m.nid")).alias("match_id"),
-            F.col("m.jaccard").alias("jaccard"),
+            F.col("m.corp_id").alias("match_id"),
+            (-F.col("m.nj")).alias("jaccard"),
         )
     )
     return (

@@ -62,6 +62,14 @@ class ReferentialRule:
 class ValidationResult:
     passed: DataFrame
     quarantined: DataFrame  # original columns + _violations array<string>
+    #: the cached marked frame both splits derive from; callers
+    #: unpersist after their writes (streams would otherwise leak one
+    #: cache entry per micro-batch)
+    marked: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        if self.marked is not None:
+            self.marked.unpersist()
 
 
 def validate(df: DataFrame, rules: list) -> ValidationResult:
@@ -92,7 +100,8 @@ def validate(df: DataFrame, rules: list) -> ValidationResult:
     marked = marked.cache()
     passed = marked.filter(F.size(VIOLATIONS_COL) == 0).drop(VIOLATIONS_COL)
     quarantined = marked.filter(F.size(VIOLATIONS_COL) > 0)
-    return ValidationResult(passed=passed, quarantined=quarantined)
+    return ValidationResult(passed=passed, quarantined=quarantined,
+                            marked=marked)
 
 
 def schema_drift(old, new) -> list[dict]:

@@ -31,10 +31,11 @@ from .sinks.warehouse import (
     SinkConfig,
     new_run_id,
     write_oltp,
+    write_run_partition,
     write_status,
     write_warehouse,
 )
-from .sources.csv_source import read_csv_feed
+from .sources.csv_source import CORRUPT_COL, read_csv_feed
 
 
 @dataclass
@@ -58,10 +59,15 @@ class FeedConfig:
     timestamp_format: str | None = None
 
 
-def run_stages(feed: FeedConfig, clean: DataFrame) -> tuple[DataFrame, DataFrame]:
+def run_stages(
+    feed: FeedConfig, clean: DataFrame
+) -> tuple[DataFrame, DataFrame, ValidationResult]:
     """validate -> keep-latest dedup -> enrich. Returns (curated,
-    quarantined). Pure transformations: the caller decides when/where
-    actions and writes happen (batch and streaming share this)."""
+    quarantined, validation). Pure transformations: the caller decides
+    when/where actions and writes happen (batch and streaming share
+    this) -- and calls ``validation.unpersist()`` once its writes
+    finish, releasing the validation scan's cache (a stream would
+    otherwise leak one cache entry per micro-batch)."""
     result: ValidationResult = validate(clean, feed.rules)
 
     deduped = dedup_exact(
@@ -79,10 +85,23 @@ def run_stages(feed: FeedConfig, clean: DataFrame) -> tuple[DataFrame, DataFrame
         # column collides with a fact column).
         key = "__enrich_key"
         fact_cols = set(curated.columns)
+
+        def fresh(c: str) -> str:
+            # the renamed payload column must not collide with ANY
+            # fact column either (a fact may already carry dim_<c>
+            # from an upstream enrichment)
+            if c not in fact_cols:
+                return c
+            cand, n = f"dim_{c}", 2
+            while cand in fact_cols:
+                cand = f"dim_{c}_{n}"
+                n += 1
+            return cand
+
         dim_side = e.dim.select(
             F.col(e.dim_col).alias(key),
             *[
-                F.col(c).alias(f"dim_{c}" if c in fact_cols else c)
+                F.col(c).alias(fresh(c))
                 for c in e.dim.columns
                 if c != e.dim_col
             ],
@@ -90,7 +109,7 @@ def run_stages(feed: FeedConfig, clean: DataFrame) -> tuple[DataFrame, DataFrame
         curated = curated.join(
             F.broadcast(dim_side), curated[e.fact_col] == dim_side[key], e.how
         ).drop(key)
-    return curated, result.quarantined
+    return curated, result.quarantined, result
 
 
 def ingest_batch(spark: SparkSession, feed: FeedConfig,
@@ -115,7 +134,7 @@ def ingest_batch(spark: SparkSession, feed: FeedConfig,
     )
     clean_obs = Observation(f"clean_{run_id}")
     clean = batch.clean.observe(clean_obs, F.count(F.lit(1)).alias("rows"))
-    curated, quarantined = run_stages(feed, clean)
+    curated, quarantined, validation = run_stages(feed, clean)
     load_obs = Observation(f"loaded_{run_id}")
     curated = (
         curated.observe(load_obs, F.count(F.lit(1)).alias("rows"))
@@ -125,25 +144,30 @@ def ingest_batch(spark: SparkSession, feed: FeedConfig,
 
     # One curated pipeline execution: the warehouse write populates the
     # cache and fires clean_obs + load_obs; the OLTP write reuses the
-    # cached rows.
+    # cached rows. EVERY sink write below targets the run's own
+    # _run_id partition (write_run_partition / dynamic overwrite), so
+    # a retried run (same run_id after a mid-run crash) REPLACES its
+    # own partitions everywhere instead of appending duplicates -- the
+    # "idempotent per run_id" claim holds for curated, OLTP, rejects,
+    # quarantine, and the status row.
     write_warehouse(curated, sinks.warehouse_dir, feed.name,
                     partition_cols=["_run_id"], mode="overwrite")
     write_oltp(curated.drop("_run_id"), sinks, f"{feed.name}_oltp",
-               mode="append")
+               run_id=run_id)
 
     # Rejects/quarantine are separate branches of the scan; their
-    # writes ARE the actions that produce their counts (append of an
-    # empty frame is a metadata-only touch, not a data pass).
+    # writes ARE the actions that produce their counts (overwrite of an
+    # empty partition is a metadata-only touch, not a data pass).
     rej_obs = Observation(f"rejects_{run_id}")
-    write_warehouse(
+    write_run_partition(
         batch.rejects.observe(rej_obs, F.count(F.lit(1)).alias("rows")),
-        sinks.warehouse_dir, f"{feed.name}_rejects",
+        os.path.join(sinks.warehouse_dir, f"{feed.name}_rejects"), run_id,
     )
     quar_obs = Observation(f"quarantine_{run_id}")
-    write_warehouse(
+    write_run_partition(
         quarantined.withColumn("_violations", F.array_join("_violations", ","))
         .observe(quar_obs, F.count(F.lit(1)).alias("rows")),
-        sinks.warehouse_dir, f"{feed.name}_quarantine",
+        os.path.join(sinks.warehouse_dir, f"{feed.name}_quarantine"), run_id,
     )
 
     rows_rejected = int(rej_obs.get["rows"])
@@ -156,6 +180,10 @@ def ingest_batch(spark: SparkSession, feed: FeedConfig,
         started_at=started, finished_at=time.time(),
     )
     write_status(spark, sinks.warehouse_dir, status)
+    # all writes done: release the batch's cached plans
+    curated.unpersist()
+    validation.unpersist()
+    batch.unpersist()
     return status
 
 
@@ -170,10 +198,20 @@ def ingest_stream(spark: SparkSession, feed: FeedConfig, src_dir: str,
     Returns the started StreamingQuery; callers typically
     ``q.awaitTermination()`` (or rely on availableNow to drain and
     stop)."""
+    # Same malformed-row contract as the batch path: the corrupt-record
+    # column is declared so parse failures are ROUTED to the rejects
+    # table inside each micro-batch rather than silently becoming
+    # all-null rows (PERMISSIVE without the column loses the raw line
+    # AND the failure signal -- telemetry would report a clean batch).
+    stream_schema = T.StructType(
+        list(feed.schema.fields)
+        + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+    )
     reader = (
-        spark.readStream.schema(feed.schema)
+        spark.readStream.schema(stream_schema)
         .option("header", True)
         .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -203,35 +241,57 @@ def ingest_stream(spark: SparkSession, feed: FeedConfig, src_dir: str,
         read_obs = Observation(f"read_{run_id}")
         observed = batch_df.observe(
             read_obs, F.count(F.lit(1)).alias("rows")
+        ).cache()
+        clean = observed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        rejects = observed.filter(F.col(CORRUPT_COL).isNotNull()).select(
+            F.col(CORRUPT_COL).alias("raw_record"),
+            F.input_file_name().alias("_source_file"),
         )
-        curated, quarantined = run_stages(feed, observed)
+        curated, quarantined, validation = run_stages(feed, clean)
         load_obs = Observation(f"loaded_{run_id}")
         curated = (
             curated.observe(load_obs, F.count(F.lit(1)).alias("rows"))
             .withColumn("_run_id", F.lit(run_id))
             .cache()
         )
+        # Every write is keyed by the epoch's _run_id with dynamic
+        # partition overwrite: foreachBatch is at-least-once, so a
+        # replayed epoch (crash between the writes and the checkpoint
+        # commit) REPLACES its own partitions in all five tables
+        # instead of appending a second copy.
         write_warehouse(curated, sinks.warehouse_dir, feed.name,
                         partition_cols=["_run_id"], mode="overwrite")
         write_oltp(curated.drop("_run_id"), sinks, f"{feed.name}_oltp",
-                   mode="append")
+                   run_id=run_id)
+        rej_obs = Observation(f"rejects_{run_id}")
+        write_run_partition(
+            rejects.observe(rej_obs, F.count(F.lit(1)).alias("rows")),
+            os.path.join(sinks.warehouse_dir, f"{feed.name}_rejects"), run_id,
+        )
         # Quarantined rows are persisted (not just counted): the write
         # is the action that fires the count observation, and silently
         # discarding rule violations would lose partner data.
         quar_obs = Observation(f"quarantine_{run_id}")
-        write_warehouse(
+        write_run_partition(
             quarantined.withColumn(
                 "_violations", F.array_join("_violations", ",")
             ).observe(quar_obs, F.count(F.lit(1)).alias("rows")),
-            sinks.warehouse_dir, f"{feed.name}_quarantine",
+            os.path.join(sinks.warehouse_dir, f"{feed.name}_quarantine"),
+            run_id,
         )
         write_status(spark, sinks.warehouse_dir, RunStatus(
             run_id=run_id, feed=feed.name,
             rows_read=int(read_obs.get["rows"]),
-            rows_loaded=int(load_obs.get["rows"]), rows_rejected=0,
+            rows_loaded=int(load_obs.get["rows"]),
+            rows_rejected=int(rej_obs.get["rows"]),
             rows_quarantined=int(quar_obs.get["rows"]),
             started_at=started, finished_at=time.time(),
         ))
+        # release this epoch's cached plans (a long-running stream
+        # would otherwise grow one cache entry per micro-batch)
+        curated.unpersist()
+        validation.unpersist()
+        observed.unpersist()
 
     return (
         stream.writeStream
@@ -417,26 +477,32 @@ def replay_quarantine(spark: SparkSession, feed: FeedConfig,
     quar_path = os.path.join(sinks.warehouse_dir,
                              f"{feed.name}_quarantine")
     src = spark.read.parquet(quar_path).drop("_violations")
+    # the quarantine table is run-partitioned; the originating run's
+    # id is replaced by this replay's own below
+    if "_run_id" in src.columns:
+        src = src.drop("_run_id")
 
-    curated, still_failing = run_stages(feed, src)
+    curated, still_failing, validation = run_stages(feed, src)
     curated = (
         curated.withColumn("_run_id", F.lit(run_id))
         .localCheckpoint(eager=True)
     )
     still_failing = still_failing.withColumn(
         "_violations", F.array_join("_violations", ",")
-    )
+    ).withColumn("_run_id", F.lit(run_id))
 
     write_warehouse(curated, sinks.warehouse_dir, feed.name,
                     partition_cols=["_run_id"], mode="overwrite")
     write_oltp(curated.drop("_run_id"), sinks, f"{feed.name}_oltp",
-               mode="append")
+               run_id=run_id)
 
     # Durable side write, then swap (never overwrite the table being
-    # read in this very run).
+    # read in this very run). Partitioned like every other quarantine
+    # write so the table keeps ONE layout (mixing flat files with
+    # _run_id= dirs would break partition discovery).
     tmp = quar_path + "__replaying"
     old = quar_path + "__prereplay"
-    still_failing.write.mode("overwrite").parquet(tmp)
+    write_run_partition(still_failing, tmp, run_id)
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     fs = jvm.org.apache.hadoop.fs.Path(quar_path).getFileSystem(conf)
@@ -449,6 +515,7 @@ def replay_quarantine(spark: SparkSession, feed: FeedConfig,
         raise IOError(f"replay_quarantine: could not move {tmp} into place")
     fs.delete(hp(old), True)
 
+    validation.unpersist()
     rows_loaded = curated.count()
     rows_quarantined = spark.read.parquet(quar_path).count()
     status = RunStatus(
@@ -519,7 +586,20 @@ def ingest_new_files(spark: SparkSession, feed: FeedConfig,
     if not new:
         return None
 
-    run_id = run_id or new_run_id()
+    # Deterministic run id from the FILE IDENTITY SET: a sweep that
+    # crashed after ingest_batch but before the ledger append re-runs
+    # with the same file set, derives the SAME run id, and every
+    # per-run-partitioned sink write replaces its own partitions --
+    # closing the crash window that a random id would turn into
+    # silent warehouse/OLTP duplication. The max-mtime prefix keeps
+    # ids chronologically sortable for `expire_runs`.
+    if run_id is None:
+        import hashlib
+
+        ident = hashlib.md5(
+            "|".join(f"{p}#{s}#{m}" for p, s, m in sorted(new)).encode()
+        ).hexdigest()[:12]
+        run_id = f"{max(m for _, _, m in new) * 1_000_000:020d}-sweep-{ident}"
     status = ingest_batch(
         spark, feed, [p for p, _, _ in new], sinks, run_id=run_id
     )

@@ -221,16 +221,32 @@ class VersionedTable:
         One full-outer equi-join on the key across two snapshot scans
         -- at 100 TB, publish both snapshots partitioned by the key so
         the join is co-located. Payload comparison is struct equality
-        over the non-key columns (null-safe)."""
+        over the UNION of both snapshots' non-key columns (publish
+        imposes no schema contract, so the schemas may differ): a
+        column present on one side only is NULL-filled on the other,
+        making a row whose only change is a newly-added or dropped
+        column correctly report as an update instead of comparing
+        equal over the old schema (or crashing on a dropped one)."""
         new_v = self.current_version() if v_to is None else v_to
         old_df, new_df = self.read(v_from), self.read(new_v)
-        payload = [c for c in old_df.columns if c not in keys]
-        old_s = old_df.select(
-            *keys, F.struct(*payload).alias("old")
+        payload = sorted(
+            (set(old_df.columns) | set(new_df.columns)) - set(keys)
         )
-        new_s = new_df.select(
-            *keys, F.struct(*payload).alias("new")
-        )
+        # typed nulls for the missing side: struct comparison requires
+        # both sides' field types to line up
+        dtypes = dict(old_df.dtypes) | dict(new_df.dtypes)
+
+        def side(df: DataFrame, alias: str):
+            have = set(df.columns)
+            cols = [
+                F.col(c) if c in have
+                else F.lit(None).cast(dtypes[c]).alias(c)
+                for c in payload
+            ]
+            return df.select(*keys, F.struct(*cols).alias(alias))
+
+        old_s = side(old_df, "old")
+        new_s = side(new_df, "new")
         joined = old_s.join(new_s, keys, "full_outer")
         return (
             joined.withColumn(
@@ -381,13 +397,21 @@ class VersionedTable:
         NOTE on physical erasure: like every snapshot store, deleted
         rows remain readable through OLDER versions (time travel)
         until ``expire()`` reclaims them -- a compliance delete is
-        ``delete(...)`` followed by ``expire(keep_last=1)``.
+        ``delete(...)`` followed by ``expire(keep_last=1)``. The
+        source snapshot's (app, epoch) stamp is carried forward
+        (exactly as ``compact`` does): without it, the PRE-delete
+        snapshot would remain the newest record of the producer's
+        epoch, ``expire``'s ledger protection would pin it forever,
+        and the prescribed compliance flow could never physically
+        reclaim the deleted rows.
         """
         from pyspark.sql import Observation
 
+        dirs = self._dirs()
         cur = self.current_version()
         if cur is None:
             raise FileNotFoundError(f"nothing to delete from at {self.path}")
+        _, app, epoch = _parse_vname(dirs[cur])
         existing = self.read(cur)
 
         if keys_df is not None:
@@ -405,7 +429,7 @@ class VersionedTable:
 
         obs = Observation("vdelete_kept")
         kept = marked.observe(obs, F.count(F.lit(1)).alias("rows_after"))
-        new = self.publish(kept)
+        new = self.publish(kept, epoch=epoch, app=app)
         rows_after = int(obs.get["rows_after"])
         return {
             "from_version": cur,

@@ -78,10 +78,21 @@ def write_warehouse(df: DataFrame, warehouse_dir: str, table: str,
 
 
 def write_oltp(df: DataFrame, cfg: SinkConfig, table: str,
-               mode: str = "append") -> str:
+               mode: str = "append", run_id: str | None = None) -> str:
     """Operational-row sink (S7): JDBC if configured, parquet stand-in
     otherwise. Upserts against a real DB go through a staging table +
-    MERGE executed by the DB -- Spark ships the staged rows."""
+    MERGE executed by the DB -- Spark ships the staged rows.
+
+    ``run_id`` makes the parquet stand-in IDEMPOTENT per run: rows
+    land under a ``_run_id=<id>`` partition replaced via dynamic
+    overwrite, so a crashed-and-retried batch (foreachBatch epoch
+    replay, ingest_batch rerun) rewrites its own partition instead of
+    appending a duplicate copy. Readers see the extra ``_run_id``
+    lineage column. The JDBC path cannot get this from a plain
+    append -- exactly-once against a real DB goes through the staged
+    MERGE (`merge_upsert` semantics executed by the DB), so run_id is
+    ignored there.
+    """
     if cfg.jdbc_url:
         (df.write.format("jdbc")
          .option("url", cfg.jdbc_url)
@@ -93,8 +104,30 @@ def write_oltp(df: DataFrame, cfg: SinkConfig, table: str,
     if not cfg.oltp_dir:
         raise ValueError("SinkConfig needs jdbc_url or oltp_dir")
     path = os.path.join(cfg.oltp_dir, table)
+    if run_id is not None:
+        write_run_partition(df, path, run_id)
+        return path
     df.write.mode(mode).parquet(path)
     return path
+
+
+def write_run_partition(df: DataFrame, table_path: str, run_id: str) -> str:
+    """Write ``df`` as the table's ``_run_id=<run_id>`` partition,
+    REPLACING any previous contents of that partition only.
+
+    This is the engine's per-run idempotence primitive: targeting the
+    partition directory directly (instead of a table-level dynamic
+    partition overwrite) means an EMPTY batch still materializes a
+    readable 0-row partition -- a dynamic overwrite of an empty frame
+    writes nothing, leaving either a stale previous attempt in place
+    or (for a table whose every write was empty) an unreadable
+    directory with no schema. Partition discovery surfaces ``_run_id``
+    as a string column on read, exactly as partitionBy would.
+    """
+    part = os.path.join(table_path, f"_run_id={run_id}")
+    drop = [c for c in df.columns if c == "_run_id"]
+    df.drop(*drop).write.mode("overwrite").parquet(part)
+    return part
 
 
 @dataclass
@@ -132,9 +165,15 @@ def write_status(spark: SparkSession, warehouse_dir: str,
         "rows_rejected long, rows_quarantined long, started_at double, "
         "finished_at double, duration_s double, status string",
     )
-    df.coalesce(1).write.mode("append").parquet(
-        os.path.join(warehouse_dir, "_runs")
-    )
+    # Idempotent per run: the status row lives in its own run_id
+    # partition directory and a retry of the same run REPLACES it
+    # instead of appending a duplicate record -- the _runs table stays
+    # one-row-per-run under foreachBatch epoch replay and same-run_id
+    # batch reruns. run_id comes back as the partition column on read
+    # (same string type).
+    (df.drop("run_id").coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(warehouse_dir, "_runs",
+                           f"run_id={status.run_id}")))
 
 
 def read_status(spark: SparkSession, warehouse_dir: str) -> DataFrame:
@@ -368,10 +407,13 @@ def zorder_write(df: DataFrame, warehouse_dir: str, table: str,
     n_buckets = 1 << bits
     work = df
     rank_cols = []
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    # ONE sketch job covers every z-column (approxQuantile takes a
+    # column list); a per-column call would re-scan the full input
+    # len(zcols) times before the rewrite even starts.
+    all_bounds = dict(zip(zcols, df.approxQuantile(list(zcols), probs, 0.001)))
     for c in zcols:
-        probs = [i / n_buckets for i in range(1, n_buckets)]
-        bounds = df.approxQuantile(c, probs, 0.001)
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        barr = F.array(*[F.lit(float(b)) for b in all_bounds[c]])
         rc = f"__r_{c}"
         # rank = number of boundaries <= value: a 255-element JVM-side
         # scan per row, skew-proof because boundaries are quantiles.

@@ -24,9 +24,20 @@ CORRUPT_COL = "_corrupt_record"
 
 @dataclass
 class CsvBatch:
-    """Parsed landing-zone batch, split into clean and rejected rows."""
+    """Parsed landing-zone batch, split into clean and rejected rows.
+
+    ``source`` is the cached parse frame both splits derive from (set
+    in PERMISSIVE mode only); callers unpersist it once the batch's
+    writes finish -- a long-running ingest loop would otherwise
+    accumulate one CacheManager entry (and its spilled blocks) per
+    batch for the life of the session."""
     clean: DataFrame
     rejects: DataFrame
+    source: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        if self.source is not None:
+            self.source.unpersist()
 
 
 def read_csv_feed(spark: SparkSession, path: str | list[str],
@@ -87,7 +98,7 @@ def read_csv_feed(spark: SparkSession, path: str | list[str],
     rejects = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_record"), F.col(source_file_col)
     )
-    return CsvBatch(clean=clean, rejects=rejects)
+    return CsvBatch(clean=clean, rejects=rejects, source=df)
 
 
 def read_csv_feed_by_name(spark: SparkSession, path: str,

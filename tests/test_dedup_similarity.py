@@ -764,3 +764,28 @@ def test_incremental_admission_property(spark, data):
     }
     expect = _reference_admission(corpus_rows, new_rows, n=2, threshold=0.5)
     assert got == {k: v for k, v in expect.items()}
+
+
+def test_incremental_admission_supports_string_ids(spark):
+    """Doc ids are not always numeric (every other dedup operator
+    accepts strings); the best-match tie-break must not negate the id
+    arithmetically."""
+    from dataingestionengineprocess_spark.operators.dedup import (
+        incremental_jaccard_admission,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [("corp-b", text), ("corp-a", text), ("corp-z", "unrelated words x y z")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [("new-1", text), ("new-2", "totally different content here now")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in incremental_jaccard_admission(
+        corpus, batch, n=3, threshold=0.6).collect()}
+    assert out["new-1"].status == "reject"
+    # tie between corp-a and corp-b at jaccard 1.0 -> smallest id wins
+    assert out["new-1"].match_id == "corp-a"
+    assert out["new-2"].status == "admit"

@@ -168,7 +168,17 @@ def test_rerun_same_file_is_idempotent(spark, landing, sinks):
     st = read_status(spark, sinks.warehouse_dir).filter(
         F.col("run_id") == "run-A"
     )
-    assert st.count() == 2, "both runs leave a status record"
+    # a rerun REPLACES its own status row -- one record per run_id,
+    # so _runs stays truthful under retries (idempotent, not append)
+    assert st.count() == 1, "rerun must replace, not duplicate, its status row"
+
+    # the OLTP stand-in and quarantine are run-partitioned the same
+    # way: the rerun replaced its partitions instead of appending
+    oltp = spark.read.parquet(os.path.join(sinks.oltp_dir, "orders_feed_oltp"))
+    assert oltp.count() == 2, "OLTP rerun must not duplicate"
+    quar = spark.read.parquet(
+        os.path.join(sinks.warehouse_dir, "orders_feed_quarantine"))
+    assert quar.filter(F.col("_run_id") == "run-A").count() == 2
 
 
 def test_streaming_ingest_exactly_once_per_file(spark, landing, sinks, tmp_path):
@@ -188,12 +198,18 @@ def test_streaming_ingest_exactly_once_per_file(spark, landing, sinks, tmp_path)
     q2.awaitTermination(120)
 
     wh = spark.read.parquet(wh_dir)
-    # f1 contributes 2; from f2 only row 5 survives (streaming has no
-    # corrupt-record column, so malformed fields become NULLs and the
-    # not_null/in_range rules quarantine those rows instead)
+    # f1 contributes 2; from f2 only row 5 survives -- the malformed
+    # rows are ROUTED to the rejects table with the raw line preserved
+    # (same corrupt-record contract as the batch path), not silently
+    # parsed into all-null rows
     assert wh.count() == 3
+    rejects = spark.read.parquet(
+        os.path.join(sinks.warehouse_dir, "orders_feed_rejects"))
+    assert rejects.count() == 2
+    assert all(r.raw_record for r in rejects.collect())
     st = read_status(spark, sinks.warehouse_dir)
     assert st.filter(F.col("feed") == "orders_feed").count() == 2
+    assert st.agg(F.sum("rows_rejected")).collect()[0][0] == 2
 
 
 def test_csv_dropmalformed_mode(spark, landing):

@@ -402,3 +402,55 @@ def test_delete_predicate_and_keys(spark, tmp_path):
         [(1, None), (2, 5.0)], "id long, v double"))
     vt2.delete("v > 1")
     assert {r.id for r in vt2.read().collect()} == {1}
+
+
+def test_delete_carries_epoch_stamp_so_compliance_expire_works(spark, tmp_path):
+    """The documented compliance flow -- delete(...) then
+    expire(keep_last=1) -- must physically reclaim the pre-delete
+    snapshots. That requires delete() to carry the source snapshot's
+    (app, epoch) stamp forward (as compact() does): otherwise the
+    PRE-delete snapshot stays the newest record of the producer's
+    epoch, expire()'s ledger protection pins it forever, and the
+    deleted rows remain readable."""
+    from dataingestionengineprocess_spark.sinks.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    vt.publish(df, epoch=5, app="a11ce")
+    assert vt.last_epoch("a11ce") == 5
+
+    vt.delete("id >= 5")
+    # the stamp survived the delete
+    assert vt.last_epoch("a11ce") == 5
+    # a replayed epoch <= 5 is STILL suppressed after the delete
+    replay = vt.merge(df, keys=["id"], order_col="v", epoch=5, app="a11ce")
+    assert replay.get("skipped") is True
+
+    res = vt.expire(keep_last=1)
+    assert len(res["expired"]) >= 1
+    # only the delete snapshot remains; the deleted rows are gone from
+    # every readable version
+    assert vt.versions() == [vt.current_version()]
+    assert vt.read().count() == 5
+
+
+def test_diff_detects_changes_in_added_and_dropped_columns(spark, tmp_path):
+    """Schema evolution between snapshots: a key whose only change is
+    a newly-added column's value must report as an update (not compare
+    equal over the old schema), and a dropped column must not crash
+    the diff."""
+    from dataingestionengineprocess_spark.sinks.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    v1 = vt.publish(spark.range(3).selectExpr("id", "id * 2 AS v"))
+    vt.publish(
+        spark.range(3).selectExpr("id", "id * 2 AS v", "id + 100 AS score"))
+
+    d = {r.id: r for r in vt.diff(["id"], v1).collect()}
+    assert len(d) == 3 and all(r.change_type == "update" for r in d.values())
+    assert d[0].new.score == 100 and d[0].old.score is None
+
+    # dropped column: diff must survive and report the change
+    vt.publish(spark.range(3).selectExpr("id", "id * 2 AS v"))
+    d2 = vt.diff(["id"], v1 + 1)
+    assert d2.count() == 3
