@@ -27,12 +27,24 @@ def norm_cell(v, float_digits: int | None = None) -> str:
     """
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "NULL"
-    if isinstance(v, float) and v == 0.0:
-        return "0.0"  # collapse -0.0 vs 0.0
     if isinstance(v, (pd.Timestamp, dt.datetime, dt.date, np.datetime64)):
+        # NaT (pandas' null timestamp, an instance of datetime) must
+        # fold to NULL like None does -- Spark's toPandas yields None
+        # for a null date while DuckDB's .df() yields NaT for the
+        # same logical value.
+        if pd.isna(v):
+            return "NULL"
         return str(pd.Timestamp(v))
     if isinstance(v, float):
-        return repr(round(v, float_digits) if float_digits is not None else v)
+        # Round BEFORE the -0.0 collapse: a tiny negative (cancelling
+        # ulp drift, e.g. -4.7e-13) rounds to -0.0 and must then fold
+        # to "0.0" exactly like a positive underflow folds -- the
+        # drift float_digits exists to absorb.
+        if float_digits is not None:
+            v = round(v, float_digits)
+        if v == 0.0:
+            return "0.0"  # collapse -0.0 vs 0.0
+        return repr(v)
     if isinstance(v, np.integer):
         return str(int(v))
     if isinstance(v, np.floating):
@@ -59,6 +71,9 @@ def digest_frame(df: pd.DataFrame, float_digits: int | None = None) -> str:
     """Order-insensitive content digest (the driver-style value hash)."""
     h = hashlib.sha256()
     for row in normalize_frame(df, float_digits):
-        h.update(",".join(row).encode())
+        # \x1f separator: a bare comma would make ('a,b','c') and
+        # ('a','b,c') hash identically (raw_record cells really do
+        # contain commas)
+        h.update("\x1f".join(row).encode())
         h.update(b"\n")
     return h.hexdigest()[:16]

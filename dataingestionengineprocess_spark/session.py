@@ -46,9 +46,15 @@ def get_spark(app_name: str = "dataingestionengineprocess-spark",
               extra_confs: dict[str, str] | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine defaults."""
     builder = SparkSession.builder.appName(app_name)
+    env_master = os.environ.get("SPARK_MASTER")
     if master:
         builder = builder.master(master)
-    elif not os.environ.get("SPARK_MASTER"):
+    elif env_master:
+        # honor the env var's VALUE (e.g. spark://host:7077), not just
+        # its presence -- treating it as a flag would leave the builder
+        # with no master at all
+        builder = builder.master(env_master)
+    else:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         builder = builder.master(f"local[{cpus}]")
     for k, v in ENGINE_CONFS.items():

@@ -129,6 +129,7 @@ def read_csv_feed_by_name(spark: SparkSession, path: str,
     Scale: same single parallel scan as the positional reader; the
     by-name projection and casts are map-only.
     """
+    spark.catalog.refreshByPath(path)  # re-drop guard, as in read_csv_feed
     raw = (
         spark.read.option("header", header).csv(path)
         .withColumn(source_file_col, F.input_file_name())
@@ -168,4 +169,4 @@ def read_csv_feed_by_name(spark: SparkSession, path: str,
         ]).alias("raw_record"),
         F.col(source_file_col),
     )
-    return CsvBatch(clean=clean, rejects=rejects)
+    return CsvBatch(clean=clean, rejects=rejects, source=casted)

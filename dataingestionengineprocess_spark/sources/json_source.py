@@ -22,6 +22,9 @@ def read_json_feed(spark: SparkSession, path: str, schema: T.StructType,
                    source_file_col: str = "_source_file") -> CsvBatch:
     """Read a JSON-lines drop with schema enforcement; malformed lines
     land in rejects with the raw text preserved."""
+    # a re-dropped file reuses its path: invalidate any cached plan
+    # for it or the read below serves the PREVIOUS drop's cached rows
+    spark.catalog.refreshByPath(path)
     full_schema = T.StructType(
         list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
     )
@@ -37,4 +40,4 @@ def read_json_feed(spark: SparkSession, path: str, schema: T.StructType,
     rejects = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_record"), F.col(source_file_col)
     )
-    return CsvBatch(clean=clean, rejects=rejects)
+    return CsvBatch(clean=clean, rejects=rejects, source=df)

@@ -77,7 +77,15 @@ def run_to_table(stream_df: DataFrame, spark: SparkSession,
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    # Detach the result from the memory sink's named table and drop
+    # the table: the sink pins the full result on the driver for the
+    # SESSION's life, so a loop draining many streams (the bench, the
+    # driver's correctness sweep) would grow one resident result set
+    # per drain. localCheckpoint blocks are reference-counted and GC'd
+    # with the returned DataFrame instead.
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",

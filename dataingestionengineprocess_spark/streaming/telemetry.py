@@ -29,17 +29,27 @@ class RunTelemetryListener(StreamingQueryListener):
     """Buffers start/progress/termination events for one session."""
 
     def __init__(self) -> None:
+        import threading
+
         self.rows: list[tuple] = []
+        # listener-bus callbacks append from the bus thread while
+        # flush() runs on the caller's thread: the buffer swap must be
+        # atomic or events landing between snapshot and reset vanish
+        self._lock = threading.Lock()
+
+    def _append(self, row: tuple) -> None:
+        with self._lock:
+            self.rows.append(row)
 
     def onQueryStarted(self, event) -> None:
-        self.rows.append((
+        self._append((
             str(event.id), str(event.runId), -1, event.name,
             0, 0.0, 0.0, 0, "started", event.timestamp,
         ))
 
     def onQueryProgress(self, event) -> None:
         p = event.progress
-        self.rows.append((
+        self._append((
             str(p.id), str(p.runId), p.batchId, p.name,
             int(p.numInputRows),
             float(p.inputRowsPerSecond or 0.0),
@@ -52,7 +62,7 @@ class RunTelemetryListener(StreamingQueryListener):
         pass
 
     def onQueryTerminated(self, event) -> None:
-        self.rows.append((
+        self._append((
             str(event.id), str(event.runId), -1, None,
             0, 0.0, 0.0, 0,
             "failed" if event.exception else "terminated", "",
@@ -61,10 +71,11 @@ class RunTelemetryListener(StreamingQueryListener):
     def flush(self, spark: SparkSession, warehouse_dir: str) -> str:
         """Append buffered events to the progress table; returns path."""
         path = os.path.join(warehouse_dir, PROGRESS_TABLE)
-        if self.rows:
-            df = spark.createDataFrame(self.rows, _SCHEMA)
+        with self._lock:
+            rows, self.rows = self.rows, []
+        if rows:
+            df = spark.createDataFrame(rows, _SCHEMA)
             df.coalesce(1).write.mode("append").parquet(path)
-            self.rows = []
         return path
 
 
