@@ -125,6 +125,17 @@ def normalize_text(text: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+def md5_bucket(col: Column, n) -> Column:
+    """Engine-portable hash bucket in [0, n): the first 6 hex chars of
+    md5(col) as an integer, mod n. THE single Spark-side source of the
+    bucket arithmetic whose SQL twin appears in the oracles -- the
+    leakage-safe split, training mix, corpus export, quality-resample
+    coin, CDC boundary, portable sampling, and classifier weights all
+    share it, so the buckets cannot drift between those surfaces.
+    ``n`` may be an int or a Column."""
+    return F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("long") % n
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic 128-bit content fingerprint (hex md5 of the
     normalized text) -- identical in Spark and DuckDB."""

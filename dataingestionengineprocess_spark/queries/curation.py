@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.text import shingles, token_count, tokens
+from ..functions.text import md5_bucket, shingles, token_count, tokens
 from .dedup import NEARDUP_COMPONENTS_CTE
 from . import register
 
@@ -470,12 +470,45 @@ FROM c
 """
 
 
+def _chunk_table(spark: SparkSession, sf_dir: str,
+                 extra_cols: list[str]) -> DataFrame:
+    """THE chunk fan-out both chunk queries share: one row per
+    (doc, sliding window), with chunk_id/chunk_tokens plus the doc's
+    token array (`toks`, for hashing) and any ``extra_cols`` carried
+    through. Chunk i covers tokens [i*stride, i*stride + window); the
+    last window starts at the final stride boundary that still has
+    unseen tokens, so every token lands in >= 1 chunk and short docs
+    yield exactly one. Keeping the boundary arithmetic in one place
+    guarantees `curation_chunk_windows` and `curation_chunk_packing`
+    can never disagree about what a chunk is."""
+    toks = tokens("text")
+    n = F.size(toks)
+    i_max = F.ceil(
+        F.greatest(F.lit(0), n - F.lit(CHUNK_TOKENS))
+        / F.lit(float(CHUNK_STRIDE))
+    ).cast("int")
+    start = F.col("chunk_id").cast("long") * CHUNK_STRIDE
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", *extra_cols,
+            toks.alias("toks"), n.alias("n"),
+            F.explode(F.sequence(F.lit(0), i_max)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id", *extra_cols, "toks",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            start.alias("__start"),
+            F.least(F.lit(CHUNK_TOKENS), F.col("n") - start).cast("long")
+            .alias("chunk_tokens"),
+        )
+    )
+
+
 @register("curation_chunk_windows", oracle=_CHUNK_ORACLE)
 def curation_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping sliding-window chunks per document: chunk i covers
-    tokens [i*stride, i*stride + window); the last window starts at
-    the final stride boundary that still has unseen tokens, so every
-    token lands in >= 1 chunk and short docs yield exactly one.
+    """Overlapping sliding-window chunks per document (shared fan-out:
+    `_chunk_table`).
 
     The output carries (chunk_tokens, md5(chunk_text)) rather than the
     chunk text itself -- the hash pins the exact chunk content for the
@@ -486,31 +519,15 @@ def curation_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one plan shape that is trivially 100 TB-safe. Downstream
     packing/shuffling operates on the chunk rows, which are narrow.
     """
-    toks = tokens("text")
-    n = F.size(toks)
-    i_max = F.ceil(
-        F.greatest(F.lit(0), n - F.lit(CHUNK_TOKENS)) / F.lit(float(CHUNK_STRIDE))
-    ).cast("int")
-    start = F.col("chunk_id").cast("int") * CHUNK_STRIDE
-    return (
-        load(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            toks.alias("toks"),
-            n.alias("n"),
-            F.explode(F.sequence(F.lit(0), i_max)).alias("chunk_id"),
-        )
-        .select(
-            "doc_id",
-            F.col("chunk_id").cast("long").alias("chunk_id"),
-            F.least(F.lit(CHUNK_TOKENS), F.col("n") - start).cast("long")
-            .alias("chunk_tokens"),
-            F.md5(
-                F.concat_ws(
-                    " ", F.slice(F.col("toks"), start + 1, F.lit(CHUNK_TOKENS))
-                )
-            ).alias("chunk_hash"),
-        )
+    return _chunk_table(spark, sf_dir, []).select(
+        "doc_id", "chunk_id", "chunk_tokens",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(F.col("toks"), F.col("__start").cast("int") + 1,
+                        F.lit(CHUNK_TOKENS)),
+            )
+        ).alias("chunk_hash"),
     )
 
 
@@ -566,25 +583,8 @@ def curation_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`curation_sequence_packing`'s shape). Composing the two is the
     actual trainer data path; the only wide stage remains the one
     window shuffle on the packing key."""
-    toks = tokens("text")
-    n = F.size(toks)
-    i_max = F.ceil(
-        F.greatest(F.lit(0), n - F.lit(CHUNK_TOKENS))
-        / F.lit(float(CHUNK_STRIDE))
-    ).cast("int")
-    start = F.col("chunk_id").cast("long") * CHUNK_STRIDE
-    chunks = (
-        load(spark, sf_dir, "documents")
-        .select(
-            "doc_id", "source", n.alias("n"),
-            F.explode(F.sequence(F.lit(0), i_max)).alias("chunk_id"),
-        )
-        .select(
-            "doc_id", "source",
-            F.col("chunk_id").cast("long").alias("chunk_id"),
-            F.least(F.lit(CHUNK_TOKENS), F.col("n") - start).cast("long")
-            .alias("chunk_tokens"),
-        )
+    chunks = _chunk_table(spark, sf_dir, ["source"]).select(
+        "doc_id", "source", "chunk_id", "chunk_tokens"
     )
     w = (
         W.partitionBy("source").orderBy("doc_id", "chunk_id")
@@ -653,10 +653,7 @@ def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("component", "doc_id").alias("component"),
         )
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("component").cast("string")), 1, 6),
-               16, 10).cast("long") % 10
-    )
+    bucket = md5_bucket(F.col("component").cast("string"), 10)
     return comp.select(
         "doc_id", "component",
         F.when(bucket < 8, "train")
@@ -712,10 +709,7 @@ def curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("component", "doc_id").alias("component"),
         )
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("component").cast("string")), 1, 6),
-               16, 10).cast("long") % 10
-    )
+    bucket = md5_bucket(F.col("component").cast("string"), 10)
     return (
         assigned.filter(F.col("doc_id") == F.col("component"))
         .select(
@@ -805,8 +799,7 @@ def curation_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     boundary = (
         F.col("win").isNotNull()
-        & (F.conv(F.substring(F.md5(F.col("win")), 1, 6), 16, 10)
-           .cast("long") % _CDC_DIVISOR == 0)
+        & (md5_bucket(F.col("win"), _CDC_DIVISOR) == 0)
     ).cast("int")
     w = (
         W.partitionBy("doc_id").orderBy("pos")
@@ -879,10 +872,7 @@ def curation_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .mlprep import classifier_score
 
     score = classifier_score("text")
-    coin = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
-               16, 10).cast("long") % 1000000
-    )
+    coin = md5_bucket(F.col("doc_id").cast("string"), 1000000)
     return (
         load(spark, sf_dir, "documents")
         .withColumn("__score", score)
@@ -962,10 +952,7 @@ def curation_export_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("component", "doc_id").alias("component"),
         )
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("component").cast("string")), 1, 6),
-               16, 10).cast("long") % 10
-    )
+    bucket = md5_bucket(F.col("component").cast("string"), 10)
     corpus = (
         assigned.filter(F.col("doc_id") == F.col("component"))
         .select(

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.text import tokens
+from ..functions.text import md5_bucket, tokens
 from ..functions.vectors import as_double, cosine
 from ..operators.dedup import containment_pairs
 from ..operators.skew import interval_overlap_join
@@ -60,9 +60,7 @@ _BIAS = 0.1
 def weight_of(tok):
     """Deterministic per-token weight: md5 -> bucket -> mixed weight in
     [-0.5, 0.5]. Engine-portable (md5 + integer arithmetic only)."""
-    bucket = (
-        F.conv(F.substring(F.md5(tok), 1, 6), 16, 10).cast("long") % _N_BUCKETS
-    )
+    bucket = md5_bucket(tok, _N_BUCKETS)
     return (bucket * F.lit(_MIX)) % 100001 / F.lit(100000.0) - 0.5
 
 
@@ -285,7 +283,7 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("neighbor_label") != F.col("query_label"),
         )
         .withColumn("cos_sim", sim)
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
         .select("query_id", "query_label", "neighbor_id", "neighbor_label",
                 "cos_sim", "rank")
@@ -506,11 +504,10 @@ def rec_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # item ids are 0-based dense (p_partkey in [0, n_parts)): the
     # candidate domain must match exactly or the sampler emits
     # phantom items / can never draw the boundary key.
-    item = (
-        F.conv(F.substring(
-            F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit("#"),
-                           F.col("i").cast("string"))), 1, 6), 16, 10)
-        .cast("long") % F.col("n_parts")
+    item = md5_bucket(
+        F.concat(F.col("c_custkey").cast("string"), F.lit("#"),
+                 F.col("i").cast("string")),
+        F.col("n_parts"),
     )
     cand = (
         cust.select("c_custkey")
@@ -525,7 +522,7 @@ def rec_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("c_custkey").orderBy("draw", "item")
     return (
-        fresh.withColumn("rank", F.row_number().over(w))
+        fresh.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _NEG_K)
         .select("c_custkey", "item", "draw", "rank")
     )

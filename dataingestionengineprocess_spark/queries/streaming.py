@@ -393,7 +393,9 @@ def stream_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.rollup import continuous_rollup, read_rollup
 
-    work = tempfile.mkdtemp(prefix="rollup_")
+    from ..catalog import scratch_dir
+
+    work = scratch_dir("rollup", sf_dir)
     q = continuous_rollup(spark, sf_dir, f"{work}/wh", f"{work}/ckpt")
     q.awaitTermination()
     return read_rollup(spark, f"{work}/wh")

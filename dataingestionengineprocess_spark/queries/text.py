@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions.text import (
+    md5_bucket,
     LANG_MARKERS,
     STOPWORDS,
     avg_token_len,
@@ -541,10 +542,7 @@ WHERE bucket < CASE lang WHEN 'en' THEN 250 ELSE 500 END
 @register("sample_md5_stratified", oracle=_MD5_SAMPLE_ORACLE)
 def sample_md5_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
-               16, 10).cast("long") % 1000
-    )
+    bucket = md5_bucket(F.col("doc_id").cast("string"), 1000)
     cut = F.when(F.col("lang") == "en", 250).otherwise(500)
     return (
         docs.select("doc_id", "lang", bucket.alias("bucket"))

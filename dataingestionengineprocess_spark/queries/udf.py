@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -83,10 +84,16 @@ def udf_vectorized_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-entity model scoring, wrong tool for skewed billion-row keys.
 # ---------------------------------------------------------------------------
 
+# floor-based rounding on BOTH sides: the z-score is an arbitrary
+# double quotient, where numpy's Series.round (half-to-even), Spark's
+# round (shortest-repr half-up) and DuckDB's round (binary half-away)
+# can all disagree at a .xx5 boundary -- floor(x*100 + 0.5)/100 is the
+# same IEEE arithmetic everywhere (FIXTURES.md rounding notes).
 _ZSCORE_ORACLE = """
 SELECT c_custkey, c_nationkey,
-       round((c_acctbal - avg(c_acctbal) OVER w)
-             / stddev_samp(c_acctbal) OVER w, 2) AS bal_zscore
+       floor((c_acctbal - avg(c_acctbal) OVER w)
+             / stddev_samp(c_acctbal) OVER w * 100 + 0.5) / 100
+           AS bal_zscore
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey)
 """
@@ -101,7 +108,7 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "c_custkey": pdf["c_custkey"],
                 "c_nationkey": pdf["c_nationkey"],
-                "bal_zscore": z.round(2),
+                "bal_zscore": np.floor(z * 100 + 0.5) / 100,
             }
         )
 
