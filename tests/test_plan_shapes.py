@@ -251,3 +251,15 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
     j = orders.join(cust.hint("shuffle_hash"),
                     orders.o_custkey == cust.c_custkey)
     assert "ShuffledHashJoin" in plan_of(j)
+
+
+def test_scd2_asof_carry_is_single_window_pass(spark, sf_dir, qs):
+    """The SCD2 temporal join's claim: dim versions are never exploded
+    into intervals and the carry is ONE window pass -- the plan has
+    exactly one Window operator, no nested-loop join, and no
+    interval-explode Generate."""
+    plan = _plan(spark, sf_dir, qs, "join_scd2_temporal")
+    assert plan.count("Window") == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate" not in plan, plan  # no per-version interval fan-out
