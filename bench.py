@@ -124,6 +124,26 @@ BENCH_QUERIES = [
     "curation_export_corpus",
     "dedup_canonical_by_quality",
     "quality_report_by_source",
+    "curation_packing_bpe_budget",
+    "quality_score_calibration",
+    # light families previously registry-only: windows, scalars,
+    # events analytics, profiling -- cheap coverage that turns any
+    # regression in those plans into a visible per-query delta
+    "window_rank_ntile",
+    "window_lag_lead",
+    "window_nth_value",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "scalar_string_funcs",
+    "scalar_json_funcs",
+    "events_funnel_transitions",
+    "events_daily_active_users",
+    "events_pivot_daily_matrix",
+    "events_gapfill_hourly",
+    "quality_profile_orders",
+    "text_langid",
+    "text_fingerprint",
+    "sample_md5_stratified",
 ]
 
 

@@ -976,3 +976,61 @@ def curation_export_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Packing budgeted by the SUBWORD-piece estimate instead of whitespace
+# tokens: whitespace counts under-budget a trainer whose tokenizer
+# splits words into pieces, so real packing jobs budget on the
+# tokenizer's own unit. Same per-source cumsum shape as
+# curation_sequence_packing, with the piece count (the map-only
+# regex estimator from text_bpe_token_estimate) as the weight.
+# ---------------------------------------------------------------------------
+
+_BPE_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+')) AS n_pieces
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_pieces,
+         sum(n_pieces) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - n_pieces AS prev_cum
+  FROM t
+)
+SELECT source,
+       CAST(floor(prev_cum / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+       count(*)                                          AS n_docs,
+       CAST(sum(n_pieces) AS BIGINT)                     AS pack_pieces
+FROM c
+GROUP BY source, pack_id
+"""
+
+
+@register("curation_packing_bpe_budget", oracle=_BPE_PACK_ORACLE)
+def curation_packing_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _PIECE_RE
+
+    pieces = F.size(
+        F.regexp_extract_all("text", F.lit(_PIECE_RE), 0)
+    )
+    w = (
+        W.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", pieces.alias("n_pieces"))
+        .withColumn("prev_cum", F.sum("n_pieces").over(w) - F.col("n_pieces"))
+        .withColumn(
+            "pack_id",
+            F.floor(F.col("prev_cum") / F.lit(float(PACK_BUDGET))).cast("long"),
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pieces").cast("long").alias("pack_pieces"),
+        )
+    )

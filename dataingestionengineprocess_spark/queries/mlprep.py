@@ -810,3 +810,67 @@ def quality_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keep_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-based score calibration: the raw classifier score becomes its
+# corpus percentile -- the standard fix when a filtering threshold
+# must mean "keep the top X%" regardless of how the raw score
+# distribution drifts between corpus snapshots.
+#
+# percent_rank needs a TOTAL order, and a naive Window.orderBy funnels
+# the corpus through one task. Here the rank is computed distributed:
+# range-repartition on the sort key, per-partition local row_number
+# (parallel in-partition sorts), then each partition's global offset
+# from the tiny per-partition-count table -- the same two-pass
+# prefix-sum shape as the weighted sampler. No stage touches more
+# than one partition's rows except the #partitions-row offset table.
+# ---------------------------------------------------------------------------
+
+
+def _calibration_oracle() -> str:
+    score = classifier_score_sql("string_split(text, ' ')")
+    return f"""
+WITH s AS (SELECT doc_id, lang, round({score}, 6) AS score FROM documents)
+SELECT doc_id, lang, score,
+       round(percent_rank() OVER (ORDER BY score, doc_id), 6) AS calibrated
+FROM s
+"""
+
+
+@register("quality_score_calibration", oracle=_calibration_oracle())
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang",
+            F.round(classifier_score("text"), 6).alias("score"),
+        )
+        .repartitionByRange(8, "score", "doc_id")
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # local rank inside each range partition: parallel sorts, each
+    # bounded by its partition's rows
+    wp = W.partitionBy("__pid").orderBy("score", "doc_id")
+    local = scored.withColumn("__rn", F.row_number().over(wp))
+    # per-partition counts -> exclusive prefix offsets + global N:
+    # a #partitions-row table, trivially window-able
+    counts = local.groupBy("__pid").agg(F.count("*").alias("__c"))
+    wo = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__c").over(wo), F.lit(0)).alias("__off"),
+    )
+    total = counts.agg(F.sum("__c").alias("__n"))
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id", "lang", "score",
+            F.round(
+                (F.col("__off") + F.col("__rn") - 1)
+                / (F.col("__n") - 1),
+                6,
+            ).alias("calibrated"),
+        )
+    )

@@ -263,3 +263,16 @@ def test_scd2_asof_carry_is_single_window_pass(spark, sf_dir, qs):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Generate" not in plan, plan  # no per-version interval fan-out
+
+
+def test_calibration_rank_has_no_single_partition_row_window(spark, sf_dir, qs):
+    """The percentile calibration must not funnel the corpus through
+    one task: the ROW-level rank window must be partitioned by the
+    range-partition id (the only unpartitioned window allowed is the
+    prefix-sum over the #partitions-row offsets table)."""
+    plan = _plan(spark, sf_dir, qs, "quality_score_calibration")
+    assert "row_number() windowspecdefinition(__pid" in plan, plan
+    # the corpus-wide percent_rank formulation would plan an
+    # unpartitioned row_number/percent_rank over (score, doc_id)
+    assert "percent_rank" not in plan, plan
+    assert "row_number() windowspecdefinition(score" not in plan, plan
