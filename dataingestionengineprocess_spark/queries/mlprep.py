@@ -615,8 +615,12 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # euclidean-LSH buckets behave when raw dimensions have wildly
 # different scales. Two-pass shape at scale: pass 1 is a posexplode +
 # per-dim aggregate (dims x few stats -- a tiny table), pass 2
-# broadcasts the stats and rebuilds each vector; only the rebuild's
-# groupBy(vec_id) shuffles, carrying (vec_id, dim, w) triples.
+# broadcasts the stats and emits (vec_id, dim, w) rows map-only --
+# zero shuffles beyond the 64-row stats aggregate. Output is the LONG
+# form (one row per vector x dimension): the driver's canonicalizer
+# requires scalar-only result columns (no top-level array<double> --
+# the round-2 failure mode), and long form is also what downstream
+# per-dimension consumers (PQ codebook fit, per-dim clipping) join on.
 # ---------------------------------------------------------------------------
 
 _WHITEN_ORACLE = """
@@ -631,13 +635,9 @@ WITH x AS (
 stats AS (
   SELECT dim, avg(val) AS mu, stddev_samp(val) AS sigma FROM x GROUP BY dim
 )
-SELECT vec_id, label,
-       list_transform(
-           array_agg({'dim': x.dim, 'w': round((val - mu) / sigma, 6)}
-                     ORDER BY x.dim),
-           s -> s.w) AS whitened
+SELECT vec_id, label, x.dim AS dim,
+       round((val - mu) / sigma, 6) AS w
 FROM x JOIN stats ON x.dim = stats.dim
-GROUP BY vec_id, label
 """
 
 
@@ -652,13 +652,9 @@ def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("val").alias("mu"), F.stddev_samp("val").alias("sigma"))
     return (
         x.join(F.broadcast(stats), "dim")
-        .withColumn("w", F.round((F.col("val") - F.col("mu")) / F.col("sigma"), 6))
-        .groupBy("vec_id", "label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "w"))),
-                lambda s: s.getField("w"),
-            ).alias("whitened")
+        .select(
+            "vec_id", "label", "dim",
+            F.round((F.col("val") - F.col("mu")) / F.col("sigma"), 6).alias("w"),
         )
     )
 
@@ -688,18 +684,26 @@ def _jl_sign(i: int, j: int) -> float:
 
 
 _JL_ORACLE = f"""
-SELECT vec_id, label,
- [round(list_sum([e[i] *
-      (CASE WHEN CAST('0x' || substr(md5((i-1) || ':' || (j-1)), 1, 1)
-                 AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END)
-   for i in range(1, {_JL_IN + 1})]) / sqrt({_JL_OUT}.0), 6)
-  for j in range(1, {_JL_OUT + 1})] AS projected
-FROM (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT vec_id, label, u.j AS out_dim, u.v AS projected FROM (
+  SELECT vec_id, label,
+   unnest([{{'j': j - 1,
+             'v': round(list_sum([e[i] *
+        (CASE WHEN CAST('0x' || substr(md5((i-1) || ':' || (j-1)), 1, 1)
+                   AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END)
+     for i in range(1, {_JL_IN + 1})]) / sqrt({_JL_OUT}.0), 6)}}
+    for j in range(1, {_JL_OUT + 1})]) AS u
+  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+)
 """
 
 
 @register("embedding_random_projection", oracle=_JL_ORACLE)
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output is LONG form (vec_id, label, out_dim, projected) -- one
+    row per projected coordinate -- because the driver canonicalizer
+    requires scalar-only result columns (no top-level array<double>,
+    the round-2 failure mode). The projection itself is unchanged:
+    map-only k x d multiply-adds inside codegen, zero shuffles."""
     import math
 
     emb = load(spark, sf_dir, "embeddings")
@@ -712,7 +716,10 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0), lambda a, x: a + x,
         )
         cols.append(F.round(acc / math.sqrt(_JL_OUT), 6))
-    return emb.select("vec_id", "label", F.array(*cols).alias("projected"))
+    return emb.select(
+        "vec_id", "label",
+        F.posexplode(F.array(*cols)).alias("out_dim", "projected"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -39,9 +39,32 @@ def _params():
     return sorted(os_.keys() & qs.keys())
 
 
+def _assert_scalar_schema(name, df):
+    """Driver output contract: no top-level array/map/struct columns.
+
+    The driver's canonicalizer sorts results as a pandas frame and
+    dies on unhashable numpy arrays (round-2 failures
+    embedding_whitening / embedding_random_projection). Emit long
+    format (one row per element) instead; this guard keeps the
+    contract from regressing.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: top-level complex-typed output columns {complex_cols} "
+        "violate the driver output contract -- posexplode to long format"
+    )
+
+
 @pytest.mark.parametrize("name", _params())
 def test_parity(name, spark, ddb):
-    spark_df = all_queries()[name](spark, SF).toPandas()
+    sdf = all_queries()[name](spark, SF)
+    _assert_scalar_schema(name, sdf)
+    spark_df = sdf.toPandas()
     oracle_df = ddb.execute(all_oracles()[name]).df()
 
     assert sorted(spark_df.columns) == sorted(oracle_df.columns), (
@@ -65,5 +88,7 @@ def test_every_query_has_rows(spark):
     """Rows-only sanity for queries without oracles (driver's weak check)."""
     qs, os_ = all_queries(), all_oracles()
     for name in sorted(qs.keys() - os_.keys()):
-        n = qs[name](spark, SF).count()
+        df = qs[name](spark, SF)
+        _assert_scalar_schema(name, df)
+        n = df.count()
         assert n >= 0, name
