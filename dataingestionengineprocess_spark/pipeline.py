@@ -239,13 +239,21 @@ def ingest_stream(spark: SparkSession, feed: FeedConfig, src_dir: str,
             if fs.exists(lp):
                 fs.delete(lp, True)
         read_obs = Observation(f"read_{run_id}")
-        observed = batch_df.observe(
-            read_obs, F.count(F.lit(1)).alias("rows")
-        ).cache()
+        # _source_file must be stamped BEFORE .cache(): the curated
+        # write materializes the cache first, and input_file_name()
+        # evaluated later over InMemoryRelation returns '' -- the
+        # rejects branch would lose its file lineage. Capturing it
+        # during the file scan stores the value in the cached rows
+        # (mirrors read_csv_feed's batch-path ordering).
+        observed = (
+            batch_df.withColumn("_source_file", F.input_file_name())
+            .observe(read_obs, F.count(F.lit(1)).alias("rows"))
+            .cache()
+        )
         clean = observed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
         rejects = observed.filter(F.col(CORRUPT_COL).isNotNull()).select(
             F.col(CORRUPT_COL).alias("raw_record"),
-            F.input_file_name().alias("_source_file"),
+            F.col("_source_file"),
         )
         curated, quarantined, validation = run_stages(feed, clean)
         load_obs = Observation(f"loaded_{run_id}")

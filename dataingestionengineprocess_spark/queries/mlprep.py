@@ -845,8 +845,11 @@ FROM s
 """
 
 
-@register("quality_score_calibration", oracle=_calibration_oracle())
-def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _calibration_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned locally-ranked frame (pre-checkpoint): split
+    out so the plan-shape test can prove the rank window is partitioned
+    by __pid (the checkpoint in the query proper hides the window
+    behind a LogicalRDD scan)."""
     scored = (
         load(spark, sf_dir, "documents")
         .select(
@@ -859,7 +862,18 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # local rank inside each range partition: parallel sorts, each
     # bounded by its partition's rows
     wp = W.partitionBy("__pid").orderBy("score", "doc_id")
-    local = scored.withColumn("__rn", F.row_number().over(wp))
+    return scored.withColumn("__rn", F.row_number().over(wp))
+
+
+@register("quality_score_calibration", oracle=_calibration_oracle())
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pin the partition assignment: repartitionByRange SAMPLES its
+    # boundaries per execution, so without this the three consumers
+    # below (ranked rows, counts, total) could observe different __pid
+    # layouts whenever exchange reuse is disabled -- offsets would then
+    # misalign with ranks. localCheckpoint materializes the ranked
+    # frame once; every consumer reads the same snapshot.
+    local = _calibration_ranked(spark, sf_dir).localCheckpoint()
     # per-partition counts -> exclusive prefix offsets + global N:
     # a #partitions-row table, trivially window-able
     counts = local.groupBy("__pid").agg(F.count("*").alias("__c"))
@@ -875,8 +889,12 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "lang", "score",
             F.round(
+                # greatest(.., 1) guards the single-document corpus:
+                # __n == 1 would divide by zero (Spark NULL) while the
+                # oracle's percent_rank yields 0.0 -- with the guard the
+                # numerator is 0 and both engines agree on 0.0.
                 (F.col("__off") + F.col("__rn") - 1)
-                / (F.col("__n") - 1),
+                / F.greatest(F.col("__n") - 1, F.lit(1)),
                 6,
             ).alias("calibrated"),
         )

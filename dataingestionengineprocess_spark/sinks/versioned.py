@@ -232,15 +232,20 @@ class VersionedTable:
         payload = sorted(
             (set(old_df.columns) | set(new_df.columns)) - set(keys)
         )
-        # typed nulls for the missing side: struct comparison requires
-        # both sides' field types to line up
+        # Unify types on BOTH sides (newer snapshot's dtype wins): a
+        # column present in both snapshots but re-typed between them
+        # (e.g. int widened to bigint) would otherwise build old/new
+        # structs with mismatched field types and fail the struct
+        # equality at analysis -- exactly the crash the NULL-fill
+        # handles for the missing-column case. Casting an
+        # already-matching column is a Catalyst no-op.
         dtypes = dict(old_df.dtypes) | dict(new_df.dtypes)
 
         def side(df: DataFrame, alias: str):
             have = set(df.columns)
             cols = [
-                F.col(c) if c in have
-                else F.lit(None).cast(dtypes[c]).alias(c)
+                (F.col(c) if c in have else F.lit(None))
+                .cast(dtypes[c]).alias(c)
                 for c in payload
             ]
             return df.select(*keys, F.struct(*cols).alias(alias))

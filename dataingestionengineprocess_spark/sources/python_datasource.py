@@ -128,16 +128,26 @@ def register(spark) -> None:
 # two-phase commit contract Spark's file sinks use. Tasks write to
 # dot-prefixed temp files (invisible to readers and to Spark's own
 # JSON scanner) and report them in WriterCommitMessages; only the
-# driver's commit() renames them into place and drops _SUCCESS, so a
-# failed job leaves nothing visible and abort() removes the temps.
-# Paths here are plain local-FS (this container's test reality); a
-# production build swaps os.rename for the Hadoop FileSystem API as
-# sinks/warehouse.py does -- the commit PROTOCOL is identical.
+# driver's commit() renames them into place and drops the marker
+# (_SUCCESS / _batch-<id>), so a failed job leaves nothing visible and
+# abort() removes the temps. Paths here are plain local-FS (this
+# container's test reality); a production build swaps os.rename for
+# the Hadoop FileSystem API as sinks/warehouse.py does -- the commit
+# PROTOCOL is identical.
 #
-# The streaming variant adds per-epoch idempotence: commit(batchId)
-# first checks a _batch-<id> marker and skips the rename set when the
-# epoch was already committed -- replayed epochs (checkpoint recovery)
-# do not double their files.
+# The MARKER is the atomic commit point, not rename completion: the
+# marker lists the epoch's final filenames, is first written to a
+# dot-prefixed temp, and is os.rename()d into place only after every
+# data rename finished. A crash between the data renames and the
+# marker rename therefore leaves part- files with NO marker naming
+# them; the next commit attempt reconciles by deleting any part- file
+# not referenced by an existing marker before publishing its own set,
+# so replayed epochs never sit a duplicate next to a half-published
+# original.
+#
+# The streaming variant adds per-epoch idempotence on top: an existing
+# _batch-<id> marker means the epoch fully committed, so the replay's
+# temps are dropped instead of double-publishing.
 # ---------------------------------------------------------------------------
 
 
@@ -164,16 +174,71 @@ class _JsonlWriterBase:
                 n += 1
         return _FileCommit(tmp, n)
 
-    def _publish(self, messages, marker: str) -> None:
+    def _committed_files(self) -> set[str]:
+        """Final filenames referenced by ANY existing marker."""
+        import json
         import os
 
+        seen: set[str] = set()
+        for name in os.listdir(self.path):
+            if name != "_SUCCESS" and not name.startswith("_batch-"):
+                continue
+            try:
+                with open(os.path.join(self.path, name)) as f:
+                    seen.update(json.load(f).get("files", []))
+            except (OSError, ValueError):
+                # legacy count-only marker (pre-reconcile format): its
+                # files are unidentifiable -- treat the marker as
+                # claiming nothing so reconcile never deletes blindly
+                continue
+        return seen
+
+    def _publish(self, messages, marker: str) -> None:
+        import json
+        import os
+        import uuid
+
+        # Reconcile FIRST: part- files named by no marker are orphans
+        # of a commit attempt that crashed between its data renames and
+        # its marker rename. Removing them here makes this attempt's
+        # publish exactly-once even after such a crash (epochs commit
+        # serially from the driver, so the orphans cannot belong to a
+        # concurrent healthy commit).
+        committed = self._committed_files()
+        for name in os.listdir(self.path):
+            if name.startswith("part-") and name not in committed:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except FileNotFoundError:
+                    pass
+
+        finals = []
         for m in messages:
             if m is None:
                 continue
             final = m.tmp_path.replace("/.tmp-", "/part-")
             os.rename(m.tmp_path, final)
-        with open(os.path.join(self.path, marker), "w") as f:
-            f.write(str(sum(m.rows for m in messages if m is not None)))
+            finals.append(os.path.basename(final))
+        # Marker rename is the commit point: readers/replays trust only
+        # files a marker names, and rename within a directory is atomic
+        # on POSIX (object-store builds use the same conditional-put
+        # idiom via the Hadoop FS API).
+        rows = sum(m.rows for m in messages if m is not None)
+        # A same-named marker already on disk (append-mode batch runs
+        # share one _SUCCESS) must keep claiming its earlier files, or
+        # the NEXT commit's reconcile would sweep them as orphans.
+        marker_path = os.path.join(self.path, marker)
+        try:
+            with open(marker_path) as f:
+                prev = json.load(f)
+            finals = sorted(set(finals) | set(prev.get("files", [])))
+            rows += int(prev.get("rows", 0))
+        except (OSError, ValueError):
+            finals = sorted(finals)
+        tmp_marker = os.path.join(self.path, f".tmp-marker-{uuid.uuid4().hex}")
+        with open(tmp_marker, "w") as f:
+            json.dump({"files": finals, "rows": rows}, f)
+        os.rename(tmp_marker, marker_path)
 
     def abort(self, messages) -> None:
         import os

@@ -474,3 +474,81 @@ def test_python_datasource_stream_writer_epoch_idempotent(spark, tmp_path):
     assert back.select("id").distinct().count() == 300
     markers = [n for n in os.listdir(out) if n.startswith("_batch-")]
     assert len(markers) >= 3  # one marker per committed epoch
+
+
+def test_python_datasource_stream_writer_reconciles_half_commit(tmp_path):
+    """The marker rename is the commit point: a crash AFTER the data
+    renames but BEFORE the marker write leaves part- files no marker
+    names. The replayed epoch's commit must sweep those orphans before
+    publishing its own files, so the batch lands exactly once."""
+    import json
+    import os
+
+    from pyspark.sql import Row
+    from dataingestionengineprocess_spark.sources.python_datasource import (
+        PartnerFeedStreamWriter,
+    )
+
+    out = str(tmp_path / "half_commit")
+    writer = PartnerFeedStreamWriter({"path": out})
+    rows = [Row(id=i, partner=f"P{i % 7}", amount=float(i)) for i in range(5)]
+
+    # epoch 0 commits cleanly
+    m0 = writer.write(iter(rows))
+    writer.commit([m0], 0)
+
+    # epoch 1, attempt A: data renamed into place, then crash before
+    # the marker write (simulated by doing the rename by hand)
+    m1a = writer.write(iter(rows))
+    os.rename(m1a.tmp_path, m1a.tmp_path.replace("/.tmp-", "/part-"))
+
+    # epoch 1, attempt B (checkpoint replay): fresh task output, real commit
+    m1b = writer.write(iter(rows))
+    writer.commit([m1b], 1)
+
+    parts = sorted(n for n in os.listdir(out) if n.startswith("part-"))
+    markers = sorted(n for n in os.listdir(out) if n.startswith("_batch-"))
+    assert markers == ["_batch-0", "_batch-1"]
+    # exactly the two committed epochs' files survive -- attempt A's
+    # orphan was reconciled away, and every surviving part- file is
+    # named by a marker
+    claimed = set()
+    for mk in markers:
+        with open(os.path.join(out, mk)) as f:
+            claimed.update(json.load(f)["files"])
+    assert set(parts) == claimed
+    assert len(parts) == 2
+    total = sum(
+        1 for p in parts for _ in open(os.path.join(out, p))
+    )
+    assert total == 10  # 5 rows per epoch, no duplicates
+
+
+def test_python_datasource_batch_append_markers_accumulate(spark, tmp_path):
+    """Append-mode batch runs share one _SUCCESS: the second commit
+    must keep claiming the first run's files (merged marker), or a
+    later reconcile would sweep them as orphans."""
+    import os
+
+    from dataingestionengineprocess_spark.sources.python_datasource import (
+        register,
+    )
+
+    register(spark)
+    df = spark.range(10).selectExpr(
+        "id", "concat('P', id % 7) AS partner",
+        "CAST(id * 1.5 AS DOUBLE) AS amount")
+    out = str(tmp_path / "appended")
+    df.write.format("partner_feed").mode("append").save(out)
+    df.write.format("partner_feed").mode("append").save(out)
+    df.write.format("partner_feed").mode("append").save(out)
+
+    back = spark.read.json(out)
+    assert back.count() == 30
+    parts = [n for n in os.listdir(out) if n.startswith("part-")]
+    import json
+
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        success = json.load(f)
+    assert set(success["files"]) == set(parts)
+    assert success["rows"] == 30

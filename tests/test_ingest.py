@@ -207,6 +207,13 @@ def test_streaming_ingest_exactly_once_per_file(spark, landing, sinks, tmp_path)
         os.path.join(sinks.warehouse_dir, "orders_feed_rejects"))
     assert rejects.count() == 2
     assert all(r.raw_record for r in rejects.collect())
+    # file lineage must survive the foreachBatch cache: input_file_name
+    # evaluated after the curated write materializes the cache returns
+    # '', so _source_file is stamped during the scan (pre-cache)
+    assert all(
+        r["_source_file"] and r["_source_file"].endswith("f2.csv")
+        for r in rejects.select("_source_file").collect()
+    )
     st = read_status(spark, sinks.warehouse_dir)
     assert st.filter(F.col("feed") == "orders_feed").count() == 2
     assert st.agg(F.sum("rows_rejected")).collect()[0][0] == 2

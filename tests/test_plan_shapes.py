@@ -270,9 +270,19 @@ def test_calibration_rank_has_no_single_partition_row_window(spark, sf_dir, qs):
     one task: the ROW-level rank window must be partitioned by the
     range-partition id (the only unpartitioned window allowed is the
     prefix-sum over the #partitions-row offsets table)."""
-    plan = _plan(spark, sf_dir, qs, "quality_score_calibration")
+    # the rank window lives in the pre-checkpoint frame (the query
+    # proper pins it with localCheckpoint, which replans it as a
+    # LogicalRDD scan) -- prove the shape on the exposed builder
+    from dataingestionengineprocess_spark.queries.mlprep import (
+        _calibration_ranked,
+    )
+
+    ranked = _calibration_ranked(spark, sf_dir)
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
     assert "row_number() windowspecdefinition(__pid" in plan, plan
+    assert "row_number() windowspecdefinition(score" not in plan, plan
     # the corpus-wide percent_rank formulation would plan an
     # unpartitioned row_number/percent_rank over (score, doc_id)
-    assert "percent_rank" not in plan, plan
-    assert "row_number() windowspecdefinition(score" not in plan, plan
+    final = _plan(spark, sf_dir, qs, "quality_score_calibration")
+    assert "percent_rank" not in final, final
+    assert "row_number() windowspecdefinition(score" not in final, final

@@ -454,3 +454,23 @@ def test_diff_detects_changes_in_added_and_dropped_columns(spark, tmp_path):
     vt.publish(spark.range(3).selectExpr("id", "id * 2 AS v"))
     d2 = vt.diff(["id"], v1 + 1)
     assert d2.count() == 3
+
+
+def test_diff_survives_column_retype_between_snapshots(spark, tmp_path):
+    """A column present in BOTH snapshots with a changed type (int
+    widened to double here) must diff without an analysis crash: both
+    sides cast to the unified (newer) type, equal values compare
+    equal, changed values report as updates."""
+    from dataingestionengineprocess_spark.sinks.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    v1 = vt.publish(spark.range(3).selectExpr("id", "CAST(id * 2 AS INT) AS v"))
+    vt.publish(spark.range(3).selectExpr(
+        "id",
+        "CAST(CASE WHEN id = 2 THEN 99 ELSE id * 2 END AS DOUBLE) AS v"))
+
+    d = {r.id: r for r in vt.diff(["id"], v1).collect()}
+    # ids 0/1: same value under the widened type -> no change row
+    assert set(d) == {2}
+    assert d[2].change_type == "update"
+    assert d[2].old.v == 4.0 and d[2].new.v == 99.0
