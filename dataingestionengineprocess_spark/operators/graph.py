@@ -14,6 +14,19 @@ destination) over a static, already-partitioned table; lineage is
 truncated with localCheckpoint every few iterations so the plan does
 not grow linearly with iteration count (the classic iterative-Spark
 trap).
+
+Two per-iteration join strategies, auto-selected on the measured node
+count:
+
+- **broadcast** (node count within budget): the rank table is
+  broadcast onto the stationary edges, so the join is map-side and the
+  only shuffle carries per-partition partial contribution sums.
+- **shuffle** (node count beyond budget): the edge table is
+  pre-hash-partitioned by source ONCE at setup (the partitioning
+  survives the localCheckpoint), and each iteration shuffles only the
+  narrow (node, rank) table to meet it -- the edges never move again.
+  This is the path a web-scale graph (billions of nodes, where a
+  broadcast rank table would blow the executor budget) takes.
 """
 
 from __future__ import annotations
@@ -21,18 +34,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Truncate lineage EVERY iteration: the broadcast of the rank table
-#: materializes the pending chain anyway, so deferring the checkpoint
-#: would re-execute earlier iterations quadratically inside each
-#: segment; each checkpoint is a narrow (node, rank) table so the
-#: cost is small relative to the join.
+#: Truncate lineage EVERY iteration: materializing the rank table per
+#: iteration (broadcast build or shuffle input) walks the pending
+#: chain anyway, so deferring the checkpoint would re-execute earlier
+#: iterations quadratically inside each segment; each checkpoint is a
+#: narrow (node, rank) table so the cost is small relative to the join.
 _CHECKPOINT_EVERY = 1
+
+#: Auto-select boundary between the broadcast and shuffle strategies.
+#: A hashed (node BIGINT, rank DOUBLE) relation costs roughly 50-100 B
+#: per entry in the JVM, so 5M nodes is ~0.5 GB -- near the practical
+#: per-executor broadcast budget; beyond it the pre-bucketed shuffle
+#: join wins.
+_BROADCAST_NODE_LIMIT = 5_000_000
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iterations: int = 8, damping: float = 0.85,
              checkpoint_every: int = _CHECKPOINT_EVERY,
-             out_degrees: DataFrame | None = None) -> DataFrame:
+             out_degrees: DataFrame | None = None,
+             broadcast_node_limit: int = _BROADCAST_NODE_LIMIT) -> DataFrame:
     """PageRank over a directed edge list -> (node, rank).
 
     Ranks are scaled so they sum to the node count N (the random-surfer
@@ -48,6 +69,11 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     node-count table is broadcast-joined onto the edges, skipping the
     groupBy shuffle over the full edge list that deriving degrees
     in-operator would cost.
+
+    ``broadcast_node_limit``: node counts at or below it use the
+    broadcast-ranks iteration; above it the shuffle-join iteration
+    (edges pre-bucketed by source once, no broadcast anywhere). Pass 0
+    to force the shuffle path, a huge value to force broadcast.
     """
     if out_degrees is not None:
         out_deg = F.broadcast(out_degrees.select(
@@ -75,20 +101,34 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # The strategy decision needs the node count; nodes is already
+    # materialized, so this count is a cheap narrow scan, not a job
+    # over the edge subtree.
+    use_broadcast = nodes.count() <= broadcast_node_limit
+    if not use_broadcast:
+        # Pre-bucket the stationary edges by join key and CACHE (not
+        # checkpoint): under AQE a localCheckpoint captures the
+        # adaptive plan's UnknownPartitioning, while a cached
+        # InMemoryRelation keeps its hashpartitioning (AQE does not
+        # re-plan cached output partitioning by default). Every
+        # iteration's join then sees edges already distributed by
+        # __src and plans an exchange ONLY on the narrow rank side.
+        w_edges = w_edges.repartition("__src").cache()
+        w_edges.count()  # materialize once, before the loop
+
     ranks = nodes.withColumn("rank", F.lit(1.0))
 
     for i in range(iterations):
-        # Ranks broadcast: the node set is the small dimension of a
-        # link graph (edges are the 100 TB side), so the per-iteration
-        # join is map-side over the stationary edges and the shuffle
-        # carries only per-partition PARTIAL sums (<= nodes/partition
-        # rows), not one row per edge. For node sets too big to
-        # broadcast, drop the hint and pre-bucket edges by src instead.
+        rank_side = ranks.withColumnRenamed("node", "__src")
+        if use_broadcast:
+            # Ranks broadcast: the node set is the small dimension of a
+            # link graph (edges are the 100 TB side), so the
+            # per-iteration join is map-side over the stationary edges
+            # and the shuffle carries only per-partition PARTIAL sums
+            # (<= nodes/partition rows), not one row per edge.
+            rank_side = F.broadcast(rank_side)
         contribs = (
-            w_edges.join(
-                F.broadcast(ranks.withColumnRenamed("node", "__src")),
-                "__src",
-            )
+            w_edges.join(rank_side, "__src")
             .groupBy("node")
             .agg(F.sum(F.col("rank") * F.col("__w")).alias("contrib"))
         )
@@ -104,4 +144,10 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
+    if not use_broadcast and checkpoint_every and \
+            iterations % checkpoint_every == 0:
+        # final ranks are checkpointed (independent of the edge cache):
+        # release the cached edge partitions instead of leaking one
+        # entry per pagerank call into the session cache manager
+        w_edges.unpersist()
     return ranks

@@ -39,3 +39,48 @@ def test_pagerank_query_returns_hubs(spark, sf_dir):
     rows = out.collect()
     assert 0 < len(rows) <= 50
     assert rows[0]["rank"] >= rows[-1]["rank"]
+
+
+def test_pagerank_shuffle_path_matches_broadcast_path(spark, star_edges):
+    """broadcast_node_limit=0 forces the big-nodes strategy; ranks must
+    be bit-comparable to the broadcast path at 9 decimals."""
+    b = {r["node"]: round(r["rank"], 9)
+         for r in pagerank(star_edges, iterations=8).collect()}
+    s = {r["node"]: round(r["rank"], 9)
+         for r in pagerank(star_edges, iterations=8,
+                           broadcast_node_limit=0).collect()}
+    assert b == s
+
+
+def test_pagerank_shuffle_path_plans_no_broadcast(spark, star_edges):
+    """On the big-nodes path nothing may broadcast: with our hints
+    absent and the auto-broadcast threshold disabled, a full iteration
+    must plan only shuffle joins over the pre-bucketed edges (the
+    rank-table broadcast is exactly what blows up at web scale)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = pagerank(star_edges, iterations=1, checkpoint_every=0,
+                       broadcast_node_limit=0)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, plan
+        # the stationary edge side is consumed pre-partitioned from the
+        # cache: the contribution join must NOT re-exchange it -- no
+        # Exchange may sit between the InMemoryTableScan and the join
+        # (the only __src exchange allowed is the narrow rank side's)
+        assert "InMemoryTableScan" in plan, plan
+        # two RUNTIME __src-exchanges would mean the edge side
+        # re-shuffled too; exactly one (the narrow rank side) is the
+        # proof the cached bucketing was reused. The cache's own
+        # REPARTITION_BY_COL exchange (printed inside the stored
+        # InMemoryRelation build plan) ran once at materialization and
+        # is not part of the iteration, so count only the
+        # ENSURE_REQUIREMENTS exchanges the join itself demanded.
+        runtime_src_exchanges = sum(
+            "ENSURE_REQUIREMENTS" in line
+            for line in plan.splitlines()
+            if "Exchange hashpartitioning(__src" in line
+        )
+        assert runtime_src_exchanges == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
