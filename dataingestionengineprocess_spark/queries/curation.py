@@ -30,6 +30,64 @@ from . import register
 #: ~1.5k tokens/source still yields multiple packs per source.
 PACK_BUDGET = 512
 
+#: doc_id block size for the packing windows' sub-shards. Small here
+#: so every fixture SF exercises multiple shards per source;
+#: production sizes it so a shard holds ~10^5-10^6 rows (keeping each
+#: local sort bounded AND the per-source offset table thousands of
+#: rows, not millions).
+PACK_SHARD_BLOCK = 128
+
+
+def _sharded_prev_cum(df: DataFrame, value_col: str,
+                      order_cols: list[str]) -> DataFrame:
+    """Exclusive running sum of ``value_col`` over (source) in
+    ``order_cols`` order, WITHOUT a one-task-per-source window.
+
+    Same two-pass distributed-rank shape as
+    ``quality_score_calibration``: rows sub-shard on
+    floor(doc_id / PACK_SHARD_BLOCK) (deterministic and monotone in
+    the doc_id-major sort order, so shard-local order is global
+    order); pass 1 is a per-(source, shard) local cumsum -- parallel,
+    each sort bounded by a shard's rows; pass 2 broadcasts the
+    per-shard totals' exclusive prefix (a #shards-row table) and adds
+    the shard's starting offset back. A giant source therefore packs
+    across many tasks instead of serializing through one.
+
+    ``order_cols`` must be doc_id-major (doc_id itself or
+    (doc_id, ...)): the shard id derives from doc_id alone.
+    """
+    local_w = (
+        W.partitionBy("source", "__shard").orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sharded = df.withColumn(
+        "__shard", F.floor(F.col("doc_id") / PACK_SHARD_BLOCK)
+    )
+    local = sharded.withColumn("__lcum", F.sum(value_col).over(local_w))
+    # Totals branch reads the PRE-window frame: a map-side partial agg
+    # whose shuffle carries one row per (source, shard) -- the second
+    # pass of the classic two-pass prefix sum (scan twice, never sort
+    # globally).
+    totals = sharded.groupBy("source", "__shard").agg(
+        F.sum(value_col).alias("__stot")
+    )
+    off_w = (
+        W.partitionBy("source").orderBy("__shard")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "source", "__shard",
+        F.coalesce(F.sum("__stot").over(off_w), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["source", "__shard"])
+        .withColumn(
+            "prev_cum",
+            F.col("__off") + F.col("__lcum") - F.col(value_col),
+        )
+        .drop("__shard", "__lcum", "__off")
+    )
+
 _PACKING_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, source,
@@ -60,24 +118,19 @@ def curation_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-stable, and expressible as one window + one agg in any
     engine (the oracle is the identical cumsum).
 
-    Scale: the window partitions by ``source`` -- the packing unit. At
-    100 TB a single source can exceed one task; the production move is
-    to sub-shard the window key to (source, input-file) so each file
-    packs independently (pack boundaries then align to files, which is
-    what sequence-packing jobs want anyway: packs never span shards).
-    The per-(source, pack) agg reuses the window's partitioning -- no
-    second shuffle.
+    Scale: the running sum is computed by `_sharded_prev_cum` -- a
+    per-(source, doc_id-block) local window plus a broadcast
+    shard-offset table -- so a single giant source packs across many
+    tasks instead of serializing through one window task. Identical
+    output to the naive per-source window (the oracle is exactly
+    that), proven by the oracle and the plan-shape test.
     """
-    w = (
-        W.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return (
+    sized = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "source", token_count("text").alias("n_tokens"))
-        .withColumn(
-            "prev_cum", F.sum("n_tokens").over(w) - F.col("n_tokens")
-        )
+    )
+    return (
+        _sharded_prev_cum(sized, "n_tokens", ["doc_id"])
         .withColumn(
             "pack_id",
             F.floor(F.col("prev_cum") / F.lit(float(PACK_BUDGET)))
@@ -581,21 +634,14 @@ def curation_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     budgets: chunk fan-out (map-only, `curation_chunk_windows`'
     shape) feeds the per-source cumulative-sum pack assignment
     (`curation_sequence_packing`'s shape). Composing the two is the
-    actual trainer data path; the only wide stage remains the one
-    window shuffle on the packing key."""
+    actual trainer data path; like the sequence packer, the cumsum
+    runs through `_sharded_prev_cum`'s sub-sharded windows, so one
+    giant source never serializes into a single task."""
     chunks = _chunk_table(spark, sf_dir, ["source"]).select(
         "doc_id", "source", "chunk_id", "chunk_tokens"
     )
-    w = (
-        W.partitionBy("source").orderBy("doc_id", "chunk_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
     return (
-        chunks
-        .withColumn(
-            "prev_cum",
-            F.sum("chunk_tokens").over(w) - F.col("chunk_tokens"),
-        )
+        _sharded_prev_cum(chunks, "chunk_tokens", ["doc_id", "chunk_id"])
         .withColumn(
             "pack_id",
             F.floor(F.col("prev_cum") / F.lit(float(PACK_BUDGET)))
@@ -1016,14 +1062,12 @@ def curation_packing_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     pieces = F.size(
         F.regexp_extract_all("text", F.lit(_PIECE_RE), 0)
     )
-    w = (
-        W.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return (
+    sized = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "source", pieces.alias("n_pieces"))
-        .withColumn("prev_cum", F.sum("n_pieces").over(w) - F.col("n_pieces"))
+    )
+    return (
+        _sharded_prev_cum(sized, "n_pieces", ["doc_id"])
         .withColumn(
             "pack_id",
             F.floor(F.col("prev_cum") / F.lit(float(PACK_BUDGET))).cast("long"),

@@ -149,12 +149,32 @@ def test_decontaminate_gram_join_broadcasts(spark, sf_dir, qs):
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_packing_single_documents_scan(spark, sf_dir, qs):
+def test_packing_window_is_sub_sharded(spark, sf_dir, qs):
+    """The packing cumsum must never serialize one source into one
+    window task: the ROW-level running-sum window has to be
+    partitioned by (source, __shard); the only window allowed on bare
+    (source) is the offset prefix over the #shards-row totals table.
+    Classic two-pass prefix sum: two scans of documents (rows + shard
+    totals), both column-pruned, no global sort."""
+    for name in ("curation_sequence_packing", "curation_packing_bpe_budget",
+                 "curation_chunk_packing"):
+        plan = _plan(spark, sf_dir, qs, name)
+        assert "windowspecdefinition(source" in plan, (name, plan)
+        # every row-level window spec mentions __shard; the offsets
+        # window runs over __stot (per-shard totals), nothing else
+        # may window on bare source
+        for line in plan.splitlines():
+            if "windowspecdefinition(source" not in line:
+                continue
+            assert "__shard" in line or "__stot" in line, (name, line)
+        # the shard-offset table must broadcast onto the rows
+        assert "BroadcastHashJoin" in plan, (name, plan)
+
+
+def test_packing_two_pass_scan_budget(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "curation_sequence_packing")
-    assert plan.count("FileScan parquet") == 1, plan
-    # two exchanges at most: the (source) window sort and the
-    # (source, pack_id) agg -- the latter ships only partial-agg rows.
-    assert plan.count("hashpartitioning") <= 2, plan
+    # two-pass prefix sum: at most two pruned scans of documents
+    assert plan.count("FileScan parquet") <= 2, plan
 
 
 def test_domain_mix_rate_join_broadcasts(spark, sf_dir, qs):
