@@ -419,6 +419,31 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         books = pq_codebooks_local(
             corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col,
         )
+    elif train == "portable":
+        # Engine-portable codebooks: cell (j, c) = subspace-j segment
+        # of the corpus vector with the c-th smallest
+        # (md5(id-as-string), id) -- init-only, zero Lloyd's
+        # iterations, reproducible in plain SQL. Exists so the whole
+        # PQ pipeline (encode, ADC, re-rank) can be replayed
+        # independently by the DuckDB oracle; k-means training only
+        # tightens the cells, it does not change the algorithm.
+        rows = (
+            corpus.select(F.col(id_col).alias("id"),
+                          as_double(vec_col).alias("v"))
+            .orderBy(F.md5(F.col("id").cast("string").cast("binary")), "id")
+            .limit(ks)
+            .collect()
+        )
+        if len(rows) < ks:
+            raise ValueError(f"corpus has fewer than ks={ks} vectors")
+        dim = len(rows[0].v)
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        dsub = dim // m
+        books = [
+            [list(r.v[j * dsub:(j + 1) * dsub]) for r in rows]
+            for j in range(m)
+        ]
     else:
         books = pq_codebooks(
             corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col,

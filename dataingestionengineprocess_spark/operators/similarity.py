@@ -390,6 +390,27 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """
     if label_col is not None:
         cent = _centroid_vectors(corpus, vec_col, label_col)
+    elif train == "portable":
+        # Engine-portable quantizer: centroid j = the corpus vector
+        # with the j-th smallest (md5(id-as-string), id) -- a seeded
+        # uniform draw both engines can reproduce exactly (hex strings
+        # compare identically everywhere), with ZERO Lloyd's
+        # iterations. Still a legitimate IVF (k-means only improves
+        # list balance, not correctness); this mode exists so the
+        # FULL IVF pipeline -- assignment, probing, re-rank -- is
+        # independently replayable by the DuckDB oracle.
+        spark0 = corpus.sparkSession
+        rows = (
+            corpus.select(F.col(id_col).alias("id"),
+                          as_double(vec_col).alias("v"))
+            .orderBy(F.md5(F.col("id").cast("string").cast("binary")), "id")
+            .limit(n_lists)
+            .collect()
+        )
+        cent = spark0.createDataFrame(
+            [(j, list(r.v)) for j, r in enumerate(rows)],
+            "clabel int, carr array<double>",
+        )
     elif train == "local":
         # Bounded driver-side fit (see kmeans_centroids_local): the
         # deployable default when quantizer-training Spark jobs are

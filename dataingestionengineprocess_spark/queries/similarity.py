@@ -50,8 +50,77 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=5)
 
 
-@register("knn_lsh_ann")
+def _lsh_oracle(n_planes: int = 8, n_bands: int = 8, dim: int = 64,
+                k: int = 5) -> str:
+    """Full DuckDB replica of `lsh_topk`: the hyperplanes are
+    deterministic Python-side constants (operators/similarity._plane),
+    so the oracle inlines the IDENTICAL coefficient double literals and
+    recomputes signature bits, band buckets, candidate pairs and the
+    exact re-rank independently. Sign bits agree bit-exactly because
+    both engines evaluate the same literals with the same left-to-right
+    double accumulation (the JL-projection oracle's proven property).
+    """
+    from ..operators.similarity import _plane
+
+    band_exprs = []
+    for b in range(n_bands):
+        bits = []
+        for p in range(n_planes):
+            coeffs = _plane(f"band-{b}", p, dim)
+            dot_sql = " + ".join(
+                f"e[{i + 1}] * {c!r}" for i, c in enumerate(coeffs)
+            )
+            bits.append(
+                f"(CASE WHEN ({dot_sql}) > 0 THEN {1 << p} ELSE 0 END)"
+            )
+        band_exprs.append("(" + " + ".join(bits) + ")")
+    bands_list = "[" + ", ".join(band_exprs) + "]"
+    return f"""
+WITH sig AS (
+  SELECT vec_id, {bands_list} AS bands
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+),
+qb AS (
+  SELECT vec_id, u.b AS band_idx, u.k AS band_key FROM (
+    SELECT vec_id,
+           unnest([{{'b': i, 'k': bands[i]}}
+                   for i in range(1, {n_bands + 1})]) AS u
+    FROM sig WHERE vec_id < 10)
+),
+cb AS (
+  SELECT vec_id, u.b AS band_idx, u.k AS band_key FROM (
+    SELECT vec_id,
+           unnest([{{'b': i, 'k': bands[i]}}
+                   for i in range(1, {n_bands + 1})]) AS u
+    FROM sig)
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM qb JOIN cb ON qb.band_idx = cb.band_idx
+                 AND qb.band_key = cb.band_key
+  WHERE qb.vec_id <> cb.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round({_COS}, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round({_COS}, 6) DESC,
+                                     neighbor_id) AS rank
+  FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
+            JOIN embeddings b ON b.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM scored WHERE rank <= {k}
+"""
+
+
+@register("knn_lsh_ann", oracle=_lsh_oracle())
 def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-k -- now FULLY hash-checked: the
+    banded bucketing is deterministic (seeded constant hyperplanes),
+    so the DuckDB oracle replays the complete algorithm rather than
+    settling for a rows-only check. Recall vs brute force additionally
+    asserted in pytest."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_topk(emb, queries, k=5).orderBy("query_id", "rank")
@@ -78,6 +147,82 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _ivf_portable_oracle(n_lists: int = 8, nprobe: int = 2, k: int = 5,
+                         dim: int = 64) -> str:
+    """Full DuckDB replica of `ivf_topk(train='portable')`: init-only
+    centroids picked by (md5(id), id) order, unit-normalized, map-only
+    argmax assignment (ties to the lowest centroid index), top-nprobe
+    probing, exact cosine re-rank. Scores agree bit-exactly because
+    both engines evaluate the same doubles with the same left-to-right
+    accumulation and IEEE division."""
+    rng = f"range(1, {dim + 1})"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+samp AS (
+  SELECT vec_id, v,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+             - 1 AS j
+  FROM e QUALIFY j < {n_lists}
+),
+cent AS (
+  SELECT j, v AS cv,
+         sqrt(list_sum([v[i] * v[i] for i in {rng}])) AS nrm
+  FROM samp
+),
+assign AS (
+  SELECT e.vec_id, c.j,
+         list_sum([e.v[i] * (c.cv[i] / c.nrm) for i in {rng}]) AS score
+  FROM e, cent c
+),
+best AS (
+  SELECT vec_id, j AS clabel FROM (
+    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, j) AS rn
+    FROM assign
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id, j AS clabel FROM (
+    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, j) AS rn
+    FROM assign WHERE vec_id < 10
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS query_id, n.vec_id AS neighbor_id
+  FROM probes p JOIN best n ON p.clabel = n.clabel
+  WHERE p.vec_id <> n.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round({_COS}, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round({_COS}, 6) DESC,
+                                     neighbor_id) AS rank
+  FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
+            JOIN embeddings b ON b.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM scored WHERE rank <= {k}
+"""
+
+
+@register("knn_ivf_ann_portable", oracle=_ivf_portable_oracle())
+def knn_ivf_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the engine-portable quantizer (md5-ordered init
+    centroids, zero Lloyd's iterations) -- the hash-checked
+    configuration: every stage of the IVF pipeline (assignment,
+    nprobe probing, candidate join, exact re-rank) is independently
+    replayed by the DuckDB oracle. `knn_ivf_ann` keeps the deployable
+    real-k-means quantizer (rows-only + recall pytest); this entry
+    proves the pipeline itself is exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(
+        emb, queries, k=5, nprobe=2, n_lists=8, train="portable",
+    ).orderBy("query_id", "rank")
+
+
 @register("knn_pq_ann")
 def knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jegou et al. 2011): m=8 subspace
@@ -96,6 +241,94 @@ def knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     return pq_topk(
         emb, queries, k=5, m=8, ks=16, refine=48,
+    ).orderBy("query_id", "rank")
+
+
+def _pq_portable_oracle(m: int = 8, ks: int = 16, dsub: int = 8,
+                        refine: int = 48, k: int = 5) -> str:
+    """Full DuckDB replica of `pq_topk(train='portable')`: md5-ordered
+    init-only codebooks, argmax-dot-minus-half-norm encoding (ties to
+    the lowest code), j-ordered ADC accumulation (list_sum over a
+    j-sorted list mirrors Spark's left fold), top-``refine`` by
+    (adc desc, id), exact cosine re-rank."""
+    sub_rng = f"range(1, {dsub + 1})"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+samp AS (
+  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                               vec_id) - 1 AS c
+  FROM e QUALIFY c < {ks}
+),
+cells AS (
+  SELECT r.j, samp.c,
+         [v[r.j * {dsub} + i] for i in {sub_rng}] AS cv
+  FROM samp, range(0, {m}) r(j)
+),
+cellsn AS (
+  SELECT j, c, cv,
+         list_sum([cv[i] * cv[i] for i in {sub_rng}]) / 2.0 AS hn
+  FROM cells
+),
+enc AS (
+  SELECT vec_id, j, c FROM (
+    SELECT e.vec_id, cn.j, cn.c,
+           row_number() OVER (
+             PARTITION BY e.vec_id, cn.j
+             ORDER BY (list_sum([e.v[cn.j * {dsub} + i] * cn.cv[i]
+                                 for i in {sub_rng}]) - cn.hn) DESC,
+                      cn.c) AS rn
+    FROM e, cellsn cn
+  ) WHERE rn = 1
+),
+tab AS (
+  SELECT e.vec_id AS query_id, cn.j, cn.c,
+         list_sum([e.v[cn.j * {dsub} + i] * cn.cv[i]
+                   for i in {sub_rng}]) AS d
+  FROM e, cellsn cn WHERE e.vec_id < 10
+),
+adc AS (
+  SELECT t.query_id, n.vec_id AS neighbor_id,
+         list_sum(list(t.d ORDER BY t.j)) AS adc_score
+  FROM enc n JOIN tab t ON n.j = t.j AND n.c = t.c
+  WHERE t.query_id <> n.vec_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_score DESC, neighbor_id) AS ar
+    FROM adc
+  ) WHERE ar <= {refine}
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round({_COS}, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round({_COS}, 6) DESC,
+                                     neighbor_id) AS rank
+  FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
+            JOIN embeddings b ON b.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM scored WHERE rank <= {k}
+"""
+
+
+@register("knn_pq_ann_portable", oracle=_pq_portable_oracle())
+def knn_pq_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN with engine-portable init-only codebooks -- the
+    hash-checked configuration: encoding, ADC scoring, candidate
+    selection and exact re-rank are all independently replayed by the
+    DuckDB oracle. `knn_pq_ann` keeps the deployable k-means-trained
+    codebooks (rows-only + recall pytest); this entry proves the
+    pipeline itself is exact."""
+    from ..operators.quantize import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(
+        emb, queries, k=5, m=8, ks=16, refine=48, train="portable",
     ).orderBy("query_id", "rank")
 
 
