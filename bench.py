@@ -144,6 +144,17 @@ BENCH_QUERIES = [
     "text_langid",
     "text_fingerprint",
     "sample_md5_stratified",
+    # --- round-3 additions ---
+    # registry-only heavies whose cost previously lived only in
+    # docstring estimates: BPE merge-table training + encoding and the
+    # epoch-ordered streaming incremental dedup
+    "text_bpe_train_merges",
+    "text_bpe_encode",
+    "stream_incremental_dedup",
+    # the newly hash-checked ANN configurations
+    "knn_lsh_ann",
+    "knn_ivf_ann_portable",
+    "knn_pq_ann_portable",
 ]
 
 

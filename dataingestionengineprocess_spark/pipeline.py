@@ -476,10 +476,13 @@ def replay_quarantine(spark: SparkSession, feed: FeedConfig,
     leaves either the old quarantine table or the new one (plus a
     recoverable ``__prereplay`` copy) on disk, never a truncated
     table backed by nothing but executor-local checkpoint blocks.
-    The counts come from materialized data (an in-memory/one-dir
-    size, not a re-read of the batch), so the A8 one-pass-telemetry
-    policy still holds.
+    Telemetry follows the A8 observe() policy exactly like
+    `ingest_batch`: both counts ride along on the sink writes (the
+    warehouse write fires rows_loaded, the durable side write fires
+    rows_quarantined) -- zero standalone counting jobs.
     """
+    from pyspark.sql import Observation
+
     started = time.time()
     run_id = run_id or f"replay-{new_run_id()}"
     quar_path = os.path.join(sinks.warehouse_dir,
@@ -495,9 +498,14 @@ def replay_quarantine(spark: SparkSession, feed: FeedConfig,
         curated.withColumn("_run_id", F.lit(run_id))
         .localCheckpoint(eager=True)
     )
+    load_obs = Observation(f"replay_loaded_{run_id}")
+    curated = curated.observe(load_obs, F.count(F.lit(1)).alias("rows"))
+    quar_obs = Observation(f"replay_quarantine_{run_id}")
     still_failing = still_failing.withColumn(
         "_violations", F.array_join("_violations", ",")
-    ).withColumn("_run_id", F.lit(run_id))
+    ).withColumn("_run_id", F.lit(run_id)).observe(
+        quar_obs, F.count(F.lit(1)).alias("rows")
+    )
 
     write_warehouse(curated, sinks.warehouse_dir, feed.name,
                     partition_cols=["_run_id"], mode="overwrite")
@@ -524,8 +532,12 @@ def replay_quarantine(spark: SparkSession, feed: FeedConfig,
     fs.delete(hp(old), True)
 
     validation.unpersist()
-    rows_loaded = curated.count()
-    rows_quarantined = spark.read.parquet(quar_path).count()
+    # counts were observed on the writes above: rows_loaded on the
+    # warehouse write, rows_quarantined on the durable side write
+    # whose directory was just swapped into the quarantine path --
+    # same values a post-swap re-read would report, zero extra jobs
+    rows_loaded = int(load_obs.get["rows"])
+    rows_quarantined = int(quar_obs.get["rows"])
     status = RunStatus(
         run_id=run_id, feed=feed.name,
         rows_read=rows_loaded + rows_quarantined,
