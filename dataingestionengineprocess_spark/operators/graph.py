@@ -119,35 +119,55 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     ranks = nodes.withColumn("rank", F.lit(1.0))
 
     for i in range(iterations):
-        rank_side = ranks.withColumnRenamed("node", "__src")
-        if use_broadcast:
-            # Ranks broadcast: the node set is the small dimension of a
-            # link graph (edges are the 100 TB side), so the
-            # per-iteration join is map-side over the stationary edges
-            # and the shuffle carries only per-partition PARTIAL sums
-            # (<= nodes/partition rows), not one row per edge.
-            rank_side = F.broadcast(rank_side)
-        contribs = (
-            w_edges.join(rank_side, "__src")
-            .groupBy("node")
-            .agg(F.sum(F.col("rank") * F.col("__w")).alias("contrib"))
-        )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
-                ).alias("rank"),
-            )
+        ranks = pagerank_iteration(
+            w_edges, nodes, ranks, damping, use_broadcast
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
-    if not use_broadcast and checkpoint_every and \
-            iterations % checkpoint_every == 0:
-        # final ranks are checkpointed (independent of the edge cache):
-        # release the cached edge partitions instead of leaking one
-        # entry per pagerank call into the session cache manager
+    if not use_broadcast:
+        # Release the cached edge partitions before returning -- one
+        # leaked InMemoryRelation of the LARGE side per pagerank call
+        # would otherwise pin executor memory for the session lifetime.
+        # The final ranks must first be made independent of the cache
+        # (a later consumer action would otherwise recompute the edge
+        # repartition per action), so checkpoint them if the loop's
+        # cadence didn't already.
+        if not (checkpoint_every and iterations
+                and iterations % checkpoint_every == 0):
+            ranks = ranks.localCheckpoint(eager=True)
         w_edges.unpersist()
     return ranks
+
+
+def pagerank_iteration(w_edges: DataFrame, nodes: DataFrame,
+                       ranks: DataFrame, damping: float,
+                       use_broadcast: bool) -> DataFrame:
+    """One PageRank step over the stationary weighted edges: the
+    contribution join (broadcast or pre-bucketed shuffle), the
+    per-destination sum, and the damped rebuild against the full node
+    set. Exposed separately so plan-shape tests can prove the
+    iteration's join strategy before the driving loop's checkpoints
+    replan it as an opaque LogicalRDD scan."""
+    rank_side = ranks.withColumnRenamed("node", "__src")
+    if use_broadcast:
+        # Ranks broadcast: the node set is the small dimension of a
+        # link graph (edges are the 100 TB side), so the per-iteration
+        # join is map-side over the stationary edges and the shuffle
+        # carries only per-partition PARTIAL sums (<= nodes/partition
+        # rows), not one row per edge.
+        rank_side = F.broadcast(rank_side)
+    contribs = (
+        w_edges.join(rank_side, "__src")
+        .groupBy("node")
+        .agg(F.sum(F.col("rank") * F.col("__w")).alias("contrib"))
+    )
+    return (
+        nodes.join(contribs, "node", "left")
+        .select(
+            "node",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+            ).alias("rank"),
+        )
+    )

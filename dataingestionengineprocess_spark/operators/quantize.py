@@ -427,21 +427,15 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         # PQ pipeline (encode, ADC, re-rank) can be replayed
         # independently by the DuckDB oracle; k-means training only
         # tightens the cells, it does not change the algorithm.
-        rows = (
-            corpus.select(F.col(id_col).alias("id"),
-                          as_double(vec_col).alias("v"))
-            .orderBy(F.md5(F.col("id").cast("string").cast("binary")), "id")
-            .limit(ks)
-            .collect()
-        )
-        if len(rows) < ks:
-            raise ValueError(f"corpus has fewer than ks={ks} vectors")
-        dim = len(rows[0].v)
+        from .similarity import portable_init_sample
+
+        sample = portable_init_sample(corpus, ks, id_col, vec_col)
+        dim = len(sample[0])
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by m={m}")
         dsub = dim // m
         books = [
-            [list(r.v[j * dsub:(j + 1) * dsub]) for r in rows]
+            [v[j * dsub:(j + 1) * dsub] for v in sample]
             for j in range(m)
         ]
     else:

@@ -101,13 +101,42 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     broadcast equi-join on that composite key (the same banding move
     `dedup.minhash_neardup_pairs` makes) -- a union of per-band joins
     would re-scan the corpus signatures n_bands times.
+
+    The whole n_bands x n_planes plane matrix rides in as ONE nested
+    literal scored by a single transform lambda (the
+    `_centroid_score_structs` move): per-plane inline fold expressions
+    each carrying their own 64-double array literal made the
+    expression tree ~n_bands x n_planes larger for identical
+    semantics (measured 9.3 s -> ~2 s at sf0.1). Bit-identical dots:
+    same coefficients, same left-to-right fold, so the SQL replica
+    oracle is unaffected.
     """
+    planes3d = [
+        [_plane(f"band-{b}", p, dim) for p in range(n_planes)]
+        for b in range(n_bands)
+    ]
+
     def sig_rows(df: DataFrame, prefix: str) -> DataFrame:
         v = as_double(vec_col)
-        sigs = F.array(*[
-            hyperplane_signature(v, dim, n_planes, seed=f"band-{b}")
-            for b in range(n_bands)
-        ])
+
+        def band_key(band_planes: Column) -> Column:
+            # bit p of the key: sign of dot(v, plane_p); summing the
+            # distinct powers of two equals the OR-pack
+            contribs = F.zip_with(
+                band_planes,
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                # shiftleft needs a literal bit count; 2^p via pow is
+                # exact in double for p < 53 and casts back losslessly
+                lambda pl, p: F.when(
+                    dot(v, pl) > 0,
+                    F.pow(F.lit(2.0), p).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            )
+            return F.aggregate(
+                contribs, F.lit(0).cast("long"), lambda a, x: a + x
+            )
+
+        sigs = F.transform(F.lit(planes3d), band_key)
         return df.select(
             F.col(id_col).alias(f"{prefix}_id"), v.alias(f"{prefix}v"),
             F.posexplode(sigs).alias("band_idx", "band_key"),
@@ -266,6 +295,27 @@ def kmeans_centroids(corpus: DataFrame, n_clusters: int,
     return centroid_df(centroids)
 
 
+def portable_init_sample(corpus: DataFrame, n: int, id_col: str,
+                         vec_col: str) -> list[list[float]]:
+    """The n corpus vectors with the smallest (md5(id-as-string), id),
+    in that order -- the ENGINE-PORTABLE init rule shared by the
+    'portable' IVF quantizer and PQ codebooks. One implementation (and
+    one raise) so the rule can never drift between the operators and
+    the DuckDB oracles that must reproduce it bit-exactly (hex strings
+    order identically everywhere). Raises when the corpus is smaller
+    than n, matching every other quantizer trainer."""
+    rows = (
+        corpus.select(F.col(id_col).alias("id"),
+                      as_double(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("id").cast("string").cast("binary")), "id")
+        .limit(n)
+        .collect()
+    )
+    if len(rows) < n:
+        raise ValueError(f"corpus has fewer than {n} vectors")
+    return [list(r.v) for r in rows]
+
+
 def sample_vectors_pandas(corpus: DataFrame, id_col: str, vec_col: str,
                           n_rows: int, seed: int):
     """Deterministic bounded training sample as a pandas frame
@@ -399,16 +449,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         # list balance, not correctness); this mode exists so the
         # FULL IVF pipeline -- assignment, probing, re-rank -- is
         # independently replayable by the DuckDB oracle.
-        spark0 = corpus.sparkSession
-        rows = (
-            corpus.select(F.col(id_col).alias("id"),
-                          as_double(vec_col).alias("v"))
-            .orderBy(F.md5(F.col("id").cast("string").cast("binary")), "id")
-            .limit(n_lists)
-            .collect()
-        )
-        cent = spark0.createDataFrame(
-            [(j, list(r.v)) for j, r in enumerate(rows)],
+        cent = corpus.sparkSession.createDataFrame(
+            [(j, v) for j, v in enumerate(
+                portable_init_sample(corpus, n_lists, id_col, vec_col))],
             "clabel int, carr array<double>",
         )
     elif train == "local":

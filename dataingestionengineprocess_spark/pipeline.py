@@ -250,7 +250,14 @@ def ingest_stream(spark: SparkSession, feed: FeedConfig, src_dir: str,
             .observe(read_obs, F.count(F.lit(1)).alias("rows"))
             .cache()
         )
-        clean = observed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        # clean drops _source_file too: the streaming curated/OLTP
+        # schema predates the lineage column, and appending a new
+        # column to existing sink tables (JDBC append, mixed-schema
+        # _run_id partitions) would break pre-upgrade consumers --
+        # lineage is a rejects-table concern here
+        clean = observed.filter(F.col(CORRUPT_COL).isNull()).drop(
+            CORRUPT_COL, "_source_file"
+        )
         rejects = observed.filter(F.col(CORRUPT_COL).isNotNull()).select(
             F.col(CORRUPT_COL).alias("raw_record"),
             F.col("_source_file"),

@@ -232,20 +232,31 @@ class VersionedTable:
         payload = sorted(
             (set(old_df.columns) | set(new_df.columns)) - set(keys)
         )
-        # Unify types on BOTH sides (newer snapshot's dtype wins): a
-        # column present in both snapshots but re-typed between them
-        # (e.g. int widened to bigint) would otherwise build old/new
+        # Unify types on BOTH sides: a column present in both snapshots
+        # but re-typed between them would otherwise build old/new
         # structs with mismatched field types and fail the struct
         # equality at analysis -- exactly the crash the NULL-fill
-        # handles for the missing-column case. Casting an
-        # already-matching column is a Catalyst no-op.
-        dtypes = dict(old_df.dtypes) | dict(new_df.dtypes)
+        # handles for the missing-column case. A column whose dtype
+        # DIFFERS between the snapshots unifies to STRING, never to one
+        # side's type: casting old DOUBLE 4.7 into a new INT type would
+        # silently compare 4 == 4 (a masked change) and misreport the
+        # old payload as the truncated value. String unification keeps
+        # both true values visible; the cost is that a pure-widening
+        # retype (4 INT -> 4.0 DOUBLE) reports as an update, which a
+        # schema change arguably is. Same-typed columns cast to their
+        # own type -- a Catalyst no-op.
+        old_t, new_t = dict(old_df.dtypes), dict(new_df.dtypes)
+
+        def unified(c: str) -> str:
+            if c in old_t and c in new_t and old_t[c] != new_t[c]:
+                return "string"
+            return new_t.get(c, old_t.get(c))
 
         def side(df: DataFrame, alias: str):
             have = set(df.columns)
             cols = [
                 (F.col(c) if c in have else F.lit(None))
-                .cast(dtypes[c]).alias(c)
+                .cast(unified(c)).alias(c)
                 for c in payload
             ]
             return df.select(*keys, F.struct(*cols).alias(alias))

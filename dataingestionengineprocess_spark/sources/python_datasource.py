@@ -174,8 +174,12 @@ class _JsonlWriterBase:
                 n += 1
         return _FileCommit(tmp, n)
 
-    def _committed_files(self) -> set[str]:
-        """Final filenames referenced by ANY existing marker."""
+    def _committed_files(self) -> set[str] | None:
+        """Final filenames referenced by ANY existing marker; None when
+        some marker is unreadable or in the legacy count-only format
+        (its files are unidentifiable, so NO orphan sweep may run --
+        deleting 'unclaimed' part- files next to an unparseable marker
+        would destroy legacy-committed data)."""
         import json
         import os
 
@@ -185,12 +189,12 @@ class _JsonlWriterBase:
                 continue
             try:
                 with open(os.path.join(self.path, name)) as f:
-                    seen.update(json.load(f).get("files", []))
+                    payload = json.load(f)
+                if not isinstance(payload, dict):
+                    return None  # legacy bare-count marker
+                seen.update(payload.get("files", []))
             except (OSError, ValueError):
-                # legacy count-only marker (pre-reconcile format): its
-                # files are unidentifiable -- treat the marker as
-                # claiming nothing so reconcile never deletes blindly
-                continue
+                return None
         return seen
 
     def _publish(self, messages, marker: str) -> None:
@@ -203,14 +207,24 @@ class _JsonlWriterBase:
         # its marker rename. Removing them here makes this attempt's
         # publish exactly-once even after such a crash (epochs commit
         # serially from the driver, so the orphans cannot belong to a
-        # concurrent healthy commit).
+        # concurrent healthy commit). Skipped entirely (committed is
+        # None) when any marker is unreadable/legacy -- then no file's
+        # provenance is provable and deleting would risk committed data.
         committed = self._committed_files()
-        for name in os.listdir(self.path):
-            if name.startswith("part-") and name not in committed:
-                try:
-                    os.remove(os.path.join(self.path, name))
-                except FileNotFoundError:
-                    pass
+        if committed is not None:
+            for name in os.listdir(self.path):
+                if name.startswith("part-") and name not in committed:
+                    try:
+                        os.remove(os.path.join(self.path, name))
+                    except FileNotFoundError:
+                        pass
+                # stale temp markers (crash between marker write and its
+                # rename) are never data: sweep them with the orphans
+                if name.startswith(".tmp-marker-"):
+                    try:
+                        os.remove(os.path.join(self.path, name))
+                    except FileNotFoundError:
+                        pass
 
         finals = []
         for m in messages:
@@ -231,8 +245,23 @@ class _JsonlWriterBase:
         try:
             with open(marker_path) as f:
                 prev = json.load(f)
-            finals = sorted(set(finals) | set(prev.get("files", [])))
-            rows += int(prev.get("rows", 0))
+            if isinstance(prev, dict):
+                finals = sorted(set(finals) | set(prev.get("files", [])))
+                rows += int(prev.get("rows", 0))
+            else:
+                # legacy bare-count marker about to be OVERWRITTEN with
+                # the listing format: adopt every on-disk part- file
+                # into the new marker's claims, else the legacy files
+                # would look like orphans to the commit after this one
+                finals = sorted(
+                    set(finals)
+                    | {n for n in os.listdir(self.path)
+                       if n.startswith("part-")}
+                )
+                try:
+                    rows += int(prev)
+                except (TypeError, ValueError):
+                    pass
         except (OSError, ValueError):
             finals = sorted(finals)
         tmp_marker = os.path.join(self.path, f".tmp-marker-{uuid.uuid4().hex}")

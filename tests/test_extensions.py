@@ -524,6 +524,43 @@ def test_python_datasource_stream_writer_reconciles_half_commit(tmp_path):
     assert total == 10  # 5 rows per epoch, no duplicates
 
 
+def test_python_datasource_legacy_count_marker_never_swept(spark, tmp_path):
+    """Upgrade safety: a directory committed by the pre-reconcile
+    writer has a bare-count marker ('10') that names no files. Commits
+    over it must neither crash on the legacy format nor ever sweep the
+    legacy part- files as orphans -- the first overwrite of _SUCCESS
+    adopts them into the new listing format."""
+    import json
+    import os
+
+    from dataingestionengineprocess_spark.sources.python_datasource import (
+        register,
+    )
+
+    register(spark)
+    out = str(tmp_path / "legacy")
+    os.makedirs(out)
+    with open(os.path.join(out, "part-legacy.jsonl"), "w") as f:
+        f.write('{"id": 999, "partner": "P0", "amount": 1.0}\n')
+    with open(os.path.join(out, "_SUCCESS"), "w") as f:
+        f.write("1")  # legacy bare-count marker
+
+    df = spark.range(5).selectExpr(
+        "id", "concat('P', id % 7) AS partner",
+        "CAST(id * 1.5 AS DOUBLE) AS amount")
+    # two commits: the first overwrites the legacy marker (and must
+    # adopt the legacy file), the second runs reconcile over the
+    # now-parseable marker set
+    df.write.format("partner_feed").mode("append").save(out)
+    df.write.format("partner_feed").mode("append").save(out)
+
+    assert os.path.exists(os.path.join(out, "part-legacy.jsonl"))
+    back = spark.read.json(out)
+    assert back.count() == 11  # 1 legacy + 2 x 5
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert "part-legacy.jsonl" in json.load(f)["files"]
+
+
 def test_python_datasource_batch_append_markers_accumulate(spark, tmp_path):
     """Append-mode batch runs share one _SUCCESS: the second commit
     must keep claiming the first run's files (merged marker), or a

@@ -56,12 +56,38 @@ def test_pagerank_shuffle_path_plans_no_broadcast(spark, star_edges):
     """On the big-nodes path nothing may broadcast: with our hints
     absent and the auto-broadcast threshold disabled, a full iteration
     must plan only shuffle joins over the pre-bucketed edges (the
-    rank-table broadcast is exactly what blows up at web scale)."""
+    rank-table broadcast is exactly what blows up at web scale).
+    Drives `pagerank_iteration` directly -- the public entry
+    checkpoints its result (to release the edge cache), which replans
+    the iteration as an opaque LogicalRDD scan."""
+    from pyspark.sql import functions as F
+
+    from dataingestionengineprocess_spark.operators.graph import (
+        pagerank_iteration,
+    )
+
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    w_edges = None
     try:
-        out = pagerank(star_edges, iterations=1, checkpoint_every=0,
-                       broadcast_node_limit=0)
+        deg = star_edges.groupBy("src").agg(F.count("*").alias("__deg"))
+        w_edges = (
+            star_edges.join(deg, "src")
+            .select(
+                F.col("src").alias("__src"), F.col("dst").alias("node"),
+                (F.lit(1.0) / F.col("__deg")).alias("__w"),
+            )
+            .repartition("__src").cache()
+        )
+        w_edges.count()
+        nodes = (
+            w_edges.select(F.col("__src").alias("node"))
+            .union(w_edges.select("node")).distinct()
+            .localCheckpoint(eager=True)
+        )
+        ranks = nodes.withColumn("rank", F.lit(1.0))
+        out = pagerank_iteration(w_edges, nodes, ranks, 0.85,
+                                 use_broadcast=False)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastExchange" not in plan, plan
         # the stationary edge side is consumed pre-partitioned from the
@@ -83,4 +109,20 @@ def test_pagerank_shuffle_path_plans_no_broadcast(spark, star_edges):
         )
         assert runtime_src_exchanges == 1, plan
     finally:
+        if w_edges is not None:
+            w_edges.unpersist()
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_pagerank_shuffle_path_releases_edge_cache(spark, star_edges):
+    """Every pagerank call on the shuffle path must leave the session
+    cache manager as it found it -- including with checkpointing
+    disabled (the leak case: one edge InMemoryRelation per call)."""
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty()
+    pagerank(star_edges, iterations=2, checkpoint_every=0,
+             broadcast_node_limit=0).collect()
+    assert jcm.isEmpty()
+    pagerank(star_edges, iterations=2, checkpoint_every=1,
+             broadcast_node_limit=0).collect()
+    assert jcm.isEmpty()

@@ -457,10 +457,10 @@ def test_diff_detects_changes_in_added_and_dropped_columns(spark, tmp_path):
 
 
 def test_diff_survives_column_retype_between_snapshots(spark, tmp_path):
-    """A column present in BOTH snapshots with a changed type (int
-    widened to double here) must diff without an analysis crash: both
-    sides cast to the unified (newer) type, equal values compare
-    equal, changed values report as updates."""
+    """A column present in BOTH snapshots with a changed type must diff
+    without an analysis crash. Differing dtypes unify to STRING (a
+    retype is itself a change worth surfacing), so every surviving key
+    reports as an update with BOTH true values visible."""
     from dataingestionengineprocess_spark.sinks.versioned import VersionedTable
 
     vt = VersionedTable(spark, str(tmp_path / "t"))
@@ -470,7 +470,22 @@ def test_diff_survives_column_retype_between_snapshots(spark, tmp_path):
         "CAST(CASE WHEN id = 2 THEN 99 ELSE id * 2 END AS DOUBLE) AS v"))
 
     d = {r.id: r for r in vt.diff(["id"], v1).collect()}
-    # ids 0/1: same value under the widened type -> no change row
-    assert set(d) == {2}
-    assert d[2].change_type == "update"
-    assert d[2].old.v == 4.0 and d[2].new.v == 99.0
+    assert set(d) == {0, 1, 2}
+    assert all(r.change_type == "update" for r in d.values())
+    assert d[2].old.v == "4" and d[2].new.v == "99.0"
+
+
+def test_diff_retype_never_masks_a_lossy_change(spark, tmp_path):
+    """The old payload must never be squeezed through a narrower new
+    type: DOUBLE 4.7 diffed against INT 4 is a change (casting old to
+    the new INT would silently compare 4 == 4 and report nothing)."""
+    from dataingestionengineprocess_spark.sinks.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    v1 = vt.publish(
+        spark.range(1).selectExpr("id", "CAST(4.7 AS DOUBLE) AS v"))
+    vt.publish(spark.range(1).selectExpr("id", "CAST(4 AS INT) AS v"))
+
+    d = vt.diff(["id"], v1).collect()
+    assert len(d) == 1 and d[0].change_type == "update"
+    assert d[0].old.v == "4.7" and d[0].new.v == "4"
