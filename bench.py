@@ -155,6 +155,9 @@ BENCH_QUERIES = [
     "knn_lsh_ann",
     "knn_ivf_ann_portable",
     "knn_pq_ann_portable",
+    # hash-checked portable dedup twins
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
 ]
 
 

@@ -68,12 +68,18 @@ _PRIME_ABOVE_2_32 = 4294967311
 
 
 def _shingle_hashes(df: DataFrame, id_col: str, text_col: str,
-                    shingle_n: int, repartition_to: int | None) -> DataFrame:
+                    shingle_n: int, repartition_to: int | None,
+                    hash_fn: str = "xxhash") -> DataFrame:
     """One row per (doc, distinct shingle) with two independent 32-bit
     hashes. Each shingle is hashed exactly TWICE no matter how many
     minhash functions derive from it (h_j = h1 + j*h2, the standard
     double-hashing family) -- the naive per-seed rehash costs
     num_hashes full string hashes per shingle.
+
+    ``hash_fn``: "xxhash" (default, JVM-native, fastest) or "portable"
+    (first 8 hex digits of md5 -- reproducible in any engine with md5,
+    which is what lets `dedup_minhash_portable` carry a full SQL
+    replica oracle).
 
     `repartition_to` spreads small single-split local inputs across
     cores before the (CPU-heavy) shingling projection; leave None on a
@@ -83,20 +89,28 @@ def _shingle_hashes(df: DataFrame, id_col: str, text_col: str,
     slim = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
     if repartition_to:
         slim = slim.repartition(repartition_to, "id")
+    if hash_fn == "portable":
+        def h(prefix: str):
+            s = F.concat(F.lit(prefix), F.col("__s")) if prefix \
+                else F.col("__s")
+            return F.conv(
+                F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10
+            ).cast("long")
+        h1, h2 = h(""), h("7:")
+    else:
+        h1 = F.xxhash64("__s").bitwiseAND(F.lit(_H32))
+        h2 = F.xxhash64(F.lit(7), "__s").bitwiseAND(F.lit(_H32))
     return (
         slim.select("id", F.explode(shingles("__t", shingle_n)).alias("__s"))
-        .select(
-            "id",
-            F.xxhash64("__s").bitwiseAND(F.lit(_H32)).alias("h1"),
-            F.xxhash64(F.lit(7), "__s").bitwiseAND(F.lit(_H32)).alias("h2"),
-        )
+        .select("id", h1.alias("h1"), h2.alias("h2"))
     )
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 32,
                        shingle_n: int = 3,
-                       repartition_to: int | None = None) -> DataFrame:
+                       repartition_to: int | None = None,
+                       hash_fn: str = "xxhash") -> DataFrame:
     """id + minhash signature array (length num_hashes).
 
     Relational plan: explode shingles -> hash once -> groupBy(id) with
@@ -104,7 +118,8 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     the uniform doc id -- no skew). Documents with fewer than
     `shingle_n` tokens produce no shingles and therefore no signature
     (they cannot be near-dup candidates at this shingle size)."""
-    hashes = _shingle_hashes(df, id_col, text_col, shingle_n, repartition_to)
+    hashes = _shingle_hashes(df, id_col, text_col, shingle_n, repartition_to,
+                             hash_fn=hash_fn)
     mins = [
         F.min(
             F.pmod(F.col("h1") + j * F.col("h2"), F.lit(_PRIME_ABOVE_2_32))
@@ -127,7 +142,9 @@ def minhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
                           max_bucket: int = 1000,
                           repartition_to: int | None = None,
                           materialize: bool = True,
-                          guard_obs=None) -> DataFrame:
+                          guard_obs=None,
+                          hash_fn: str = "xxhash",
+                          est_round: int | None = 4) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, scored by estimated
     Jaccard (fraction of agreeing minhashes).
 
@@ -155,21 +172,30 @@ def minhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
-        df, id_col, text_col, num_hashes, shingle_n, repartition_to
+        df, id_col, text_col, num_hashes, shingle_n, repartition_to,
+        hash_fn=hash_fn,
     )
 
     # One transform over the signature array instead of `bands` unrolled
     # hash expressions: identical collision semantics (docs collide iff
     # their band slice is identical) with a fraction of the generated
     # code -- cold plan compile is a visible cost in one-shot runs.
+    if hash_fn == "portable":
+        # band collision semantics = slice equality; the portable key
+        # is the slice itself rendered as a string (engine-neutral),
+        # where the default uses a narrower xxhash64 of the slice
+        band_of = lambda b: F.concat_ws(
+            ",", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        )
+    else:
+        band_of = lambda b: F.xxhash64(
+            F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        ).cast("string")
     banded = sigs.select(
         id_col, "sig",
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                ),
+                F.sequence(F.lit(0), F.lit(bands - 1)), band_of
             )
         ).alias("band_idx", "band_key"),
     )
@@ -220,7 +246,15 @@ def minhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
     return (
         a.join(b, ["band_idx", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("est_jaccard", F.round(est, 4))
+        # est is a multiple of 1/num_hashes; with power-of-two
+        # num_hashes it is EXACT in double, and est_round=None keeps it
+        # that way (rounding a ...5 tie at the 4th decimal is the one
+        # place Spark half-up and DuckDB half-even disagree -- the
+        # portable oracle query must not round)
+        .withColumn(
+            "est_jaccard",
+            F.round(est, est_round) if est_round is not None else est,
+        )
         .filter(F.col("est_jaccard") >= est_threshold)
         .select("id_a", "id_b", "est_jaccard")
         .dropDuplicates(["id_a", "id_b"])

@@ -2,9 +2,10 @@
 
 SURVEY.md §2.2 P3 [C]: exact, MinHash+LSH, SimHash, n-gram Jaccard,
 embedding-cosine near-dup. Exact/Jaccard/cosine variants carry full
-DuckDB oracles; LSH/SimHash use engine-specific hashes (xxhash64) so
-they get the driver's rows-only check, with pytest asserting their
-recall against the exact operators instead.
+DuckDB oracles. The LSH/SimHash defaults use engine-specific hashes
+(xxhash64) and get the driver's rows-only check plus pytest recall
+assertions; their `_portable` twins swap in md5-derived hash families
+and are hash-checked end to end by full SQL replica oracles.
 """
 
 from __future__ import annotations
@@ -13,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.text import fingerprint
+from ..functions.text import fingerprint, shingles
 from ..operators.dedup import (
     dedup_exact_text,
     minhash_neardup_pairs,
@@ -94,6 +95,82 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _minhash_portable_oracle(num_hashes: int = 32, bands: int = 16,
+                             max_bucket: int = 1000,
+                             threshold: float = 0.5) -> str:
+    """Full DuckDB replica of the banded-MinHash pipeline with the
+    portable md5-derived double-hash family: per-shingle h1/h2 from
+    md5 hex prefixes, 32 min-aggregates per doc, 2-row band buckets
+    (slice equality), the max_bucket skew guard, and the agreeing-
+    position Jaccard estimate kept UNROUNDED (multiples of 1/32 are
+    exact in double; a 4-decimal round ties at ...5 where Spark
+    half-up and DuckDB half-even disagree)."""
+    rpb = num_hashes // bands
+    p = 4294967311  # _PRIME_ABOVE_2_32
+    h1 = "CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)"
+    h2 = "CAST('0x' || substr(md5('7:' || s), 1, 8) AS BIGINT)"
+    sig_list = "[" + ", ".join(
+        f"min(({h1} + {j} * {h2}) % {p})" for j in range(num_hashes)
+    ) + "]"
+    band_structs = ", ".join(
+        "{'b': %d, %s}" % (b, ", ".join(
+            f"'k{r}': sig[{b * rpb + r + 1}]" for r in range(rpb)))
+        for b in range(bands)
+    )
+    band_on = " AND ".join(f"qa.u.k{r} = qb.u.k{r}" for r in range(rpb))
+    grp = ", ".join(["u.b"] + [f"u.k{r}" for r in range(rpb)])
+    agree = ("list_sum([CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END "
+             f"for i in range(1, {num_hashes + 1})])")
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                               for i in range(1, len(t) - 1)])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 3
+),
+sig AS (SELECT id, {sig_list} AS sig FROM sh GROUP BY id),
+bandrows AS (
+  SELECT id, sig, unnest([{band_structs}]) AS u FROM sig
+),
+ok_buckets AS (
+  SELECT {grp} FROM bandrows GROUP BY {grp}
+  HAVING count(*) <= {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT qa.id AS id_a, qb.id AS id_b
+  FROM bandrows qa
+  JOIN bandrows qb ON qa.u.b = qb.u.b AND {band_on}
+  JOIN ok_buckets ob ON ob.b = qa.u.b
+       AND {" AND ".join(f"ob.k{r} = qa.u.k{r}" for r in range(rpb))}
+  WHERE qa.id < qb.id
+),
+scored AS (
+  SELECT id_a, id_b,
+         {agree} / {num_hashes}.0 AS est_jaccard
+  FROM cand JOIN sig a ON a.id = id_a JOIN sig b ON b.id = id_b
+)
+SELECT id_a, id_b, est_jaccard FROM scored
+WHERE est_jaccard >= {threshold}
+"""
+
+
+@register("dedup_minhash_portable", oracle=_minhash_portable_oracle())
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash near-dup candidates with the PORTABLE md5-derived
+    hash family -- hash-checked end to end: the DuckDB oracle replays
+    shingling, the double-hash minima, banding, the skew guard, and
+    the signature-agreement estimate. `dedup_minhash_lsh` keeps the
+    faster JVM-native xxhash64 family (rows-only + recall pytest);
+    this entry proves the LSH pipeline itself is exact."""
+    docs = load(spark, sf_dir, "documents")
+    return minhash_neardup_pairs(
+        docs, num_hashes=32, bands=16, est_threshold=0.5,
+        repartition_to=spark.sparkContext.defaultParallelism,
+        hash_fn="portable", est_round=None,
+    ).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup pairs (rows-only: xxhash64-based).
 # ---------------------------------------------------------------------------
@@ -106,6 +183,129 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, max_hamming=3,
         repartition_to=spark.sparkContext.defaultParallelism,
     ).orderBy("id_a", "id_b")
+
+
+def _simhash_portable_oracle(max_hamming: int = 3) -> str:
+    """Full DuckDB replica of the portable SimHash pipeline: the
+    64-bit signature lives as TWO unsigned 32-bit words (hi/lo md5 hex
+    halves), so every bit-vote, chunk extraction and XOR popcount
+    stays in nonnegative BIGINT range in both engines."""
+    def word_votes(word: str, out_bits: int = 32) -> str:
+        return " + ".join(
+            f"(CASE WHEN sum(CASE WHEN ({word} // {1 << b}) % 2 = 1"
+            f" THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(out_bits)
+        )
+
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                               for i in range(1, len(t) - 1)])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 3
+),
+hashed AS (
+  SELECT id,
+         CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)  AS hi,
+         CAST('0x' || substr(md5(s), 9, 8) AS BIGINT)  AS lo
+  FROM sh
+),
+sig AS (
+  SELECT id,
+         {word_votes("hi")} AS sh_hi,
+         {word_votes("lo")} AS sh_lo
+  FROM hashed GROUP BY id
+),
+chunks AS (
+  SELECT id, sh_hi, sh_lo, u.c AS chunk_idx, u.v AS chunk_val FROM (
+    SELECT id, sh_hi, sh_lo,
+           unnest([{{'c': 0, 'v': sh_lo % 65536}},
+                   {{'c': 1, 'v': sh_lo // 65536}},
+                   {{'c': 2, 'v': sh_hi % 65536}},
+                   {{'c': 3, 'v': sh_hi // 65536}}]) AS u
+    FROM sig)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(a.sh_hi, b.sh_hi))
+            + bit_count(xor(a.sh_lo, b.sh_lo)) AS INT) AS hamming
+FROM cand JOIN sig a ON a.id = id_a JOIN sig b ON b.id = id_b
+WHERE bit_count(xor(a.sh_hi, b.sh_hi))
+      + bit_count(xor(a.sh_lo, b.sh_lo)) <= {max_hamming}
+"""
+
+
+@register("dedup_simhash_portable", oracle=_simhash_portable_oracle())
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the PORTABLE md5-derived bit votes,
+    hash-checked end to end. The 64-bit signature is carried as two
+    unsigned 32-bit words so no step ever touches a sign bit (the
+    single-long form sets bit 63, which engines shift/cast
+    differently); the pigeonhole chunk join and the hamming filter are
+    replayed exactly by the DuckDB oracle. `dedup_simhash` keeps the
+    faster xxhash64 votes (rows-only + recall pytest)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(shingles("text", 3)).alias("__s"),
+    ).select(
+        "id",
+        F.conv(F.substring(F.md5(F.col("__s").cast("binary")), 1, 8),
+               16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(F.md5(F.col("__s").cast("binary")), 9, 8),
+               16, 10).cast("long").alias("lo"),
+    )
+
+    def word_sig(word: str):
+        out = F.lit(0).cast("long")
+        for b in range(32):
+            vote = F.sum(
+                F.when(
+                    F.shiftright(word, b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            )
+            out = out + F.when(vote > 0, F.lit(1 << b)).otherwise(0)
+        return out
+
+    sig = sh.groupBy("id").agg(
+        word_sig("hi").alias("sh_hi"), word_sig("lo").alias("sh_lo")
+    )
+    chunks = sig.select(
+        "id", "sh_hi", "sh_lo",
+        F.posexplode(F.array(
+            F.col("sh_lo").bitwiseAND(F.lit(65535)),
+            F.shiftright("sh_lo", 16),
+            F.col("sh_hi").bitwiseAND(F.lit(65535)),
+            F.shiftright("sh_hi", 16),
+        )).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.select(F.col("id").alias("id_a"),
+                      F.col("sh_hi").alias("hi_a"),
+                      F.col("sh_lo").alias("lo_a"),
+                      "chunk_idx", "chunk_val")
+    b = chunks.select(F.col("id").alias("id_b"),
+                      F.col("sh_hi").alias("hi_b"),
+                      F.col("sh_lo").alias("lo_b"),
+                      "chunk_idx", "chunk_val")
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("int")
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -118,6 +118,9 @@ def test_pagerank_shuffle_path_releases_edge_cache(spark, star_edges):
     """Every pagerank call on the shuffle path must leave the session
     cache manager as it found it -- including with checkpointing
     disabled (the leak case: one edge InMemoryRelation per call)."""
+    # start from a known-empty cache: other tests in the shared
+    # session may have live entries of their own
+    spark.catalog.clearCache()
     jcm = spark._jsparkSession.sharedState().cacheManager()
     assert jcm.isEmpty()
     pagerank(star_edges, iterations=2, checkpoint_every=0,
