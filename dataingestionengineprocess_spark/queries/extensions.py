@@ -402,3 +402,141 @@ def agg_cms_supplier_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_point_estimates(
         li, "l_suppkey", probes=[1, 2, 3, 5, 8, 13, 21],
     )
+
+
+# ---------------------------------------------------------------------------
+# Versioned-table CDC diff, driver-checkable end to end: two derived
+# snapshots of `documents` are PUBLISHED through the real
+# VersionedTable sink (atomic _SUCCESS-committed version dirs), then
+# `diff()` computes change-data-capture between them and the result is
+# flattened to scalar columns. The oracle recomputes the same diff
+# relationally from the same derivations -- so a hash pass proves the
+# whole publish -> snapshot-read -> full-outer CDC path, not just the
+# arithmetic. Scale: diff is ONE full-outer equi-join of two snapshot
+# scans; at 100 TB both snapshots are published partitioned by the key
+# so the join is co-located (see sinks/versioned.py docstring).
+# ---------------------------------------------------------------------------
+
+_CDC_DIFF_ORACLE = """
+WITH a AS (
+  SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 7 <> 3
+),
+b AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN doc_id % 11 = 0 THEN n_chars + 1000 ELSE n_chars END
+             AS n_chars
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'insert'
+            WHEN b.doc_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       a.n_chars AS old_n_chars,
+       b.n_chars AS new_n_chars
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+   OR a.lang <> b.lang OR a.source <> b.source OR a.n_chars <> b.n_chars
+"""
+
+
+@register("warehouse_cdc_diff", oracle=_CDC_DIFF_ORACLE)
+def warehouse_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import scratch_dir
+    from ..sinks.versioned import VersionedTable
+
+    docs = load(spark, sf_dir, "documents")
+    snap_a = docs.filter(F.col("doc_id") % 7 != 3).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    snap_b = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", "lang", "source",
+        F.when(F.col("doc_id") % 11 == 0, F.col("n_chars") + 1000)
+        .otherwise(F.col("n_chars")).alias("n_chars"),
+    )
+    vt = VersionedTable(spark, scratch_dir("cdc_diff", sf_dir))
+    va = vt.publish(snap_a)
+    vb = vt.publish(snap_b)
+    return vt.diff(["doc_id"], va, vb).select(
+        "doc_id", "change_type",
+        F.col("old.n_chars").alias("old_n_chars"),
+        F.col("new.n_chars").alias("new_n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch MERGE (keep-latest upsert) through the versioned warehouse
+# sink, driver-checkable: a base orders snapshot is published, a
+# derived update batch (price bumps for one priority class + brand-new
+# synthetic orders) merges into it, and the final state is read back.
+# The oracle recomputes keep-latest relationally from the same
+# derivations, so a hash pass proves publish -> MERGE -> snapshot-read
+# end to end (S7's semantics, previously evidenced only by pytest).
+# Scale: the merge is one union + one keyed window over (existing ∪
+# updates); at 100 TB both sides are key-partitioned so the window
+# sorts co-located partitions.
+# ---------------------------------------------------------------------------
+
+_MERGE_UPSERT_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+  FROM orders
+),
+updates AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus,
+         round(o_totalprice * 1.1, 2) AS o_totalprice,
+         o_orderdate + INTERVAL 1 DAY AS o_orderdate
+  FROM orders WHERE o_orderkey % 10 = 1
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'N' AS o_orderstatus,
+         CAST(o_orderkey AS DOUBLE) / 100 AS o_totalprice,
+         o_orderdate
+  FROM orders WHERE o_orderkey % 100 = 2
+),
+merged AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey
+      ORDER BY o_orderdate DESC, is_update DESC) AS rn
+  FROM (
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
+           0 AS is_update FROM base
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
+           1 AS is_update FROM updates
+  )
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+FROM merged WHERE rn = 1
+"""
+
+
+@register("warehouse_merge_upsert", oracle=_MERGE_UPSERT_ORACLE)
+def warehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import scratch_dir
+    from ..sinks.versioned import VersionedTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 1)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"))
+            .alias("o_orderdate"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 100 == 2).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                (F.col("o_orderkey").cast("double") / 100)
+                .alias("o_totalprice"),
+                "o_orderdate",
+            )
+        )
+    )
+    vt = VersionedTable(spark, scratch_dir("merge_upsert", sf_dir))
+    vt.publish(orders)
+    vt.merge(updates, keys=["o_orderkey"], order_col="o_orderdate")
+    return vt.read()

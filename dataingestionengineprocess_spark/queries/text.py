@@ -548,3 +548,112 @@ def sample_md5_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", bucket.alias("bucket"))
         .filter(F.col("bucket") < cut)
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language: subword pieces per whitespace word,
+# the number a multilingual curation run watches per language (a lang
+# whose fertility is 2x the corpus mean is paying double its token
+# budget for the same text). Ratio of two EXACT integer sums, so the
+# only float op is one division -- floor-rounded identically in both
+# engines (FIXTURES.md round-trip rule).
+# Scale: one map-side-partial groupBy over the scan; output is
+# #languages rows.
+# ---------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+       CAST(sum(len(regexp_extract_all(text, '{_PIECE_RE}'))) AS BIGINT)
+           AS n_pieces,
+       floor(CAST(sum(len(regexp_extract_all(text, '{_PIECE_RE}')))
+                  AS DOUBLE)
+             / sum(len(string_split(text, ' '))) * 1e4 + 0.5) / 1e4
+           AS fertility
+FROM documents GROUP BY lang
+"""
+
+
+@register("text_fertility_by_lang", oracle=_FERTILITY_ORACLE)
+def text_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pieces = F.size(F.regexp_extract_all("text", F.lit(_PIECE_RE), 0))
+    n_words = F.sum(token_count("text")).cast("long")
+    n_pieces = F.sum(pieces).cast("long")
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            n_words.alias("n_words"),
+            n_pieces.alias("n_pieces"),
+            (F.floor(
+                n_pieces.cast("double") / n_words * 1e4 + 0.5
+            ) / 1e4).alias("fertility"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM document scoring: avg log-probability of a document's
+# tokens under the corpus's own unigram distribution -- the cheapest
+# perplexity-style quality signal (gibberish and off-distribution
+# boilerplate score far below fluent text). The per-doc sum of logs is
+# float-order-SENSITIVE, so it is folded in DOCUMENT ORDER on both
+# sides: Spark sorts the per-doc (pos, logp) structs and left-folds;
+# DuckDB list_sum's an ORDER BY pos list -- bit-identical
+# accumulation, then one floor-rounded division.
+# Scale: vocab is Zipf-bounded (broadcast), the corpus-side join is
+# map-side; the one wide stage is the per-doc aggregate keyed by the
+# uniform doc_id.
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_LOGPROB_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, u.tok AS tok, u.pos AS pos FROM (
+    SELECT doc_id,
+           unnest([{'tok': t[i], 'pos': i} for i in range(1, len(t) + 1)]) AS u
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+),
+vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+scored AS (
+  SELECT t.doc_id, t.pos, ln(v.c / tot.n) AS logp
+  FROM tok t JOIN vocab v USING (tok), tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       floor(list_sum(list(logp ORDER BY pos)) / count(*) * 1e4 + 0.5) / 1e4
+           AS avg_logp
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("text_unigram_logprob", oracle=_UNIGRAM_LOGPROB_ORACLE)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = (
+        tok.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "pos", F.log(F.col("c") / F.col("n")).alias("logp"))
+    )
+    ordered_sum = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "logp"))),
+            lambda s: s.getField("logp"),
+        ),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.floor(ordered_sum / F.count(F.lit(1)) * 1e4 + 0.5) / 1e4)
+            .alias("avg_logp"),
+        )
+    )
