@@ -1078,3 +1078,83 @@ def curation_packing_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_pieces").cast("long").alias("pack_pieces"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-contamination audit: the leakage-safe split's core promise --
+# near-duplicate documents never straddle the train/eval boundary --
+# turned into a driver-checkable query. Every near-dup pair (the same
+# PPJoin >= 0.6 pairs the split is keyed on) is labeled with its two
+# sides' splits and counted per (split_a, split_b) cell; the cluster
+# keying makes every off-diagonal cell empty BY CONSTRUCTION, and the
+# oracle recomputes the matrix independently (recursive-CTE clusters +
+# the same md5 bucket arithmetic), so a hash pass proves the invariant
+# rather than assuming it. Scale: the pair table and split table are
+# both outputs of stages the pipeline already runs; the audit itself
+# is one broadcast-joined relabel + a #splits^2-row aggregate.
+# ---------------------------------------------------------------------------
+
+
+def _split_audit_oracle() -> str:
+    from .dedup import NEARDUP_COMPONENTS_CTE
+
+    return "WITH RECURSIVE " + NEARDUP_COMPONENTS_CTE + """,
+assigned AS (
+  SELECT d.doc_id,
+         CAST('0x' || substr(md5(CAST(coalesce(c.component_id, d.doc_id)
+                                      AS VARCHAR)), 1, 6) AS BIGINT) % 10
+             AS bucket
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+split AS (
+  SELECT doc_id,
+         CASE WHEN bucket < 8 THEN 'train'
+              WHEN bucket = 8 THEN 'validation'
+              ELSE 'test' END AS split
+  FROM assigned
+)
+SELECT sa.split AS split_a, sb.split AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs p
+JOIN split sa ON sa.doc_id = p.id_a
+JOIN split sb ON sb.doc_id = p.id_b
+GROUP BY sa.split, sb.split
+"""
+
+
+@register("curation_split_contamination_audit",
+          oracle=_split_audit_oracle())
+def curation_split_contamination_audit(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = prefix_filter_jaccard_pairs(docs, n=3, threshold=0.6)
+    # pin the pair table: it feeds both the component build and the
+    # audit join below, and the PPJoin subtree is the expensive part
+    pairs = pairs.localCheckpoint(eager=True)
+    cc = connected_components(pairs, "id_a", "id_b")
+    bucket = md5_bucket(
+        F.coalesce(F.col("component"), F.col("doc_id")).cast("string"), 10
+    )
+    split = (
+        docs.select("doc_id")
+        .join(cc, docs.doc_id == cc.node, "left")
+        .select(
+            "doc_id",
+            F.when(bucket < 8, "train")
+            .when(bucket == 8, "validation")
+            .otherwise("test").alias("split"),
+        )
+    )
+    sa = split.select(F.col("doc_id").alias("id_a"),
+                      F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("id_b"),
+                      F.col("split").alias("split_b"))
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
