@@ -50,6 +50,13 @@ SHOWCASE = [
     # in-partition sort) and the map-only JL projection
     "join_scd2_temporal",
     "embedding_random_projection",
+    # round-3 additions: hash-checked LSH (single nested-literal plane
+    # matrix), the sub-sharded packing prefix sum, the portable
+    # MinHash twin, and the unigram-LM scorer's ordered fold
+    "knn_lsh_ann",
+    "curation_sequence_packing",
+    "dedup_minhash_portable",
+    "text_unigram_logprob",
 ]
 
 
