@@ -183,14 +183,16 @@ def minhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
     if hash_fn == "portable":
         # band collision semantics = slice equality; the portable key
         # is the slice itself rendered as a string (engine-neutral),
-        # where the default uses a narrower xxhash64 of the slice
+        # where the default uses a narrower xxhash64 of the slice --
+        # the hot path keeps its 8-byte long key (no string cast in
+        # the shuffle/join key; the branches never mix)
         band_of = lambda b: F.concat_ws(
             ",", F.slice("sig", b * rows_per_band + 1, rows_per_band)
         )
     else:
         band_of = lambda b: F.xxhash64(
             F.slice("sig", b * rows_per_band + 1, rows_per_band)
-        ).cast("string")
+        )
     banded = sigs.select(
         id_col, "sig",
         F.posexplode(
@@ -375,19 +377,34 @@ def simhash64(text_col: Column | str, shingle_n: int = 3) -> Column:
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", shingle_n: int = 3,
-                       repartition_to: int | None = None) -> DataFrame:
+                       repartition_to: int | None = None,
+                       hash_fn: str = "xxhash") -> DataFrame:
     """(id, sh) via the relational plan: explode shingles, hash each
     ONCE, then 64 conditional-sum bit votes in a single groupBy (one
     shuffle, map-side partial agg). Semantically identical to the
     `simhash64` column expression, but each shingle is hashed once
-    instead of once per bit-vote evaluation."""
+    instead of once per bit-vote evaluation.
+
+    ``hash_fn="portable"`` derives the 64 hash bits from two md5 hex
+    words (bits 32-63 = first 8 hex digits, bits 0-31 = next 8) --
+    reproducible in any engine; the DuckDB replica oracle keeps the
+    two words separate so it never touches a signed bit 63, which is
+    bit-equivalent to this combined form."""
     slim = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
     if repartition_to:
         slim = slim.repartition(repartition_to, "id")
-    hashes = (
-        slim.select("id", F.explode(shingles("__t", shingle_n)).alias("__s"))
-        .select("id", F.xxhash64("__s").alias("h"))
+    ex = slim.select(
+        "id", F.explode(shingles("__t", shingle_n)).alias("__s")
     )
+    if hash_fn == "portable":
+        md5h = F.md5(F.col("__s").cast("binary"))
+        hi = F.conv(F.substring(md5h, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(md5h, 9, 8), 16, 10).cast("long")
+        hashes = ex.select(
+            "id", F.shiftleft(hi, 32).bitwiseOR(lo).alias("h")
+        )
+    else:
+        hashes = ex.select("id", F.xxhash64("__s").alias("h"))
     votes = [
         F.sum(
             F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
@@ -408,7 +425,8 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
 def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text",
                           max_hamming: int = 3,
-                          repartition_to: int | None = None) -> DataFrame:
+                          repartition_to: int | None = None,
+                          hash_fn: str = "xxhash") -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) <= max_hamming via the
     pigeonhole chunk join.
 
@@ -429,7 +447,8 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
     sizes = [base + 1] * rem + [base] * (n_chunks - rem)
     offsets = [sum(sizes[:c]) for c in range(n_chunks)]
     sh = simhash_signatures(df, id_col, text_col,
-                            repartition_to=repartition_to)
+                            repartition_to=repartition_to,
+                            hash_fn=hash_fn)
     def chunk_val(c: int) -> Column:
         v = F.shiftright("sh", offsets[c])
         if sizes[c] < 64:  # 64-bit mask literal would overflow LongType

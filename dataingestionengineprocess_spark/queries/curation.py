@@ -22,6 +22,28 @@ from ..functions.text import md5_bucket, shingles, token_count, tokens
 from .dedup import NEARDUP_COMPONENTS_CTE
 from . import register
 
+#: Leakage-safe split rule constants: md5(component) into 10 buckets,
+#: buckets 0-7 train, 8 validation, 9 test (80/10/10).
+SPLIT_N_BUCKETS = 10
+SPLIT_TRAIN_LT = 8
+SPLIT_VAL_EQ = 8
+
+
+def split_label(component_col) -> "F.Column":
+    """train/validation/test from a near-dup component id -- THE split
+    rule, in exactly one place: the split query, the training-mix
+    report, the corpus export and the contamination audit all call
+    this, so a future re-balance (e.g. 90/5/5) can never change the
+    shipped split while the audit silently keeps certifying the old
+    one."""
+    b = md5_bucket(component_col.cast("string"), SPLIT_N_BUCKETS)
+    return (
+        F.when(b < SPLIT_TRAIN_LT, "train")
+        .when(b == SPLIT_VAL_EQ, "validation")
+        .otherwise("test")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing: assign docs to fixed-token-budget packs.
 # ---------------------------------------------------------------------------
@@ -699,12 +721,9 @@ def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("component", "doc_id").alias("component"),
         )
     )
-    bucket = md5_bucket(F.col("component").cast("string"), 10)
     return comp.select(
         "doc_id", "component",
-        F.when(bucket < 8, "train")
-        .when(bucket == 8, "validation")
-        .otherwise("test").alias("split"),
+        split_label(F.col("component")).alias("split"),
     )
 
 
@@ -755,15 +774,12 @@ def curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("component", "doc_id").alias("component"),
         )
     )
-    bucket = md5_bucket(F.col("component").cast("string"), 10)
     return (
         assigned.filter(F.col("doc_id") == F.col("component"))
         .select(
             "lang", "n_chars",
             F.size(tokens("text")).alias("__nt"),
-            F.when(bucket < 8, "train")
-            .when(bucket == 8, "validation")
-            .otherwise("test").alias("split"),
+            split_label(F.col("component")).alias("split"),
         )
         .groupBy("lang", "split")
         .agg(
@@ -998,14 +1014,11 @@ def curation_export_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("component", "doc_id").alias("component"),
         )
     )
-    bucket = md5_bucket(F.col("component").cast("string"), 10)
     corpus = (
         assigned.filter(F.col("doc_id") == F.col("component"))
         .select(
             "doc_id", "lang", "text", "n_chars",
-            F.when(bucket < 8, "train")
-            .when(bucket == 8, "validation")
-            .otherwise("test").alias("split"),
+            split_label(F.col("component")).alias("split"),
         )
         # cluster output files by split so a train-only consumer
         # reads a contiguous file subset
@@ -1130,22 +1143,19 @@ def curation_split_contamination_audit(spark: SparkSession,
     from ..operators.dedup import prefix_filter_jaccard_pairs
 
     docs = load(spark, sf_dir, "documents")
+    # prefix_filter_jaccard_pairs already returns an eagerly
+    # checkpointed pair table, so both consumers below (component
+    # build + audit join) read the one materialization
     pairs = prefix_filter_jaccard_pairs(docs, n=3, threshold=0.6)
-    # pin the pair table: it feeds both the component build and the
-    # audit join below, and the PPJoin subtree is the expensive part
-    pairs = pairs.localCheckpoint(eager=True)
     cc = connected_components(pairs, "id_a", "id_b")
-    bucket = md5_bucket(
-        F.coalesce(F.col("component"), F.col("doc_id")).cast("string"), 10
-    )
     split = (
         docs.select("doc_id")
         .join(cc, docs.doc_id == cc.node, "left")
         .select(
             "doc_id",
-            F.when(bucket < 8, "train")
-            .when(bucket == 8, "validation")
-            .otherwise("test").alias("split"),
+            split_label(
+                F.coalesce(F.col("component"), F.col("doc_id"))
+            ).alias("split"),
         )
     )
     sa = split.select(F.col("doc_id").alias("id_a"),

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.text import fingerprint, shingles
+from ..functions.text import fingerprint
 from ..operators.dedup import (
     dedup_exact_text,
     minhash_neardup_pairs,
@@ -244,68 +244,20 @@ WHERE bit_count(xor(a.sh_hi, b.sh_hi))
 @register("dedup_simhash_portable", oracle=_simhash_portable_oracle())
 def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with the PORTABLE md5-derived bit votes,
-    hash-checked end to end. The 64-bit signature is carried as two
-    unsigned 32-bit words so no step ever touches a sign bit (the
-    single-long form sets bit 63, which engines shift/cast
-    differently); the pigeonhole chunk join and the hamming filter are
-    replayed exactly by the DuckDB oracle. `dedup_simhash` keeps the
-    faster xxhash64 votes (rows-only + recall pytest)."""
+    hash-checked end to end -- the SAME pigeonhole operator as
+    `dedup_simhash` with ``hash_fn="portable"`` (one implementation of
+    the chunk join / hamming filter; only the per-shingle hash family
+    differs). The oracle carries the 64-bit signature as two unsigned
+    32-bit words so it never touches a signed bit 63 -- bit-equivalent
+    to the operator's combined long (chunk values and XOR popcounts
+    agree word-for-word). `dedup_simhash` keeps the faster xxhash64
+    votes (rows-only + recall pytest)."""
     docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id").alias("id"),
-        F.explode(shingles("text", 3)).alias("__s"),
-    ).select(
-        "id",
-        F.conv(F.substring(F.md5(F.col("__s").cast("binary")), 1, 8),
-               16, 10).cast("long").alias("hi"),
-        F.conv(F.substring(F.md5(F.col("__s").cast("binary")), 9, 8),
-               16, 10).cast("long").alias("lo"),
-    )
-
-    def word_sig(word: str):
-        out = F.lit(0).cast("long")
-        for b in range(32):
-            vote = F.sum(
-                F.when(
-                    F.shiftright(word, b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            )
-            out = out + F.when(vote > 0, F.lit(1 << b)).otherwise(0)
-        return out
-
-    sig = sh.groupBy("id").agg(
-        word_sig("hi").alias("sh_hi"), word_sig("lo").alias("sh_lo")
-    )
-    chunks = sig.select(
-        "id", "sh_hi", "sh_lo",
-        F.posexplode(F.array(
-            F.col("sh_lo").bitwiseAND(F.lit(65535)),
-            F.shiftright("sh_lo", 16),
-            F.col("sh_hi").bitwiseAND(F.lit(65535)),
-            F.shiftright("sh_hi", 16),
-        )).alias("chunk_idx", "chunk_val"),
-    )
-    a = chunks.select(F.col("id").alias("id_a"),
-                      F.col("sh_hi").alias("hi_a"),
-                      F.col("sh_lo").alias("lo_a"),
-                      "chunk_idx", "chunk_val")
-    b = chunks.select(F.col("id").alias("id_b"),
-                      F.col("sh_hi").alias("hi_b"),
-                      F.col("sh_lo").alias("lo_b"),
-                      "chunk_idx", "chunk_val")
-    ham = (
-        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-    ).cast("int")
-    return (
-        a.join(b, ["chunk_idx", "chunk_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", ham)
-        .filter(F.col("hamming") <= 3)
-        .select("id_a", "id_b", "hamming")
-        .orderBy("id_a", "id_b")
-    )
+    return simhash_neardup_pairs(
+        docs, max_hamming=3,
+        repartition_to=spark.sparkContext.defaultParallelism,
+        hash_fn="portable",
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

@@ -435,7 +435,9 @@ SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
        b.n_chars AS new_n_chars
 FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
 WHERE a.doc_id IS NULL OR b.doc_id IS NULL
-   OR a.lang <> b.lang OR a.source <> b.source OR a.n_chars <> b.n_chars
+   OR a.lang IS DISTINCT FROM b.lang
+   OR a.source IS DISTINCT FROM b.source
+   OR a.n_chars IS DISTINCT FROM b.n_chars
 """
 
 
@@ -483,7 +485,7 @@ WITH base AS (
 ),
 updates AS (
   SELECT o_orderkey, 'U' AS o_orderstatus,
-         round(o_totalprice * 1.1, 2) AS o_totalprice,
+         floor(o_totalprice * 1.1 * 100 + 0.5) / 100 AS o_totalprice,
          o_orderdate + INTERVAL 1 DAY AS o_orderdate
   FROM orders WHERE o_orderkey % 10 = 1
   UNION ALL
@@ -522,7 +524,13 @@ def warehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             F.lit("U").alias("o_orderstatus"),
-            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+            # floor-based cent rounding, NOT F.round: o_totalprice*1.1
+            # is an arbitrary quotient, and Spark's shortest-repr
+            # HALF_UP vs DuckDB's binary rounding disagree near .xx5
+            # boundaries (~1 row per 1500 at sf0.1) -- FIXTURES.md
+            # round-trip rule
+            (F.floor(F.col("o_totalprice") * 1.1 * 100 + 0.5) / 100)
+            .alias("o_totalprice"),
             (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"))
             .alias("o_orderdate"),
         )
