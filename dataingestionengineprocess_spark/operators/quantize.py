@@ -248,6 +248,27 @@ def _pq_codes(v: Column, cells: Column, m: int, dsub: int) -> Column:
     return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
 
 
+def _portable_books(corpus: DataFrame, m: int, ks: int,
+                    id_col: str, vec_col: str) -> list[list[list[float]]]:
+    """Init-only engine-portable codebooks: cell (j, c) = subspace-j
+    segment of the c-th vector by (md5(id), id) order (see
+    `similarity.portable_init_sample` -- ONE sampling rule for every
+    portable quantizer). Shared by `pq_topk(train='portable')` and
+    `build_pq_index(train='portable')` so the direct and persisted
+    search paths can never train differently."""
+    from .similarity import portable_init_sample
+
+    sample = portable_init_sample(corpus, ks, id_col, vec_col)
+    dim = len(sample[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        [v[j * dsub:(j + 1) * dsub] for v in sample]
+        for j in range(m)
+    ]
+
+
 def pq_codebooks_local(corpus: DataFrame, m: int = 8, ks: int = 16,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        max_iter: int = 10, seed: int = 7,
@@ -427,17 +448,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         # PQ pipeline (encode, ADC, re-rank) can be replayed
         # independently by the DuckDB oracle; k-means training only
         # tightens the cells, it does not change the algorithm.
-        from .similarity import portable_init_sample
-
-        sample = portable_init_sample(corpus, ks, id_col, vec_col)
-        dim = len(sample[0])
-        if dim % m != 0:
-            raise ValueError(f"dim {dim} not divisible by m={m}")
-        dsub = dim // m
-        books = [
-            [v[j * dsub:(j + 1) * dsub] for v in sample]
-            for j in range(m)
-        ]
+        books = _portable_books(corpus, m, ks, id_col, vec_col)
     else:
         books = pq_codebooks(
             corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col,
@@ -521,7 +532,8 @@ def _pq_search(coded: DataFrame, books: list[list[list[float]]],
 
 def build_pq_index(corpus: DataFrame, index_path: str, m: int = 8,
                    ks: int = 16, id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> dict:
+                   vec_col: str = "embedding",
+                   train: str = "local") -> dict:
     """Materialize a PQ index as ONE versioned table: ``code`` rows
     (one per corpus vector: id + m small codes) and ``cell`` rows (the
     m x ks codebook cells) share a snapshot under a ``kind``
@@ -541,9 +553,12 @@ def build_pq_index(corpus: DataFrame, index_path: str, m: int = 8,
     from ..sinks.versioned import VersionedTable
 
     spark = corpus.sparkSession
-    books = pq_codebooks_local(
-        corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col,
-    )
+    if train == "portable":
+        books = _portable_books(corpus, m, ks, id_col, vec_col)
+    else:
+        books = pq_codebooks_local(
+            corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col,
+        )
     dsub = len(books[0][0])
     coded = corpus.select(
         F.lit("code").alias("kind"),

@@ -351,6 +351,28 @@ def knn_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@register("knn_pq_index_portable", oracle=_pq_portable_oracle())
+def knn_pq_index_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted build-once/search-many PQ path with the portable
+    codebooks: build_pq_index(train='portable') materializes codes +
+    cells as one versioned snapshot, pq_search_index answers from the
+    persisted codes, and the SAME full SQL replica oracle as
+    `knn_pq_ann_portable` hash-checks the result -- proving the
+    publish -> code-scan -> ADC -> re-rank path returns exactly what
+    the direct path computes (the index round-trip is lossless, as a
+    value-hash fact rather than a pytest assertion)."""
+    from ..catalog import scratch_dir
+    from ..operators.quantize import build_pq_index, pq_search_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = scratch_dir("pq_index_portable", sf_dir)
+    build_pq_index(emb, idx, train="portable")
+    return pq_search_index(
+        spark, idx, queries, emb, k=5, refine=48
+    ).orderBy("query_id", "rank")
+
+
 @register("similarity_join_brp_lsh")
 def similarity_join_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH self-join (rows-only: bucket
