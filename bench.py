@@ -158,6 +158,14 @@ BENCH_QUERIES = [
     # hash-checked portable dedup twins
     "dedup_minhash_portable",
     "dedup_simhash_portable",
+    # versioned-sink round trips (publish -> diff / MERGE -> readback),
+    # the persisted portable PQ index, unigram-LM scoring, and the
+    # split-contamination audit (PPJoin + components + split matrix)
+    "warehouse_cdc_diff",
+    "warehouse_merge_upsert",
+    "knn_pq_index_portable",
+    "text_unigram_logprob",
+    "curation_split_contamination_audit",
 ]
 
 
