@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "knn_pq_index_portable",
     "text_unigram_logprob",
     "curation_split_contamination_audit",
+    # the [R] core pipeline end to end (CSV drop -> ingest -> readback)
+    "pipeline_ingest_roundtrip",
 ]
 
 

@@ -548,3 +548,115 @@ def warehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     vt.publish(orders)
     vt.merge(updates, keys=["o_orderkey"], order_col="o_orderdate")
     return vt.read()
+
+
+# ---------------------------------------------------------------------------
+# The reference's [R] CORE PIPELINE as a driver-checked query: a CSV
+# drop is synthesized from `orders` (with deterministically injected
+# rule violations, re-delivered duplicate rows, and a malformed file),
+# ingested end-to-end through `ingest_batch` (CSV parse -> corrupt-row
+# routing -> rule validation -> keep-latest dedup -> warehouse/OLTP
+# dual sink with observe() telemetry), and the curated + quarantine
+# tables are read back. The oracle recomputes the expected contents
+# relationally from the same derivation, so a hash pass certifies the
+# WHOLE landing-zone pipeline (previously evidenced only by pytest).
+# Scale: everything here is the production stage chain itself -- one
+# scan of the drop, map-side validation split, one keyed dedup
+# shuffle, partition-targeted sink writes.
+# ---------------------------------------------------------------------------
+
+_INGEST_ROUNDTRIP_ORACLE = """
+WITH curated AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, o_orderdate
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+quar AS (
+  SELECT o_orderkey, o_custkey, -(o_totalprice + 1.0) AS o_totalprice,
+         o_orderstatus, o_orderdate
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT *, 'curated' AS status FROM curated
+UNION ALL
+SELECT *, 'quarantined' AS status FROM quar
+"""
+
+
+@register("pipeline_ingest_roundtrip", oracle=_INGEST_ROUNDTRIP_ORACLE)
+def pipeline_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..catalog import scratch_dir
+    from ..operators.quality import in_range, not_null
+    from ..pipeline import FeedConfig, ingest_batch
+    from ..sinks.warehouse import SinkConfig
+    from pyspark.sql import types as T
+
+    scratch = scratch_dir("ingest_roundtrip", sf_dir)
+    landing = os.path.join(scratch, "landing")
+    os.makedirs(landing, exist_ok=True)
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderstatus", "o_orderdate",
+    )
+    # rule violations: keys % 97 get a strictly-negative price
+    poisoned = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 97 == 0,
+               -(F.col("o_totalprice") + F.lit(1.0)))
+        .otherwise(F.col("o_totalprice")),
+    )
+    # re-delivered duplicates: an OLDER copy of keys % 101 (not % 97)
+    # with a different price -- keep-latest dedup must drop them
+    dups = (
+        orders.filter((F.col("o_orderkey") % 101 == 0)
+                      & (F.col("o_orderkey") % 97 != 0))
+        .withColumn("o_orderdate",
+                    F.col("o_orderdate") - F.expr("INTERVAL 1 DAY"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 7.0)
+    )
+    # ISO-format the timestamp so the CSV round-trips through the
+    # default TIMESTAMP_NTZ parser with zero timezone involvement
+    drop = poisoned.unionByName(dups).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss.SSS")
+        .alias("o_orderdate"),
+    )
+    drop.write.mode("overwrite").option("header", True).csv(landing)
+    # a malformed sibling file: structurally broken rows must route to
+    # the rejects table, not poison the curated output
+    with open(os.path.join(landing, "bad.csv"), "w") as f:
+        f.write("o_orderkey,o_custkey,o_totalprice,o_orderstatus,o_orderdate\n")
+        f.write("not_a_number,x,,BAD,also_not_a_timestamp\n")
+        f.write("999999999999999999999999999,1,2.0,F,nope\n")
+
+    feed = FeedConfig(
+        name="roundtrip_orders",
+        schema=T.StructType([
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_orderdate", T.TimestampNTZType()),
+        ]),
+        key_cols=["o_orderkey"], order_col="o_orderdate",
+        rules=[not_null("o_orderkey"),
+               in_range("o_totalprice", 0.0, 1e9)],
+    )
+    sinks = SinkConfig(warehouse_dir=os.path.join(scratch, "wh"),
+                       oltp_dir=os.path.join(scratch, "oltp"))
+    ingest_batch(spark, feed, landing, sinks, run_id="roundtrip-run")
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+            "o_orderdate"]
+    curated = (
+        spark.read.parquet(os.path.join(sinks.warehouse_dir,
+                                        "roundtrip_orders"))
+        .select(*cols).withColumn("status", F.lit("curated"))
+    )
+    quarantined = (
+        spark.read.parquet(os.path.join(sinks.warehouse_dir,
+                                        "roundtrip_orders_quarantine"))
+        .select(*cols).withColumn("status", F.lit("quarantined"))
+    )
+    return curated.unionByName(quarantined)
