@@ -555,10 +555,18 @@ def build_pq_index(corpus: DataFrame, index_path: str, m: int = 8,
     spark = corpus.sparkSession
     if train == "portable":
         books = _portable_books(corpus, m, ks, id_col, vec_col)
-    else:
+    elif train == "local":
         books = pq_codebooks_local(
             corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col,
         )
+    elif train == "distributed":
+        books = pq_codebooks(
+            corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        # a typo here would otherwise SILENTLY train differently from
+        # the direct search path and break index-equals-direct
+        raise ValueError(f"unknown train mode {train!r}")
     dsub = len(books[0][0])
     coded = corpus.select(
         F.lit("code").alias("kind"),
@@ -575,10 +583,19 @@ def build_pq_index(corpus: DataFrame, index_path: str, m: int = 8,
         "kind string, neighbor_id long, codes array<int>, "
         "j int, c int, cell array<double>",
     )
+    # n_vectors rides the publish as an observe() metric: a separate
+    # post-publish count() would re-scan the snapshot on every build
+    from pyspark.sql import Observation
+
+    obs = Observation("pq_index_codes")
+    payload = coded.unionByName(cells).observe(
+        obs,
+        F.sum(F.when(F.col("kind") == "code", 1).otherwise(0))
+        .alias("n_codes"),
+    )
     vt = VersionedTable(spark, index_path)
-    v = vt.publish(coded.unionByName(cells))
-    n = vt.read(v).filter(F.col("kind") == "code").count()
-    return {"version": v, "n_vectors": n}
+    v = vt.publish(payload)
+    return {"version": v, "n_vectors": int(obs.get["n_codes"])}
 
 
 def pq_search_index(spark, index_path: str, queries: DataFrame,

@@ -649,14 +649,15 @@ def pipeline_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
             "o_orderdate"]
+    # table names derive from feed.name + ingest_batch's suffix
+    # convention -- no duplicated literals to drift
     curated = (
-        spark.read.parquet(os.path.join(sinks.warehouse_dir,
-                                        "roundtrip_orders"))
+        spark.read.parquet(os.path.join(sinks.warehouse_dir, feed.name))
         .select(*cols).withColumn("status", F.lit("curated"))
     )
     quarantined = (
-        spark.read.parquet(os.path.join(sinks.warehouse_dir,
-                                        "roundtrip_orders_quarantine"))
+        spark.read.parquet(
+            os.path.join(sinks.warehouse_dir, f"{feed.name}_quarantine"))
         .select(*cols).withColumn("status", F.lit("quarantined"))
     )
     return curated.unionByName(quarantined)
