@@ -168,6 +168,9 @@ BENCH_QUERIES = [
     "curation_split_contamination_audit",
     # the [R] core pipeline end to end (CSV drop -> ingest -> readback)
     "pipeline_ingest_roundtrip",
+    # portable rolling-hash + perceptual-hash twins
+    "text_rolling_hash_portable",
+    "multimodal_phash_portable",
 ]
 
 

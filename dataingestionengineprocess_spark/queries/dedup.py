@@ -185,11 +185,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _simhash_portable_oracle(max_hamming: int = 3) -> str:
+#: token-list source for the standard document SimHash oracle
+_DOC_TOKENS_SQL = "SELECT doc_id, string_split(text, ' ') AS t FROM documents"
+
+
+def _simhash_portable_oracle(max_hamming: int = 3,
+                             tokens_sql: str = _DOC_TOKENS_SQL) -> str:
     """Full DuckDB replica of the portable SimHash pipeline: the
     64-bit signature lives as TWO unsigned 32-bit words (hi/lo md5 hex
     halves), so every bit-vote, chunk extraction and XOR popcount
-    stays in nonnegative BIGINT range in both engines."""
+    stays in nonnegative BIGINT range in both engines.
+
+    ``tokens_sql`` must yield (doc_id, t list<varchar>) -- the feature
+    token stream. The document query uses whitespace tokens; the
+    perceptual-hash twin feeds hex payload blocks through the same
+    replica."""
     def word_votes(word: str, out_bits: int = 32) -> str:
         return " + ".join(
             f"(CASE WHEN sum(CASE WHEN ({word} // {1 << b}) % 2 = 1"
@@ -202,7 +212,7 @@ WITH sh AS (
   SELECT doc_id AS id,
          unnest(list_distinct([array_to_string(t[i:i+2], ' ')
                                for i in range(1, len(t) - 1)])) AS s
-  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  FROM ({tokens_sql})
   WHERE len(t) >= 3
 ),
 hashed AS (

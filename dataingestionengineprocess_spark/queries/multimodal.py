@@ -311,25 +311,63 @@ def multimodal_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _payload_blocks(docs: DataFrame) -> DataFrame:
+    """(doc_id, block_str): binary payload -> hex -> fixed 8-hex-char
+    (4-byte) "pixel blocks", space-joined so the simhash machinery
+    treats each block as one feature token (3-block shingles are the
+    2-D patch analog). Shared by the xxhash default and the portable
+    hash-checked twin."""
+    blocks = F.regexp_replace(
+        F.lower(F.hex(F.encode("text", "utf-8"))), "(.{8})", "$1 "
+    )
+    return docs.select("doc_id", F.trim(blocks).alias("block_str"))
+
+
 @register("multimodal_phash_neardup")
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_neardup_pairs
 
     docs = load(spark, sf_dir, "documents")
-    # binary payload -> hex -> fixed 8-hex-char (4-byte) "pixel blocks",
-    # space-joined so the simhash machinery treats each block as one
-    # feature token (shingle window of 1 block via n=1 tokens is
-    # emulated with the default shingle_n=3 over blocks: 3-block
-    # patches, the 2-D patch analog).
-    blocks = F.regexp_replace(
-        F.lower(F.hex(F.encode("text", "utf-8"))), "(.{8})", "$1 "
-    )
-    payloads = docs.select(
-        "doc_id", F.trim(blocks).alias("block_str")
-    )
     return simhash_neardup_pairs(
-        payloads, id_col="doc_id", text_col="block_str", max_hamming=3,
+        _payload_blocks(docs), id_col="doc_id", text_col="block_str",
+        max_hamming=3,
         repartition_to=spark.sparkContext.defaultParallelism,
+    ).orderBy("id_a", "id_b")
+
+
+#: hex payload blocks as the token list, mirroring _payload_blocks
+_PHASH_BLOCKS_SQL = """
+SELECT doc_id,
+       string_split(trim(regexp_replace(lower(hex(text)),
+                                        '(.{8})', '\\1 ', 'g')), ' ') AS t
+FROM documents
+"""
+
+
+def _phash_portable_oracle() -> str:
+    from .dedup import _simhash_portable_oracle
+
+    return _simhash_portable_oracle(max_hamming=3,
+                                    tokens_sql=_PHASH_BLOCKS_SQL)
+
+
+@register("multimodal_phash_portable", oracle=_phash_portable_oracle())
+def multimodal_phash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup with the PORTABLE md5 bit votes,
+    hash-checked end to end: the DuckDB oracle re-derives the hex
+    payload blocks, the 3-block patch shingles, the two-word bit
+    votes, the pigeonhole chunk join and the hamming filter --
+    upgrading the binary-payload dedup shape from rows-only to a
+    value-hash check. `multimodal_phash_neardup` keeps the xxhash64
+    default."""
+    from ..operators.dedup import simhash_neardup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(
+        _payload_blocks(docs), id_col="doc_id", text_col="block_str",
+        max_hamming=3,
+        repartition_to=spark.sparkContext.defaultParallelism,
+        hash_fn="portable",
     ).orderBy("id_a", "id_b")
 
 

@@ -657,3 +657,44 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_logp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable rolling-hash fingerprint: the same polynomial fold as
+# `text_rolling_hash` with the per-token hash drawn from md5 hex (5
+# hex digits < 2^20) instead of xxhash64, so the WHOLE fold is pure
+# portable integer arithmetic and the DuckDB oracle replays it with
+# list_reduce. Per-step modulus keeps acc*31 inside int64 on both
+# engines (ANSI-safe); pytest keeps asserting the equal-text <=>
+# equal-fingerprint property on the xxhash default.
+# ---------------------------------------------------------------------------
+
+_ROLLING_PORTABLE_ORACLE = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0, list_transform(string_split(text, ' '),
+             t -> CAST('0x' || substr(md5(t), 1, 5) AS BIGINT))),
+         (a, x) -> (a * 31 + x) % {1 << 43}
+       ) AS rolling_fp
+FROM documents
+"""
+
+
+@register("text_rolling_hash_portable", oracle=_ROLLING_PORTABLE_ORACLE)
+def text_rolling_hash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rolling = F.aggregate(
+        tokens("text"),
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(
+            acc * 31
+            + F.conv(
+                F.substring(F.md5(t.cast("binary")), 1, 5), 16, 10
+            ).cast("long"),
+            F.lit(1 << 43),
+        ),
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", rolling.alias("rolling_fp"))
+        .orderBy("doc_id")
+    )
