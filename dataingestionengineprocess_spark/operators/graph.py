@@ -118,24 +118,29 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     ranks = nodes.withColumn("rank", F.lit(1.0))
 
-    for i in range(iterations):
-        ranks = pagerank_iteration(
-            w_edges, nodes, ranks, damping, use_broadcast
-        )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
-    if not use_broadcast:
-        # Release the cached edge partitions before returning -- one
-        # leaked InMemoryRelation of the LARGE side per pagerank call
-        # would otherwise pin executor memory for the session lifetime.
-        # The final ranks must first be made independent of the cache
-        # (a later consumer action would otherwise recompute the edge
-        # repartition per action), so checkpoint them if the loop's
-        # cadence didn't already.
-        if not (checkpoint_every and iterations
-                and iterations % checkpoint_every == 0):
-            ranks = ranks.localCheckpoint(eager=True)
-        w_edges.unpersist()
+    # The iteration loop runs inside try/finally: an exception mid-loop
+    # (executor loss, interrupt, OOM in a checkpoint job) must not leak
+    # the cached LARGE edge relation for the session lifetime -- one
+    # leaked InMemoryRelation per failed pagerank call would otherwise
+    # pin executor memory until the session ends.
+    try:
+        for i in range(iterations):
+            ranks = pagerank_iteration(
+                w_edges, nodes, ranks, damping, use_broadcast
+            )
+            if checkpoint_every and (i + 1) % checkpoint_every == 0:
+                ranks = ranks.localCheckpoint(eager=True)
+        if not use_broadcast:
+            # The final ranks must be made independent of the cache
+            # before it is released (a later consumer action would
+            # otherwise recompute the edge repartition per action), so
+            # checkpoint them if the loop's cadence didn't already.
+            if not (checkpoint_every and iterations
+                    and iterations % checkpoint_every == 0):
+                ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        if not use_broadcast:
+            w_edges.unpersist()
     return ranks
 
 

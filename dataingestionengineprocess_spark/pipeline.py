@@ -595,19 +595,38 @@ def ingest_new_files(spark: SparkSession, feed: FeedConfig,
     streaming checkpoint.
 
     Scale: the ledger holds one narrow row per file ever ingested --
-    millions of rows at most; the membership check is a driver-side
-    set difference over just (path, size, mtime) triples.
+    millions of rows over a feed's lifetime, GBs of driver heap if
+    collected. The membership check is therefore a LEFT ANTI join of
+    the (small, one-sweep) listing DataFrame against the ledger table:
+    only the new files -- bounded by what landed since the last sweep
+    -- ever reach the driver.
     """
     ledger_path = os.path.join(sinks.warehouse_dir, f"{feed.name}_ledger")
     files = _list_landing_files(spark, landing_dir)
-    seen: set[tuple[str, int, int]] = set()
+    if not files:
+        return None
     jvm = spark.sparkContext._jvm
     lp = jvm.org.apache.hadoop.fs.Path(ledger_path)
     fs = lp.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    listing = spark.createDataFrame(
+        files, "path string, size long, mtime_ms long"
+    )
+    seen: set[tuple[str, int, int]] = set()
     if fs.exists(lp):
+        # "Which of the listed files has the ledger already seen?" as a
+        # LEFT SEMI join of the ledger scan against the broadcast
+        # listing (Spark's BroadcastHashJoin builds the RIGHT side for
+        # semi joins, so the small listing is the build side): the
+        # large ledger streams map-side with no shuffle, and at most
+        # len(listing) rows -- one sweep's files -- reach the driver.
+        # The full ledger is never collected.
         seen = {
             (r["path"], r["size"], r["mtime_ms"])
-            for r in spark.read.parquet(ledger_path).collect()
+            for r in spark.read.parquet(ledger_path)
+            .select("path", "size", "mtime_ms")
+            .join(F.broadcast(listing),
+                  ["path", "size", "mtime_ms"], "left_semi")
+            .collect()
         }
     new = [f for f in files if f not in seen]
     if not new:

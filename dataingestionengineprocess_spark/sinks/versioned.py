@@ -246,9 +246,13 @@ class VersionedTable:
         # schema change arguably is. Same-typed columns cast to their
         # own type -- a Catalyst no-op.
         old_t, new_t = dict(old_df.dtypes), dict(new_df.dtypes)
+        retyped = {
+            c for c in payload
+            if c in old_t and c in new_t and old_t[c] != new_t[c]
+        }
 
         def unified(c: str) -> str:
-            if c in old_t and c in new_t and old_t[c] != new_t[c]:
+            if c in retyped:
                 return "string"
             return new_t.get(c, old_t.get(c))
 
@@ -269,6 +273,13 @@ class VersionedTable:
                 "change_type",
                 F.when(F.col("old").isNull(), F.lit("insert"))
                 .when(F.col("new").isNull(), F.lit("delete"))
+                # A retyped column is itself a change for every key
+                # that survives the retype: the string unification
+                # above can make both renderings coincide (STRING '4'
+                # -> INT 4 casts to '4' on both sides), which would
+                # otherwise mask the schema change entirely -- so any
+                # retype forces update for all both-present rows.
+                .when(F.lit(bool(retyped)), F.lit("update"))
                 .when(~F.col("old").eqNullSafe(F.col("new")),
                       F.lit("update")),
             )

@@ -197,7 +197,8 @@ class _JsonlWriterBase:
                 return None
         return seen
 
-    def _publish(self, messages, marker: str) -> None:
+    def _publish(self, messages, marker: str,
+                 sweep_orphans: bool = False) -> None:
         import json
         import os
         import uuid
@@ -205,12 +206,19 @@ class _JsonlWriterBase:
         # Reconcile FIRST: part- files named by no marker are orphans
         # of a commit attempt that crashed between its data renames and
         # its marker rename. Removing them here makes this attempt's
-        # publish exactly-once even after such a crash (epochs commit
-        # serially from the driver, so the orphans cannot belong to a
-        # concurrent healthy commit). Skipped entirely (committed is
-        # None) when any marker is unreadable/legacy -- then no file's
-        # provenance is provable and deleting would risk committed data.
-        committed = self._committed_files()
+        # publish exactly-once even after such a crash. The sweep is
+        # ONLY safe where commits on this path are provably serial --
+        # the STREAMING writer (micro-batch epochs commit one at a time
+        # from the driver), which passes sweep_orphans=True. Batch
+        # append jobs carry no such guarantee: two concurrent appends
+        # to one directory would each see the other's renamed-but-not-
+        # yet-claimed part- files as orphans and delete committed data,
+        # so the batch path never sweeps (a later streaming commit, or
+        # explicit maintenance, reclaims true batch orphans). Also
+        # skipped when any marker is unreadable/legacy (committed is
+        # None) -- then no file's provenance is provable and deleting
+        # would risk committed data.
+        committed = self._committed_files() if sweep_orphans else None
         if committed is not None:
             for name in os.listdir(self.path):
                 if name.startswith("part-") and name not in committed:
@@ -252,12 +260,26 @@ class _JsonlWriterBase:
                 # legacy bare-count marker about to be OVERWRITTEN with
                 # the listing format: adopt every on-disk part- file
                 # into the new marker's claims, else the legacy files
-                # would look like orphans to the commit after this one
-                finals = sorted(
-                    set(finals)
-                    | {n for n in os.listdir(self.path)
-                       if n.startswith("part-")}
+                # would look like orphans to the commit after this one.
+                # Caveat (documented tradeoff): a legacy directory has
+                # no per-file provenance, so genuine orphans of a
+                # crashed legacy attempt are adopted too and become
+                # permanently legitimized -- the upgrade FREEZES IN any
+                # pre-existing duplicates. The adopted list is logged
+                # so an operator can audit it manually.
+                adopted = sorted(
+                    n for n in os.listdir(self.path)
+                    if n.startswith("part-")
                 )
+                if adopted:
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "legacy marker upgrade at %s adopted %d "
+                        "pre-existing part- files (provenance "
+                        "unprovable; possible duplicates): %s",
+                        self.path, len(adopted), adopted,
+                    )
+                finals = sorted(set(finals) | set(adopted))
                 try:
                     rows += int(prev)
                 except (TypeError, ValueError):
@@ -296,7 +318,7 @@ class PartnerFeedStreamWriter(_JsonlWriterBase, DataSourceStreamWriter):
             # replay's temps instead of double-committing
             self.abort(messages)
             return
-        self._publish(messages, f"_batch-{batchId}")
+        self._publish(messages, f"_batch-{batchId}", sweep_orphans=True)
 
     def abort(self, messages, batchId: int | None = None) -> None:
         _JsonlWriterBase.abort(self, messages)

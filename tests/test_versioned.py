@@ -489,3 +489,24 @@ def test_diff_retype_never_masks_a_lossy_change(spark, tmp_path):
     d = vt.diff(["id"], v1).collect()
     assert len(d) == 1 and d[0].change_type == "update"
     assert d[0].old.v == "4.7" and d[0].new.v == "4"
+
+
+def test_diff_retype_reported_even_when_renderings_coincide(spark, tmp_path):
+    """A retype whose string renderings coincide (STRING '4' -> INT 4
+    casts to '4' on both sides) must still report: the schema change is
+    itself a change for every key surviving it, so the retype forces
+    change_type='update' for all both-present rows rather than relying
+    on the unified values differing."""
+    from dataingestionengineprocess_spark.sinks.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    v1 = vt.publish(
+        spark.range(2).selectExpr("id", "CAST(id AS STRING) AS v"))
+    vt.publish(spark.range(2).selectExpr("id", "CAST(id AS INT) AS v"))
+
+    d = {r.id: r for r in vt.diff(["id"], v1).collect()}
+    # identical renderings on both sides, yet every surviving key is an
+    # update because the column was retyped
+    assert set(d) == {0, 1}
+    assert all(r.change_type == "update" for r in d.values())
+    assert d[1].old.v == "1" and d[1].new.v == "1"
