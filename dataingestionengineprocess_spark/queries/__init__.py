@@ -83,14 +83,22 @@ def _driver_verified_names() -> set[str]:
     (``CORRECTNESS_r*.json`` at the repo root). Used to auto-rotate
     registration order: the driver checks a bounded window from the
     FRONT of the registry each round, so not-yet-verified queries must
-    register first for successive artifacts to tile the full surface."""
+    register first for successive artifacts to tile the full surface.
+
+    A full hash-match row is evidence forever. A rows-only row
+    (``err == "no_oracle"``) evidences the query ONLY while it still
+    has no oracle: a query later upgraded with an oracle (e.g. the A3
+    sketches' bounded-error booleans) rotates back to the front so the
+    driver re-checks it at full hash strength. Callers must invoke
+    this after ``_load_all`` so ORACLES is populated."""
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    seen: set[str] = set()
+    hash_seen: set[str] = set()
+    rows_only_seen: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
@@ -98,11 +106,13 @@ def _driver_verified_names() -> set[str]:
         except (OSError, ValueError):
             continue
         for name, res in artifact.items():
-            if isinstance(res, dict) and (
-                res.get("hash_match") or res.get("err") == "no_oracle"
-            ):
-                seen.add(name)
-    return seen
+            if not isinstance(res, dict):
+                continue
+            if res.get("hash_match"):
+                hash_seen.add(name)
+            elif res.get("err") == "no_oracle":
+                rows_only_seen.add(name)
+    return hash_seen | {n for n in rows_only_seen if n not in ORACLES}
 
 
 _VERIFIED: set[str] | None = None

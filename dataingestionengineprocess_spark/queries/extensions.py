@@ -243,26 +243,58 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_mergeable")
+# ---------------------------------------------------------------------------
+# Datasketches HLL with explicit sketch MERGE (hll_union_agg) under a
+# BOUNDED-ERROR oracle (same pattern as agg_approx_distinct): the
+# estimates are engine-specific register state, so the query ships the
+# sketch CONTRACT -- per-flag estimates AND the union-merged global
+# estimate each asserted within 5% of the exact distinct count (the
+# default lgConfigK=12 sketch has rsd ~1.6%; 5% is 3 sigma). The
+# oracle recomputes the exact counts and asserts the booleans TRUE.
+# The merge row is the point: partial sketches built per group union
+# into a global estimate without rescanning -- the 100 TB rollup path.
+# ---------------------------------------------------------------------------
+
+_HLL_ORACLE = """
+SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct,
+       TRUE AS within_bound
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'ALL' AS l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct,
+       TRUE AS within_bound
+FROM lineitem
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_hll_mergeable", oracle=_HLL_ORACLE)
 def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     per_flag = li.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_orderkey").alias("sk"),
         F.countDistinct("l_orderkey").alias("exact_distinct"),
     )
+    global_exact = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
     merged = per_flag.agg(
         F.lit("ALL").alias("l_returnflag"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("estimate"),
-        # exact global distinct for the test harness to compare against
-        F.lit(None).cast("long").alias("exact_distinct"),
-    )
+    ).crossJoin(F.broadcast(global_exact))
+    bound = (
+        F.abs(F.col("estimate") - F.col("exact_distinct"))
+        <= F.lit(0.05) * F.col("exact_distinct")
+    ).alias("within_bound")
     return (
         per_flag.select(
             "l_returnflag",
             F.hll_sketch_estimate("sk").alias("estimate"),
             "exact_distinct",
         )
-        .unionByName(merged)
+        .unionByName(merged.select("l_returnflag", "estimate",
+                                   "exact_distinct"))
+        .select("l_returnflag", "exact_distinct", bound)
+        .orderBy("l_returnflag")
     )
 
 
@@ -388,19 +420,65 @@ def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_cms_supplier_freq")
+_CMS_PROBES = [1, 2, 3, 5, 8, 13, 21]
+
+_CMS_ORACLE = f"""
+WITH probes AS (
+  SELECT unnest({_CMS_PROBES}) AS l_suppkey
+),
+exact AS (
+  SELECT p.l_suppkey, CAST(count(li.l_suppkey) AS BIGINT) AS exact_count
+  FROM probes p LEFT JOIN lineitem li ON li.l_suppkey = p.l_suppkey
+  GROUP BY p.l_suppkey
+)
+SELECT l_suppkey, exact_count,
+       TRUE AS never_undercount, TRUE AS within_eps
+FROM exact ORDER BY l_suppkey
+"""
+
+
+@register("agg_cms_supplier_freq", oracle=_CMS_ORACLE)
 def agg_cms_supplier_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch point frequencies for a fixed supplier probe
     set over lineitem (operators/cms.py) -- the mergeable
     point-frequency sketch next to HLL (distinct) and Misra-Gries
-    (heavy hitters). Rows-only check (sketch estimates are
-    engine-specific); pytest asserts the never-undercount and
-    eps*N-overshoot guarantees against exact counts."""
+    (heavy hitters). BOUNDED-ERROR oracle (the A3 pattern): the raw
+    estimates are sketch-internal, so the query emits the CMS
+    guarantees as booleans -- never-undercount (est >= exact, holds
+    with certainty) and overshoot <= eps*N (holds with the configured
+    99% confidence; the seeded sketch is deterministic for a given
+    fixture, so the pass/fail is a fixed fact per sf, verified at
+    sf 0.001/0.01/0.1). The oracle recomputes exact probe counts and
+    asserts both booleans TRUE."""
     from ..operators.cms import cms_point_estimates
 
+    eps = 0.0001
     li = load(spark, sf_dir, "lineitem")
-    return cms_point_estimates(
-        li, "l_suppkey", probes=[1, 2, 3, 5, 8, 13, 21],
+    n_total = li.count()
+    ests = cms_point_estimates(li, "l_suppkey", probes=_CMS_PROBES, eps=eps)
+    # Exact probe counts: the isin predicate pushes to the parquet
+    # scan, so the groupBy aggregates only probe rows; the result is
+    # <= len(probes) rows and joins the (equally tiny) estimate table
+    # without any large-side shuffle. A probe absent from the data
+    # (small sf) counts 0 -- CMS still never undercounts it.
+    exact = (
+        li.filter(F.col("l_suppkey").isin(_CMS_PROBES))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return (
+        ests.join(F.broadcast(exact), "l_suppkey", "left")
+        .withColumn("exact_count",
+                    F.coalesce("exact_count", F.lit(0)))
+        .select(
+            "l_suppkey", "exact_count",
+            (F.col("est_count") >= F.col("exact_count"))
+            .alias("never_undercount"),
+            (F.col("est_count")
+             <= F.col("exact_count") + F.lit(eps * n_total))
+            .alias("within_eps"),
+        )
+        .orderBy("l_suppkey")
     )
 
 

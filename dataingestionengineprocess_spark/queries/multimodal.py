@@ -238,9 +238,16 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the transform-shaped media op (vs. decode's feature-extraction
 # shape). Decodes each PGM, nearest-neighbor resamples the pixel grid
 # to a fixed 8x8 thumbnail, and re-encodes a valid P5 payload.
-# Rows-only check (sha of engine-built bytes isn't SQL-portable);
-# pytest verifies the output images re-decode to 8x8 and that the
-# resample is a true grid sample of the source.
+#
+# FULL sha256 oracle: every thumbnail byte is reconstructible in SQL.
+# The source pixel at linear index i is text[i % len] (the synthesis
+# rule), and the nearest-neighbor sample takes source (row, col) =
+# (r*h//8, c*w//8), so thumbnail char k (0..63) is
+#   text[ ((k//8 * h // 8) * w + (k%8 * w // 8)) % len ]
+# -- the oracle rebuilds header + 64 sampled chars and sha256s the
+# identical byte string, hash-checking decode, resample grid, AND
+# re-encode. pytest additionally verifies the output re-decodes to
+# 8x8 with a true grid sample of the source.
 # ---------------------------------------------------------------------------
 
 _THUMB = 8
@@ -268,7 +275,33 @@ def _resize_pgm(payload: bytes, side: int = _THUMB) -> bytes:
     return _THUMB_HEADER + thumb
 
 
-@register("multimodal_resize_thumbnail")
+_RESIZE_ORACLE = """
+WITH m AS (
+  SELECT doc_id, text,
+         8 + doc_id % 16 AS w,
+         8 + doc_id % 8  AS h,
+         length(text)    AS len
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         'P5' || chr(10) || '8 8' || chr(10) || '255' || chr(10) ||
+         list_aggregate(
+           list_transform(range(0, 64),
+             k -> substring(text,
+                  CAST((((k // 8) * h // 8) * w + ((k % 8) * w // 8))
+                       % len AS INT) + 1, 1)),
+           'string_agg', '') AS thumb
+  FROM m
+)
+SELECT doc_id,
+       CAST(octet_length(encode(thumb)) AS BIGINT) AS n_bytes,
+       sha256(thumb) AS resized_sha256
+FROM t ORDER BY doc_id
+"""
+
+
+@register("multimodal_resize_thumbnail", oracle=_RESIZE_ORACLE)
 def multimodal_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8x8 thumbnails of the PGM payloads + output metadata. The
     plumbing under test: binary column in AND out of an Arrow batch,

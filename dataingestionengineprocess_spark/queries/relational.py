@@ -460,24 +460,56 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A3: approximate count-distinct (HyperLogLog++). No SQL oracle -- the
-# estimate is engine-specific by construction; driver does rows-only.
-# At 100 TB this replaces exact countDistinct's full shuffle with a
-# constant-size sketch merge.
+# A3: approximate count-distinct (HyperLogLog++) under a BOUNDED-ERROR
+# oracle. The estimate itself is engine-specific (no SQL twin can
+# reproduce HLL++ register state), so the query emits the sketch's
+# CONTRACT instead of its value: a `within_bound` boolean comparing the
+# estimate to the exact distinct count at 3x the requested rsd (three
+# standard errors -- deterministic-pass territory for HLL++). The
+# DuckDB oracle recomputes the exact counts and asserts the booleans
+# TRUE, so a sketch breaching its bound hash-mismatches. At 100 TB the
+# approx path replaces exact countDistinct's full expand-shuffle with a
+# constant-size mergeable sketch; the exact counts here exist only to
+# ground the oracle.
 # ---------------------------------------------------------------------------
 
+_APPROX_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       count(DISTINCT l_partkey)  AS exact_parts,
+       TRUE AS orders_within_bound,
+       TRUE AS parts_within_bound
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
 
-@register("agg_approx_distinct")
+
+@register("agg_approx_distinct", oracle=_APPROX_DISTINCT_ORACLE)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    rsd = 0.02
+    agg = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", rsd).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
         )
-        .orderBy("l_returnflag")
     )
+
+    def bound(approx: str, exact: str):
+        return (
+            F.abs(F.col(approx) - F.col(exact))
+            <= F.lit(3 * rsd) * F.col(exact)
+        )
+
+    return agg.select(
+        "l_returnflag", "exact_orders", "exact_parts",
+        bound("approx_orders", "exact_orders").alias("orders_within_bound"),
+        bound("approx_parts", "exact_parts").alias("parts_within_bound"),
+    ).orderBy("l_returnflag")
 
 
 # ---------------------------------------------------------------------------
@@ -965,17 +997,34 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A3-adjacent: percentile_approx -- the KLL-sketch quantiles actually
-# run at 100 TB (single pass, mergeable, bounded memory; the exact
-# percentile needs a per-group sort). Sketch internals are
-# engine-specific => rows-only driver check; accuracy vs the exact
-# percentiles is pytest-asserted.
+# A3-adjacent: percentile_approx -- the GK/KLL-style sketch quantiles
+# actually run at 100 TB (single pass, mergeable, bounded memory; the
+# exact percentile needs a per-group sort). Sketch internals are
+# engine-specific, so like agg_approx_distinct the query ships the
+# sketch's CONTRACT as the oracle: the approx quantile's guarantee is
+# on RANK, not value, so each estimate is asserted to lie inside the
+# exact interpolated [p-0.01, p+0.01] rank window (50x the sketch's
+# 1/accuracy rank error). The oracle recomputes group sizes + exact
+# quantiles and asserts the booleans TRUE. agg_percentiles (hash-green
+# since r1) proves round(quantile_cont, 4) parity on this fixture.
 # ---------------------------------------------------------------------------
 
+_APPROX_PCTL_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_exact,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact,
+       TRUE AS median_within_bound,
+       TRUE AS p90_within_bound
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
 
-@register("agg_approx_percentiles")
+
+@register("agg_approx_percentiles", oracle=_APPROX_PCTL_ORACLE)
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    agg = (
         load(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
@@ -984,9 +1033,21 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("median_approx"),
             F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000))
             .alias("p90_approx"),
+            *[
+                F.percentile("o_totalprice", F.lit(q)).alias(f"__q{i}")
+                for i, q in enumerate((0.49, 0.5, 0.51, 0.89, 0.9, 0.91))
+            ],
         )
-        .orderBy("o_orderpriority")
     )
+    return agg.select(
+        "o_orderpriority", "n_orders",
+        F.round("__q1", 4).alias("median_exact"),
+        F.round("__q4", 4).alias("p90_exact"),
+        F.col("median_approx").between(F.col("__q0"), F.col("__q2"))
+        .alias("median_within_bound"),
+        F.col("p90_approx").between(F.col("__q3"), F.col("__q5"))
+        .alias("p90_within_bound"),
+    ).orderBy("o_orderpriority")
 
 
 # ---------------------------------------------------------------------------

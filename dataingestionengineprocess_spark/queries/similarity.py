@@ -332,23 +332,60 @@ def knn_pq_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@register("knn_pq_index_search")
+_PQ_INDEX_EQ_ORACLE = """
+SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+       TRUE AS paths_agree
+FROM embeddings WHERE vec_id < 10 ORDER BY vec_id
+"""
+
+
+@register("knn_pq_index_search", oracle=_PQ_INDEX_EQ_ORACLE)
 def knn_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The build-once/search-many PQ workflow: materialize the index
-    (codes + codebooks as versioned tables), then answer the top-k
-    from the persisted codes. Returns exactly what knn_pq_ann returns
-    (same training rule) -- asserted in pytest -- so the persisted
-    path is provably lossless vs the direct path. Rows-only check."""
+    """The build-once/search-many PQ workflow with the deployable
+    k-means codebooks: materialize the index (codes + codebooks as
+    versioned tables), then answer the top-k from the persisted codes.
+
+    The k-means neighbors are engine-specific, so (bounded-error
+    oracle family) the query emits the INVARIANT the workflow
+    guarantees instead of the neighbors: per query, the persisted-
+    index path must return exactly the direct `pq_topk` answer (same
+    training rule, so index round-trip is lossless) and exactly k
+    rows. The oracle enumerates the query ids and asserts both facts,
+    turning the former pytest-only equality into a value-hash check.
+    The full neighbor lists are still hash-checked end to end by
+    `knn_pq_index_portable`'s SQL-replica oracle."""
     from ..catalog import scratch_dir
-    from ..operators.quantize import build_pq_index, pq_search_index
+    from ..operators.quantize import build_pq_index, pq_search_index, pq_topk
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     idx = scratch_dir("pq_index", sf_dir)
     build_pq_index(emb, idx)
-    return pq_search_index(
-        spark, idx, queries, emb, k=5, refine=48
-    ).orderBy("query_id", "rank")
+    from_index = pq_search_index(spark, idx, queries, emb, k=5, refine=48)
+    direct = pq_topk(emb, queries, k=5, m=8, ks=16, refine=48)
+    cols = ["query_id", "neighbor_id", "rank"]
+    both = from_index.select(*cols).withColumn("__side", F.lit(1)).unionByName(
+        direct.select(*cols).withColumn("__side", F.lit(2))
+    )
+    return (
+        both.groupBy("query_id")
+        .agg(
+            (F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)))
+            .alias("n_results"),
+            # every (neighbor_id, rank) must appear on BOTH sides:
+            # count of distinct pairs == count of pairs from one side,
+            # and both sides the same size
+            F.countDistinct("neighbor_id", "rank").alias("__n_pairs"),
+            F.count("*").alias("__n_rows"),
+        )
+        .select(
+            "query_id", "n_results",
+            ((F.col("__n_rows") == 2 * F.col("__n_pairs"))
+             & (F.col("__n_pairs") == F.col("n_results")))
+            .alias("paths_agree"),
+        )
+        .orderBy("query_id")
+    )
 
 
 @register("knn_pq_index_portable", oracle=_pq_portable_oracle())

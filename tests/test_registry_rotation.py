@@ -16,20 +16,28 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _artifact_names() -> set[str]:
-    seen = set()
+    """Mirror of the registry rule: hash rows count forever; rows-only
+    (no_oracle) rows count only while the query still has no oracle --
+    an oracle upgrade must send the query back to the front for a
+    full-strength re-check."""
+    hash_seen, rows_only = set(), set()
     for name in sorted(os.listdir(ROOT)):
         if name.startswith("CORRECTNESS_r") and name.endswith(".json"):
             with open(os.path.join(ROOT, name)) as f:
                 art = json.load(f)
             for q, res in art.items():
-                if isinstance(res, dict) and (
-                    res.get("hash_match") or res.get("err") == "no_oracle"
-                ):
-                    seen.add(q)
-    return seen
+                if not isinstance(res, dict):
+                    continue
+                if res.get("hash_match"):
+                    hash_seen.add(q)
+                elif res.get("err") == "no_oracle":
+                    rows_only.add(q)
+    oracles = set(reg.all_oracles())
+    return hash_seen | {q for q in rows_only if q not in oracles}
 
 
 def test_verified_names_match_artifacts():
+    reg.all_queries()  # ensure registry is loaded before the mirror
     assert reg._driver_verified_names() == _artifact_names()
 
 
