@@ -73,6 +73,11 @@ def _load_all() -> None:
     from . import relational  # noqa: F401
     from . import windows  # noqa: F401
     from . import streaming  # noqa: F401
+    # round-4+ additions import LAST: new unverified queries append to
+    # the BACK of the unverified tier, so a mid-round addition never
+    # displaces an already-pre-flighted entry out of the driver's
+    # ~50-query correctness window.
+    from . import round4  # noqa: F401
 
 
 _LOADED = False
