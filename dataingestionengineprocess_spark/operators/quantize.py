@@ -122,13 +122,24 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
         cent = kmeans_centroids_local(
             corpus, n_clusters, id_col=id_col, vec_col=vec_col,
         )
+        cvecs = [list(r["carr"]) for r in
+                 sorted(cent.collect(), key=lambda r: r["clabel"])]
+    elif train == "portable":
+        # Engine-portable centroids: the n_clusters corpus vectors in
+        # (md5(id), id) order -- the ONE shared init rule
+        # (similarity.portable_init_sample), so a DuckDB oracle can
+        # replay the cluster assignment bit-exactly (same rule the
+        # portable IVF/PQ twins already hash-check).
+        from .similarity import portable_init_sample
+
+        cvecs = portable_init_sample(corpus, n_clusters, id_col, vec_col)
     else:
         cent = kmeans_centroids(
             corpus, n_clusters, id_col=id_col, vec_col=vec_col,
             max_iter=kmeans_iter, sample_mod=sample_mod,
         )
-    cvecs = [list(r["carr"]) for r in
-             sorted(cent.collect(), key=lambda r: r["clabel"])]
+        cvecs = [list(r["carr"]) for r in
+                 sorted(cent.collect(), key=lambda r: r["clabel"])]
 
     best = F.array_max(_centroid_score_structs(as_double(vec_col), cvecs))
     assigned = corpus.select(

@@ -207,3 +207,132 @@ def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup certificate under the oracle gate. The greedy
+# farthest-first prune's kept/dropped partition is engine-side (a
+# sequential scan inside applyInPandas -- not SQL-expressible), so
+# like the bounded-error sketch family the query ships the
+# algorithm's CONTRACT per cluster:
+#   drops_sound  -- every dropped vector names a rep that is KEPT, in
+#                   the SAME cluster, with recomputed cosine >=
+#                   threshold (up to 1e-9 for fold-order ulp);
+#   kept_sample_diverse -- no two kept vectors (certificate capped at
+#                   the first 300 per cluster by id; full pairwise is
+#                   O(kept^2) and this is the region any violation
+#                   would appear in first) reach the threshold.
+# Cluster assignment uses train='portable' (the shared md5-init rule),
+# so the per-cluster memberships ARE SQL-replicable: the oracle
+# replays the assignment (same CTEs as the hash-checked IVF portable
+# twin, queries/similarity._ivf_portable_oracle) to verify n_vectors
+# and asserts the certificate booleans TRUE. Soundness + maximality
+# pin SemDeDup's semantics up to greedy order; the recall behavior of
+# the deployable k-means configuration stays covered by
+# `dedup_semantic_embedding`'s planted-dup pytest.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_PORTABLE_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+samp AS (
+  SELECT vec_id, v,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+             - 1 AS j
+  FROM e QUALIFY j < 8
+),
+cent AS (
+  SELECT j, v AS cv,
+         sqrt(list_sum([v[i] * v[i] for i in range(1, 65)])) AS nrm
+  FROM samp
+),
+assign AS (
+  SELECT e.vec_id, c.j,
+         list_sum([e.v[i] * (c.cv[i] / c.nrm) for i in range(1, 65)]) AS score
+  FROM e, cent c
+),
+best AS (
+  SELECT vec_id, j AS clabel FROM (
+    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, j) AS rn
+    FROM assign
+  ) WHERE rn = 1
+)
+SELECT CAST(clabel AS INT) AS clabel,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       TRUE AS drops_sound,
+       TRUE AS kept_sample_diverse
+FROM best GROUP BY clabel ORDER BY clabel
+"""
+
+
+@register("dedup_semantic_portable", oracle=_SEMDEDUP_PORTABLE_ORACLE)
+def dedup_semantic_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vectors import as_double, cosine
+    from ..operators.quantize import semantic_dedup
+
+    threshold, eps = 0.92, 1e-9
+    emb = load(spark, sf_dir, "embeddings")
+    res = semantic_dedup(
+        emb, threshold=threshold, n_clusters=8, train="portable"
+    ).localCheckpoint(eager=True)
+    vecs = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        as_double("embedding").alias("v"),
+    )
+
+    kept = res.filter("keep")
+    drops = (
+        res.filter(~F.col("keep"))
+        .select("vec_id", "clabel", "rep_id")
+        .join(vecs, "vec_id")
+        .join(
+            kept.select(F.col("vec_id").alias("rep_id"),
+                        F.col("clabel").alias("rep_clabel")),
+            "rep_id", "left",
+        )
+        .join(vecs.select(F.col("vec_id").alias("rep_id"),
+                          F.col("v").alias("rep_v")),
+              "rep_id", "left")
+    )
+    drop_cert = drops.groupBy("clabel").agg(
+        F.min(
+            F.col("rep_clabel").isNotNull()
+            & (F.col("rep_clabel") == F.col("clabel"))
+            & (cosine(F.col("v"), F.col("rep_v")) >= threshold - eps)
+        ).alias("drops_sound")
+    )
+
+    capped = (
+        kept.withColumn(
+            "rn", F.row_number().over(
+                Window.partitionBy("clabel").orderBy("vec_id"))
+        )
+        .filter(F.col("rn") <= 300)
+        .join(vecs, "vec_id")
+        .select("clabel", "rn", "v")
+    )
+    pairs = capped.alias("a").join(
+        capped.alias("b"),
+        (F.col("a.clabel") == F.col("b.clabel"))
+        & (F.col("a.rn") < F.col("b.rn")),
+    )
+    diverse_cert = pairs.groupBy(F.col("a.clabel").alias("clabel")).agg(
+        F.min(
+            cosine(F.col("a.v"), F.col("b.v")) < threshold + eps
+        ).alias("kept_sample_diverse")
+    )
+
+    return (
+        res.groupBy("clabel").agg(F.count("*").alias("n_vectors"))
+        .join(drop_cert, "clabel", "left")
+        .join(diverse_cert, "clabel", "left")
+        .select(
+            "clabel", "n_vectors",
+            F.coalesce("drops_sound", F.lit(True)).alias("drops_sound"),
+            F.coalesce("kept_sample_diverse", F.lit(True))
+            .alias("kept_sample_diverse"),
+        )
+        .orderBy("clabel")
+    )
