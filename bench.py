@@ -171,6 +171,12 @@ BENCH_QUERIES = [
     # portable rolling-hash + perceptual-hash twins
     "text_rolling_hash_portable",
     "multimodal_phash_portable",
+    # --- round-4 additions ---
+    # the JDBC round-trip (embedded Derby write + partitioned read +
+    # broadcast enrich -- a real external-endpoint cost profile) and
+    # the Gopher-style repetition filter pass
+    "source_jdbc_roundtrip",
+    "text_repetition_filters",
 ]
 
 

@@ -163,26 +163,29 @@ def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     float; the reported fractions round via the floor(x*1e6+0.5)
     portable rule (FIXTURES.md)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select(
-        "doc_id", F.split("text", " ").alias("t")
-    ).withColumn("len", F.size("t"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
 
-    def grams(n: int):
+    # Both n-gram families from ONE scan/Generate: each doc projects a
+    # single array of (n, gram) structs (2-grams ++ 3-grams) and
+    # explodes once -- a union of per-n branches would scan the text
+    # column twice, doubling the dominant IO at corpus scale.
+    def gram_structs(n: int) -> str:
+        g = " || ' ' || ".join(f"element_at(t, i + {j})" for j in range(n))
         return (
-            toks.filter(F.col("len") >= n)
-            .select(
-                "doc_id", F.lit(n).alias("n"),
-                F.explode(F.expr(
-                    f"transform(sequence(1, size(t) - {n - 1}), i -> "
-                    + " || ' ' || ".join(
-                        f"element_at(t, i + {j})" for j in range(n)
-                    ) + ")"
-                )).alias("g"),
-            )
+            f"if(size(t) >= {n}, "
+            f"transform(sequence(1, size(t) - {n - 1}), "
+            f"i -> named_struct('n', {n}, 'g', {g})), "
+            f"cast(array() as array<struct<n:int,g:string>>))"
         )
 
     cnt = (
-        grams(2).unionByName(grams(3))
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"{gram_structs(2)} || {gram_structs(3)}")
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
         .groupBy("doc_id", "n", "g")
         .agg(F.count("*").alias("c"))
     )

@@ -589,3 +589,45 @@ def test_python_datasource_batch_append_markers_accumulate(spark, tmp_path):
         success = json.load(f)
     assert set(success["files"]) == set(parts)
     assert success["rows"] == 30
+
+
+def test_python_datasource_batch_commit_never_sweeps_concurrent_files(
+        tmp_path):
+    """Batch appends carry no serial-commit guarantee: job A's part-
+    files, renamed into place but not yet claimed by A's marker (A is
+    mid-commit), must SURVIVE job B's commit to the same directory.
+    Only the streaming path (driver-serial epochs) sweeps orphans."""
+    import json
+    import os
+
+    from pyspark.sql import Row
+    from dataingestionengineprocess_spark.sources.python_datasource import (
+        PartnerFeedWriter,
+    )
+
+    out = str(tmp_path / "concurrent_batch")
+    rows = [Row(id=i, partner=f"P{i % 7}", amount=float(i)) for i in range(5)]
+
+    # job 0 commits cleanly so markers exist on disk
+    w0 = PartnerFeedWriter({"path": out})
+    w0.commit([w0.write(iter(rows))])
+
+    # job A: data rename done, marker not yet written (mid-commit)
+    wa = PartnerFeedWriter({"path": out})
+    ma = wa.write(iter(rows))
+    a_final = ma.tmp_path.replace("/.tmp-", "/part-")
+    os.rename(ma.tmp_path, a_final)
+
+    # job B commits concurrently -- it must NOT delete A's file
+    wb = PartnerFeedWriter({"path": out})
+    wb.commit([wb.write(iter(rows))])
+
+    assert os.path.exists(a_final), (
+        "concurrent batch commit swept another job's in-flight file"
+    )
+    # B's marker (shared _SUCCESS) claims its own + job 0's files only
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        claimed = set(json.load(f)["files"])
+    assert os.path.basename(a_final) not in claimed
+    parts = {n for n in os.listdir(out) if n.startswith("part-")}
+    assert claimed < parts and len(parts) == 3
