@@ -339,3 +339,177 @@ def dedup_semantic_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("clabel")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Data Selection with Importance
+# Resampling, Xie et al. 2023 -- public method): score every document
+# by how much more likely its hashed n-gram bag is under a TARGET
+# distribution (here: the corpus's English documents, standing in for
+# "high-quality reference") than under the raw SOURCE distribution,
+# then Gumbel-top-k sample the highest importance weights. This is
+# the data-mixing selector a pretraining pipeline runs between
+# dedup and packing.
+#
+# Scale shape: features hash into B=128 buckets (corpus-size-
+# independent model state); both multinomial models are ONE groupBy
+# over the (doc, bucket) counts; the 128-row log-ratio table
+# broadcasts; the per-doc weight is a deterministic ordered fold
+# (array_sort + aggregate -- the text_unigram_logprob idiom, bit-
+# stable across engines); selection is TakeOrdered(k) for the
+# threshold + a broadcast scalar comparison, never a global
+# single-partition window. Everything -- md5 bucket hash, Laplace
+# smoothing, log-ratio, md5-derived Gumbel noise, the top-k rule --
+# is replayed by the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 128
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, unnest(
+    t || coalesce(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1]), [])
+  ) AS g
+  FROM toks
+),
+feat AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(g), 1, 6) AS BIGINT) % {_DSIR_B} AS b,
+         count(*) AS c
+  FROM grams GROUP BY 1, 2, 3
+),
+model AS (
+  SELECT b,
+         sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS ct,
+         sum(c) AS cs
+  FROM feat GROUP BY b
+),
+tot AS (SELECT sum(ct) AS t_n, sum(cs) AS s_n FROM model),
+ratio AS (
+  SELECT b, ln(((ct + 1.0) / (t_n + {_DSIR_B}))
+               / ((cs + 1.0) / (s_n + {_DSIR_B}))) AS lr
+  FROM model, tot
+),
+dw AS (
+  SELECT f.doc_id,
+         list_sum(list(f.c * r.lr ORDER BY f.b)) AS logw
+  FROM feat f JOIN ratio r USING (b) GROUP BY f.doc_id
+),
+sc AS (
+  SELECT doc_id, logw,
+         logw - ln(-ln(
+           (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                 AS BIGINT) + 1) / 16777217.0)) AS score
+  FROM dw
+),
+ranked AS (
+  SELECT doc_id, logw,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rnk,
+         count(*) OVER () AS n
+  FROM sc
+)
+SELECT doc_id,
+       floor(logw * 1e4 + 0.5) / 1e4 AS logw,
+       (rnk <= CAST(floor(n * 0.25) AS BIGINT)) AS selected
+FROM ranked ORDER BY doc_id
+"""
+
+
+@register("curation_dsir_weights", oracle=_DSIR_ORACLE)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = _DSIR_B
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = docs.select(
+        "doc_id", "lang", F.split("text", " ").alias("t")
+    )
+    # unigrams ++ bigrams from ONE scan/Generate
+    grams = toks.select(
+        "doc_id", "lang",
+        F.explode(F.expr(
+            "t || coalesce(transform(sequence(1, size(t) - 1), "
+            "i -> element_at(t, i) || ' ' || element_at(t, i + 1)), "
+            "cast(array() as array<string>))"
+        )).alias("g"),
+    )
+    feat = (
+        grams.withColumn(
+            "b",
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 6),
+                       16, 10).cast("long"),
+                F.lit(B),
+            ),
+        )
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("c"))
+        # feat feeds the model aggregate AND the per-doc fold;
+        # materialize so the explode+hash scan runs once
+        .localCheckpoint(eager=True)
+    )
+    model = feat.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0))
+        .alias("ct"),
+        F.sum("c").alias("cs"),
+    )
+    tot = model.agg(F.sum("ct").alias("t_n"), F.sum("cs").alias("s_n"))
+    ratio = model.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.log(
+            ((F.col("ct") + F.lit(1.0)) / (F.col("t_n") + F.lit(float(B))))
+            / ((F.col("cs") + F.lit(1.0)) / (F.col("s_n") + F.lit(float(B))))
+        ).alias("lr"),
+    )
+    ordered_sum = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("b", "term"))),
+            lambda s: s.getField("term"),
+        ),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    dw = (
+        feat.join(F.broadcast(ratio), "b")
+        .select("doc_id", "b", (F.col("c") * F.col("lr")).alias("term"))
+        .groupBy("doc_id")
+        .agg(ordered_sum.alias("logw"))
+    )
+    u = (
+        (F.conv(F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 6),
+            16, 10).cast("long") + F.lit(1))
+        / F.lit(16777217.0)
+    )
+    sc = dw.select(
+        "doc_id", "logw",
+        (F.col("logw") - F.log(-F.log(u))).alias("score"),
+    ).localCheckpoint(eager=True)
+
+    n_docs = sc.count()
+    k = int(n_docs * 0.25)
+    # threshold = the k-th (score DESC, doc_id ASC) entry, found with
+    # TakeOrdered(k) -- no global single-partition window
+    kth = (
+        sc.select(F.struct(
+            (-F.col("score")).alias("neg"), F.col("doc_id").alias("d")
+        ).alias("key"))
+        .orderBy("key")
+        .limit(k)
+        .agg(F.max("key").alias("key"))
+    )
+    return (
+        sc.crossJoin(F.broadcast(kth))
+        .select(
+            "doc_id",
+            (F.floor(F.col("logw") * 1e4 + 0.5) / 1e4).alias("logw"),
+            (
+                (F.lit(k) > 0)
+                & (F.struct(
+                    (-F.col("score")).alias("neg"),
+                    F.col("doc_id").alias("d"),
+                ) <= F.col("key"))
+            ).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
