@@ -133,13 +133,18 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
         from .similarity import portable_init_sample
 
         cvecs = portable_init_sample(corpus, n_clusters, id_col, vec_col)
-    else:
+    elif train == "distributed":
         cent = kmeans_centroids(
             corpus, n_clusters, id_col=id_col, vec_col=vec_col,
             max_iter=kmeans_iter, sample_mod=sample_mod,
         )
         cvecs = [list(r["carr"]) for r in
                  sorted(cent.collect(), key=lambda r: r["clabel"])]
+    else:
+        # same guard as build_pq_index: a typo'd mode must raise, not
+        # silently fall through to an engine-specific trainer under an
+        # oracle-backed caller
+        raise ValueError(f"unknown train mode {train!r}")
 
     best = F.array_max(_centroid_score_structs(as_double(vec_col), cvecs))
     assigned = corpus.select(

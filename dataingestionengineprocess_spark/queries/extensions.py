@@ -452,34 +452,41 @@ def agg_cms_supplier_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts both booleans TRUE."""
     from ..operators.cms import cms_point_estimates
 
+    from ..operators.cms import cms_estimate
+
     eps = 0.0001
     li = load(spark, sf_dir, "lineitem")
-    n_total = li.count()
-    ests = cms_point_estimates(li, "l_suppkey", probes=_CMS_PROBES, eps=eps)
-    # Exact probe counts: the isin predicate pushes to the parquet
-    # scan, so the groupBy aggregates only probe rows; the result is
-    # <= len(probes) rows and joins the (equally tiny) estimate table
-    # without any large-side shuffle. A probe absent from the data
-    # (small sf) counts 0 -- CMS still never undercounts it.
-    exact = (
-        li.filter(F.col("l_suppkey").isin(_CMS_PROBES))
-        .groupBy("l_suppkey")
-        .agg(F.count("*").alias("exact_count"))
-    )
-    return (
-        ests.join(F.broadcast(exact), "l_suppkey", "left")
-        .withColumn("exact_count",
-                    F.coalesce("exact_count", F.lit(0)))
-        .select(
-            "l_suppkey", "exact_count",
-            (F.col("est_count") >= F.col("exact_count"))
-            .alias("never_undercount"),
-            (F.col("est_count")
-             <= F.col("exact_count") + F.lit(eps * n_total))
-            .alias("within_eps"),
-        )
-        .orderBy("l_suppkey")
-    )
+    # ONE global aggregate carries everything the certificate needs:
+    # the CMS sketch, the total row count (for eps*N), and one exact
+    # conditional count per probe -- a single lineitem scan with no
+    # groupBy shuffle (global agg partials merge map-side), instead of
+    # separate sketch-build + probe-count + count() passes.
+    row = li.agg(
+        F.expr(
+            f"count_min_sketch(l_suppkey, {eps}d, 0.99d, 42)"
+        ).alias("sk"),
+        F.count("*").alias("n_total"),
+        *[
+            F.sum(F.when(F.col("l_suppkey") == p, 1).otherwise(0))
+            .alias(f"c{p}")
+            for p in _CMS_PROBES
+        ],
+    ).collect()[0]
+    ests = cms_estimate(spark, bytes(row["sk"]), _CMS_PROBES)
+    n_total = int(row["n_total"])
+    return spark.createDataFrame(
+        [
+            (
+                p,
+                int(row[f"c{p}"]),
+                e >= row[f"c{p}"],
+                e <= row[f"c{p}"] + eps * n_total,
+            )
+            for p, e in zip(_CMS_PROBES, ests)
+        ],
+        "l_suppkey long, exact_count long, "
+        "never_undercount boolean, within_eps boolean",
+    ).orderBy("l_suppkey")
 
 
 # ---------------------------------------------------------------------------

@@ -235,22 +235,31 @@ def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `dedup_semantic_embedding`'s planted-dup pytest.
 # ---------------------------------------------------------------------------
 
-_SEMDEDUP_PORTABLE_ORACLE = """
+#: shared between the Spark call site and the oracle f-string (the
+#: _DSIR_B pattern) -- a drifting literal would make DuckDB's list
+#: indexing silently NULL-truncate past the real dimension instead of
+#: erroring
+_SEMDEDUP_K = 8
+_SEMDEDUP_DIM = 64
+
+_SEMDEDUP_PORTABLE_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 samp AS (
   SELECT vec_id, v,
          row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
              - 1 AS j
-  FROM e QUALIFY j < 8
+  FROM e QUALIFY j < {_SEMDEDUP_K}
 ),
 cent AS (
   SELECT j, v AS cv,
-         sqrt(list_sum([v[i] * v[i] for i in range(1, 65)])) AS nrm
+         sqrt(list_sum([v[i] * v[i]
+                        for i in range(1, {_SEMDEDUP_DIM + 1})])) AS nrm
   FROM samp
 ),
 assign AS (
   SELECT e.vec_id, c.j,
-         list_sum([e.v[i] * (c.cv[i] / c.nrm) for i in range(1, 65)]) AS score
+         list_sum([e.v[i] * (c.cv[i] / c.nrm)
+                   for i in range(1, {_SEMDEDUP_DIM + 1})]) AS score
   FROM e, cent c
 ),
 best AS (
@@ -277,8 +286,14 @@ def dedup_semantic_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     threshold, eps = 0.92, 1e-9
     emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    if dim != _SEMDEDUP_DIM:
+        raise ValueError(
+            f"embeddings have dim {dim}; oracle is built for "
+            f"{_SEMDEDUP_DIM} -- update _SEMDEDUP_DIM"
+        )
     res = semantic_dedup(
-        emb, threshold=threshold, n_clusters=8, train="portable"
+        emb, threshold=threshold, n_clusters=_SEMDEDUP_K, train="portable"
     ).localCheckpoint(eager=True)
     vecs = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -428,8 +443,12 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unigrams ++ bigrams from ONE scan/Generate
     grams = toks.select(
         "doc_id", "lang",
+        # size guard, not just coalesce: sequence(1, 0) is the
+        # DESCENDING [1, 0] in Spark (not empty like DuckDB's
+        # range(1, 1)), and element_at would then throw on any
+        # single-token document
         F.explode(F.expr(
-            "t || coalesce(transform(sequence(1, size(t) - 1), "
+            "t || if(size(t) >= 2, transform(sequence(1, size(t) - 1), "
             "i -> element_at(t, i) || ' ' || element_at(t, i + 1)), "
             "cast(array() as array<string>))"
         )).alias("g"),

@@ -576,41 +576,64 @@ def stage_incremental_epochs(spark: SparkSession, sf_dir: str) -> str:
     """Test/bench SCAFFOLDING, deliberately outside the measured query
     body: materialize the documents table as a 3-epoch parquet drop
     directory (one file per epoch, strictly-increasing mtimes so the
-    file source replays epochs in order). Staged ONCE per sf_dir and
-    reused across calls -- a `_STAGED` sentinel (underscore-prefixed,
-    so parquet readers ignore it) marks a complete staging; a crashed
-    partial staging lacks it and is wiped and rebuilt. This keeps the
-    bench figure for `stream_incremental_dedup` the ADMISSION cost
-    (drain + per-batch corpus join), not fixture file plumbing."""
+    file source replays epochs in order). Staged ONCE per source
+    fixture and reused across calls. Two hazards of a naive cache are
+    handled explicitly:
+
+    - STALENESS: the cache key is a fingerprint of the source
+      documents parquet (path + per-file size + mtime), so a
+      regenerated fixture at the same sf_dir stages fresh instead of
+      silently draining old epochs against a new oracle table.
+    - CONCURRENCY: staging builds in a process-unique temp directory
+      and publishes with ONE atomic rename; a concurrent stager that
+      loses the race discards its build. No partially-staged or
+      doubly-appended directory is ever visible under the final path.
+
+    This keeps the bench figure for `stream_incremental_dedup` the
+    ADMISSION cost (drain + per-batch corpus join), not fixture file
+    plumbing."""
+    import glob
     import hashlib
     import os
     import shutil
     import tempfile
+    import uuid
 
-    from ..catalog import load
+    from ..catalog import load, table_path
 
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src_table = table_path(sf_dir, "documents")
+    ident = [src_table]
+    for fp in sorted(glob.glob(src_table)
+                     or glob.glob(os.path.join(src_table, "*"))
+                     or [src_table]):
+        try:
+            st = os.stat(fp)
+            ident.append(f"{fp}#{st.st_size}#{st.st_mtime_ns}")
+        except OSError:
+            ident.append(f"{fp}#gone")
+    suffix = hashlib.md5("|".join(ident).encode()).hexdigest()[:12]
     src = os.path.join(tempfile.gettempdir(), f"engine_epochsrc_{suffix}")
-    marker = os.path.join(src, "_STAGED")
-    if os.path.exists(marker):
+    if os.path.isdir(src):
         return src
-    shutil.rmtree(src, ignore_errors=True)
+    build = f"{src}.build-{uuid.uuid4().hex}"
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     stamped: set[str] = set()
     for k in range(3):
         (docs.filter(F.col("doc_id") % 3 == k)
-         .coalesce(1).write.mode("append").parquet(src))
+         .coalesce(1).write.mode("append").parquet(build))
         # Strictly-increasing mtimes per EPOCH (part-file names are
         # uuid-random, so "new since last write" is the only reliable
         # write-order signal): the file source orders pending files by
         # modification time, so epochs arrive in order.
-        for name in os.listdir(src):
+        for name in os.listdir(build):
             if name.endswith(".parquet") and name not in stamped:
                 t = 1e9 + k * 10
-                os.utime(os.path.join(src, name), (t, t))
+                os.utime(os.path.join(build, name), (t, t))
                 stamped.add(name)
-    with open(marker, "w") as f:
-        f.write("ok")
+    try:
+        os.rename(build, src)  # atomic publish; loser of a race fails
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)
     return src
 
 

@@ -217,8 +217,20 @@ class _JsonlWriterBase:
         # explicit maintenance, reclaims true batch orphans). Also
         # skipped when any marker is unreadable/legacy (committed is
         # None) -- then no file's provenance is provable and deleting
-        # would risk committed data.
-        committed = self._committed_files() if sweep_orphans else None
+        # would risk committed data. Also skipped when the directory
+        # shows BATCH traffic (a `_SUCCESS` marker): a concurrent
+        # batch append's renamed-but-not-yet-claimed part- files would
+        # look like stream orphans, and stream-vs-batch commits are
+        # not serialized. (A batch append whose FIRST commit is
+        # in-flight leaves no marker yet -- mixing a live stream with
+        # a first-time batch append on one directory stays
+        # unsupported, as documented.)
+        mixed = sweep_orphans and os.path.exists(
+            os.path.join(self.path, "_SUCCESS")
+        )
+        committed = (
+            self._committed_files() if sweep_orphans and not mixed else None
+        )
         if committed is not None:
             for name in os.listdir(self.path):
                 if name.startswith("part-") and name not in committed:

@@ -631,3 +631,39 @@ def test_python_datasource_batch_commit_never_sweeps_concurrent_files(
     assert os.path.basename(a_final) not in claimed
     parts = {n for n in os.listdir(out) if n.startswith("part-")}
     assert claimed < parts and len(parts) == 3
+
+
+def test_stream_commit_defers_sweep_in_mixed_batch_dir(tmp_path):
+    """A directory with batch history (`_SUCCESS` present) must make
+    the streaming commit SKIP its orphan sweep: an in-flight batch
+    append's renamed-but-unclaimed part- files are indistinguishable
+    from stream orphans, and stream-vs-batch commits are not
+    serialized."""
+    import os
+
+    from pyspark.sql import Row
+    from dataingestionengineprocess_spark.sources.python_datasource import (
+        PartnerFeedStreamWriter,
+        PartnerFeedWriter,
+    )
+
+    out = str(tmp_path / "mixed")
+    rows = [Row(id=i, partner=f"P{i % 7}", amount=float(i)) for i in range(5)]
+
+    # batch job 0 commits (_SUCCESS now exists)
+    wb = PartnerFeedWriter({"path": out})
+    wb.commit([wb.write(iter(rows))])
+
+    # batch job A mid-commit: renamed, not yet claimed by _SUCCESS
+    wa = PartnerFeedWriter({"path": out})
+    ma = wa.write(iter(rows))
+    a_final = ma.tmp_path.replace("/.tmp-", "/part-")
+    os.rename(ma.tmp_path, a_final)
+
+    # a streaming epoch commits into the same directory
+    ws = PartnerFeedStreamWriter({"path": out})
+    ws.commit([ws.write(iter(rows))], 0)
+
+    assert os.path.exists(a_final), (
+        "stream commit swept a concurrent batch append's file"
+    )
