@@ -88,6 +88,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_minhash_lsh")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, deployable xxhash64 configuration.
+    Rows-only by design: the banded signatures are engine-native hash
+    values no independent SQL engine can reproduce. Hash evidence for
+    the family comes from `dedup_minhash_portable` (same operator
+    code, md5 hash family, full DuckDB replica oracle -- hash-checked
+    in round 3); recall vs exact Jaccard is pytest-asserted here.
+    """
     docs = load(spark, sf_dir, "documents")
     return minhash_neardup_pairs(
         docs, num_hashes=32, bands=16, est_threshold=0.5,
@@ -178,6 +185,12 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, deployable xxhash64 bit votes.
+    Rows-only by design (engine-native hashes); the md5-portable twin
+    `dedup_simhash_portable` hash-checks the identical pipeline
+    (shingles, bit votes, pigeonhole chunk join, hamming filter), and
+    pytest asserts the planted-near-dup recall on this default.
+    """
     docs = load(spark, sf_dir, "documents")
     return simhash_neardup_pairs(
         docs, max_hamming=3,
@@ -408,6 +421,14 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_semantic_embedding")
 def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pruning, deployable k-means-quantizer configuration.
+    Rows-only by design: both the cluster labels (k-means fit) and the
+    kept set (sequential greedy scan) are engine-side choices no SQL
+    replica can replay. `dedup_semantic_portable` hash-checks the
+    family's contract (portable assignment + per-cluster soundness /
+    diversity certificate); planted-dup recall is pytest-asserted
+    here.
+    """
     from ..operators.quantize import semantic_dedup
 
     emb = load(spark, sf_dir, "embeddings")

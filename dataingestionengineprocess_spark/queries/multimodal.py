@@ -358,6 +358,11 @@ def _payload_blocks(docs: DataFrame) -> DataFrame:
 
 @register("multimodal_phash_neardup")
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over binary payload blocks, deployable
+    xxhash64 votes. Rows-only by design (engine-native hashes);
+    `multimodal_phash_portable` hash-checks the identical
+    block-shingle pipeline with md5 votes end to end.
+    """
     from ..operators.dedup import simhash_neardup_pairs
 
     docs = load(spark, sf_dir, "documents")

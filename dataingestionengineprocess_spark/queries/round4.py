@@ -532,3 +532,99 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer certificate. The merge LOOP is not SQL-expressible
+# (each round's argmax depends on the previous round's rewrite), so
+# `text_bpe_train_merges` stays rows-only with a pure-Python-reference
+# pytest -- but two strong facts ARE oracle-checkable and give the
+# family driver-hash evidence:
+#   first_merge -- round 1 needs no recursion: the oracle recomputes
+#       the word-frequency-weighted adjacent-character pair argmax
+#       (count DESC, then lexicographic (l, r) -- the trainer's exact
+#       tie-break) and must reproduce the trainer's (left, right,
+#       pair_freq) verbatim. This pins the counting + tie-break logic
+#       on real data.
+#   well_formed_chain -- every later merge's operands must each be a
+#       single corpus character or the output of an EARLIER merge,
+#       ranks contiguous from 0, every pair_freq >= min_freq: the
+#       structural invariant of a valid BPE chain, computed
+#       Spark-side and asserted TRUE by the oracle.
+# ---------------------------------------------------------------------------
+
+_BPE_CERT_ORACLE = """
+WITH words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+chars AS (
+  SELECT freq,
+         list_transform(range(1, length(w) + 1),
+                        i -> substring(w, CAST(i AS INT), 1)) AS s
+  FROM words
+),
+pairs AS (
+  SELECT s[i] AS l, s[i + 1] AS r, sum(freq) AS c
+  FROM chars, (SELECT unnest(range(1, 1000)) AS i)
+  WHERE i < len(s)
+  GROUP BY 1, 2
+),
+first AS (SELECT l, r, c FROM pairs ORDER BY c DESC, l, r LIMIT 1)
+SELECT 'first_merge' AS item, l AS left_sym, r AS right_sym,
+       CAST(c AS BIGINT) AS pair_freq, TRUE AS ok
+FROM first
+UNION ALL
+SELECT 'well_formed_chain', NULL, NULL, NULL, TRUE
+ORDER BY item
+"""
+
+
+@register("text_bpe_train_certificate", oracle=_BPE_CERT_ORACLE)
+def text_bpe_train_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+    from ..operators.bpe import bpe_train_merges
+
+    docs = load(spark, sf_dir, "documents")
+    merges = (
+        bpe_train_merges(docs, num_merges=16).orderBy("rank").collect()
+    )
+    # the trainer's base symbol set: every character of every
+    # non-empty whitespace token (same tokenization as the trainer)
+    known = {
+        r["ch"]
+        for r in (
+            docs.select(F.explode(tokens("text")).alias("w"))
+            .filter(F.col("w") != "")
+            .select(F.explode(F.split("w", "")).alias("ch"))
+            .filter(F.col("ch") != "")
+            .distinct()
+            .collect()
+        )
+    }
+    well_formed = bool(merges)
+    for i, m in enumerate(merges):
+        well_formed &= (
+            m["rank"] == i
+            and m["left"] in known
+            and m["right"] in known
+            and m["merged"] == m["left"] + m["right"]
+            and m["pair_freq"] >= 2
+        )
+        known.add(m["merged"])
+
+    f = merges[0] if merges else None
+    rows = [
+        ("first_merge",
+         f["left"] if f else None,
+         f["right"] if f else None,
+         int(f["pair_freq"]) if f else None,
+         f is not None),
+        ("well_formed_chain", None, None, None, well_formed),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "item string, left_sym string, right_sym string, "
+        "pair_freq long, ok boolean",
+    ).orderBy("item")

@@ -131,8 +131,10 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over the UNLABELED corpus: the inverted lists come from
     the k-means coarse quantizer (spherical Lloyd's), not from any
     pre-existing label column -- the deployable configuration for real
-    embedding tables. Rows-only check: recall vs brute force is
-    asserted in pytest."""
+    embedding tables. Rows-only by design (k-means lists are
+    engine-side); `knn_ivf_ann_portable` hash-checks the identical
+    probe/re-rank pipeline with md5-init centroids, and recall vs
+    brute force is pytest-asserted here."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     # Quantizer: bounded driver-side fit (the FAISS-style deployable

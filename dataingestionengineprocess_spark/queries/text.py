@@ -165,6 +165,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("text_rolling_hash")
 def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc rolling polynomial fingerprint over xxhash64 token
+    hashes -- the deployable content-defined-chunking hash. Rows-only
+    by design (engine-native hash); `text_rolling_hash_portable`
+    hash-checks the identical fold with md5-derived token hashes, and
+    pytest pins equal-text <=> equal-fingerprint here.
+    """
     # Per-step modulus keeps acc*31 inside int64 (Spark 4 runs ANSI
     # mode by default: silent wraparound is an overflow error).
     rolling = F.aggregate(
@@ -342,6 +348,12 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sample_stratified_corpus")
 def sample_stratified_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sample via xxhash64 bucket filter --
+    the deployable scan-speed sampler. Rows-only by design (the
+    sampled SET depends on the engine hash); `sample_md5_stratified`
+    hash-checks the same policy keyed on md5, and pytest asserts the
+    per-stratum rate tolerance here.
+    """
     from ..operators.sampling import stratified_hash_sample
 
     docs = load(spark, sf_dir, "documents")
@@ -455,9 +467,11 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAIN a BPE merge table from the corpus (Sennrich 2016): word
     frequencies in one scan, then per-merge rounds over the small
-    vocab table only (operators/bpe.py). Rows-only check (iterative
-    argmax is not SQL-expressible); pytest verifies the merges equal a
-    pure-Python reference trainer on the same corpus."""
+    vocab table only (operators/bpe.py). Rows-only check (the
+    iterative argmax is not SQL-expressible); pytest verifies the
+    merges equal a pure-Python reference trainer, and
+    `text_bpe_train_certificate` (round 4) hash-checks the first
+    merge + chain well-formedness against a DuckDB oracle."""
     from ..operators.bpe import bpe_train_merges
 
     docs = load(spark, sf_dir, "documents")
@@ -468,8 +482,10 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-apply BPE: learn 16 merges from the corpus, then
     encode every document with them (vocabulary-level kernel +
-    broadcast join-back; operators/bpe.py). Rows-only check; pytest
-    verifies train+encode against the pure-Python reference."""
+    broadcast join-back; operators/bpe.py). Rows-only check (the
+    learned merge table is loop-trained); pytest verifies train+encode
+    against the pure-Python reference, and the trainer's oracle-backed
+    certificate is `text_bpe_train_certificate`."""
     from ..operators.bpe import bpe_encode_counts, bpe_train_merges
 
     docs = load(spark, sf_dir, "documents")
