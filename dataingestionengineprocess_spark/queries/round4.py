@@ -628,3 +628,162 @@ def text_bpe_train_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item string, left_sym string, right_sym string, "
         "pair_freq long, ok boolean",
     ).orderBy("item")
+
+
+# ---------------------------------------------------------------------------
+# DSIR as a LIVE STREAMING GATE (ST+ family): the importance-weight
+# model fits once on the static corpus, then documents are scored and
+# gated AS FILES LAND -- the shape a crawl-ingest pipeline runs, where
+# data selection can't wait for a nightly batch. The streaming stage
+# is STATELESS: the 128-entry log-ratio table and the admission
+# threshold inline as literals, so each document's score is a pure
+# scalar fold over its own gram array -- no shuffle, no state store,
+# unbounded sustained throughput. Because the gate is stateless, the
+# drained append-mode result equals the batch answer and the full
+# DuckDB oracle replays model fit, per-doc ordered fold, threshold
+# and gate. The threshold is the k-th largest score itself (a data
+# value, not an interpolated quantile), so the >= comparison is
+# anchored to a number both engines derive identically.
+# ---------------------------------------------------------------------------
+
+_STREAM_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+),
+docgrams AS (
+  SELECT doc_id, lang,
+         t || coalesce(list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i + 1]), [])
+             AS grams
+  FROM toks
+),
+g AS (
+  SELECT doc_id, lang,
+         unnest(grams) AS g,
+         generate_subscripts(grams, 1) AS pos
+  FROM docgrams
+),
+feat AS (
+  SELECT doc_id, lang, pos, g,
+         CAST('0x' || substr(md5(g), 1, 6) AS BIGINT) % {128} AS b
+  FROM g
+),
+model AS (
+  SELECT b,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+         count(*) AS cs
+  FROM feat GROUP BY b
+),
+tot AS (SELECT sum(ct) AS t_n, sum(cs) AS s_n FROM model),
+ratio AS (
+  SELECT b, ln(((ct + 1.0) / (t_n + {128}))
+               / ((cs + 1.0) / (s_n + {128}))) AS lr
+  FROM model, tot
+),
+dw AS (
+  SELECT f.doc_id,
+         list_sum(list(r.lr ORDER BY f.pos)) AS logw
+  FROM feat f JOIN ratio r USING (b) GROUP BY f.doc_id
+),
+ranked AS (
+  SELECT doc_id, logw,
+         row_number() OVER (ORDER BY logw DESC, doc_id) AS rnk,
+         count(*) OVER () AS n
+  FROM dw
+),
+th AS (
+  SELECT max(CASE WHEN rnk = CAST(floor(n * 0.25) AS BIGINT)
+             THEN logw END) AS kth
+  FROM ranked
+)
+SELECT doc_id,
+       floor(logw * 1e4 + 0.5) / 1e4 AS logw,
+       floor(logw * 1e4 + 0.5) >= floor(kth * 1e4 + 0.5) AS passed
+FROM ranked, th
+ORDER BY doc_id
+"""
+
+
+@register("stream_dsir_gate", oracle=_STREAM_DSIR_ORACLE)
+def stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import table_path
+    from ..streaming.analytics import run_to_table
+
+    B = _DSIR_B
+    path = table_path(sf_dir, "documents")
+    static = spark.read.parquet(path).select("doc_id", "lang", "text")
+
+    grams_expr = (
+        "t || if(size(t) >= 2, transform(sequence(1, size(t) - 1), "
+        "i -> element_at(t, i) || ' ' || element_at(t, i + 1)), "
+        "cast(array() as array<string>))"
+    )
+
+    def with_grams(df):
+        return df.withColumn("t", F.split("text", " ")).withColumn(
+            "grams", F.expr(grams_expr)
+        )
+
+    # --- model fit on the static corpus (one groupBy over buckets) ---
+    bucket = lambda col: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(col.cast("binary")), 1, 6), 16, 10)
+        .cast("long"),
+        F.lit(B),
+    )
+    feat = (
+        with_grams(static)
+        .select("lang", F.explode("grams").alias("g"))
+        .select("lang", bucket(F.col("g")).alias("b"))
+    )
+    model = feat.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+        F.count("*").alias("cs"),
+    )
+    t_n, s_n = model.agg(F.sum("ct"), F.sum("cs")).collect()[0]
+    lr_by_bucket = {
+        r["b"]: __import__("math").log(
+            ((r["ct"] + 1.0) / (t_n + B)) / ((r["cs"] + 1.0) / (s_n + B))
+        )
+        for r in model.collect()
+    }
+    # buckets no gram hashes to never occur in scoring; 0.0 is inert
+    lr_arr = [lr_by_bucket.get(b, 0.0) for b in range(B)]
+
+    # per-doc score as ONE scalar fold in gram order (stateless)
+    score = F.aggregate(
+        F.transform(
+            F.col("grams"),
+            lambda g: F.element_at(F.lit(lr_arr), bucket(g).cast("int") + 1),
+        ),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+
+    # threshold: k-th largest static score via TakeOrdered(k) -- the
+    # same expression the stream evaluates, so both sides of the gate
+    # comparison come from one formula
+    static_scores = with_grams(static).select(
+        "doc_id", score.alias("logw"))
+    n_docs = static.count()
+    k = int(n_docs * 0.25)
+    kth = (
+        static_scores.select(F.struct(
+            (-F.col("logw")).alias("neg"), F.col("doc_id").alias("d")
+        ).alias("key"))
+        .orderBy("key")
+        .limit(k)
+        .agg(F.max("key"))
+        .collect()[0][0]
+    )
+    threshold = -kth["neg"] if kth is not None else float("inf")
+
+    # --- the live gate: stateless map over the file stream ---
+    stream = spark.readStream.schema(
+        spark.read.parquet(path).schema
+    ).parquet(path.replace("documents.parquet", "documents.[p]arquet"))
+    gated = with_grams(stream).select(
+        "doc_id",
+        (F.floor(score * 1e4 + 0.5) / 1e4).alias("logw"),
+        (F.floor(score * 1e4 + 0.5)
+         >= F.floor(F.lit(threshold) * 1e4 + 0.5)).alias("passed"),
+    )
+    return run_to_table(gated, spark, output_mode="append").orderBy("doc_id")
