@@ -306,3 +306,47 @@ def test_calibration_rank_has_no_single_partition_row_window(spark, sf_dir, qs):
     final = _plan(spark, sf_dir, qs, "quality_score_calibration")
     assert "percent_rank" not in final, final
     assert "row_number() windowspecdefinition(score" not in final, final
+
+
+def test_repetition_filters_single_scan_partial_agg(spark, sf_dir, qs):
+    """One parquet scan feeds BOTH n-gram families (a per-n union
+    would read the text column twice), and the composite-key count
+    aggregates map-side before its exchange."""
+    plan = _plan(spark, sf_dir, qs, "text_repetition_filters")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial_count" in plan, plan
+
+
+def test_dsir_ratio_join_is_broadcast(spark, sf_dir, qs):
+    """No shuffle join anywhere in DSIR's visible plan: the scored
+    subtree is checkpointed (so the 128-row ratio broadcast is proven
+    on its own below), and the final threshold attach must be a
+    broadcast of the 1-row kth scalar, never a shuffle."""
+    plan = _plan(spark, sf_dir, qs, "curation_dsir_weights")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+    # the pre-checkpoint shape: (doc, bucket) counts joined to the
+    # broadcast 128-row ratio table
+    from pyspark.sql import functions as F
+    from dataingestionengineprocess_spark.catalog import load
+
+    feat = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("g"))
+        .select("doc_id", F.pmod(F.xxhash64("g"), F.lit(128)).alias("b"))
+        .groupBy("doc_id", "b").count()
+    )
+    ratio = spark.range(128).select(
+        F.col("id").alias("b"), (F.col("id") * 0.1).alias("lr"))
+    joined = feat.join(F.broadcast(ratio), "b")
+    jp = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in jp and "SortMergeJoin" not in jp, jp
+
+
+def test_jdbc_roundtrip_enrich_is_broadcast(spark, sf_dir, qs):
+    """The region dimension broadcasts onto the JDBC readback; the
+    scan itself is a JDBC relation (not a parquet fallback)."""
+    plan = _plan(spark, sf_dir, qs, "source_jdbc_roundtrip")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "JDBCRelation" in plan or "jdbc" in plan.lower(), plan
