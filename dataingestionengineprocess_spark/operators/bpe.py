@@ -86,8 +86,57 @@ def _merge_expr(syms_col: Column, left: str, right: str) -> Column:
     return F.when(n >= 1, rewritten).otherwise(syms_col)
 
 
+def _local_merge_loop(rows: list, num_merges: int,
+                      min_freq: int) -> list[tuple[int, str, str, str, int]]:
+    """The driver-side merge loop over a collected (freq, syms) vocab:
+    EXACTLY the distributed rounds' semantics -- weighted adjacent-pair
+    counts (overlaps included, like _adjacent_pairs), argmax with ties
+    to the lexicographically smallest (l, r), then a non-overlapping
+    left-to-right rewrite (like _merge_expr). Equivalence against the
+    distributed path is pytest-pinned."""
+    from collections import Counter
+
+    vocab = [(int(freq), list(syms)) for freq, syms in rows]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(num_merges):
+        cnt: Counter = Counter()
+        for freq, syms in vocab:
+            for a, b in zip(syms, syms[1:]):
+                cnt[(a, b)] += freq
+        if not cnt:
+            break
+        (l, r), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_freq:
+            break
+        merges.append((rank, l, r, l + r, int(c)))
+        for i, (freq, syms) in enumerate(vocab):
+            j, res = 0, []
+            while j < len(syms):
+                if (j + 1 < len(syms) and syms[j] == l
+                        and syms[j + 1] == r):
+                    res.append(l + r)
+                    j += 2
+                else:
+                    res.append(syms[j])
+                    j += 1
+            vocab[i] = (freq, res)
+    return merges
+
+
+#: Collect-and-train locally when the distinct-word vocabulary is at
+#: or below this bound. The vocab is Zipf-bounded (it grows with
+#: corpus VARIETY, not corpus size), so even a 100 TB crawl's cleaned
+#: word list is usually collectable -- and the merge loop is then
+#: corpus-size-independent driver work instead of 2 Spark jobs per
+#: round. Above the bound (noisy vocabularies: URLs, typos, binary
+#: spill) the distributed rounds keep memory bounded.
+_LOCAL_VOCAB_LIMIT = 500_000
+
+
 def bpe_train_merges(docs: DataFrame, text_col: str = "text",
-                     num_merges: int = 24, min_freq: int = 2) -> DataFrame:
+                     num_merges: int = 24, min_freq: int = 2,
+                     local_vocab_limit: int | None = _LOCAL_VOCAB_LIMIT,
+                     ) -> DataFrame:
     """Learn ``num_merges`` BPE merges from the corpus.
 
     Returns (rank, left, right, merged, pair_freq): merge ``rank`` is
@@ -95,8 +144,18 @@ def bpe_train_merges(docs: DataFrame, text_col: str = "text",
     pair had when chosen. Stops early when no pair reaches
     ``min_freq``.
 
+    Strategy (the FAISS split -- training is a small-data problem):
+    ONE distributed scan builds the (word, freq) vocabulary; when the
+    distinct-word count is within ``local_vocab_limit`` the whole
+    merge loop runs driver-side on the collected vocab (identical
+    semantics, pytest-pinned equivalence), cutting 2 Spark jobs per
+    merge round to zero. Corpora whose vocab exceeds the bound fall
+    back to the distributed per-round argmax+rewrite, which never
+    materializes the vocab on the driver. Pass ``local_vocab_limit=0``
+    to force the distributed path.
+
     NOTE: like an MLlib ``fit``, CONSTRUCTING this result runs the
-    training loop eagerly (one Spark job per merge round).
+    training eagerly.
     """
     if num_merges <= 0:
         raise ValueError(f"num_merges must be positive, got {num_merges}")
@@ -113,6 +172,17 @@ def bpe_train_merges(docs: DataFrame, text_col: str = "text",
         )
         .localCheckpoint(eager=True)
     )
+
+    if local_vocab_limit and vocab.count() <= local_vocab_limit:
+        rows = vocab.collect()
+        merges = _local_merge_loop(
+            [(r["freq"], r["syms"]) for r in rows], num_merges, min_freq
+        )
+        return spark.createDataFrame(
+            merges,
+            "rank int, left string, right string, merged string, "
+            "pair_freq long",
+        )
 
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(num_merges):

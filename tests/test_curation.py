@@ -235,3 +235,26 @@ def test_leakage_safe_split_keeps_neardups_together(spark):
     total = sum(counts.values())
     assert counts["train"] / total > 0.7
     assert 0 < counts["validation"] and 0 < counts["test"]
+
+
+def test_bpe_local_and_distributed_paths_are_identical(spark):
+    """The driver-side merge loop (vocab within local_vocab_limit) and
+    the distributed per-round argmax+rewrite must produce the same
+    merge table, rank for rank -- the FAISS-style strategy split may
+    never change the learned tokenizer."""
+    from dataingestionengineprocess_spark.operators.bpe import bpe_train_merges
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    local = [
+        tuple(r) for r in
+        bpe_train_merges(docs, num_merges=14).orderBy("rank").collect()
+    ]
+    dist = [
+        tuple(r) for r in
+        bpe_train_merges(docs, num_merges=14, local_vocab_limit=0)
+        .orderBy("rank").collect()
+    ]
+    assert local == dist and len(local) == 14
