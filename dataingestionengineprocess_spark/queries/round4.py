@@ -787,3 +787,46 @@ def stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
          >= F.floor(F.lit(threshold) * 1e4 + 0.5)).alias("passed"),
     )
     return run_to_table(gated, spark, output_mode="append").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental admission against a PERSISTED shingle index -- the 100 TB
+# deployment shape of `dedup_incremental_admission` made concrete: the
+# corpus's (s, corp_id, n_b) inverted index is published ONCE through
+# the versioned sink (atomic snapshot, at scale partitioned/bucketed
+# by s), and every subsequent batch admits against the index READBACK
+# -- the corpus text is never re-shingled or re-scanned. Maintenance
+# is an append of each admitted batch's index rows as the next
+# snapshot version (exercised in pytest). Identical decisions to the
+# inline-index form, so the same full relational oracle applies; a
+# hash pass proves the publish -> scan -> prune -> join path, not
+# just the arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def _admission_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        build_shingle_index,
+        incremental_jaccard_admission,
+    )
+    from ..sinks.versioned import VersionedTable
+
+    docs = load(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 8 == 7)
+    corpus = docs.filter(F.col("doc_id") % 8 != 7)
+
+    vt = VersionedTable(spark, scratch_dir("shingle_index", sf_dir))
+    vt.publish(build_shingle_index(corpus, n=3))
+    return incremental_jaccard_admission(
+        None, new_batch, corpus_index=vt.read(), n=3, threshold=0.6,
+    )
+
+
+def _register_admission_persisted() -> None:
+    from .dedup import _INCREMENTAL_ORACLE
+
+    register("dedup_admission_persisted_index",
+             oracle=_INCREMENTAL_ORACLE)(_admission_persisted)
+
+
+_register_admission_persisted()

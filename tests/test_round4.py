@@ -110,3 +110,47 @@ def test_bpe_certificate_first_merge_matches_reference(spark, sf_dir):
     (l, r), c = min(freq.items(), key=lambda kv: (-kv[1], kv[0]))
     fm = cert["first_merge"]
     assert (fm.left_sym, fm.right_sym, fm.pair_freq) == (l, r, c)
+
+
+def test_persisted_shingle_index_maintenance(spark, tmp_path):
+    """The deployment loop: admit batch 1 against the published index,
+    APPEND the admitted docs' index rows as the next snapshot, and
+    batch 2 must then be rejected against batch-1 content it
+    duplicates -- the corpus is never re-scanned."""
+    from pyspark.sql import Row
+
+    from dataingestionengineprocess_spark.operators.dedup import (
+        build_shingle_index,
+        incremental_jaccard_admission,
+    )
+    from dataingestionengineprocess_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=2, text="one two three four five six seven"),
+    ])
+    b1 = spark.createDataFrame([
+        Row(doc_id=10, text="red orange yellow green blue indigo"),
+        Row(doc_id=11, text="alpha beta gamma delta epsilon zeta"),  # dup of 1
+    ])
+    b2 = spark.createDataFrame([
+        Row(doc_id=20, text="red orange yellow green blue indigo"),  # dup of 10
+    ])
+
+    vt = VersionedTable(spark, str(tmp_path / "idx"))
+    vt.publish(build_shingle_index(corpus, n=3))
+
+    d1 = {r.doc_id: r for r in incremental_jaccard_admission(
+        None, b1, corpus_index=vt.read(), n=3, threshold=0.6).collect()}
+    assert d1[10].status == "admit"
+    assert d1[11].status == "reject" and d1[11].match_id == 1
+
+    admitted = b1.filter(F.col("doc_id") == 10)
+    vt.publish(vt.read().unionByName(build_shingle_index(admitted, n=3)))
+
+    d2 = {r.doc_id: r for r in incremental_jaccard_admission(
+        None, b2, corpus_index=vt.read(), n=3, threshold=0.6).collect()}
+    assert d2[20].status == "reject" and d2[20].match_id == 10
+    assert vt.current_version() == 2
