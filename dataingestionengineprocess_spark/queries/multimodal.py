@@ -726,3 +726,115 @@ def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Real audio resample: WAV in -> WAV out through mapInPandas (the
+# transform-shaped audio op next to the feature-extraction decode
+# above, mirroring image decode/resize). Decodes the 8 kHz PCM16
+# payload, decimates by 2 with pairwise integer averaging
+# (floor((s0+s1)/2) -- the simplest anti-aliased downsample), and
+# re-encodes a VALID 4 kHz RIFF/WAVE file. FULL oracle: every output
+# byte derives from the text synthesis rule, so DuckDB rebuilds the
+# entire resampled container (header + little-endian samples) as a
+# hex string and sha256-compares it (DuckDB's sha256 is
+# VARCHAR-only, so both engines hash the lowercase-hex encoding --
+# hex is injective, the certificate is equally strong).
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_AUDIO_ORACLE = """
+WITH m AS (
+  SELECT doc_id, text, 64 + doc_id % 128 AS n, length(text) AS len
+  FROM documents
+),
+v AS (
+  SELECT doc_id, n, n // 2 AS half,
+         list_transform(range(0, n),
+                        i -> (ascii(substring(text, CAST(i % len AS INT) + 1,
+                                              1)) - 77) * 256) AS s
+  FROM m
+),
+res AS (
+  SELECT doc_id, half,
+         list_transform(range(0, half),
+                        i -> ((s[2 * i + 1] + s[2 * i + 2]) // 2 + 65536)
+                             % 65536) AS r
+  FROM v
+),
+hx AS (
+  SELECT doc_id, half,
+         lower(concat(
+           '52494646',
+           concat(lpad(hex((36 + half * 2) % 256), 2, '0'),
+                  lpad(hex(((36 + half * 2) // 256) % 256), 2, '0'),
+                  lpad(hex(((36 + half * 2) // 65536) % 256), 2, '0'),
+                  lpad(hex(((36 + half * 2) // 16777216) % 256), 2, '0')),
+           '57415645666d74201000000001000100',
+           'a00f0000', '401f0000', '0200', '1000', '64617461',
+           concat(lpad(hex((half * 2) % 256), 2, '0'),
+                  lpad(hex(((half * 2) // 256) % 256), 2, '0'),
+                  lpad(hex(((half * 2) // 65536) % 256), 2, '0'),
+                  lpad(hex(((half * 2) // 16777216) % 256), 2, '0')),
+           list_aggregate(list_transform(r,
+             x -> concat(lpad(hex(x % 256), 2, '0'),
+                         lpad(hex((x // 256) % 256), 2, '0'))),
+             'string_agg', '')
+         )) AS payload_hex
+  FROM res
+)
+SELECT doc_id,
+       CAST(44 + half * 2 AS BIGINT) AS n_bytes,
+       sha256(payload_hex) AS resampled_sha256
+FROM hx ORDER BY doc_id
+"""
+
+
+@register("multimodal_audio_resample", oracle=_RESAMPLE_AUDIO_ORACLE)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    wavs = _wav_payloads(spark, sf_dir)
+
+    def resample_batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            out = {"doc_id": pdf["doc_id"], "resampled": []}
+            for p in pdf["payload"]:
+                rate, _bits, s = _decode_wav(bytes(p))
+                if rate != 8000:
+                    raise ValueError(f"unexpected sample rate {rate}")
+                half = len(s) // 2
+                pairs = s[: 2 * half].reshape(half, 2)
+                # floor((a+b)/2) in int64, then back to uint16 LE
+                res = np.floor_divide(pairs.sum(axis=1), 2)
+                data = (np.mod(res, 65536)).astype("<u2").tobytes()
+                hdr = (
+                    b"RIFF"
+                    + (36 + len(data)).to_bytes(4, "little")
+                    + b"WAVEfmt "
+                    + (16).to_bytes(4, "little")
+                    + (1).to_bytes(2, "little")     # PCM
+                    + (1).to_bytes(2, "little")     # mono
+                    + (4000).to_bytes(4, "little")  # rate
+                    + (8000).to_bytes(4, "little")  # byte rate
+                    + (2).to_bytes(2, "little")     # block align
+                    + (16).to_bytes(2, "little")    # bits
+                    + b"data"
+                    + len(data).to_bytes(4, "little")
+                )
+                out["resampled"].append(hdr + data)
+            yield pd.DataFrame(out)
+
+    resampled = wavs.mapInPandas(
+        resample_batches, schema="doc_id long, resampled binary"
+    )
+    return (
+        resampled.select(
+            "doc_id",
+            F.octet_length("resampled").cast("long").alias("n_bytes"),
+            F.sha2(F.lower(F.hex("resampled")), 256)
+            .alias("resampled_sha256"),
+        )
+        .orderBy("doc_id")
+    )

@@ -233,3 +233,53 @@ def test_binary_file_source_decodes_mixed_media(spark, tmp_path):
         assert r.n_frames >= 4 and r.n_values == r.width * r.height * r.n_frames
     errs = {r.error for r in by_kind["error"]}
     assert any("magic" in e for e in errs)
+
+
+def test_audio_resample_output_is_valid_half_rate_wav(spark, sf_dir):
+    """For a sample of docs, rebuild the expected 4 kHz WAV locally
+    from the source payload (decode -> floor pair-average ->
+    re-encode) and check (a) it re-decodes as valid 4 kHz PCM16 and
+    (b) its sha256 equals the query's reported digest -- proving the
+    kernel's container bytes, not just its sample math."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dataingestionengineprocess_spark.queries.multimodal import (
+        _decode_wav,
+        _wav_payloads,
+        multimodal_audio_resample,
+    )
+
+    got = {
+        r.doc_id: r
+        for r in multimodal_audio_resample(spark, sf_dir).collect()
+    }
+    src_rows = _wav_payloads(spark, sf_dir).limit(8).collect()
+    assert src_rows
+
+    for row in src_rows:
+        rate, _bits, s = _decode_wav(bytes(row.payload))
+        assert rate == 8000
+        half = len(s) // 2
+        res = [(int(s[2 * i]) + int(s[2 * i + 1])) // 2 for i in range(half)]
+        data = b"".join(
+            int(x % 65536).to_bytes(2, "little") for x in res
+        )
+        hdr = (
+            b"RIFF" + (36 + len(data)).to_bytes(4, "little")
+            + b"WAVEfmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (4000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+            + b"data" + len(data).to_bytes(4, "little")
+        )
+        wav = hdr + data
+        rate2, bits2, s2 = _decode_wav(wav)
+        assert (rate2, bits2) == (4000, 16) and len(s2) == half
+        assert [int(x) for x in s2] == res
+        r = got[row.doc_id]
+        assert r.n_bytes == len(wav)
+        assert r.resampled_sha256 == hashlib.sha256(
+            wav.hex().encode()
+        ).hexdigest()
