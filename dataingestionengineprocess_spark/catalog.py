@@ -31,6 +31,21 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def scratch_path(tag: str, *parts: str) -> str:
+    """Resolve the stable per-(tag, parts) scratch location WITHOUT
+    touching it -- the one path-derivation rule, shared by
+    `scratch_dir` (which wipes) and by tests that need to inspect
+    what a query left behind (re-deriving the rule in a test would
+    break obscurely if the naming scheme ever changed)."""
+    import hashlib
+    import tempfile
+
+    suffix = hashlib.md5("|".join(parts).encode()).hexdigest()[:8]
+    return os.path.join(
+        tempfile.gettempdir(), f"engine_scratch_{tag}_{suffix}"
+    )
+
+
 def scratch_dir(tag: str, *parts: str) -> str:
     """Stable per-(tag, parts) scratch path for queries that must
     materialize intermediate tables (versioned-table demos, index
@@ -38,14 +53,9 @@ def scratch_dir(tag: str, *parts: str) -> str:
     same location and wipe it first, so a driver or bench loop that
     calls a query N times holds one copy on disk, not N leaked ones.
     """
-    import hashlib
     import shutil
-    import tempfile
 
-    suffix = hashlib.md5("|".join(parts).encode()).hexdigest()[:8]
-    path = os.path.join(
-        tempfile.gettempdir(), f"engine_scratch_{tag}_{suffix}"
-    )
+    path = scratch_path(tag, *parts)
     shutil.rmtree(path, ignore_errors=True)
     return path
 

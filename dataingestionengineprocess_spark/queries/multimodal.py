@@ -734,7 +734,11 @@ def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # above, mirroring image decode/resize). Decodes the 8 kHz PCM16
 # payload, decimates by 2 with pairwise integer averaging
 # (floor((s0+s1)/2) -- the simplest anti-aliased downsample), and
-# re-encodes a VALID 4 kHz RIFF/WAVE file. FULL oracle: every output
+# re-encodes a VALID 4 kHz RIFF/WAVE file. The oracle's average uses
+# explicit floor((a+b)/2.0) -- DuckDB's integer `//` truncates toward
+# zero, which would diverge from the kernel's np.floor_divide on an
+# odd NEGATIVE pair sum (exact float division is safe here: sums are
+# bounded by 2^17). FULL oracle: every output
 # byte derives from the text synthesis rule, so DuckDB rebuilds the
 # entire resampled container (header + little-endian samples) as a
 # hex string and sha256-compares it (DuckDB's sha256 is
@@ -757,7 +761,8 @@ v AS (
 res AS (
   SELECT doc_id, half,
          list_transform(range(0, half),
-                        i -> ((s[2 * i + 1] + s[2 * i + 2]) // 2 + 65536)
+                        i -> (CAST(floor((s[2 * i + 1] + s[2 * i + 2])
+                                         / 2.0) AS BIGINT) + 65536)
                              % 65536) AS r
   FROM v
 ),

@@ -379,6 +379,34 @@ def dedup_semantic_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DSIR_B = 128
+
+#: unigrams ++ bigrams from the token array `t` -- the ONE gram rule
+#: shared by the batch selector and the streaming gate (and replayed
+#: verbatim by both oracles). The size guard matters: sequence(1, 0)
+#: is the DESCENDING [1, 0] in Spark, not empty like DuckDB's range.
+_DSIR_GRAMS_EXPR = (
+    "t || if(size(t) >= 2, transform(sequence(1, size(t) - 1), "
+    "i -> element_at(t, i) || ' ' || element_at(t, i + 1)), "
+    "cast(array() as array<string>))"
+)
+
+
+def _dsir_bucket(col):
+    """md5-hex feature bucket in [0, _DSIR_B) -- portable across
+    engines (CAST('0x'||substr(md5(g),1,6) AS BIGINT) % B in DuckDB)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col.cast("binary")), 1, 6), 16, 10)
+        .cast("long"),
+        F.lit(_DSIR_B),
+    )
+
+
+def _dsir_with_grams(df: DataFrame) -> DataFrame:
+    return df.withColumn("t", F.split("text", " ")).withColumn(
+        "grams", F.expr(_DSIR_GRAMS_EXPR)
+    )
+
+
 _DSIR_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
@@ -437,31 +465,11 @@ FROM ranked ORDER BY doc_id
 def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     B = _DSIR_B
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    toks = docs.select(
-        "doc_id", "lang", F.split("text", " ").alias("t")
-    )
-    # unigrams ++ bigrams from ONE scan/Generate
-    grams = toks.select(
-        "doc_id", "lang",
-        # size guard, not just coalesce: sequence(1, 0) is the
-        # DESCENDING [1, 0] in Spark (not empty like DuckDB's
-        # range(1, 1)), and element_at would then throw on any
-        # single-token document
-        F.explode(F.expr(
-            "t || if(size(t) >= 2, transform(sequence(1, size(t) - 1), "
-            "i -> element_at(t, i) || ' ' || element_at(t, i + 1)), "
-            "cast(array() as array<string>))"
-        )).alias("g"),
+    grams = _dsir_with_grams(docs).select(
+        "doc_id", "lang", F.explode("grams").alias("g")
     )
     feat = (
-        grams.withColumn(
-            "b",
-            F.pmod(
-                F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 6),
-                       16, 10).cast("long"),
-                F.lit(B),
-            ),
-        )
+        grams.withColumn("b", _dsir_bucket(F.col("g")))
         .groupBy("doc_id", "lang", "b")
         .agg(F.count("*").alias("c"))
         # feat feeds the model aggregate AND the per-doc fold;
@@ -551,6 +559,13 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       ranks contiguous from 0, every pair_freq >= min_freq: the
 #       structural invariant of a valid BPE chain, computed
 #       Spark-side and asserted TRUE by the oracle.
+# Oracle notes (SQL comments are stripped by register()'s whitespace
+# normalization, so they live here): the pairs CTE uses a PER-ROW
+# unnest(range(1, len(s))) -- no length cap, so 1000+-char tokens
+# count every position exactly like the trainer; the first CTE
+# filters c >= 2 (the trainer's min_freq), and a corpus with no
+# qualifying pair yields an empty `first`, NULL fields and ok=FALSE
+# on BOTH rows -- matching the Spark side's no-merges answer.
 # ---------------------------------------------------------------------------
 
 _BPE_CERT_ORACLE = """
@@ -567,16 +582,18 @@ chars AS (
 ),
 pairs AS (
   SELECT s[i] AS l, s[i + 1] AS r, sum(freq) AS c
-  FROM chars, (SELECT unnest(range(1, 1000)) AS i)
-  WHERE i < len(s)
+  FROM (SELECT freq, s, unnest(range(1, len(s))) AS i FROM chars)
   GROUP BY 1, 2
 ),
-first AS (SELECT l, r, c FROM pairs ORDER BY c DESC, l, r LIMIT 1)
-SELECT 'first_merge' AS item, l AS left_sym, r AS right_sym,
-       CAST(c AS BIGINT) AS pair_freq, TRUE AS ok
-FROM first
+first AS (
+  SELECT l, r, c FROM pairs WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1
+)
+SELECT 'first_merge' AS item, f.l AS left_sym, f.r AS right_sym,
+       CAST(f.c AS BIGINT) AS pair_freq, f.l IS NOT NULL AS ok
+FROM (SELECT 1) LEFT JOIN first f ON TRUE
 UNION ALL
-SELECT 'well_formed_chain', NULL, NULL, NULL, TRUE
+SELECT 'well_formed_chain', NULL, NULL, NULL,
+       EXISTS (SELECT 1 FROM first)
 ORDER BY item
 """
 
@@ -713,27 +730,18 @@ def stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = table_path(sf_dir, "documents")
     static = spark.read.parquet(path).select("doc_id", "lang", "text")
 
-    grams_expr = (
-        "t || if(size(t) >= 2, transform(sequence(1, size(t) - 1), "
-        "i -> element_at(t, i) || ' ' || element_at(t, i + 1)), "
-        "cast(array() as array<string>))"
-    )
-
-    def with_grams(df):
-        return df.withColumn("t", F.split("text", " ")).withColumn(
-            "grams", F.expr(grams_expr)
-        )
-
-    # --- model fit on the static corpus (one groupBy over buckets) ---
-    bucket = lambda col: F.pmod(  # noqa: E731
-        F.conv(F.substring(F.md5(col.cast("binary")), 1, 6), 16, 10)
-        .cast("long"),
-        F.lit(B),
+    # --- model fit on the static corpus: the grammed corpus is
+    # materialized ONCE and feeds the model aggregate, the threshold
+    # fold, and the doc count -- three consumers, one scan+gram build
+    static_g = (
+        _dsir_with_grams(static)
+        .select("doc_id", "lang", "grams")
+        .localCheckpoint(eager=True)
     )
     feat = (
-        with_grams(static)
+        static_g
         .select("lang", F.explode("grams").alias("g"))
-        .select("lang", bucket(F.col("g")).alias("b"))
+        .select("lang", _dsir_bucket(F.col("g")).alias("b"))
     )
     model = feat.groupBy("b").agg(
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
@@ -753,7 +761,8 @@ def stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.aggregate(
         F.transform(
             F.col("grams"),
-            lambda g: F.element_at(F.lit(lr_arr), bucket(g).cast("int") + 1),
+            lambda g: F.element_at(F.lit(lr_arr),
+                                   _dsir_bucket(g).cast("int") + 1),
         ),
         F.lit(0.0), lambda a, x: a + x,
     )
@@ -761,9 +770,8 @@ def stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold: k-th largest static score via TakeOrdered(k) -- the
     # same expression the stream evaluates, so both sides of the gate
     # comparison come from one formula
-    static_scores = with_grams(static).select(
-        "doc_id", score.alias("logw"))
-    n_docs = static.count()
+    static_scores = static_g.select("doc_id", score.alias("logw"))
+    n_docs = static_scores.count()
     k = int(n_docs * 0.25)
     kth = (
         static_scores.select(F.struct(
@@ -774,17 +782,23 @@ def stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("key"))
         .collect()[0][0]
     )
-    threshold = -kth["neg"] if kth is not None else float("inf")
+    threshold = -kth["neg"] if kth is not None else None
 
     # --- the live gate: stateless map over the file stream ---
+    # threshold None (corpus under 4 docs -> k = 0) gates to NULL,
+    # matching the oracle's NULL kth comparison on the same corpus
+    passed = (
+        F.lit(None).cast("boolean") if threshold is None
+        else (F.floor(score * 1e4 + 0.5)
+              >= F.floor(F.lit(threshold) * 1e4 + 0.5))
+    )
     stream = spark.readStream.schema(
         spark.read.parquet(path).schema
     ).parquet(path.replace("documents.parquet", "documents.[p]arquet"))
-    gated = with_grams(stream).select(
+    gated = _dsir_with_grams(stream).select(
         "doc_id",
         (F.floor(score * 1e4 + 0.5) / 1e4).alias("logw"),
-        (F.floor(score * 1e4 + 0.5)
-         >= F.floor(F.lit(threshold) * 1e4 + 0.5)).alias("passed"),
+        passed.alias("passed"),
     )
     return run_to_table(gated, spark, output_mode="append").orderBy("doc_id")
 
@@ -804,7 +818,12 @@ def stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _admission_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+from .dedup import _INCREMENTAL_ORACLE  # noqa: E402 (same oracle as the inline form)
+
+
+@register("dedup_admission_persisted_index", oracle=_INCREMENTAL_ORACLE)
+def dedup_admission_persisted_index(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
     from ..operators.dedup import (
         build_shingle_index,
         incremental_jaccard_admission,
@@ -820,13 +839,3 @@ def _admission_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_jaccard_admission(
         None, new_batch, corpus_index=vt.read(), n=3, threshold=0.6,
     )
-
-
-def _register_admission_persisted() -> None:
-    from .dedup import _INCREMENTAL_ORACLE
-
-    register("dedup_admission_persisted_index",
-             oracle=_INCREMENTAL_ORACLE)(_admission_persisted)
-
-
-_register_admission_persisted()

@@ -28,15 +28,12 @@ def test_jdbc_roundtrip_read_is_partitioned(spark, sf_dir):
     assert len(out) == 5  # five regions
     assert sum(r.n_nations for r in out) == 25
 
-    # scratch_dir is deterministic per (tag, sf_dir); reconstruct the
-    # same path the query used and assert the partition contract on a
-    # fresh read of the published table
-    import hashlib
-    import os
-    import tempfile
+    # resolve the exact path the query used (shared derivation rule,
+    # no wipe) and assert the partition contract on a fresh read of
+    # the published table
+    from dataingestionengineprocess_spark.catalog import scratch_path
 
-    suffix = hashlib.md5("|".join([sf_dir]).encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"engine_scratch_derby_jdbc_{suffix}")
+    path = scratch_path("derby_jdbc", sf_dir)
     cfg = JdbcConfig(
         url=_derby_url(path), table="nation",
         properties={"driver": _DERBY_DRIVER},
