@@ -839,3 +839,47 @@ def dedup_admission_persisted_index(spark: SparkSession,
     return incremental_jaccard_admission(
         None, new_batch, corpus_index=vt.read(), n=3, threshold=0.6,
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted hot-key join under the oracle gate (operators/skew.py:30).
+# AQE's skew split only repairs sort-merge joins after the shuffle has
+# materialized the skew; EXPLICIT salting is the planned-ahead fix for
+# a power-law key too hot even for a split partition. Semantics are
+# identical to the plain equi-join (each fact row carries exactly one
+# salt; the dim side is replicated across all of them), so the oracle
+# is simply the UNSALTED join + rollup -- a hash pass proves the
+# salt/replicate/join/drop pipeline loses and duplicates nothing,
+# which is exactly the invariant salting must preserve. The skew
+# mechanics themselves (dim replicated n_salts x, fact spread over
+# (key, salt) partitions) are asserted on the physical plan in
+# tests/test_plan_shapes.py.
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT s.s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+ORDER BY s.s_nationkey
+"""
+
+
+@register("join_salted_hot_keys", oracle=_SALTED_ORACLE)
+def join_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, supp, on="l_suppkey", n_salts=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .orderBy("s_nationkey")
+    )

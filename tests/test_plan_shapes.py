@@ -350,3 +350,26 @@ def test_jdbc_roundtrip_enrich_is_broadcast(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "source_jdbc_roundtrip")
     assert "BroadcastHashJoin" in plan, plan
     assert "JDBCRelation" in plan or "jdbc" in plan.lower(), plan
+
+
+def test_salted_join_spreads_hot_key_over_salts(spark, sf_dir, qs):
+    """The salted join must (a) join on the COMPOSITE (key, salt) --
+    both columns in the join keys, so a shuffle (or broadcast hash
+    lookup) distributes one hot key over n_salts slots -- and (b)
+    replicate the dim side through a Generate (explode of the salt
+    sequence). At fixture scale Catalyst broadcasts the tiny salted
+    dim (the right adaptive call); at skew scale the same composite
+    keys drive the shuffle."""
+    import re
+
+    plan = _plan(spark, sf_dir, qs, "join_salted_hot_keys")
+    assert "Generate explode" in plan, plan
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+                     ln)
+    ]
+    assert join_lines, plan
+    assert any("l_suppkey" in ln and "__salt" in ln for ln in join_lines), (
+        join_lines
+    )
