@@ -151,3 +151,89 @@ def test_persisted_shingle_index_maintenance(spark, tmp_path):
         None, b2, corpus_index=vt.read(), n=3, threshold=0.6).collect()}
     assert d2[20].status == "reject" and d2[20].match_id == 10
     assert vt.current_version() == 2
+
+
+def _tiny_corpus_dir(spark, tmp_path, rows):
+    """Write a minimal documents.parquet a query's sf_dir can point at."""
+    import os
+
+    d = str(tmp_path / "sfedge")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    ).withColumn("n_chars", F.length("text")) \
+     .coalesce(1).write.mode("overwrite") \
+     .parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def _oracle_df(sf_dir, sql):
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'documents.parquet')}/*.parquet'"
+    )
+    return con.execute(sql).df()
+
+
+def test_repetition_filters_edge_corpus_matches_oracle(spark, tmp_path):
+    """Single-token and two-token documents must neither crash the
+    Spark side (sequence(1, 0) descends!) nor diverge from the oracle
+    (DuckDB's range(1, 1) is empty): both sides drop docs without a
+    3-gram and agree on the rest -- including an all-same-token doc
+    whose dup3_frac is 1."""
+    from dataingestionengineprocess_spark.oracle_compare import digest_frame
+    from dataingestionengineprocess_spark.queries import (
+        all_oracles,
+        all_queries,
+    )
+
+    rows = [
+        (1, "en", "s", "solo"),
+        (2, "en", "s", "two words"),
+        (3, "en", "s", "a a a a a a"),
+        (4, "en", "s", "one two three four five six"),
+        (5, "en", "s", ""),
+    ]
+    d = _tiny_corpus_dir(spark, tmp_path, rows)
+    sdf = all_queries()["text_repetition_filters"](spark, d).toPandas()
+    odf = _oracle_df(d, all_oracles()["text_repetition_filters"])
+    assert sorted(sdf["doc_id"]) == [3, 4]
+    got3 = sdf[sdf.doc_id == 3].iloc[0]
+    assert got3["dup3_frac"] == 1.0 and not got3["keep"]
+    assert digest_frame(sdf, float_digits=9) == digest_frame(
+        odf, float_digits=9)
+
+
+def test_dsir_degenerate_corpora_match_oracle(spark, tmp_path):
+    """The k=0 corner (fewer than 4 docs -> floor(n*0.25) = 0): the
+    batch selector must select nothing and the streaming gate must
+    emit NULL passed -- on BOTH engines, hash-identically. Also
+    covers single-token docs inside the gram build."""
+    from dataingestionengineprocess_spark.oracle_compare import digest_frame
+    from dataingestionengineprocess_spark.queries import (
+        all_oracles,
+        all_queries,
+    )
+
+    rows = [
+        (1, "en", "s", "alpha"),
+        (2, "de", "s", "beta gamma"),
+        (3, "en", "s", "delta epsilon zeta"),
+    ]
+    d = _tiny_corpus_dir(spark, tmp_path, rows)
+    qs, os_ = all_queries(), all_oracles()
+
+    batch = qs["curation_dsir_weights"](spark, d).toPandas()
+    assert not batch["selected"].any()
+    assert digest_frame(batch, float_digits=9) == digest_frame(
+        _oracle_df(d, os_["curation_dsir_weights"]), float_digits=9)
+
+    gate = qs["stream_dsir_gate"](spark, d).toPandas()
+    assert gate["passed"].isna().all()
+    assert digest_frame(gate, float_digits=9) == digest_frame(
+        _oracle_df(d, os_["stream_dsir_gate"]), float_digits=9)
