@@ -735,10 +735,13 @@ def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # payload, decimates by 2 with pairwise integer averaging
 # (floor((s0+s1)/2) -- the simplest anti-aliased downsample), and
 # re-encodes a VALID 4 kHz RIFF/WAVE file. The oracle's average uses
-# explicit floor((a+b)/2.0) -- DuckDB's integer `//` truncates toward
-# zero, which would diverge from the kernel's np.floor_divide on an
-# odd NEGATIVE pair sum (exact float division is safe here: sums are
-# bounded by 2^17). FULL oracle: every output
+# explicit floor((a+b)/2.0) to match the kernel's np.floor_divide by
+# CONSTRUCTION rather than by luck: DuckDB's integer `//` truncates
+# toward zero, which only agrees with floor here because synthesized
+# pair sums are multiples of 256 (always even) -- floor() keeps the
+# oracle correct if the synthesis rule ever produces an odd negative
+# sum (exact float division is safe: sums are bounded by 2^17).
+# FULL oracle: every output
 # byte derives from the text synthesis rule, so DuckDB rebuilds the
 # entire resampled container (header + little-endian samples) as a
 # hex string and sha256-compares it (DuckDB's sha256 is

@@ -559,8 +559,10 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       ranks contiguous from 0, every pair_freq >= min_freq: the
 #       structural invariant of a valid BPE chain, computed
 #       Spark-side and asserted TRUE by the oracle.
-# Oracle notes (SQL comments are stripped by register()'s whitespace
-# normalization, so they live here): the pairs CTE uses a PER-ROW
+# Oracle notes (register() collapses the SQL onto ONE line via
+# " ".join(split()), so a '--' comment would swallow the whole rest
+# of the query -- never put SQL comments in oracle strings; notes
+# live here instead): the pairs CTE uses a PER-ROW
 # unnest(range(1, len(s))) -- no length cap, so 1000+-char tokens
 # count every position exactly like the trainer; the first CTE
 # filters c >= 2 (the trainer's min_freq), and a corpus with no

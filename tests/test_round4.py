@@ -237,3 +237,29 @@ def test_dsir_degenerate_corpora_match_oracle(spark, tmp_path):
     assert gate["passed"].isna().all()
     assert digest_frame(gate, float_digits=9) == digest_frame(
         _oracle_df(d, os_["stream_dsir_gate"]), float_digits=9)
+
+
+def test_bpe_certificate_no_qualifying_pair_corpus(spark, tmp_path):
+    """A corpus where no adjacent char pair reaches min_freq=2: the
+    trainer emits no merges, and BOTH rows of the certificate carry
+    NULL fields and ok=FALSE -- on both engines, hash-identically
+    (exercises the oracle's empty-`first` LEFT JOIN branch)."""
+    from dataingestionengineprocess_spark.oracle_compare import digest_frame
+    from dataingestionengineprocess_spark.queries import (
+        all_oracles,
+        all_queries,
+    )
+
+    # every word appears once and shares no adjacent pair with any
+    # other: all pair frequencies are 1 < min_freq
+    rows = [
+        (1, "en", "s", "ab cd"),
+        (2, "en", "s", "ef gh"),
+    ]
+    d = _tiny_corpus_dir(spark, tmp_path, rows)
+    sdf = all_queries()["text_bpe_train_certificate"](spark, d).toPandas()
+    assert not sdf["ok"].any()
+    assert sdf["left_sym"].isna().all() and sdf["pair_freq"].isna().all()
+    odf = _oracle_df(d, all_oracles()["text_bpe_train_certificate"])
+    assert digest_frame(sdf, float_digits=9) == digest_frame(
+        odf, float_digits=9)
