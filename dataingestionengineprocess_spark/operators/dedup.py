@@ -268,6 +268,9 @@ def minhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
+from .skew import spread_input as _spread_input  # noqa: E402
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.6) -> DataFrame:
@@ -280,6 +283,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     sizes squared, not |docs|^2. Hot shingles (boilerplate) are the
     skew risk -- AQE skew-join splits them.
     """
+    df = _spread_input(df)
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s")
     )
@@ -501,6 +505,7 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     only want a plan should use `ngram_jaccard_pairs` (same output,
     lazy).
     """
+    df = _spread_input(df)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, n)).alias("s"),

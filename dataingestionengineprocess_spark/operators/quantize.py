@@ -38,6 +38,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions.vectors import as_double, cosine, dot
+from .skew import spread_input
 from .similarity import (
     _centroid_score_structs,
     kmeans_centroids,
@@ -106,6 +107,7 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
       so callers can count shards per cluster -- no silent behavior
       change.
     """
+    corpus = spread_input(corpus)
     import numpy as np
     import pandas as pd
 
@@ -446,6 +448,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     plan trains the quantizer (eager driver work); the search half is
     lazy.
     """
+    corpus = spread_input(corpus)
     if train == "local":
         if sample_mod is not None:
             raise ValueError(
@@ -566,6 +569,7 @@ def build_pq_index(corpus: DataFrame, index_path: str, m: int = 8,
     keep their pinned version, and a crashed rebuild is invisible.
     Returns {version, n_vectors}.
     """
+    corpus = spread_input(corpus)
     from ..sinks.versioned import VersionedTable
 
     spark = corpus.sparkSession

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, cosine, dot
+from .skew import spread_input
 
 
 def _plane(seed: str, plane_idx: int, dim: int) -> list[float]:
@@ -67,6 +68,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Returns (query_id, neighbor_id, cos_sim, rank), self-matches
     excluded, ties broken by neighbor id.
     """
+    corpus = spread_input(corpus)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
     )
@@ -111,6 +113,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     same coefficients, same left-to-right fold, so the SQL replica
     oracle is unaffected.
     """
+    corpus = spread_input(corpus)
     planes3d = [
         [_plane(f"band-{b}", p, dim) for p in range(n_planes)]
         for b in range(n_bands)
@@ -438,6 +441,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     only the probe/search half is lazy. Plan-only consumers should
     expect driver jobs at build time.
     """
+    corpus = spread_input(corpus)
     if label_col is not None:
         cent = _centroid_vectors(corpus, vec_col, label_col)
     elif train == "portable":
@@ -606,6 +610,7 @@ def centroid_classify(corpus: DataFrame, id_col: str = "vec_id",
     use these centroids to partition the corpus for IVF-style ANN.
     Returns (vec_id, true_label, pred_label, cos_sim).
     """
+    corpus = spread_input(corpus)
     exploded = corpus.select(
         F.col(id_col).alias("vid"), F.col(label_col).alias("true_label"),
         F.posexplode(as_double(vec_col)).alias("d", "x"),

@@ -27,6 +27,21 @@ from pyspark.sql import functions as F
 SALT_COL = "__salt"
 
 
+def spread_input(df: DataFrame) -> DataFrame:
+    """Repartition a narrow input up to the cluster's parallelism when
+    the source delivered fewer partitions: a single parquet file under
+    maxPartitionBytes arrives as ONE partition, serializing a heavy
+    map side (shingle explode, plane scoring, PQ encoding) onto one
+    core -- measured 3.7x on the PPJoin toksets build at sf0.1. At
+    real scale inputs already carry >= defaultParallelism partitions
+    and this is a no-op; the round-robin shuffle of the narrow input
+    rows is the cheap price of never running single-threaded."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def salted_join(fact: DataFrame, dim: DataFrame, on: str,
                 n_salts: int = 8, how: str = "inner") -> DataFrame:
     """Equi-join fact⋈dim on `on` with the dim side replicated across
