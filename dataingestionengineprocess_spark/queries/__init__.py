@@ -78,6 +78,7 @@ def _load_all() -> None:
     # displaces an already-pre-flighted entry out of the driver's
     # ~50-query correctness window.
     from . import round4  # noqa: F401
+    from . import round4b  # noqa: F401
 
 
 _LOADED = False

@@ -7,7 +7,12 @@ on DuckDB, compare row count + sorted column names + an
 order-insensitive value digest. Prints one line per query and a
 summary, exits non-zero on any mismatch.
 
-    python tools/driver_replica.py [N] [sf_dir]
+    python tools/driver_replica.py [N | name1,name2,...] [sf_dir]
+
+The first argument may also be a comma-separated list of query names:
+new queries register at the BACK of the rotated registry (behind the
+pre-flighted driver window), so a name list is how a fresh addition
+gets the same digest check without sweeping the whole front.
 """
 
 from __future__ import annotations
@@ -23,7 +28,9 @@ import pandas as pd  # noqa: E402
 
 from dataingestionengineprocess_spark.oracle_compare import digest_frame  # noqa: E402
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+ARG = sys.argv[1] if len(sys.argv) > 1 else "50"
+N = int(ARG) if ARG.isdigit() else None
+NAMES = None if N is not None else [n for n in ARG.split(",") if n]
 SF = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
 
@@ -49,7 +56,14 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(SF, t)}')"
         )
 
-    names = list(qs)[:N]
+    if NAMES is not None:
+        unknown = [n for n in NAMES if n not in qs]
+        if unknown:
+            print(f"unknown query names: {unknown}")
+            return 1
+        names = NAMES
+    else:
+        names = list(qs)[:N]
     failures = []
     for i, name in enumerate(names):
         t0 = time.time()
