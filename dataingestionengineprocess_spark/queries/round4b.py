@@ -103,6 +103,177 @@ def ml_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nb_model(spark, sf_dir)
 
 
+# ---------------------------------------------------------------------------
+# Portable bloom-filter runtime prefilter (the explicit form of the
+# runtime-filter / dynamic-partition-pruning pattern): build a
+# fixed-size bloom filter over the selective side's join keys, prefilter
+# the big fact side MAP-ONLY with it, then run the exact join on the
+# survivors. At 100 TB the key set may be too big to broadcast, but the
+# bloom is FIXED-SIZE (here 64 x 63-bit words = 504 bytes) and always
+# broadcastable; the exact join then shuffles only bloom survivors
+# instead of the whole fact table. k=2 md5-derived probes keep the whole
+# construction engine-portable, so the DuckDB oracle rebuilds the exact
+# same filter and the false-positive accounting hash-matches.
+# Bits live as 63-per-word to keep every word a positive int64 (no
+# engine disagreement on sign-bit shifts).
+#
+# Sizing: 1024 words x 63 bits = 64512 bits / ~8 KB. The key side
+# (BUILDING-segment customers in one region) is ~6k orders at sf0.1 ->
+# ~19% fill, ~3% false positives with k=2; in production m scales with
+# the expected key count, the mechanics are identical. At tiny SFs the
+# filter is near-empty and the fp count is simply 0 -- still oracle-
+# deterministic.
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORDS = 1024
+_BLOOM_BPW = 63
+_BLOOM_M = _BLOOM_WORDS * _BLOOM_BPW
+
+
+def _bloom_pos(key_col, i: int):
+    """Probe i's bit index in [0, m): 8 md5 hex digits -> int -> mod m."""
+    s = F.concat(F.lit(f"bloom{i}:"), key_col.cast("string"))
+    return F.pmod(
+        F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(_BLOOM_M),
+    )
+
+
+def _bloom_pos_sql(key: str, i: int) -> str:
+    return (f"(CAST('0x' || substr(md5('bloom{i}:' || CAST({key} AS VARCHAR))"
+            f", 1, 8) AS BIGINT) % {_BLOOM_M})")
+
+
+_BLOOM_ORACLE = f"""
+WITH keys AS (
+  SELECT o_orderkey
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE c_mktsegment = 'BUILDING' AND r_name = 'AMERICA'
+),
+probes AS (
+  SELECT {_bloom_pos_sql('o_orderkey', 0)} AS pos FROM keys
+  UNION ALL
+  SELECT {_bloom_pos_sql('o_orderkey', 1)} FROM keys
+),
+words AS (
+  SELECT pos // {_BLOOM_BPW} AS w,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_BPW} AS INT)) AS v
+  FROM probes GROUP BY 1
+),
+li AS (
+  SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS rev,
+         {_bloom_pos_sql('l_orderkey', 0)} AS p0,
+         {_bloom_pos_sql('l_orderkey', 1)} AS p1
+  FROM lineitem
+),
+flagged AS (
+  SELECT li.rev,
+         COALESCE((w0.v >> CAST(p0 % {_BLOOM_BPW} AS INT)) & 1, 0) = 1
+           AND COALESCE((w1.v >> CAST(p1 % {_BLOOM_BPW} AS INT)) & 1, 0) = 1
+           AS passed,
+         li.l_orderkey IN (SELECT o_orderkey FROM keys) AS matched
+  FROM li
+  LEFT JOIN words w0 ON w0.w = p0 // {_BLOOM_BPW}
+  LEFT JOIN words w1 ON w1.w = p1 // {_BLOOM_BPW}
+)
+SELECT count(*) AS n_lineitem,
+       CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_pass,
+       CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       CAST(sum(CASE WHEN passed AND NOT matched THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       CAST(sum(CASE WHEN matched AND NOT passed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_neg,
+       round(sum(CASE WHEN matched THEN rev ELSE 0 END), 2) AS revenue
+FROM flagged
+"""
+
+
+@register("join_bloom_prefilter", oracle=_BLOOM_ORACLE)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered selective join: lineitems of BUILDING-segment
+    orders. The emitted row is the filter's own audit: big-side rows,
+    bloom survivors, exact matches, false positives, false NEGATIVES
+    (must be 0 — blooms never drop a member; the oracle recomputes the
+    same zero), and revenue over the exact survivors.
+
+    The collect() here is the bloom's 64 words — bounded model state
+    (504 bytes at any scale), the same pattern as the DSIR literal
+    model, NOT a data collect.
+    """
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = (
+        load(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "AMERICA").select("r_regionkey")
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nation.join(F.broadcast(region),
+                                      nation["n_regionkey"]
+                                      == region["r_regionkey"])),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    keys = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select("o_orderkey")
+
+    words = (
+        keys.select(
+            F.explode(
+                F.array(_bloom_pos(F.col("o_orderkey"), 0),
+                        _bloom_pos(F.col("o_orderkey"), 1))
+            ).alias("pos")
+        )
+        .selectExpr(
+            f"pos div {_BLOOM_BPW} AS w",
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_BPW} AS INT))"
+            " AS bitval",
+        )
+        .groupBy("w").agg(F.expr("bit_or(bitval)").alias("v"))
+        .collect()
+    )
+    arr = [0] * _BLOOM_WORDS
+    for r in words:
+        arr[int(r["w"])] = int(r["v"])
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        _bloom_pos(F.col("l_orderkey"), 0).alias("p0"),
+        _bloom_pos(F.col("l_orderkey"), 1).alias("p1"),
+    ).withColumn("bloom", F.array(*[F.lit(v).cast("long") for v in arr]))
+    bit = (
+        "((shiftright(element_at(bloom, CAST(p{i} div %d AS INT) + 1), "
+        "CAST(p{i} %% %d AS INT)) & 1) = 1)" % (_BLOOM_BPW, _BLOOM_BPW)
+    )
+    li = li.withColumn(
+        "passed", F.expr(bit.format(i=0)) & F.expr(bit.format(i=1))
+    )
+    flagged = li.join(
+        F.broadcast(keys.withColumn("m", F.lit(1))),
+        li["l_orderkey"] == keys["o_orderkey"], "left",
+    ).withColumn("matched", F.col("m") == 1)
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_lineitem"),
+        F.sum(F.when(F.col("passed"), 1).otherwise(0)).alias("n_bloom_pass"),
+        F.sum(F.when(F.col("matched"), 1).otherwise(0)).alias("n_match"),
+        F.sum(F.when(F.col("passed") & ~F.coalesce("matched", F.lit(False)),
+                     1).otherwise(0)).alias("n_false_pos"),
+        F.sum(F.when(F.coalesce("matched", F.lit(False)) & ~F.col("passed"),
+                     1).otherwise(0)).alias("n_false_neg"),
+        F.round(F.sum(F.when(F.col("matched"), F.col("rev")).otherwise(0.0)),
+                2).alias("revenue"),
+    )
+
+
 _NB_SCORE_ORACLE = """
 WITH toks AS (
   SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
