@@ -274,6 +274,178 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Robust outlier gate (median / MAD, Iglewicz-Hoaglin modified z-score):
+# the data-quality screen that survives heavy tails where mean/stddev
+# z-scores break (the outliers inflate the stddev that is supposed to
+# flag them). Two grouped exact-percentile passes (median, then median
+# absolute deviation) + one map-side flag pass; the dev table rides a
+# broadcast of the per-group medians, so the fact table shuffles only
+# for the two percentile aggs -- at 100 TB those are the same grouped
+# sort profile as any exact-percentile query (A6), and a sketch
+# (percentile_approx) slots in unchanged when exactness can be traded.
+# ---------------------------------------------------------------------------
+
+_ROBUST_OUTLIER_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, any_value(m.med) AS med,
+         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m ON e.event_type = m.event_type
+  GROUP BY e.event_type
+)
+SELECT e.event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN abs(0.6745 * (e.value - d.med) / d.mad) > 3.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       floor(any_value(d.med) * 1e4 + 0.5) / 1e4 AS med,
+       floor(any_value(d.mad) * 1e4 + 0.5) / 1e4 AS mad,
+       floor(max(abs(0.6745 * (e.value - d.med) / d.mad)) * 1e4 + 0.5) / 1e4
+         AS max_abs_z
+FROM events e JOIN dev d ON e.event_type = d.event_type
+GROUP BY e.event_type
+"""
+
+
+@register("quality_robust_outliers", oracle=_ROBUST_OUTLIER_ORACLE)
+def quality_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier counts over events.value.
+
+    Modified z = 0.6745*(x - median)/MAD, flagged at |z| > 3.5 (the
+    Iglewicz-Hoaglin cutoff). Both percentiles are EXACT interpolated
+    (matches DuckDB quantile_cont -- the A6 precedent), and every
+    downstream float op is a single non-reassociated expression over
+    identical doubles, so the flag can only flip on an exact tie that
+    continuous fixture values never produce.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.percentile(F.abs(F.col("value") - F.col("med")),
+                         F.lit(0.5)).alias("mad"),
+        )
+    )
+    z = F.abs(0.6745 * (F.col("value") - F.col("med")) / F.col("mad"))
+    return (
+        ev.join(F.broadcast(dev), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(z > 3.5, 1).otherwise(0)).alias("n_outliers"),
+            (F.floor(F.first("med") * 1e4 + F.lit(0.5)) / 1e4).alias("med"),
+            (F.floor(F.first("mad") * 1e4 + F.lit(0.5)) / 1e4).alias("mad"),
+            (F.floor(F.max(z) * 1e4 + F.lit(0.5)) / 1e4).alias("max_abs_z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram language model: the classic LM-quality filter one
+# rung above the unigram scorer (text_unigram_logprob). Per bigram
+# occurrence, P(cur|prev) = 0.7 * MLE_bigram + 0.3 * MLE_unigram --
+# trained on the scored corpus itself, so every observed bigram has
+# nonzero bigram mass and no discounting is needed for parity purposes.
+# Scale shape: bigram counting is a word-count-profile shuffle; scoring
+# joins each doc's bigram stream against the (Zipf-bounded, broadcast)
+# count tables; per-doc sums are position-ordered folds over 1e-6-
+# snapped doubles so the result is bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+tok1 AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+c1 AS (SELECT tok, count(*) AS c FROM tok1 GROUP BY 1),
+n AS (SELECT count(*) AS n FROM tok1),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                i -> struct_pack(pos := i, prev := t[i], cur := t[i + 1])))
+           AS s
+  FROM toks WHERE len(t) >= 2
+),
+c2 AS (
+  SELECT s.prev AS prev, s.cur AS cur, count(*) AS c FROM bg GROUP BY 1, 2
+),
+scored AS (
+  SELECT b.doc_id, b.s.pos AS pos,
+         floor(ln(0.7 * c2.c / c1p.c + 0.3 * c1c.c / n.n) * 1e6 + 0.5) / 1e6
+           AS logp
+  FROM bg b
+  JOIN c2 ON c2.prev = b.s.prev AND c2.cur = b.s.cur
+  JOIN c1 c1p ON c1p.tok = b.s.prev
+  JOIN c1 c1c ON c1c.tok = b.s.cur
+  CROSS JOIN n
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       floor(list_reduce(list_prepend(0.0, list(logp ORDER BY pos)),
+                         (a, x) -> a + x)
+             / count(*) * 1e4 + 0.5) / 1e4 AS avg_logp
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("text_bigram_lm_logprob", oracle=_BIGRAM_LM_ORACLE)
+def text_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ts = tokens("text")
+    toks = docs.select("doc_id", ts.alias("t")).filter(F.size("t") >= 2)
+    tok1 = toks.select("doc_id", F.explode("t").alias("tok"))
+    c1 = tok1.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n = tok1.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.element_at("t", i).alias("prev"),
+                    F.element_at("t", i + 1).alias("cur"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.prev", "s.cur")
+    c2 = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    c1p = c1.select(F.col("tok").alias("prev"), F.col("c").alias("c1p"))
+    c1c = c1.select(F.col("tok").alias("cur"), F.col("c").alias("c1c"))
+    scored = (
+        bg.join(F.broadcast(c2), ["prev", "cur"])
+        .join(F.broadcast(c1p), "prev")
+        .join(F.broadcast(c1c), "cur")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "pos",
+            (F.floor(
+                F.log(F.lit(0.7) * F.col("c2") / F.col("c1p")
+                      + F.lit(0.3) * F.col("c1c") / F.col("n")) * 1e6
+                + F.lit(0.5)) / 1e6).alias("logp"),
+        )
+    )
+    ordered_sum = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "logp"))),
+            lambda s: s.getField("logp"),
+        ),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.floor(ordered_sum / F.count(F.lit(1)) * 1e4 + F.lit(0.5)) / 1e4)
+        .alias("avg_logp"),
+    )
+
+
 _NB_SCORE_ORACLE = """
 WITH toks AS (
   SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
