@@ -446,6 +446,152 @@ def text_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# ST2 under the oracle gate: the watermark late-data contract driven as
+# a query. A 3-epoch replay of events (time-ordered thirds, with a
+# deterministic 5% of straggler rows delayed by TWO epochs) is drained
+# through a watermarked tumbling-window aggregation in append mode.
+# Spark 4 keeps TWO watermarks per stateful operator (SPARK-24634):
+# late-input filtering uses the PREVIOUS batch's watermark, eviction/
+# emission uses the current one -- probed empirically this round:
+# one-epoch stragglers are never dropped (their window is evicted in
+# the same batch they arrive), while two-epoch stragglers whose window
+# end <= max(epoch-0 ts) - delay show up in
+# numRowsDroppedByWatermark. The DuckDB oracle replays exactly that:
+# drop epoch-k rows against the epoch-(k-2) watermark, aggregate the
+# survivors, emit windows closed by the FINAL watermark (the
+# availableNow drain runs a trailing no-data batch, so the last
+# eviction uses max ts over ALL epochs).
+# The staging helper mirrors stage_incremental_epochs: fingerprinted
+# (stale fixtures re-stage), atomically published, mtime-ordered so
+# the file source replays epochs in order; scaffolding stays outside
+# the measured query body.
+# ---------------------------------------------------------------------------
+
+_WM_DELAY = "10 minutes"
+
+
+def _stage_late_epochs(spark: SparkSession, sf_dir: str) -> str:
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..catalog import load, table_path
+
+    src_table = table_path(sf_dir, "events")
+    ident = [src_table, "wm-late-v1"]
+    for fp in sorted(glob.glob(src_table)
+                     or glob.glob(os.path.join(src_table, "*"))
+                     or [src_table]):
+        try:
+            st = os.stat(fp)
+            ident.append(f"{fp}#{st.st_size}#{st.st_mtime_ns}")
+        except OSError:
+            ident.append(f"{fp}#gone")
+    suffix = hashlib.md5("|".join(ident).encode()).hexdigest()[:12]
+    src = os.path.join(tempfile.gettempdir(), f"engine_wmepochs_{suffix}")
+    if os.path.isdir(src):
+        return src
+    build = f"{src}.build-{uuid.uuid4().hex}"
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+    n = ev.count()
+    ranked = ev.withColumn(
+        "rk", F.row_number().over(W.orderBy("ts", "event_id")) - 1
+    )
+    ep = ranked.selectExpr(
+        "event_id", "ts", "value",
+        f"least((3*rk) div {n}"
+        " + CASE WHEN event_id % 20 = 0 THEN 2 ELSE 0 END, 2) AS epoch",
+    )
+    stamped: set[str] = set()
+    for k in range(3):
+        (ep.filter(F.col("epoch") == k).select("event_id", "ts", "value")
+         .coalesce(1).write.mode("append").parquet(build))
+        for name in os.listdir(build):
+            if name.endswith(".parquet") and name not in stamped:
+                t = 1e9 + k * 10
+                os.utime(os.path.join(build, name), (t, t))
+                stamped.add(name)
+    try:
+        os.rename(build, src)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)
+    return src
+
+
+_WM_LATE_ORACLE = """
+WITH ranked AS (
+  SELECT event_id, ts, value,
+         row_number() OVER (ORDER BY ts, event_id) - 1 AS rk,
+         count(*) OVER () AS n
+  FROM events
+),
+ep AS (
+  SELECT event_id, ts, value,
+         least((3 * rk) // n
+               + CASE WHEN event_id % 20 = 0 THEN 2 ELSE 0 END, 2) AS epoch
+  FROM ranked
+),
+emax AS (SELECT epoch, max(ts) AS mx FROM ep GROUP BY 1),
+latewm AS (
+  SELECT e.epoch,
+         (SELECT max(mx) FROM emax m WHERE m.epoch <= e.epoch - 2)
+           - INTERVAL 10 MINUTE AS lw
+  FROM (SELECT DISTINCT epoch FROM ep) e
+),
+kept AS (
+  SELECT ep.* FROM ep JOIN latewm l ON ep.epoch = l.epoch
+  WHERE l.lw IS NULL OR date_trunc('hour', ep.ts) + INTERVAL 1 HOUR > l.lw
+),
+final_wm AS (SELECT max(mx) - INTERVAL 10 MINUTE AS f FROM emax),
+agg AS (
+  SELECT date_trunc('hour', ts) AS win_start, count(*) AS n,
+         round(sum(value), 2) AS total_value
+  FROM kept GROUP BY 1
+)
+SELECT a.win_start, a.n, a.total_value
+FROM agg a, final_wm WHERE a.win_start + INTERVAL 1 HOUR <= f
+"""
+
+
+@register("stream_watermark_late_drop", oracle=_WM_LATE_ORACLE)
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode tumbling counts over a 3-epoch drain where a
+    deterministic straggler subset is delayed far enough to be DROPPED
+    by the watermark — the drained result must equal the oracle's
+    replay of the dual-watermark rules (late filter one batch behind
+    eviction), proving both the drop and the emission cutoff."""
+    import pyspark.sql.types as T
+
+    from ..session import tune_session
+
+    tune_session(spark)
+    src = _stage_late_epochs(spark, sf_dir)
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", _WM_DELAY)
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    from ..streaming.analytics import run_to_table
+
+    out = run_to_table(agg, spark, output_mode="append")
+    return out.select(F.col("window.start").alias("win_start"),
+                      "n", "total_value")
+
+
 _NB_SCORE_ORACLE = """
 WITH toks AS (
   SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
