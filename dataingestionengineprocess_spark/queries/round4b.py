@@ -592,6 +592,84 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n", "total_value")
 
 
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER interval join (the inner form is
+# stream_stream_join): purchases that saw NO qualifying click in the
+# preceding 30 minutes surface as null-extended rows. Outer results are
+# the hard part of stream-stream joins — an unmatched left row can only
+# be emitted once the OTHER side's watermark proves no future match can
+# arrive (here: global watermark past purchase_ts, the match range's
+# upper bound), which the availableNow drain's trailing no-data batch
+# finalizes. Purchases younger than the final watermark stay in state
+# and are NOT emitted — the oracle replays exactly that cutoff with
+# wm = least(max purchase_ts, max click_ts) - 1 hour (Spark keeps ONE
+# global watermark: the min across both inputs' event-time columns).
+# ---------------------------------------------------------------------------
+
+_SS_OUTER_ORACLE = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+wm AS (
+  SELECT least((SELECT max(purchase_ts) FROM p),
+               (SELECT max(click_ts) FROM c)) - INTERVAL 1 HOUR AS w
+),
+matched AS (
+  SELECT p.purchase_id, c.click_id, p.user_id, c.click_ts, p.purchase_ts
+  FROM p JOIN c ON p.user_id = c.click_user
+   AND c.click_ts <= p.purchase_ts
+   AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+)
+SELECT * FROM matched
+UNION ALL
+SELECT p.purchase_id, NULL AS click_id, p.user_id,
+       CAST(NULL AS TIMESTAMP) AS click_ts, p.purchase_ts
+FROM p, wm
+WHERE p.purchase_id NOT IN (SELECT purchase_id FROM matched)
+  AND p.purchase_ts <= wm.w
+"""
+
+
+@register("stream_stream_outer_join", oracle=_SS_OUTER_ORACLE)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.analytics import read_events_stream, run_to_table
+
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts")
+           >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select("purchase_id", "click_id", "user_id", "click_ts", "purchase_ts")
+    return run_to_table(joined, spark, output_mode="append")
+
+
 _NB_SCORE_ORACLE = """
 WITH toks AS (
   SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
