@@ -177,6 +177,15 @@ BENCH_QUERIES = [
     # the Gopher-style repetition filter pass
     "source_jdbc_roundtrip",
     "text_repetition_filters",
+    # round-4 continuation: distributed NB train+score, the portable
+    # bloom runtime prefilter, robust outlier gating, bigram LM, and
+    # the two new streaming contracts (watermark late drop, outer join)
+    "ml_naive_bayes_score",
+    "join_bloom_prefilter",
+    "quality_robust_outliers",
+    "text_bigram_lm_logprob",
+    "stream_watermark_late_drop",
+    "stream_stream_outer_join",
 ]
 
 

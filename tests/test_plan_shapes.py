@@ -373,3 +373,40 @@ def test_salted_join_spreads_hot_key_over_salts(spark, sf_dir, qs):
     assert any("l_suppkey" in ln and "__salt" in ln for ln in join_lines), (
         join_lines
     )
+
+
+def test_nb_score_model_join_is_broadcast(spark, sf_dir, qs):
+    """The NB model (vocab-bounded) must broadcast onto the doc-token
+    stream — a sort-merge join here would shuffle the fact side by
+    token, the exact skew (Zipf head tokens) the broadcast avoids."""
+    plan = _plan(spark, sf_dir, qs, "ml_naive_bayes_score")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bigram_lm_count_tables_broadcast(spark, sf_dir, qs):
+    """All three count-table joins (bigram, prev-unigram, cur-unigram)
+    ride broadcasts; the per-doc fold is the only doc_id shuffle."""
+    plan = _plan(spark, sf_dir, qs, "text_bigram_lm_logprob")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_robust_outliers_stats_broadcast_back(spark, sf_dir, qs):
+    """Per-group median/MAD are grouped percentile aggs; joining them
+    back onto the fact rows must broadcast the tiny stats table, not
+    shuffle events twice more."""
+    plan = _plan(spark, sf_dir, qs, "quality_robust_outliers")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bloom_membership_is_map_side_expression(spark, sf_dir, qs):
+    """The bloom membership test must be a scalar expression over the
+    literal word array (shiftright/& against element_at) evaluated on
+    the fact rows BEFORE any join — NOT a join against a bit table.
+    The only joins in the plan are broadcasts (dim chain + exact
+    verification); nothing shuffles the fact side."""
+    plan = _plan(spark, sf_dir, qs, "join_bloom_prefilter")
+    assert "shiftright" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
