@@ -670,6 +670,165 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(joined, spark, output_mode="append")
 
 
+# ---------------------------------------------------------------------------
+# Embedding cluster analytics: per-label centroids (long form, the
+# driver output contract) and the label×label centroid cosine matrix.
+# Centroid means follow the embedding_whitening precedent
+# (round(avg, 6) absorbs engine sum-order drift at fixture
+# magnitudes); the similarity pass then folds the ROUNDED centroids in
+# dim order, so it is bit-stable by construction. Scale: one
+# posexplode + one (label, dim) agg — the profile of every per-dim
+# embedding op here; the label-pair cosine is |labels|² over a
+# broadcast-size centroid table.
+# ---------------------------------------------------------------------------
+
+_CENTROID_ORACLE = """
+SELECT label, dim,
+       count(*) AS n,
+       round(avg(val), 6) AS mu
+FROM (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS val
+  FROM embeddings
+)
+GROUP BY label, dim
+"""
+
+
+@register("embedding_label_centroids", oracle=_CENTROID_ORACLE)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "val")
+    ).select("label", (F.col("dim0") + 1).alias("dim"),
+             F.col("val").cast("double").alias("val"))
+    return x.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("val"), 6).alias("mu"),
+    )
+
+
+_CENTROID_SIM_ORACLE = """
+WITH cent AS (
+  SELECT label, dim, round(avg(val), 6) AS mu
+  FROM (
+    SELECT label, generate_subscripts(embedding, 1) AS dim,
+           unnest(embedding) AS val
+    FROM embeddings
+  )
+  GROUP BY label, dim
+),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b, a.dim,
+         a.mu * b.mu AS dot_term, a.mu * a.mu AS na_term,
+         b.mu * b.mu AS nb_term
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+),
+folded AS (
+  SELECT label_a, label_b,
+         list_reduce(list_prepend(0.0, list(dot_term ORDER BY dim)),
+                     (x, y) -> x + y) AS dot,
+         list_reduce(list_prepend(0.0, list(na_term ORDER BY dim)),
+                     (x, y) -> x + y) AS na,
+         list_reduce(list_prepend(0.0, list(nb_term ORDER BY dim)),
+                     (x, y) -> x + y) AS nb
+  FROM pairs GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+       floor(dot / sqrt(na) / sqrt(nb) * 1e6 + 0.5) / 1e6 AS cosine
+FROM folded
+"""
+
+
+@register("embedding_centroid_similarity", oracle=_CENTROID_SIM_ORACLE)
+def embedding_centroid_similarity(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim0", "val"))
+        .select("label", (F.col("dim0") + 1).alias("dim"),
+                F.col("val").cast("double").alias("val"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("mu"))
+    )
+    a = cent.select(F.col("label").alias("label_a"), "dim",
+                    F.col("mu").alias("mu_a"))
+    b = cent.select(F.col("label").alias("label_b"),
+                    F.col("dim").alias("dim_b"), F.col("mu").alias("mu_b"))
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("dim") == F.col("dim_b"))
+        & (F.col("label_a") < F.col("label_b")),
+    )
+
+    def fold(term):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", term.alias("t")))),
+                lambda s: s.getField("t"),
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    folded = pairs.groupBy("label_a", "label_b").agg(
+        fold(F.col("mu_a") * F.col("mu_b")).alias("dot"),
+        fold(F.col("mu_a") * F.col("mu_a")).alias("na"),
+        fold(F.col("mu_b") * F.col("mu_b")).alias("nb"),
+    )
+    return folded.select(
+        "label_a", "label_b",
+        (F.floor(F.col("dot") / F.sqrt("na") / F.sqrt("nb") * 1e6
+                 + F.lit(0.5)) / 1e6).alias("cosine"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostics: the report that decides whether a join needs
+# the salted rewrite (join_salted_hot_keys) or AQE's skew split. For
+# each candidate join key: distinct keys, rows, max/p50/p99 per-key
+# counts, and the skew factor max/avg. One groupBy per key column —
+# the diagnosis costs one word-count-shaped pass, cheap enough to run
+# ahead of any expensive join at 100 TB.
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+WITH k1 AS (
+  SELECT 'l_suppkey' AS key_col, l_suppkey AS k FROM lineitem
+  UNION ALL
+  SELECT 'l_orderkey', l_orderkey FROM lineitem
+),
+cnt AS (SELECT key_col, k, count(*) AS c FROM k1 GROUP BY 1, 2)
+SELECT key_col,
+       count(*) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       max(c) AS max_cnt,
+       quantile_cont(c, 0.5) AS p50_cnt,
+       quantile_cont(c, 0.99) AS p99_cnt,
+       floor(max(c) * count(*) * 1e4 / sum(c) + 0.5) / 1e4 AS skew_factor
+FROM cnt GROUP BY key_col
+"""
+
+
+@register("quality_skew_report", oracle=_SKEW_ORACLE)
+def quality_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    k1 = li.select(F.lit("l_suppkey").alias("key_col"),
+                   F.col("l_suppkey").alias("k")).unionAll(
+        li.select(F.lit("l_orderkey").alias("key_col"),
+                  F.col("l_orderkey").alias("k"))
+    )
+    cnt = k1.groupBy("key_col", "k").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("key_col").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_cnt"),
+        F.percentile("c", F.lit(0.5)).alias("p50_cnt"),
+        F.percentile("c", F.lit(0.99)).alias("p99_cnt"),
+        (F.floor(F.max("c") * F.count(F.lit(1)) * 1e4 / F.sum("c")
+                 + F.lit(0.5)) / 1e4).alias("skew_factor"),
+    )
+
+
 _NB_SCORE_ORACLE = """
 WITH toks AS (
   SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
