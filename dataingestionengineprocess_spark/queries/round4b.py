@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..functions.text import tokens
 from . import register
+from .round4 import _DERBY_DRIVER
 
 # ---------------------------------------------------------------------------
 # Multinomial Naive Bayes, trained BY A QUERY. Class = document lang;
@@ -826,6 +827,90 @@ def quality_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("c", F.lit(0.99)).alias("p99_cnt"),
         (F.floor(F.max("c") * F.count(F.lit(1)) * 1e4 / F.sum("c")
                  + F.lit(0.5)) / 1e4).alias("skew_factor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST7 through a REAL JDBC endpoint: the reference's streaming core is
+# "micro-batch process writes to the OLTP store" (EC2 <-> PostgreSQL,
+# `Untitled Diagram.drawio:88-98`); the batch form went under the
+# oracle via embedded Derby in source_jdbc_roundtrip. Here the
+# STREAMING form does: a 3-epoch drain rolls each micro-batch up and
+# foreachBatch-appends it (with its epoch id) to a Derby table over
+# the Spark JDBC writer; the readback re-aggregates across epochs and
+# must reconstruct the batch answer exactly — proving per-epoch JDBC
+# appends compose losslessly. Epoch ids in the table are the
+# idempotence hook (a replayed epoch would be visible and filterable;
+# exactly-once replay itself is oracle-gated on the versioned sink in
+# stream_upsert_versioned_latest).
+# ---------------------------------------------------------------------------
+
+_STREAM_JDBC_ORACLE = """
+SELECT date_trunc('hour', ts) AS win_start,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1
+"""
+
+
+@register("stream_oltp_jdbc_sink", oracle=_STREAM_JDBC_ORACLE)
+def stream_oltp_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    import pyspark.sql.types as T
+
+    from ..catalog import scratch_dir
+    from ..session import tune_session
+
+    tune_session(spark)
+    spark._jvm.java.lang.System.setProperty(
+        "derby.system.home", "/tmp/derby_home"
+    )
+    src = _stage_late_epochs(spark, sf_dir)
+    db_dir = scratch_dir("derby_stream", sf_dir)
+    url = f"jdbc:derby:{db_dir}/db;create=true"
+    table = "hourly_rollup"
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        rollup = (
+            batch_df.groupBy(F.date_trunc("hour", "ts").alias("win_start"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("total_value"))
+            .withColumn("epoch_id", F.lit(epoch_id))
+        )
+        (rollup.write.format("jdbc")
+         .option("url", url).option("dbtable", table)
+         .option("driver", _DERBY_DRIVER)
+         .mode("append").save())
+
+    ckpt = scratch_dir("derby_stream_ckpt", sf_dir, uuid.uuid4().hex)
+    q = (
+        stream.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url).option("dbtable", table)
+        .option("driver", _DERBY_DRIVER).load()
+    )
+    # Partial per-epoch sums re-aggregate to the batch answer; round
+    # ONCE at the end (rounding per epoch would bake in drift).
+    return back.groupBy("win_start").agg(
+        F.sum("n").alias("n"),
+        F.round(F.sum("total_value"), 2).alias("total_value"),
     )
 
 
