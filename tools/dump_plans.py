@@ -57,6 +57,22 @@ SHOWCASE = [
     "curation_sequence_packing",
     "dedup_minhash_portable",
     "text_unigram_logprob",
+    # round-4: DSIR's broadcast log-ratio scoring, the single-scan
+    # repetition-filter gram build, and the partitioned JDBC readback
+    # + broadcast enrich
+    "curation_dsir_weights",
+    "text_repetition_filters",
+    "source_jdbc_roundtrip",
+    # round-4 continuation: the single-plan NB fit+score (broadcast
+    # model join, ordered fold, argmax window), the map-side bloom
+    # membership + broadcast exact verify, the median/MAD gate, and
+    # the bigram LM's three broadcast count joins. (The streaming
+    # entries drain at build time, so they are excluded like the
+    # other eager queries.)
+    "ml_naive_bayes_score",
+    "join_bloom_prefilter",
+    "quality_robust_outliers",
+    "text_bigram_lm_logprob",
 ]
 
 
