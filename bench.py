@@ -186,6 +186,9 @@ BENCH_QUERIES = [
     "text_bigram_lm_logprob",
     "stream_watermark_late_drop",
     "stream_stream_outer_join",
+    "stream_oltp_jdbc_sink",
+    "embedding_centroid_similarity",
+    "quality_skew_report",
 ]
 
 
