@@ -914,6 +914,65 @@ def stream_oltp_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle (training order): before packing/
+# sharding, pretraining corpora are shuffled so batches are i.i.d.-ish
+# — but the shuffle must be REPRODUCIBLE (same seed -> same order on
+# any cluster layout). Shuffle key = md5(seed || doc_id); the global
+# position comes from the calibration pattern (SCALE.md §2): range-
+# partition on the key, per-partition local row_number, tiny offset
+# table — never a single-task global window. Round-robin shard
+# assignment rides the position for free.
+# ---------------------------------------------------------------------------
+
+_TRAINING_ORDER_ORACLE = """
+WITH s AS (
+  SELECT doc_id, md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+),
+r AS (
+  SELECT doc_id, shuffle_key,
+         row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS pos
+  FROM s
+)
+SELECT doc_id, shuffle_key, pos, pos % 8 AS shard FROM r
+"""
+
+
+@register("curation_training_order", oracle=_TRAINING_ORDER_ORACLE)
+def curation_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keyed = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string"))
+                  .cast("binary")).alias("shuffle_key"),
+        )
+        # pin the sampled range boundaries: every consumer below must
+        # see ONE partition layout (the calibration precedent)
+        .repartitionByRange(8, "shuffle_key", "doc_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("__pid").orderBy("shuffle_key", "doc_id")
+            ),
+        )
+        .localCheckpoint()
+    )
+    counts = keyed.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    wo = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__c").over(wo), F.lit(0)).alias("__off")
+    )
+    pos = (F.col("__off") + F.col("__rn") - 1).cast("long")
+    return (
+        keyed.join(F.broadcast(offsets), "__pid")
+        .select("doc_id", "shuffle_key", pos.alias("pos"),
+                F.pmod(pos, F.lit(8)).alias("shard"))
+    )
+
+
 _NB_SCORE_ORACLE = """
 WITH toks AS (
   SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
