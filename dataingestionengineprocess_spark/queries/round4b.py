@@ -110,7 +110,7 @@ def ml_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixed-size bloom filter over the selective side's join keys, prefilter
 # the big fact side MAP-ONLY with it, then run the exact join on the
 # survivors. At 100 TB the key set may be too big to broadcast, but the
-# bloom is FIXED-SIZE (here 64 x 63-bit words = 504 bytes) and always
+# bloom is FIXED-SIZE (here 1024 x 63-bit words = 64512 bits, ~8 KB) and always
 # broadcastable; the exact join then shuffles only bloom survivors
 # instead of the whole fact table. k=2 md5-derived probes keep the whole
 # construction engine-portable, so the DuckDB oracle rebuilds the exact
@@ -202,8 +202,8 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (must be 0 — blooms never drop a member; the oracle recomputes the
     same zero), and revenue over the exact survivors.
 
-    The collect() here is the bloom's 64 words — bounded model state
-    (504 bytes at any scale), the same pattern as the DSIR literal
+    The collect() here is the bloom's 1024 words — bounded model state
+    (~8 KB at any key count), the same pattern as the DSIR literal
     model, NOT a data collect.
     """
     nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
@@ -222,9 +222,12 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    # pinned: the selective chain feeds TWO jobs (the eager bloom-word
+    # build and the broadcast exact verify) — without this every
+    # invocation re-runs the 4-table join
     keys = orders.join(
         F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
-    ).select("o_orderkey")
+    ).select("o_orderkey").localCheckpoint(eager=True)
 
     words = (
         keys.select(
@@ -400,8 +403,12 @@ FROM scored GROUP BY doc_id
 def text_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     ts = tokens("text")
-    toks = docs.select("doc_id", ts.alias("t")).filter(F.size("t") >= 2)
-    tok1 = toks.select("doc_id", F.explode("t").alias("tok"))
+    all_toks = docs.select("doc_id", ts.alias("t"))
+    # Unigram counts and the total come from the FULL corpus (the
+    # oracle's tok1 CTE is unfiltered); only the bigram build excludes
+    # sub-2-token documents — the split matters on edge corpora.
+    tok1 = all_toks.select("doc_id", F.explode("t").alias("tok"))
+    toks = all_toks.filter(F.size("t") >= 2)
     c1 = tok1.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     n = tok1.agg(F.count(F.lit(1)).cast("double").alias("n"))
     bg = toks.select(
@@ -473,54 +480,29 @@ _WM_DELAY = "10 minutes"
 
 
 def _stage_late_epochs(spark: SparkSession, sf_dir: str) -> str:
-    import glob
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-    import uuid
+    """Events as a 3-epoch drop directory: time-ordered thirds, with
+    every 20th event_id delayed TWO epochs (the straggler subset the
+    dual-watermark rules will genuinely drop). Shared staging
+    mechanics (fingerprint cache, atomic publish, ordered mtimes) in
+    `queries.streaming.stage_epoch_files`."""
+    from ..catalog import load
+    from .streaming import stage_epoch_files
 
-    from ..catalog import load, table_path
+    def frame():
+        ev = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+        n = ev.count()
+        ranked = ev.withColumn(
+            "rk", F.row_number().over(W.orderBy("ts", "event_id")) - 1
+        )
+        return ranked.selectExpr(
+            "event_id", "ts", "value",
+            f"least((3*rk) div {n}"
+            " + CASE WHEN event_id % 20 = 0 THEN 2 ELSE 0 END, 2) AS epoch",
+        )
 
-    src_table = table_path(sf_dir, "events")
-    ident = [src_table, "wm-late-v1"]
-    for fp in sorted(glob.glob(src_table)
-                     or glob.glob(os.path.join(src_table, "*"))
-                     or [src_table]):
-        try:
-            st = os.stat(fp)
-            ident.append(f"{fp}#{st.st_size}#{st.st_mtime_ns}")
-        except OSError:
-            ident.append(f"{fp}#gone")
-    suffix = hashlib.md5("|".join(ident).encode()).hexdigest()[:12]
-    src = os.path.join(tempfile.gettempdir(), f"engine_wmepochs_{suffix}")
-    if os.path.isdir(src):
-        return src
-    build = f"{src}.build-{uuid.uuid4().hex}"
-    ev = load(spark, sf_dir, "events").select("event_id", "ts", "value")
-    n = ev.count()
-    ranked = ev.withColumn(
-        "rk", F.row_number().over(W.orderBy("ts", "event_id")) - 1
-    )
-    ep = ranked.selectExpr(
-        "event_id", "ts", "value",
-        f"least((3*rk) div {n}"
-        " + CASE WHEN event_id % 20 = 0 THEN 2 ELSE 0 END, 2) AS epoch",
-    )
-    stamped: set[str] = set()
-    for k in range(3):
-        (ep.filter(F.col("epoch") == k).select("event_id", "ts", "value")
-         .coalesce(1).write.mode("append").parquet(build))
-        for name in os.listdir(build):
-            if name.endswith(".parquet") and name not in stamped:
-                t = 1e9 + k * 10
-                os.utime(os.path.join(build, name), (t, t))
-                stamped.add(name)
-    try:
-        os.rename(build, src)
-    except OSError:
-        shutil.rmtree(build, ignore_errors=True)
-    return src
+    return stage_epoch_files(spark, sf_dir, source_table="events",
+                             tag="wmepochs", frame_fn=frame,
+                             ident_extra=("wm-late-v1",))
 
 
 _WM_LATE_ORACLE = """
@@ -605,6 +587,10 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and are NOT emitted — the oracle replays exactly that cutoff with
 # wm = least(max purchase_ts, max click_ts) - 1 hour (Spark keeps ONE
 # global watermark: the min across both inputs' event-time columns).
+# The cutoff is STRICT (purchase_ts < wm): a purchase exactly AT the
+# final watermark is still held in state, verified against a crafted
+# fixture where an unmatched purchase equals the watermark to the
+# microsecond (tests/test_round4b.py).
 # ---------------------------------------------------------------------------
 
 _SS_OUTER_ORACLE = """
@@ -632,7 +618,7 @@ SELECT p.purchase_id, NULL AS click_id, p.user_id,
        CAST(NULL AS TIMESTAMP) AS click_ts, p.purchase_ts
 FROM p, wm
 WHERE p.purchase_id NOT IN (SELECT purchase_id FROM matched)
-  AND p.purchase_ts <= wm.w
+  AND p.purchase_ts < wm.w
 """
 
 
@@ -859,7 +845,7 @@ def stream_oltp_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    from ..catalog import scratch_dir
+    from ..catalog import scratch_dir, scratch_path
     from ..session import tune_session
 
     tune_session(spark)
@@ -867,7 +853,16 @@ def stream_oltp_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "derby.system.home", "/tmp/derby_home"
     )
     src = _stage_late_epochs(spark, sf_dir)
-    db_dir = scratch_dir("derby_stream", sf_dir)
+    # STABLE path, never rmtree'd: the embedded Derby engine keeps a
+    # once-opened database BOOTED for the JVM's life, so deleting its
+    # files out from under it neither frees the data nor resets the
+    # table (a second invocation would then read doubled appends from
+    # the live instance). Instead the FIRST micro-batch of every
+    # invocation writes mode("overwrite"), which drops and recreates
+    # the table through SQL on whatever instance is live — repeat
+    # invocations in one session stay correct, and nothing mutates
+    # booted storage behind the engine's back.
+    db_dir = scratch_path("derby_stream", sf_dir)
     url = f"jdbc:derby:{db_dir}/db;create=true"
     table = "hourly_rollup"
 
@@ -881,6 +876,8 @@ def stream_oltp_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1").parquet(src)
     )
 
+    first_batch = {"pending": True}
+
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         rollup = (
             batch_df.groupBy(F.date_trunc("hour", "ts").alias("win_start"))
@@ -888,10 +885,12 @@ def stream_oltp_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("value").alias("total_value"))
             .withColumn("epoch_id", F.lit(epoch_id))
         )
+        mode = "overwrite" if first_batch["pending"] else "append"
+        first_batch["pending"] = False
         (rollup.write.format("jdbc")
          .option("url", url).option("dbtable", table)
          .option("driver", _DERBY_DRIVER)
-         .mode("append").save())
+         .mode(mode).save())
 
     ckpt = scratch_dir("derby_stream_ckpt", sf_dir, uuid.uuid4().hex)
     q = (

@@ -572,26 +572,29 @@ LEFT JOIN best b ON d.doc_id = b.new_id
 """
 
 
-def stage_incremental_epochs(spark: SparkSession, sf_dir: str) -> str:
-    """Test/bench SCAFFOLDING, deliberately outside the measured query
-    body: materialize the documents table as a 3-epoch parquet drop
-    directory (one file per epoch, strictly-increasing mtimes so the
-    file source replays epochs in order). Staged ONCE per source
+def stage_epoch_files(spark: SparkSession, sf_dir: str, *,
+                      source_table: str, tag: str,
+                      frame_fn, n_epochs: int = 3,
+                      ident_extra: tuple[str, ...] = ()) -> str:
+    """Test/bench SCAFFOLDING shared by every multi-epoch stream
+    fixture, deliberately outside any measured query body: materialize
+    ``frame_fn()``'s DataFrame (which must carry an integer ``epoch``
+    column plus the payload columns) as an ``n_epochs``-file parquet
+    drop directory — one file per epoch, strictly-increasing mtimes so
+    the file source replays epochs in order. Staged ONCE per source
     fixture and reused across calls. Two hazards of a naive cache are
     handled explicitly:
 
-    - STALENESS: the cache key is a fingerprint of the source
-      documents parquet (path + per-file size + mtime), so a
-      regenerated fixture at the same sf_dir stages fresh instead of
-      silently draining old epochs against a new oracle table.
+    - STALENESS: the cache key is a fingerprint of the source parquet
+      (path + per-file size + mtime) plus ``ident_extra`` (bump it
+      when the epoch-assignment rule changes), so a regenerated
+      fixture at the same sf_dir stages fresh instead of silently
+      draining old epochs against a new oracle table.
     - CONCURRENCY: staging builds in a process-unique temp directory
       and publishes with ONE atomic rename; a concurrent stager that
       loses the race discards its build. No partially-staged or
       doubly-appended directory is ever visible under the final path.
-
-    This keeps the bench figure for `stream_incremental_dedup` the
-    ADMISSION cost (drain + per-batch corpus join), not fixture file
-    plumbing."""
+    """
     import glob
     import hashlib
     import os
@@ -599,10 +602,10 @@ def stage_incremental_epochs(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
     import uuid
 
-    from ..catalog import load, table_path
+    from ..catalog import table_path
 
-    src_table = table_path(sf_dir, "documents")
-    ident = [src_table]
+    src_table = table_path(sf_dir, source_table)
+    ident = [src_table, *ident_extra]
     for fp in sorted(glob.glob(src_table)
                      or glob.glob(os.path.join(src_table, "*"))
                      or [src_table]):
@@ -612,14 +615,15 @@ def stage_incremental_epochs(spark: SparkSession, sf_dir: str) -> str:
         except OSError:
             ident.append(f"{fp}#gone")
     suffix = hashlib.md5("|".join(ident).encode()).hexdigest()[:12]
-    src = os.path.join(tempfile.gettempdir(), f"engine_epochsrc_{suffix}")
+    src = os.path.join(tempfile.gettempdir(), f"engine_{tag}_{suffix}")
     if os.path.isdir(src):
         return src
     build = f"{src}.build-{uuid.uuid4().hex}"
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    frame = frame_fn()
+    payload = [c for c in frame.columns if c != "epoch"]
     stamped: set[str] = set()
-    for k in range(3):
-        (docs.filter(F.col("doc_id") % 3 == k)
+    for k in range(n_epochs):
+        (frame.filter(F.col("epoch") == k).select(*payload)
          .coalesce(1).write.mode("append").parquet(build))
         # Strictly-increasing mtimes per EPOCH (part-file names are
         # uuid-random, so "new since last write" is the only reliable
@@ -635,6 +639,24 @@ def stage_incremental_epochs(spark: SparkSession, sf_dir: str) -> str:
     except OSError:
         shutil.rmtree(build, ignore_errors=True)
     return src
+
+
+def stage_incremental_epochs(spark: SparkSession, sf_dir: str) -> str:
+    """Documents as a 3-epoch drop directory (epoch = doc_id % 3).
+    Keeps the bench figure for `stream_incremental_dedup` the
+    ADMISSION cost (drain + per-batch corpus join), not fixture file
+    plumbing. Shared mechanics in `stage_epoch_files`."""
+    from ..catalog import load
+
+    def frame():
+        return (
+            load(spark, sf_dir, "documents")
+            .select("doc_id", "text",
+                    (F.col("doc_id") % 3).alias("epoch"))
+        )
+
+    return stage_epoch_files(spark, sf_dir, source_table="documents",
+                             tag="epochsrc", frame_fn=frame)
 
 
 @register("stream_incremental_dedup", oracle=_STREAM_ADMIT_ORACLE)

@@ -90,3 +90,119 @@ def test_bloom_prefilter_is_load_bearing(spark):
     assert row["n_false_neg"] == 0
     assert row["n_match"] <= row["n_bloom_pass"] < row["n_lineitem"]
     assert row["n_bloom_pass"] == row["n_match"] + row["n_false_pos"]
+
+
+def _oracle_con(sf_dir):
+    import os
+
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def test_bigram_lm_edge_corpus_matches_oracle(spark, tmp_path):
+    """A corpus containing sub-2-token documents: those docs produce no
+    bigrams (excluded from the OUTPUT on both sides), but their tokens
+    still count toward the unigram tables and the corpus total — the
+    oracle builds c1/n over the unfiltered corpus, and the Spark side
+    must match."""
+    import os
+
+    from dataingestionengineprocess_spark.oracle_compare import digest_frame
+    from dataingestionengineprocess_spark.queries import (
+        all_oracles,
+        all_queries,
+    )
+
+    d = str(tmp_path / "sfedge")
+    os.makedirs(d, exist_ok=True)
+    rows = [
+        (1, "en", "s", "solo"),
+        (2, "en", "s", "alpha beta alpha"),
+        (3, "en", "s", "beta beta"),
+        (4, "en", "s", "alpha beta gamma solo"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    ).withColumn("n_chars", F.length("text")) \
+     .coalesce(1).write.mode("overwrite") \
+     .parquet(os.path.join(d, "documents.parquet"))
+
+    sdf = all_queries()["text_bigram_lm_logprob"](spark, d).toPandas()
+    odf = _oracle_con(d).execute(
+        all_oracles()["text_bigram_lm_logprob"]).df()
+    assert sorted(sdf["doc_id"]) == [2, 3, 4]  # doc 1 has no bigram
+    assert digest_frame(sdf, float_digits=9) == digest_frame(
+        odf, float_digits=9)
+
+
+def test_stream_oltp_jdbc_sink_repeat_invocation_stable(spark):
+    """Embedded Derby keeps a database booted for the JVM's life, so a
+    naive per-epoch append doubles the table on a second invocation in
+    the same session; the first-batch overwrite must make repeat runs
+    return identical results."""
+    from dataingestionengineprocess_spark.queries import all_queries
+
+    fn = all_queries()["stream_oltp_jdbc_sink"]
+    first = fn(spark, SF).orderBy("win_start").toPandas()
+    second = fn(spark, SF).orderBy("win_start").toPandas()
+    assert first["n"].sum() == second["n"].sum()
+    assert first.equals(second)
+
+
+def test_stream_outer_join_cutoff_is_strict(spark, tmp_path):
+    """An unmatched purchase whose ts EQUALS the final global watermark
+    to the microsecond stays in state (strict cutoff); one strictly
+    below it is emitted null-extended; a matched pair always emits.
+    Both engines must agree on all three."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    from dataingestionengineprocess_spark.oracle_compare import digest_frame
+    from dataingestionengineprocess_spark.queries import (
+        all_oracles,
+        all_queries,
+    )
+
+    d = str(tmp_path / "sfouter")
+    os.makedirs(d, exist_ok=True)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(h, m=0):
+        return t0 + dt.timedelta(hours=h, minutes=m)
+
+    # wm = least(max purchase 05:00, max click 06:00) - 1h = 04:00
+    rows = {
+        "event_id": [1, 2, 3, 4, 5],
+        "ts": [ts(3), ts(4), ts(5), ts(4, 45), ts(6)],
+        "user_id": [3, 1, 2, 2, 9],
+        "event_type": ["purchase", "purchase", "purchase", "click",
+                       "click"],
+        "value": [1.0] * 5,
+        "props": ["{}"] * 5,
+    }
+    table = pa.table(rows, schema=pa.schema([
+        ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("value", pa.float64()),
+        ("props", pa.string()),
+    ]))
+    pq_.write_table(table, os.path.join(d, "events.parquet"))
+
+    sdf = all_queries()["stream_stream_outer_join"](spark, d).toPandas()
+    odf = _oracle_con(d).execute(
+        all_oracles()["stream_stream_outer_join"]).df()
+    got = sorted(sdf["purchase_id"])
+    assert got == [1, 3], got       # 2 (ts == wm) held in state
+    assert digest_frame(sdf, float_digits=9) == digest_frame(
+        odf, float_digits=9)
