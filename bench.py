@@ -189,6 +189,8 @@ BENCH_QUERIES = [
     "stream_oltp_jdbc_sink",
     "embedding_centroid_similarity",
     "quality_skew_report",
+    "stream_stream_full_outer_join",
+    "curation_training_order",
 ]
 
 

@@ -972,6 +972,95 @@ def curation_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# FULL OUTER stream-stream interval join — completes the outer family.
+# Each side's unmatched rows finalize independently, when the global
+# watermark strictly passes the last instant the OTHER side could
+# still produce a match: for a purchase that bound is purchase_ts
+# itself (clicks at or before it qualify); for a click it is
+# click_ts + 30 minutes (the latest qualifying purchase). Both cutoffs
+# are STRICT — the left-side strictness is fixture-proven in
+# tests/test_round4b.py; the right side follows the same operator
+# rule.
+# ---------------------------------------------------------------------------
+
+_SS_FULL_OUTER_ORACLE = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+wm AS (
+  SELECT least((SELECT max(purchase_ts) FROM p),
+               (SELECT max(click_ts) FROM c)) - INTERVAL 1 HOUR AS w
+),
+matched AS (
+  SELECT p.purchase_id, c.click_id, p.user_id, c.click_ts, p.purchase_ts
+  FROM p JOIN c ON p.user_id = c.click_user
+   AND c.click_ts <= p.purchase_ts
+   AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+)
+SELECT * FROM matched
+UNION ALL
+SELECT p.purchase_id, NULL AS click_id, p.user_id,
+       CAST(NULL AS TIMESTAMP) AS click_ts, p.purchase_ts
+FROM p, wm
+WHERE p.purchase_id NOT IN (SELECT purchase_id FROM matched)
+  AND p.purchase_ts < wm.w
+UNION ALL
+SELECT CAST(NULL AS BIGINT) AS purchase_id, c.click_id,
+       c.click_user AS user_id, c.click_ts,
+       CAST(NULL AS TIMESTAMP) AS purchase_ts
+FROM c, wm
+WHERE c.click_id NOT IN (SELECT click_id FROM matched)
+  AND c.click_ts + INTERVAL 30 MINUTE < wm.w
+"""
+
+
+@register("stream_stream_full_outer_join", oracle=_SS_FULL_OUTER_ORACLE)
+def stream_stream_full_outer_join(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from ..streaming.analytics import read_events_stream, run_to_table
+
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts")
+           >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "fullOuter",
+    ).select(
+        "purchase_id", "click_id",
+        # the join key survives on whichever side is non-null
+        F.coalesce("user_id", "click_user").alias("user_id"),
+        "click_ts", "purchase_ts",
+    )
+    return run_to_table(joined, spark, output_mode="append")
+
+
 _NB_SCORE_ORACLE = """
 WITH toks AS (
   SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
