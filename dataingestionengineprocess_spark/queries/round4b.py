@@ -892,13 +892,19 @@ def stream_oltp_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("driver", _DERBY_DRIVER)
          .mode(mode).save())
 
-    ckpt = scratch_dir("derby_stream_ckpt", sf_dir, uuid.uuid4().hex)
-    q = (
-        stream.writeStream.foreachBatch(write_epoch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True).start()
+    from ..streaming.analytics import (
+        FIXTURE_STATE_PARTITIONS,
+        scoped_shuffle_partitions,
     )
-    q.awaitTermination()
+
+    ckpt = scratch_dir("derby_stream_ckpt", sf_dir, uuid.uuid4().hex)
+    with scoped_shuffle_partitions(spark, FIXTURE_STATE_PARTITIONS):
+        q = (
+            stream.writeStream.foreachBatch(write_epoch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
 
     back = (
         spark.read.format("jdbc")

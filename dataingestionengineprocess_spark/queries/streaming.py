@@ -395,9 +395,15 @@ def stream_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..catalog import scratch_dir
 
+    from ..streaming.analytics import (
+        FIXTURE_STATE_PARTITIONS,
+        scoped_shuffle_partitions,
+    )
+
     work = scratch_dir("rollup", sf_dir)
-    q = continuous_rollup(spark, sf_dir, f"{work}/wh", f"{work}/ckpt")
-    q.awaitTermination()
+    with scoped_shuffle_partitions(spark, FIXTURE_STATE_PARTITIONS):
+        q = continuous_rollup(spark, sf_dir, f"{work}/wh", f"{work}/ckpt")
+        q.awaitTermination()
     return read_rollup(spark, f"{work}/wh")
 
 
@@ -702,17 +708,23 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         decisions.write.mode("append").parquet(out_path)
         batch.write.mode("append").parquet(seen_path)
 
-    (
-        spark.readStream.schema(docs_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream
-        .foreachBatch(process_batch)
-        .option("checkpointLocation", os.path.join(scratch, "ck"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+    from ..streaming.analytics import (
+        FIXTURE_STATE_PARTITIONS,
+        scoped_shuffle_partitions,
     )
+
+    with scoped_shuffle_partitions(spark, FIXTURE_STATE_PARTITIONS):
+        (
+            spark.readStream.schema(docs_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", os.path.join(scratch, "ck"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
 
     return (
         spark.read.parquet(out_path)

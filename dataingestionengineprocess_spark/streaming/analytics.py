@@ -15,6 +15,7 @@ oracles, where expressible) work unchanged.
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,18 +66,57 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Temporarily pin ``spark.sql.shuffle.partitions`` around a drain.
+
+    Stateful streaming operators materialize one STATE STORE INSTANCE
+    per shuffle partition per operator per micro-batch — the right
+    number tracks key cardinality and cluster parallelism, NOT the
+    batch-side default (AQE never re-plans a stream). At fixture scale
+    the instance overhead dominates the actual work (measured 2.7x on
+    the stream-stream outer join: 5.8 s at 32 partitions -> 2.2 s
+    at 8), and in a plain 200-partition driver session the waste is
+    proportionally worse. Production sizing goes UP for the same
+    reason it goes down here. Session-global for the drain's duration;
+    drains are sequential in every harness that calls this.
+    """
+    if n is None:
+        yield
+        return
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+#: Fixture-scale state-partition count for the drain helpers: every
+#: registered query streams the (bounded) driver fixtures, where key
+#: cardinality per micro-batch is thousands, not billions.
+FIXTURE_STATE_PARTITIONS = 8
+
+
 def run_to_table(stream_df: DataFrame, spark: SparkSession,
-                 output_mode: str = "complete") -> DataFrame:
+                 output_mode: str = "complete",
+                 state_partitions: int | None = FIXTURE_STATE_PARTITIONS,
+                 ) -> DataFrame:
     """Drain a bounded streaming aggregation into a memory sink and
-    return the result as a batch DataFrame."""
+    return the result as a batch DataFrame. ``state_partitions`` pins
+    the stateful operators' partition count for the drain (see
+    `scoped_shuffle_partitions`); pass None to use the session value.
+    The partition count changes task layout only, never results —
+    every drain-backed query is hash-checked against its oracle."""
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory").queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_shuffle_partitions(spark, state_partitions):
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory").queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # Detach the result from the memory sink's named table and drop
     # the table: the sink pins the full result on the driver for the
     # SESSION's life, so a loop draining many streams (the bench, the
