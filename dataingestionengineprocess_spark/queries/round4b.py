@@ -1067,6 +1067,43 @@ def stream_stream_full_outer_join(spark: SparkSession,
     return run_to_table(joined, spark, output_mode="append")
 
 
+# ---------------------------------------------------------------------------
+# W1 completion: the two distribution window functions not yet
+# exercised Spark-side (percent_rank appears only inside the
+# calibration ORACLE; the engine computes that one distributed).
+# Partitioned by event_type — per-group windows parallelize across
+# groups; the GLOBAL form of this is exactly what
+# quality_score_calibration replaces with the two-pass rank.
+# ---------------------------------------------------------------------------
+
+_WINDOW_DIST_ORACLE = """
+SELECT event_type, event_id,
+       floor(percent_rank() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) * 1e6 + 0.5)
+         / 1e6 AS pct_rank,
+       floor(cume_dist() OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) * 1e6 + 0.5)
+         / 1e6 AS cume
+FROM events
+"""
+
+
+@register("window_distribution_funcs", oracle=_WINDOW_DIST_ORACLE)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "event_id",
+                                              "value")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+
+    def snap6(col):
+        return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+
+    return ev.select(
+        "event_type", "event_id",
+        snap6(F.percent_rank().over(w)).alias("pct_rank"),
+        snap6(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
 _NB_SCORE_ORACLE = """
 WITH toks AS (
   SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
