@@ -191,6 +191,10 @@ BENCH_QUERIES = [
     "quality_skew_report",
     "stream_stream_full_outer_join",
     "curation_training_order",
+    # the capstone gate chain (repetition -> dedup -> decontaminate ->
+    # quality) as one plan, and the distribution window functions
+    "curation_pretrain_pipeline",
+    "window_distribution_funcs",
 ]
 
 

@@ -1104,6 +1104,194 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# CAPSTONE: the pretraining gate chain as ONE declarative plan.
+# Repetition gates -> exact dedup -> benchmark decontamination ->
+# classifier quality gate, composed with the SAME single-source rules
+# the standalone queries verify (text_repetition_filters' keep rule,
+# min-doc_id-per-fingerprint, curation_decontaminate's benchmark
+# grams, mlprep.classifier_score). The audit row reports the corpus
+# (docs, tokens) surviving each stage — the funnel a data engineer
+# reads before launching a run. Contamination grams are n=8 here: as a
+# GATE (vs curation_decontaminate's n=3 removal-list/hit-count
+# semantics) the gram must be long enough that only genuine copies
+# collide — the fixture vocabulary is ~30 words, so n=3 would flag the
+# entire corpus. (No `--` comments inside oracle SQL: register()
+# collapses whitespace to one line, which would comment out the rest.)
+#
+# Shape at 100 TB: every per-doc flag is computed in one pass over the
+# token/gram streams (word-count-profile shuffles keyed by doc_id or
+# gram), the dedup primary is a fingerprint-partitioned min, the
+# benchmark gram set broadcasts, and the final audit is a single
+# aggregate — no stage rescans the corpus.
+# ---------------------------------------------------------------------------
+
+
+def _pipeline_oracle() -> str:
+    from .mlprep import classifier_score_sql
+
+    score = classifier_score_sql("string_split(text, ' ')")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks WHERE len(t) >= 2
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+  FROM toks WHERE len(t) >= 3
+),
+cnt AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+rep AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN c END) AS top2,
+         sum(CASE WHEN n = 2 THEN c END) AS tot2,
+         sum(CASE WHEN n = 3 AND c > 1 THEN c ELSE 0 END) AS dup3,
+         sum(CASE WHEN n = 3 THEN c END) AS tot3
+  FROM cnt GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(t[i:i+7], ' ')
+                               for i in range(1, len(t) - 6)])) AS gram
+  FROM toks WHERE len(t) >= 8
+),
+bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 11 = 0),
+contam AS (
+  SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (gram)
+  WHERE sh.doc_id % 11 <> 0
+),
+per_doc AS (
+  SELECT d.doc_id,
+         len(string_split(d.text, ' ')) AS n_tokens,
+         COALESCE(r.tot2 IS NOT NULL AND r.tot3 IS NOT NULL
+                  AND r.top2 * 12 <= r.tot2 AND r.dup3 * 10 <= r.tot3,
+                  FALSE) AS pass_rep,
+         d.doc_id = min(d.doc_id) OVER (PARTITION BY md5(d.text))
+           AS is_primary,
+         d.doc_id % 11 = 0 AS is_bench,
+         d.doc_id IN (SELECT doc_id FROM contam) AS contaminated,
+         {score} >= 0.5 AS quality
+  FROM documents d LEFT JOIN rep r ON r.doc_id = d.doc_id
+)
+SELECT count(*) AS n_input,
+       CAST(sum(n_tokens) AS BIGINT) AS tok_input,
+       CAST(sum(CASE WHEN pass_rep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repetition,
+       CAST(sum(CASE WHEN pass_rep THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS tok_repetition,
+       CAST(sum(CASE WHEN pass_rep AND is_primary THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dedup,
+       CAST(sum(CASE WHEN pass_rep AND is_primary AND NOT is_bench
+                      AND NOT contaminated THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_decontaminated,
+       CAST(sum(CASE WHEN pass_rep AND is_primary AND NOT is_bench
+                      AND NOT contaminated AND quality
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+       CAST(sum(CASE WHEN pass_rep AND is_primary AND NOT is_bench
+                      AND NOT contaminated AND quality
+                     THEN n_tokens ELSE 0 END) AS BIGINT) AS tok_final
+FROM per_doc
+"""
+
+
+@register("curation_pretrain_pipeline", oracle=_pipeline_oracle())
+def curation_pretrain_pipeline(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from ..functions.text import shingles
+    from .mlprep import classifier_score
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tokens("text")
+
+    # repetition stats: one explode, one composite-key partial agg
+    # (the token array is materialized once so element_at addresses it)
+    with_t = docs.withColumn("text2", t)
+    grams2 = with_t.filter(F.size("text2") >= 2).select(
+        "doc_id", F.lit(2).alias("n"),
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("text2") - 1),
+            lambda i: F.concat_ws(" ", F.element_at("text2", i),
+                                  F.element_at("text2", i + 1)),
+        )).alias("g"),
+    )
+    grams3 = with_t.filter(F.size("text2") >= 3).select(
+        "doc_id", F.lit(3).alias("n"),
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("text2") - 2),
+            lambda i: F.concat_ws(" ", F.element_at("text2", i),
+                                  F.element_at("text2", i + 1),
+                                  F.element_at("text2", i + 2)),
+        )).alias("g"),
+    )
+    cnt = grams2.unionAll(grams3).groupBy("doc_id", "n", "g").agg(
+        F.count(F.lit(1)).alias("c"))
+    rep = cnt.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 2, F.col("c"))).alias("top2"),
+        F.sum(F.when(F.col("n") == 2, F.col("c"))).alias("tot2"),
+        F.sum(F.when((F.col("n") == 3) & (F.col("c") > 1), F.col("c"))
+              .otherwise(0)).alias("dup3"),
+        F.sum(F.when(F.col("n") == 3, F.col("c"))).alias("tot3"),
+    )
+
+    # decontamination flags (benchmark grams broadcast); n=8 — gate
+    # semantics need copy-only collisions, see the oracle note
+    sh = docs.select("doc_id", F.explode(shingles("text", 8)).alias("gram"))
+    bench = sh.filter(F.col("doc_id") % 11 == 0).select("gram").distinct()
+    contam = (
+        sh.filter(F.col("doc_id") % 11 != 0)
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id").distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+
+    wfp = W.partitionBy(F.md5(F.col("text").cast("binary")))
+    per_doc = (
+        docs
+        .withColumn("n_tokens", F.size(t))
+        .withColumn("is_primary", F.col("doc_id") == F.min("doc_id").over(wfp))
+        .withColumn("is_bench", F.col("doc_id") % 11 == 0)
+        .withColumn("quality", classifier_score("text") >= 0.5)
+        .join(rep, "doc_id", "left")
+        .join(F.broadcast(contam), "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens", "is_primary", "is_bench", "quality",
+            F.coalesce(
+                F.col("tot2").isNotNull() & F.col("tot3").isNotNull()
+                & (F.col("top2") * 12 <= F.col("tot2"))
+                & (F.col("dup3") * 10 <= F.col("tot3")),
+                F.lit(False),
+            ).alias("pass_rep"),
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+    )
+    surv = (F.col("pass_rep") & F.col("is_primary") & ~F.col("is_bench")
+            & ~F.col("contaminated"))
+    final = surv & F.col("quality")
+
+    def cnt_if(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    def tok_if(cond):
+        return F.sum(F.when(cond, F.col("n_tokens")).otherwise(0)).cast("long")
+
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum("n_tokens").cast("long").alias("tok_input"),
+        cnt_if(F.col("pass_rep")).alias("n_repetition"),
+        tok_if(F.col("pass_rep")).alias("tok_repetition"),
+        cnt_if(F.col("pass_rep") & F.col("is_primary")).alias("n_dedup"),
+        cnt_if(surv).alias("n_decontaminated"),
+        cnt_if(final).alias("n_final"),
+        tok_if(final).alias("tok_final"),
+    )
+
+
 _NB_SCORE_ORACLE = """
 WITH toks AS (
   SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
