@@ -155,20 +155,18 @@ ORDER BY doc_id
 """
 
 
-@register("text_repetition_filters", oracle=_REPETITION_ORACLE)
-def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document repetition gates. The keep rule (top 2-gram <= 1/12
-    of 2-gram mass AND duplicated-3-gram mass <= 1/10) uses exact
-    integer comparisons (c * k <= total) so the boolean never rides a
-    float; the reported fractions round via the floor(x*1e6+0.5)
-    portable rule (FIXTURES.md)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-document repetition statistics (doc_id, top2, tot2, dup3,
+    tot3) — shared by `text_repetition_filters` and the capstone gate
+    chain (`round4b.curation_pretrain_pipeline`) so the gram build and
+    the x12/x10 keep-rule inputs live in exactly one Spark site.
+
+    Both n-gram families come from ONE scan/Generate: each doc
+    projects a single array of (n, gram) structs (2-grams ++ 3-grams)
+    and explodes once — a union of per-n branches would scan the text
+    column twice, doubling the dominant IO at corpus scale."""
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
 
-    # Both n-gram families from ONE scan/Generate: each doc projects a
-    # single array of (n, gram) structs (2-grams ++ 3-grams) and
-    # explodes once -- a union of per-n branches would scan the text
-    # column twice, doubling the dominant IO at corpus scale.
     def gram_structs(n: int) -> str:
         g = " || ' ' || ".join(f"element_at(t, i + {j})" for j in range(n))
         return (
@@ -189,13 +187,24 @@ def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "n", "g")
         .agg(F.count("*").alias("c"))
     )
-    per_doc = cnt.groupBy("doc_id").agg(
+    return cnt.groupBy("doc_id").agg(
         F.max(F.when(F.col("n") == 2, F.col("c"))).alias("top2"),
         F.sum(F.when(F.col("n") == 2, F.col("c"))).alias("tot2"),
         F.sum(F.when((F.col("n") == 3) & (F.col("c") > 1), F.col("c"))
               .otherwise(0)).alias("dup3"),
         F.sum(F.when(F.col("n") == 3, F.col("c"))).alias("tot3"),
     )
+
+
+@register("text_repetition_filters", oracle=_REPETITION_ORACLE)
+def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition gates. The keep rule (top 2-gram <= 1/12
+    of 2-gram mass AND duplicated-3-gram mass <= 1/10) uses exact
+    integer comparisons (c * k <= total) so the boolean never rides a
+    float; the reported fractions round via the floor(x*1e6+0.5)
+    portable rule (FIXTURES.md)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    per_doc = repetition_stats(docs)
     return (
         per_doc
         .filter(F.col("tot2").isNotNull() & F.col("tot3").isNotNull())

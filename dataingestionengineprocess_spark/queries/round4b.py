@@ -26,6 +26,12 @@ from ..functions.text import tokens
 from . import register
 from .round4 import _DERBY_DRIVER
 
+
+def _snap6(col):
+    """The portable 1e-6 float snap (FIXTURES.md floor(x*1e6+0.5)
+    rule) — one module-level copy instead of per-query privates."""
+    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+
 # ---------------------------------------------------------------------------
 # Multinomial Naive Bayes, trained BY A QUERY. Class = document lang;
 # features = token counts. Training is one groupBy over the exploded
@@ -78,9 +84,6 @@ def _nb_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("d"))
     dall = docs.agg(F.count(F.lit(1)).alias("dall"))
 
-    def snap6(col):
-        return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
-
     grid = (
         tot.crossJoin(F.broadcast(vocab))
         .crossJoin(F.broadcast(vs))
@@ -90,9 +93,9 @@ def _nb_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return grid.select(
         "lang", "tok",
-        snap6(F.log((F.coalesce(F.col("c"), F.lit(0)) + 1)
+        _snap6(F.log((F.coalesce(F.col("c"), F.lit(0)) + 1)
                     / (F.col("n") + F.col("v")))).alias("logp"),
-        snap6(F.log(F.col("d") / F.col("dall"))).alias("logprior"),
+        _snap6(F.log(F.col("d") / F.col("dall"))).alias("logprior"),
     )
 
 
@@ -1094,13 +1097,10 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               "value")
     w = W.partitionBy("event_type").orderBy("value", "event_id")
 
-    def snap6(col):
-        return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
-
     return ev.select(
         "event_type", "event_id",
-        snap6(F.percent_rank().over(w)).alias("pct_rank"),
-        snap6(F.cume_dist().over(w)).alias("cume"),
+        _snap6(F.percent_rank().over(w)).alias("pct_rank"),
+        _snap6(F.cume_dist().over(w)).alias("cume"),
     )
 
 
@@ -1166,18 +1166,23 @@ contam AS (
   SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (gram)
   WHERE sh.doc_id % 11 <> 0
 ),
-per_doc AS (
-  SELECT d.doc_id,
+flagged AS (
+  SELECT d.doc_id, d.text,
          len(string_split(d.text, ' ')) AS n_tokens,
          COALESCE(r.tot2 IS NOT NULL AND r.tot3 IS NOT NULL
                   AND r.top2 * 12 <= r.tot2 AND r.dup3 * 10 <= r.tot3,
                   FALSE) AS pass_rep,
-         d.doc_id = min(d.doc_id) OVER (PARTITION BY md5(d.text))
-           AS is_primary,
          d.doc_id % 11 = 0 AS is_bench,
-         d.doc_id IN (SELECT doc_id FROM contam) AS contaminated,
          {score} >= 0.5 AS quality
   FROM documents d LEFT JOIN rep r ON r.doc_id = d.doc_id
+),
+per_doc AS (
+  SELECT doc_id, n_tokens, pass_rep, is_bench, quality,
+         doc_id = min(CASE WHEN pass_rep THEN doc_id END) OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                                'g')))) AS is_primary,
+         doc_id IN (SELECT doc_id FROM contam) AS contaminated
+  FROM flagged
 )
 SELECT count(*) AS n_input,
        CAST(sum(n_tokens) AS BIGINT) AS tok_input,
@@ -1209,38 +1214,18 @@ def curation_pretrain_pipeline(spark: SparkSession,
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     t = tokens("text")
 
-    # repetition stats: one explode, one composite-key partial agg
-    # (the token array is materialized once so element_at addresses it)
-    with_t = docs.withColumn("text2", t)
-    grams2 = with_t.filter(F.size("text2") >= 2).select(
-        "doc_id", F.lit(2).alias("n"),
-        F.explode(F.transform(
-            F.sequence(F.lit(1), F.size("text2") - 1),
-            lambda i: F.concat_ws(" ", F.element_at("text2", i),
-                                  F.element_at("text2", i + 1)),
-        )).alias("g"),
-    )
-    grams3 = with_t.filter(F.size("text2") >= 3).select(
-        "doc_id", F.lit(3).alias("n"),
-        F.explode(F.transform(
-            F.sequence(F.lit(1), F.size("text2") - 2),
-            lambda i: F.concat_ws(" ", F.element_at("text2", i),
-                                  F.element_at("text2", i + 1),
-                                  F.element_at("text2", i + 2)),
-        )).alias("g"),
-    )
-    cnt = grams2.unionAll(grams3).groupBy("doc_id", "n", "g").agg(
-        F.count(F.lit(1)).alias("c"))
-    rep = cnt.groupBy("doc_id").agg(
-        F.max(F.when(F.col("n") == 2, F.col("c"))).alias("top2"),
-        F.sum(F.when(F.col("n") == 2, F.col("c"))).alias("tot2"),
-        F.sum(F.when((F.col("n") == 3) & (F.col("c") > 1), F.col("c"))
-              .otherwise(0)).alias("dup3"),
-        F.sum(F.when(F.col("n") == 3, F.col("c"))).alias("tot3"),
-    )
+    # repetition stats from the SHARED single-scan builder — the gram
+    # build and keep-rule inputs live in one Spark site (round4.py)
+    from .round4 import repetition_stats
 
-    # decontamination flags (benchmark grams broadcast); n=8 — gate
-    # semantics need copy-only collisions, see the oracle note
+    rep = repetition_stats(docs)
+
+    # decontamination flags: the benchmark GRAM set broadcasts
+    # (eval-set-bounded at any corpus size), but the contaminated-doc
+    # list is corpus-proportional in the worst case, so it joins back
+    # by doc_id WITHOUT a forced broadcast — Catalyst/AQE picks the
+    # strategy from actual size. n=8 grams: gate semantics need
+    # copy-only collisions, see the oracle note.
     sh = docs.select("doc_id", F.explode(shingles("text", 8)).alias("gram"))
     bench = sh.filter(F.col("doc_id") % 11 == 0).select("gram").distinct()
     contam = (
@@ -1250,23 +1235,46 @@ def curation_pretrain_pipeline(spark: SparkSession,
         .withColumn("contaminated", F.lit(True))
     )
 
-    wfp = W.partitionBy(F.md5(F.col("text").cast("binary")))
-    per_doc = (
+    # stage flags in ONE pass; pass_rep first so the dedup primary can
+    # be scoped to repetition SURVIVORS (stage-ordered semantics: the
+    # dedup gate sees only what the previous gate kept). Docs too
+    # short to measure (no 2- or 3-gram) fail the repetition gate BY
+    # POLICY (conservative: unmeasurable -> drop) — the standalone
+    # text_repetition_filters emits no row at all for them, so this is
+    # an explicit extension, not "the same rule".
+    flagged = (
         docs
         .withColumn("n_tokens", F.size(t))
-        .withColumn("is_primary", F.col("doc_id") == F.min("doc_id").over(wfp))
         .withColumn("is_bench", F.col("doc_id") % 11 == 0)
         .withColumn("quality", classifier_score("text") >= 0.5)
         .join(rep, "doc_id", "left")
-        .join(F.broadcast(contam), "doc_id", "left")
-        .select(
-            "doc_id", "n_tokens", "is_primary", "is_bench", "quality",
+        .withColumn(
+            "pass_rep",
             F.coalesce(
                 F.col("tot2").isNotNull() & F.col("tot3").isNotNull()
                 & (F.col("top2") * 12 <= F.col("tot2"))
                 & (F.col("dup3") * 10 <= F.col("tot3")),
                 F.lit(False),
-            ).alias("pass_rep"),
+            ),
+        )
+    )
+    # canonical-content dedup: the SAME normalized fingerprint as
+    # dedup_exact_fingerprint (functions.text.fingerprint), primary =
+    # min doc_id among repetition survivors sharing the fingerprint
+    from ..functions.text import fingerprint
+
+    wfp = W.partitionBy(fingerprint(F.col("text")))
+    per_doc = (
+        flagged
+        .withColumn(
+            "is_primary",
+            F.col("doc_id")
+            == F.min(F.when(F.col("pass_rep"), F.col("doc_id"))).over(wfp),
+        )
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens", "is_primary", "is_bench", "quality",
+            "pass_rep",
             F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
         )
     )
