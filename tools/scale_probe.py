@@ -1,0 +1,117 @@
+"""Empirical scaling probe: how do the headline operators behave as
+the input grows 1x -> 2x -> 4x?
+
+The 100 TB design claims in SCALE.md are structural (shuffle shapes,
+broadcast bounds, candidate-set growth); this probe adds the
+measurement: each scaled input is the sf0.1 fixture replicated k
+times with OFFSET KEYS (so duplicates/neighbors grow with the data
+instead of collapsing onto the same ids — no synthetic data, only
+replicated driver fixtures), and each operator's wall time is taken
+at k = 1, 2, 4. A scale-sound operator's 4x/1x ratio sits near 4
+(linear) or below; a quadratic one would show ~16.
+
+    python tools/scale_probe.py [sf_dir]
+
+Prints one JSON line {op: {"x1": s, "x2": s, "x4": s, "r41": ratio}}.
+Results recorded in SCALE.md §8.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+
+def scaled(df: DataFrame, k: int, id_col: str) -> DataFrame:
+    """k copies with disjoint id ranges (ids offset per replica)."""
+    if k == 1:
+        return df
+    off = 10_000_000
+    out = df
+    for i in range(1, k):
+        out = out.unionAll(
+            df.withColumn(id_col, F.col(id_col) + F.lit(i * off)))
+    return out
+
+
+def main() -> None:
+    from dataingestionengineprocess_spark.catalog import load
+    from dataingestionengineprocess_spark.operators.dedup import (
+        dedup_exact_text,
+        minhash_neardup_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+    from dataingestionengineprocess_spark.operators.similarity import lsh_topk
+    from dataingestionengineprocess_spark.queries.mlprep import (
+        classifier_score,
+    )
+    from dataingestionengineprocess_spark.session import get_spark
+
+    spark = get_spark("scale-probe", extra_confs={"spark.ui.enabled": "false"})
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    emb = load(spark, SF, "embeddings")
+    li = load(spark, SF, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+
+    def run(build, k: int) -> float:
+        # time BUILD + EXECUTE: some operators (PPJoin, IVF) run eager
+        # driver-synchronized steps at plan-construction time, so
+        # timing only the write would miss their real cost
+        t0 = time.perf_counter()
+        build(k).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    OPS = {
+        # hash-agg battery over the fact table: the pure-shuffle baseline
+        "agg_battery": lambda k: (
+            scaled(li, k, "l_orderkey")
+            .groupBy("l_returnflag")
+            .agg(F.sum("l_quantity"), F.avg("l_extendedprice"),
+                 F.count(F.lit(1)))
+        ),
+        # exact dedup: fingerprint shuffle, uniform keys
+        "dedup_exact": lambda k: dedup_exact_text(
+            scaled(docs, k, "doc_id")),
+        # MinHash-LSH near-dup: banded candidates, never all-pairs
+        "dedup_minhash": lambda k: minhash_neardup_pairs(
+            scaled(docs, k, "doc_id")),
+        # PPJoin prefix-filtered Jaccard: rare-first prefix pruning
+        "dedup_ppjoin": lambda k: prefix_filter_jaccard_pairs(
+            scaled(docs, k, "doc_id")),
+        # LSH ANN: bucketed candidate join + exact re-rank on candidates
+        "knn_lsh": lambda k: lsh_topk(
+            scaled(emb, k, "vec_id"),
+            emb.limit(50).select("vec_id", "embedding"),
+            k=5, id_col="vec_id", vec_col="embedding"),
+        # classifier gate: map-only scan, the linear control
+        "classifier_scan": lambda k: (
+            scaled(docs, k, "doc_id")
+            .select("doc_id", (classifier_score("text") >= 0.5).alias("keep"))
+        ),
+    }
+
+    # warm the session once
+    li.groupBy("l_returnflag").count().write.format("noop") \
+        .mode("overwrite").save()
+
+    out: dict[str, dict[str, float]] = {}
+    for name, build in OPS.items():
+        row: dict[str, float] = {}
+        for k in (1, 2, 4):
+            run(build, k)  # warm pass: JVM/codegen per plan shape
+            row[f"x{k}"] = run(build, k)
+        row["r41"] = round(row["x4"] / row["x1"], 2) if row["x1"] else -1.0
+        out[name] = row
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
