@@ -206,3 +206,74 @@ def test_stream_outer_join_cutoff_is_strict(spark, tmp_path):
     assert got == [1, 3], got       # 2 (ts == wm) held in state
     assert digest_frame(sdf, float_digits=9) == digest_frame(
         odf, float_digits=9)
+
+
+def _oracle_con_t(sf_dir, tables):
+    import os
+
+    con = duckdb.connect()
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            + (f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"))
+    return con
+
+
+def test_naive_bayes_edge_corpus_matches_oracle(spark, tmp_path):
+    """Degenerate corpora: a single-token doc, a doc whose every token
+    is unseen in another class, and a class with one document. The
+    smoothed grid and the token-sorted fold must agree with the oracle
+    exactly (argmax included)."""
+    import os
+
+    from dataingestionengineprocess_spark.oracle_compare import digest_frame
+    from dataingestionengineprocess_spark.queries import (
+        all_oracles,
+        all_queries,
+    )
+
+    d = str(tmp_path / "sfnb")
+    os.makedirs(d, exist_ok=True)
+    rows = [
+        (1, "en", "s", "alpha"),
+        (2, "en", "s", "alpha beta beta"),
+        (3, "fr", "s", "gamma gamma delta"),
+        (4, "de", "s", "epsilon"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    ).withColumn("n_chars", F.length("text")) \
+     .coalesce(1).write.mode("overwrite") \
+     .parquet(os.path.join(d, "documents.parquet"))
+
+    for name in ("ml_naive_bayes_train", "ml_naive_bayes_score"):
+        sdf = all_queries()[name](spark, d).toPandas()
+        odf = _oracle_con_t(d, ["documents"]).execute(
+            all_oracles()[name]).df()
+        assert digest_frame(sdf, float_digits=9) == digest_frame(
+            odf, float_digits=9), name
+
+
+def test_centroid_similarity_single_label_is_empty(spark, tmp_path):
+    """One label -> no label pairs: both engines must emit ZERO rows
+    (the a.label < b.label join has nothing to pair), not crash."""
+    import os
+
+    from dataingestionengineprocess_spark.queries import (
+        all_oracles,
+        all_queries,
+    )
+
+    d = str(tmp_path / "sfemb")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(1, [1.0, 0.0], 7), (2, [0.0, 1.0], 7)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite") \
+     .parquet(os.path.join(d, "embeddings.parquet"))
+
+    sdf = all_queries()["embedding_centroid_similarity"](spark, d).toPandas()
+    odf = _oracle_con_t(d, ["embeddings"]).execute(
+        all_oracles()["embedding_centroid_similarity"]).df()
+    assert len(sdf) == 0 and len(odf) == 0
