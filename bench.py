@@ -195,6 +195,12 @@ BENCH_QUERIES = [
     # quality) as one plan, and the distribution window functions
     "curation_pretrain_pipeline",
     "window_distribution_funcs",
+    # round-4c: hash-checked distributed k-means, padding-efficiency
+    # bucketing, and the ORC / text-line source round-trips
+    "ml_kmeans_portable",
+    "curation_length_buckets",
+    "source_orc_roundtrip",
+    "source_text_lines",
 ]
 
 

@@ -644,3 +644,103 @@ def centroid_classify(corpus: DataFrame, id_col: str = "vec_id",
             F.round("cos_sim", 6).alias("cos_sim"),
         )
     )
+
+
+def kmeans_portable_fit(corpus: DataFrame, n_clusters: int = 8,
+                        iters: int = 2, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        scale: int = 1_000_000) -> DataFrame:
+    """Distributed Lloyd's k-means whose every step is engine-portable
+    and therefore hash-checkable against a SQL replica — the missing
+    third trainer next to `kmeans_centroids` (deployable, float sums)
+    and `kmeans_centroids_local` (driver-sample numpy fit).
+
+    Portability comes from two rules:
+    - **Init** is the shared `portable_init_sample` order
+      ((md5(id), id) — hex strings sort identically everywhere).
+    - **Cluster means are integer-exact.** Each vector element is
+      quantized ONCE to ``floor(x * scale + 0.5)`` as int64; the
+      per-cluster per-dimension reduce is then a ``sum(long)`` —
+      associative and order-independent, so the shuffle's reduction
+      order (the thing that makes float k-means engine-specific)
+      cannot perturb the result. The mean returns to doubles as
+      ``(sum / n) / scale`` — the same two IEEE divisions in both
+      engines.
+
+    Assignment is squared-L2 argmin evaluated as an index-ordered
+    fold (`zip_with` + left `aggregate`) against the centroid matrix
+    inlined as ONE literal (no join, no shuffle: whole-stage codegen
+    over the scan). Ties go to the lowest centroid index via
+    `array_min` over (dist, idx) structs. Empty clusters keep their
+    previous centroid (standard Lloyd's fallback).
+
+    Scale: per iteration = one map-only assignment pass + one
+    groupBy(clabel) whose shuffle payload is k x (dim+1) longs per
+    map partition (map-side partial agg), and k x dim ints of driver
+    state — identical profile to `kmeans_centroids`. Bound: the int64
+    dimension sums overflow past ~2^53/scale ≈ 9e9 unit-normed
+    members per cluster at scale=1e6; for a bigger corpus fit on a
+    hash-sample (`sample_mod` idiom) or lower `scale` — the quantizer
+    does not need more than ~1e6 training points regardless of corpus
+    size.
+
+    Returns the fitted model long-form: (clabel, n, d, c) — cluster
+    sizes from the LAST assignment and centroid element c at dimension
+    d (0-based), both exactly reproducible by the DuckDB oracle.
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("v")
+    ).withColumn(
+        "q",
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"),
+        ),
+    ).persist()
+    try:
+        centroids = portable_init_sample(corpus, n_clusters, id_col, vec_col)
+        dim = len(centroids[0])
+        counts: dict[int, int] = {}
+        for _ in range(iters):
+            structs = F.transform(
+                F.lit([[float(x) for x in c] for c in centroids]),
+                lambda c, j: F.struct(
+                    F.aggregate(
+                        F.zip_with(F.col("v"), c,
+                                   lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0), lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    j.alias("idx"),
+                ),
+            )
+            best = F.array_min(structs)["idx"]
+            sums = (
+                vecs.select(best.alias("clabel"), "q")
+                .groupBy("clabel")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(F.col("q")[i]).alias(f"s{i}")
+                      for i in range(dim)],
+                )
+                .collect()
+            )
+            counts = {r["clabel"]: r["n"] for r in sums}
+            updated = {
+                r["clabel"]: [(r[f"s{i}"] / r["n"]) / scale
+                              for i in range(dim)]
+                for r in sums
+            }
+            centroids = [
+                updated.get(j, centroids[j]) for j in range(n_clusters)
+            ]
+    finally:
+        vecs.unpersist()
+
+    spark = corpus.sparkSession
+    rows = [
+        (j, counts.get(j, 0), d, centroids[j][d])
+        for j in range(n_clusters) for d in range(dim)
+    ]
+    return spark.createDataFrame(
+        rows, "clabel int, n bigint, d int, c double"
+    )

@@ -79,6 +79,7 @@ def _load_all() -> None:
     # ~50-query correctness window.
     from . import round4  # noqa: F401
     from . import round4b  # noqa: F401
+    from . import round4c  # noqa: F401
 
 
 _LOADED = False

@@ -1,0 +1,156 @@
+"""Round-4c invariants: the portable k-means trainer (cluster
+accounting, empty-cluster fallback, agreement with a numpy replay),
+length-bucket clamping, and the ORC/text round-trip sources beyond
+what the oracle rollups can see (schema + row identity)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dataingestionengineprocess_spark.catalog import load
+from dataingestionengineprocess_spark.operators.similarity import (
+    kmeans_portable_fit,
+    portable_init_sample,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _numpy_portable_kmeans(ids, vecs, k, iters, scale=1_000_000):
+    """Driver-side replay of the portable fit's exact arithmetic:
+    quantize once, argmin squared-L2 with ties to the lowest index,
+    integer sums, (sum / n) / scale means."""
+    q = np.floor(vecs * scale + 0.5).astype(np.int64)
+    order = sorted(range(len(ids)), key=lambda i: (
+        __import__("hashlib").md5(str(ids[i]).encode()).hexdigest(), ids[i]))
+    cents = [vecs[i].copy() for i in order[:k]]
+    counts = {}
+    for _ in range(iters):
+        assign = []
+        for row in vecs:
+            dists = []
+            for j, c in enumerate(cents):
+                acc = 0.0
+                for a, b in zip(row, c):
+                    acc += (a - b) * (a - b)
+                dists.append((acc, j))
+            assign.append(min(dists)[1])
+        counts = {}
+        sums = {}
+        for i, j in enumerate(assign):
+            counts[j] = counts.get(j, 0) + 1
+            sums.setdefault(j, np.zeros(vecs.shape[1], dtype=object))
+            sums[j] = sums[j] + q[i].astype(object)
+        for j in range(k):
+            if j in counts:
+                cents[j] = np.array(
+                    [(int(s) / counts[j]) / scale for s in sums[j]]
+                )
+    return cents, counts
+
+
+def test_kmeans_portable_matches_numpy_replay(spark):
+    emb = load(spark, SF_SMOKE, "embeddings")
+    got = kmeans_portable_fit(emb, n_clusters=4, iters=2).collect()
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].tolist()
+    vecs = np.array([np.asarray(v, dtype=np.float64)
+                     for v in pdf["embedding"]])
+    cents, counts = _numpy_portable_kmeans(ids, vecs, k=4, iters=2)
+
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r.clabel, {})[r.d] = (r.c, r.n)
+    assert set(by_cluster) == set(range(4))
+    for j in range(4):
+        assert len(by_cluster[j]) == vecs.shape[1]
+        for d in range(vecs.shape[1]):
+            c, n = by_cluster[j][d]
+            assert n == counts.get(j, 0)
+            assert c == pytest.approx(cents[j][d], abs=1e-12)
+
+
+def test_kmeans_portable_total_membership(spark):
+    emb = load(spark, SF_SMOKE, "embeddings")
+    total = emb.count()
+    got = kmeans_portable_fit(emb, n_clusters=8, iters=2)
+    ns = got.groupBy("clabel").agg(F.max("n").alias("n")).collect()
+    assert sum(r.n for r in ns) == total
+
+
+def test_kmeans_portable_empty_cluster_keeps_centroid(spark):
+    # Two far-apart groups + k=3: the third md5-ordered init point
+    # loses every vector to a nearer centroid, so its cluster is empty
+    # and the fitted centroid must be EXACTLY the init vector.
+    rows = [(i, [0.0, 0.0]) for i in range(5)] + \
+           [(i, [100.0, 100.0]) for i in range(5, 10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = kmeans_portable_fit(df, n_clusters=3, iters=2).collect()
+    empty = [r for r in got if r.n == 0]
+    assert empty, "expected at least one empty cluster"
+    init = portable_init_sample(df, 3, "vec_id", "embedding")
+    empty_label = empty[0].clabel
+    fitted = sorted(((r.d, r.c) for r in got if r.clabel == empty_label))
+    assert [c for _, c in fitted] == init[empty_label]
+
+
+def test_kmeans_portable_raises_on_tiny_corpus(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="fewer than"):
+        kmeans_portable_fit(df, n_clusters=3, iters=1)
+
+
+def test_length_buckets_clamp_and_account(spark):
+    from dataingestionengineprocess_spark.queries.round4c import (
+        _BUCKETS,
+        curation_length_buckets,
+    )
+
+    got = curation_length_buckets(spark, SF_SMOKE).collect()
+    docs = load(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in got) == docs
+    for r in got:
+        assert r.bucket in _BUCKETS
+        assert r.capacity == r.bucket * r.n_docs
+        assert r.sum_tokens <= r.capacity or r.bucket == _BUCKETS[-1]
+        assert 0.0 <= r.padding_waste < 1.0 or r.bucket == _BUCKETS[-1]
+        assert not math.isnan(r.padding_waste)
+
+
+def test_orc_roundtrip_preserves_rows(spark):
+    from dataingestionengineprocess_spark.catalog import scratch_path
+
+    docs = load(spark, SF_SMOKE, "documents")
+    # the query itself is oracle-checked; here prove row identity of
+    # the staged dataset, not just the rollup
+    from dataingestionengineprocess_spark.queries.round4c import (
+        source_orc_roundtrip,
+    )
+
+    source_orc_roundtrip(spark, SF_SMOKE)
+    back = spark.read.orc(scratch_path("orc_roundtrip", SF_SMOKE))
+    assert back.count() == docs.count()
+    a = {r.doc_id: (r.text, r.lang, r.source, r.n_chars)
+         for r in docs.collect()}
+    b = {r.doc_id: (r.text, r.lang, r.source, r.n_chars)
+         for r in back.collect()}
+    assert a == b
+
+
+def test_text_lines_roundtrip_parses_every_line(spark):
+    from dataingestionengineprocess_spark.catalog import scratch_path
+    from dataingestionengineprocess_spark.queries.round4c import (
+        source_text_lines,
+    )
+
+    source_text_lines(spark, SF_SMOKE)
+    lines = spark.read.text(scratch_path("text_lines", SF_SMOKE))
+    docs = load(spark, SF_SMOKE, "documents")
+    assert lines.count() == docs.count()
+    parsed = lines.select(F.split("value", "\t", 3).alias("p"))
+    bad = parsed.filter(F.size("p") < 3).count()
+    assert bad == 0
