@@ -410,3 +410,65 @@ def test_bloom_membership_is_map_side_expression(spark, sf_dir, qs):
     assert "shiftright" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_kmeans_assignment_is_shuffle_free_map_pass(spark, sf_dir, qs):
+    # The per-iteration Lloyd's pass must be: scan -> codegen'd
+    # assignment (centroid matrix inlined as a literal, no join) ->
+    # partial agg -> ONE exchange for the k-group final agg. A join
+    # or a second exchange would mean the centroids stopped being a
+    # broadcast-free literal.
+    from dataingestionengineprocess_spark.catalog import load
+    from dataingestionengineprocess_spark.operators.similarity import (
+        kmeans_portable_fit,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.selectExpr(
+        "vec_id as id",
+        "transform(embedding, x -> cast(x as double)) as v",
+    ).withColumn(
+        "q", F.transform(
+            F.col("v"),
+            lambda x: F.floor(x * 1_000_000 + F.lit(0.5)).cast("long"),
+        ),
+    )
+    # reproduce one assignment+agg round exactly as the operator
+    # builds it, against a fixed 4-centroid literal
+    cents = [[0.0] * 64, [0.1] * 64, [0.2] * 64, [0.3] * 64]
+    structs = F.transform(
+        F.lit(cents),
+        lambda c, j: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ).alias("dist"),
+            j.alias("idx"),
+        ),
+    )
+    step = (
+        vecs.select(F.array_min(structs)["idx"].alias("clabel"), "q")
+        .groupBy("clabel")
+        .agg(F.count(F.lit(1)).alias("n"),
+             *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(64)])
+    )
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_length_buckets_single_exchange_partial_agg(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "curation_length_buckets")
+    assert "Join" not in plan, plan
+    # map-side partial agg before the single shuffle on bucket
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # bucket agg + final sort
+
+
+def test_orc_readback_prunes_columns(spark, sf_dir, qs):
+    # The ORC readback rollup touches 5 columns; `text` is only read
+    # for length. A scan without ReadSchema pruning would ship the
+    # whole row.
+    plan = _plan(spark, sf_dir, qs, "source_orc_roundtrip")
+    assert "OrcScan" in plan or "Format: ORC" in plan or "orc" in plan.lower(), plan

@@ -73,6 +73,12 @@ SHOWCASE = [
     "join_bloom_prefilter",
     "quality_robust_outliers",
     "text_bigram_lm_logprob",
+    # round-4c: the padding-economics bucket rollup (map-only CASE
+    # chain + one 7-group agg). (ml_kmeans_portable and the two
+    # source round-trips run eager driver/staging work at build time,
+    # so they are excluded like the other eager queries; the k-means
+    # per-iteration plan shape is pinned in test_plan_shapes.)
+    "curation_length_buckets",
 ]
 
 
