@@ -201,6 +201,9 @@ BENCH_QUERIES = [
     "curation_length_buckets",
     "source_orc_roundtrip",
     "source_text_lines",
+    "asof_join_nearest_purchase",
+    "embedding_quantize_int8",
+    "quality_benford_digits",
 ]
 
 

@@ -91,3 +91,85 @@ def asof_join_forward(left: DataFrame, right: DataFrame, on: str,
     """
     return _asof_union_fill(left, right, on, left_ts, right_ts,
                             payload_cols, how, "forward")
+
+
+def asof_join_nearest(left: DataFrame, right: DataFrame, on: str,
+                      left_ts: str, right_ts: str,
+                      payload_cols: list[str],
+                      tolerance_seconds: int | None = None,
+                      how: str = "inner") -> DataFrame:
+    """For each left row, attach the right row whose ``right_ts`` is
+    NEAREST to ``left_ts`` within the same ``on`` key, on either side
+    of it -- pandas `merge_asof(direction="nearest")`, distributed.
+    Ties (equidistant before/after) resolve to the BACKWARD candidate.
+    ``tolerance_seconds`` drops matches farther than the bound (the
+    standard guard against joining across session gaps).
+
+    Plan: ONE union + one shuffle on ``on`` + two in-partition sorts
+    (ascending carry for the backward candidate, descending for the
+    forward one -- the second window reuses the exchange, it only
+    re-sorts). Still no per-row lookups and no broadcast of either
+    side; the delta arithmetic is integer microseconds, so the
+    nearest/tolerance decisions are exact and engine-portable.
+
+    ``right`` must be unique per (on, right_ts), as for the other
+    directions. Adds ``__delta_us`` (signed: negative when the match
+    is before the probe... positive = match after) to the output.
+    """
+    l_tag = left.withColumn("__is_left", F.lit(1)).withColumn(
+        "__axis_ts", F.col(left_ts)
+    )
+    r_tag = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__axis_ts"),
+        F.struct(
+            F.col(right_ts).alias("__rts"),
+            *[F.col(c) for c in payload_cols],
+        ).alias("__payload"),
+    ).withColumn("__is_left", F.lit(0))
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    w_back = (
+        W.partitionBy(on)
+        .orderBy(F.col("__axis_ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        W.partitionBy(on)
+        .orderBy(F.col("__axis_ts").desc(), F.col("__is_left").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    r_only = F.when(F.col("__is_left") == 0, F.col("__payload"))
+    filled = unioned.withColumn(
+        "__back", F.last(r_only, ignorenulls=True).over(w_back)
+    ).withColumn(
+        "__fwd", F.last(r_only, ignorenulls=True).over(w_fwd)
+    ).filter(F.col("__is_left") == 1)
+
+    lus = F.unix_micros(F.col(left_ts))
+    d_back = lus - F.unix_micros(F.col("__back")["__rts"])   # >= 0
+    d_fwd = F.unix_micros(F.col("__fwd")["__rts"]) - lus     # >= 0
+    if tolerance_seconds is not None:
+        tol_us = F.lit(int(tolerance_seconds) * 1_000_000)
+        back_ok = F.col("__back").isNotNull() & (d_back <= tol_us)
+        fwd_ok = F.col("__fwd").isNotNull() & (d_fwd <= tol_us)
+    else:
+        back_ok = F.col("__back").isNotNull()
+        fwd_ok = F.col("__fwd").isNotNull()
+
+    take_back = back_ok & (~fwd_ok | (d_back <= d_fwd))
+    take_fwd = fwd_ok & ~take_back
+    chosen = F.when(take_back, F.col("__back")).when(
+        take_fwd, F.col("__fwd")
+    )
+    delta = F.when(take_back, -d_back).when(take_fwd, d_fwd)
+
+    out = filled.withColumn("__chosen", chosen).withColumn(
+        "__delta_us", delta
+    )
+    if how == "inner":
+        out = out.filter(F.col("__chosen").isNotNull())
+    for c in payload_cols:
+        out = out.withColumn(c, F.col("__chosen")[c])
+    return out.drop("__is_left", "__axis_ts", "__payload",
+                    "__back", "__fwd", "__chosen")

@@ -329,3 +329,246 @@ def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# J7 completion: NEAREST-direction as-of join with a tolerance bound
+# (pandas merge_asof(direction="nearest"), distributed). Backward and
+# forward already ship; nearest composes both carries in one
+# shuffle + two in-partition sorts and resolves ties backward. The
+# oracle runs DuckDB's native ASOF twice (>= and <=) and replays the
+# same integer-microsecond nearest/tolerance decision -- a true
+# cross-engine semantic check of a join Spark does not have.
+# ---------------------------------------------------------------------------
+
+_NEAREST_TOL_S = 3600
+_NEAREST_TOL_US = _NEAREST_TOL_S * 1_000_000
+
+_ASOF_NEAREST_ORACLE = f"""
+WITH probe AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+snap AS (
+  SELECT user_id, ts AS p_ts, max(event_id) AS purchase_event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+b AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         s.purchase_event_id AS b_id,
+         date_diff('microsecond', s.p_ts, p.ts) AS db
+  FROM probe p ASOF LEFT JOIN snap s
+    ON p.user_id = s.user_id AND p.ts >= s.p_ts
+),
+f AS (
+  SELECT p.event_id,
+         s.purchase_event_id AS f_id,
+         date_diff('microsecond', p.ts, s.p_ts) AS df
+  FROM probe p ASOF LEFT JOIN snap s
+    ON p.user_id = s.user_id AND p.ts <= s.p_ts
+),
+j AS (
+  SELECT b.event_id, b.user_id, b.b_id, b.db, f.f_id, f.df,
+         (b.b_id IS NOT NULL AND b.db <= {_NEAREST_TOL_US}) AS bok,
+         (f.f_id IS NOT NULL AND f.df <= {_NEAREST_TOL_US}) AS fok
+  FROM b JOIN f USING (event_id)
+)
+SELECT event_id, user_id,
+       CASE WHEN bok AND (NOT fok OR db <= df) THEN b_id
+            ELSE f_id END AS purchase_event_id,
+       CAST(CASE WHEN bok AND (NOT fok OR db <= df) THEN -db
+                 ELSE df END AS BIGINT) AS delta_us
+FROM j WHERE bok OR fok
+ORDER BY event_id
+"""
+
+
+@register("asof_join_nearest_purchase", oracle=_ASOF_NEAREST_ORACLE)
+def asof_join_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each error event matched to the NEAREST purchase event of the
+    same user on either side of it, within a 1-hour tolerance; ties
+    resolve backward; `delta_us` is signed (negative = purchase
+    preceded the error). See operators/asof.asof_join_nearest for the
+    one-shuffle two-sort plan."""
+    from ..operators.asof import asof_join_nearest
+
+    events = load(spark, sf_dir, "events")
+    probe = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    snap = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("p_ts"))
+        .agg(F.max("event_id").alias("purchase_event_id"))
+    )
+    joined = asof_join_nearest(
+        probe, snap, on="user_id", left_ts="ts", right_ts="p_ts",
+        payload_cols=["purchase_event_id"],
+        tolerance_seconds=_NEAREST_TOL_S, how="inner",
+    )
+    return joined.select(
+        "event_id", "user_id", "purchase_event_id",
+        F.col("__delta_us").cast("long").alias("delta_us"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Symmetric int8 vector quantization -- the memory side of ANN at
+# 100 TB (4x smaller vectors before PQ even starts). Per-vector
+# absmax scale, round-half-up codes, clamp, reconstruct, and account
+# for the error. Every step is deterministic IEEE arithmetic, so the
+# whole compression loop is hash-checked.
+# ---------------------------------------------------------------------------
+
+_INT8_DIM = 64
+
+_INT8_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_max([abs(x) for x in v]) / 127 AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, v, scale,
+         CASE WHEN scale = 0 THEN [0 for x in v]
+              ELSE [greatest(-127, least(127,
+                       CAST(floor(x / scale + 0.5) AS BIGINT)))
+                    for x in v] END AS code
+  FROM s
+)
+SELECT vec_id,
+       floor(scale * 1e6 + 0.5) / 1e6 AS scale_s,
+       CAST(list_sum([abs(c) for c in code]) AS BIGINT) AS code_l1,
+       floor(list_sum([(v[i] - code[i] * scale)
+                       * (v[i] - code[i] * scale)
+                       for i in range(1, {_INT8_DIM + 1})])
+             / {_INT8_DIM} * 1e9 + 0.5) / 1e9 AS mse_s
+FROM q
+ORDER BY vec_id
+"""
+
+
+@register("embedding_quantize_int8", oracle=_INT8_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantize each embedding to int8 (per-vector absmax scale,
+    round-half-up, clamp to [-127, 127]), then report the scale, the
+    L1 mass of the codes (proves every code byte, not just the
+    stats), and the reconstruction MSE via an index-ordered fold.
+
+    Scale: map-only -- quantization fuses into the scan; at 100 TB
+    this runs at I/O speed and is exactly the compression pass you
+    run before shipping vectors to an ANN index."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = emb.select("vec_id", v.alias("v")).withColumn(
+        "scale", F.array_max(F.transform(F.col("v"), F.abs)) / 127
+    ).withColumn(
+        "code",
+        F.when(F.col("scale") == 0,
+               F.transform(F.col("v"), lambda x: F.lit(0).cast("long")))
+        .otherwise(F.transform(
+            F.col("v"),
+            lambda x: F.greatest(
+                F.lit(-127).cast("long"),
+                F.least(F.lit(127).cast("long"),
+                        F.floor(x / F.col("scale") + F.lit(0.5))),
+            ),
+        )),
+    )
+    mse = F.aggregate(
+        F.zip_with(
+            F.col("v"), F.col("code"),
+            lambda x, c: (x - c * F.col("scale"))
+            * (x - c * F.col("scale")),
+        ),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ) / _INT8_DIM
+    return d.select(
+        "vec_id",
+        (F.floor(F.col("scale") * 1e6 + F.lit(0.5)) / 1e6).alias("scale_s"),
+        F.aggregate(
+            F.transform(F.col("code"), F.abs),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        ).alias("code_l1"),
+        (F.floor(mse * 1e9 + F.lit(0.5)) / 1e9).alias("mse_s"),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance -- a data-quality screen for
+# fabricated or truncated numeric feeds. Digits come from exact cents
+# integers (no float-to-string), the expected counts snap to 1e-6
+# BEFORE the chi-square contribution, so the whole test statistic is
+# engine-portable.
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH cents AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM orders
+),
+d AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM cents
+),
+obs AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+grid AS (
+  SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS digit
+),
+ex AS (
+  SELECT g.digit,
+         coalesce(o.n_obs, 0) AS n_obs,
+         floor(t.n * log10(1.0 + 1.0 / g.digit) * 1e6 + 0.5) / 1e6
+           AS n_exp
+  FROM grid g CROSS JOIN tot t LEFT JOIN obs o ON o.digit = g.digit
+)
+SELECT digit, n_obs, n_exp,
+       floor((n_obs - n_exp) * (n_obs - n_exp) / n_exp * 1e6 + 0.5)
+         / 1e6 AS chi2_contrib
+FROM ex ORDER BY digit
+"""
+
+
+@register("quality_benford_digits", oracle=_BENFORD_ORACLE)
+def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs the
+    Benford expectation, with per-digit chi-square contributions.
+    Digits are taken from exact cents integers (floor(x*100+0.5)),
+    never from float formatting; the expected count is snapped at
+    1e-6 before the contribution so both engines divide identical
+    doubles.
+
+    Scale: map-only digit extraction + a 9-group aggregate; the
+    digit grid is a 9-row literal crossed with one global count --
+    runs at scan speed on any feed."""
+    orders = load(spark, sf_dir, "orders")
+    d = orders.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long").cast("string"), 1, 1,
+        ).cast("int").alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    grid = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    ex = (
+        grid.crossJoin(F.broadcast(tot))
+        .join(obs, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+            _snap6(F.col("n") * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")))
+            .alias("n_exp"),
+        )
+    )
+    return ex.select(
+        "digit", "n_obs", "n_exp",
+        _snap6((F.col("n_obs") - F.col("n_exp"))
+               * (F.col("n_obs") - F.col("n_exp")) / F.col("n_exp"))
+        .alias("chi2_contrib"),
+    ).orderBy("digit")

@@ -154,3 +154,97 @@ def test_text_lines_roundtrip_parses_every_line(spark):
     parsed = lines.select(F.split("value", "\t", 3).alias("p"))
     bad = parsed.filter(F.size("p") < 3).count()
     assert bad == 0
+
+
+def _nearest(spark, probes, cands, tol=None):
+    from dataingestionengineprocess_spark.operators.asof import (
+        asof_join_nearest,
+    )
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        probes, "pid long, k string, ts string").withColumn(
+        "ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        cands, "cid long, k string, cts string").withColumn(
+        "cts", F.to_timestamp("cts"))
+    out = asof_join_nearest(
+        left, right, on="k", left_ts="ts", right_ts="cts",
+        payload_cols=["cid"], tolerance_seconds=tol, how="inner",
+    )
+    return {r["pid"]: (r["cid"], r["__delta_us"]) for r in out.collect()}
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    got = _nearest(
+        spark,
+        [(1, "a", "2024-01-01 10:00:00")],
+        [(10, "a", "2024-01-01 09:00:00"),   # 1h before
+         (11, "a", "2024-01-01 10:00:05")],  # 5s after
+    )
+    assert got == {1: (11, 5_000_000)}
+
+
+def test_asof_nearest_tie_resolves_backward(spark):
+    got = _nearest(
+        spark,
+        [(1, "a", "2024-01-01 10:00:00")],
+        [(10, "a", "2024-01-01 09:59:50"),   # 10s before
+         (11, "a", "2024-01-01 10:00:10")],  # 10s after
+    )
+    assert got == {1: (10, -10_000_000)}
+
+
+def test_asof_nearest_tolerance_drops_far_matches(spark):
+    got = _nearest(
+        spark,
+        [(1, "a", "2024-01-01 10:00:00"),
+         (2, "b", "2024-01-01 10:00:00")],
+        [(10, "a", "2024-01-01 09:00:00"),   # 1h away: out of 60s tol
+         (11, "b", "2024-01-01 10:00:30")],  # 30s away: within
+        tol=60,
+    )
+    assert got == {2: (11, 30_000_000)}
+
+
+def test_asof_nearest_no_cross_key_leak(spark):
+    got = _nearest(
+        spark,
+        [(1, "a", "2024-01-01 10:00:00")],
+        [(11, "b", "2024-01-01 10:00:01")],
+    )
+    assert got == {}
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    probes = [(int(i), "k%d" % (i % 3),
+               str(pd.Timestamp("2024-01-01") +
+                   pd.Timedelta(seconds=int(rng.randint(0, 10_000)))))
+              for i in range(60)]
+    # odd-second candidates vs even-second probes would still allow
+    # ties across sides; use distinct prime-ish offsets to keep every
+    # |delta| unique per key so pandas tie policy never engages
+    cands = [(int(100 + i), "k%d" % (i % 3),
+              str(pd.Timestamp("2024-01-01") +
+                  pd.Timedelta(seconds=int(rng.randint(0, 10_000)),
+                               microseconds=137 * i)))
+             for i in range(40)]
+    got = _nearest(spark, probes, cands)
+
+    pl = pd.DataFrame(probes, columns=["pid", "k", "ts"])
+    pr = pd.DataFrame(cands, columns=["cid", "k", "cts"])
+    pl["ts"] = pd.to_datetime(pl["ts"], format="mixed")
+    pr["cts"] = pd.to_datetime(pr["cts"], format="mixed")
+    m = pd.merge_asof(
+        pl.sort_values("ts"), pr.sort_values("cts"),
+        left_on="ts", right_on="cts", by="k", direction="nearest",
+    )
+    want = {}
+    for _, r in m.iterrows():
+        if pd.notna(r["cid"]):
+            want[int(r["pid"])] = int(r["cid"])
+    assert {p: c for p, (c, _) in got.items()} == want
