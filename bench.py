@@ -204,6 +204,9 @@ BENCH_QUERIES = [
     "asof_join_nearest_purchase",
     "embedding_quantize_int8",
     "quality_benford_digits",
+    "window_rolling_distinct_users",
+    "events_rfm_segments",
+    "ml_logreg_portable",
 ]
 
 

@@ -572,3 +572,265 @@ def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
                * (F.col("n_obs") - F.col("n_exp")) / F.col("n_exp"))
         .alias("chi2_contrib"),
     ).orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# Rolling DISTINCT count -- the window Spark cannot express natively
+# (no COUNT(DISTINCT) OVER). Composition: collect_list over a range
+# frame + array_distinct + size, all JVM-side. DuckDB CAN express it
+# natively, so the oracle is a true cross-engine semantic check of
+# the workaround.
+# ---------------------------------------------------------------------------
+
+_ROLLING_DISTINCT_ORACLE = """
+SELECT event_id, event_type,
+       CAST(count(DISTINCT user_id) OVER (
+         PARTITION BY event_type ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS users_1h
+FROM events
+ORDER BY event_id
+"""
+
+
+@register("window_rolling_distinct_users", oracle=_ROLLING_DISTINCT_ORACLE)
+def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: distinct users seen for that event type in the
+    trailing hour (inclusive range frame on exact microseconds).
+    Spark has no COUNT(DISTINCT) OVER; the distributed form is
+    collect_list over the range frame -> array_distinct -> size --
+    frame memory is bounded by events-per-type-hour, the natural
+    rate limit of the feed (a hot type would move to the streaming
+    rollup with its bounded state store). The oracle runs DuckDB's
+    NATIVE distinct window, so the composition's semantics -- frame
+    inclusivity, timestamp ties, duplicate users -- are pinned
+    cross-engine."""
+    events = load(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id", "event_type",
+        F.size(F.array_distinct(F.collect_list("user_id").over(w)))
+        .cast("long").alias("users_1h"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation -- the classic lifecycle rollup. All three
+# metrics are exact integers (days via date_diff on microsecond
+# timestamps, counts, summed cents), quartiles are ntile(4) with a
+# user_id tiebreak so the segmentation is deterministic and
+# engine-portable.
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+mx AS (SELECT max(ts) AS anchor FROM p),
+u AS (
+  SELECT user_id,
+         CAST(date_diff('day', max(ts), (SELECT anchor FROM mx))
+              AS BIGINT) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(cents) AS BIGINT) AS monetary_cents
+  FROM p GROUP BY user_id
+)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id) AS INTEGER)
+         AS r_score,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS INTEGER)
+         AS f_score,
+       CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id)
+            AS INTEGER) AS m_score
+FROM u ORDER BY user_id
+"""
+
+
+@register("events_rfm_segments", oracle=_RFM_ORACLE)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency / frequency / monetary quartile scores per purchasing
+    user (score 1 = best quartile: most recent, most frequent,
+    highest spend). Exact integer metrics end to end -- days from
+    microsecond timestamps, summed cents -- and user_id tiebreaks
+    make every quartile boundary deterministic.
+
+    Scale: one groupBy(user) plus three global ntile windows over the
+    USER rollup (cardinality = users, not events); at 100 TB the
+    ntile would become the distributed two-pass rank
+    (`quality_score_calibration`'s idiom) -- the per-event scan stays
+    a single pass either way."""
+    events = load(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"),
+    )
+    anchor = p.agg(F.max("ts").alias("anchor"))
+    u = (
+        p.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("cents").alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.col("anchor"), F.col("last_ts")).cast("long")
+            .alias("recency_days"),
+            "frequency", "monetary_cents",
+        )
+    )
+    return u.select(
+        "user_id", "recency_days", "frequency", "monetary_cents",
+        F.ntile(4).over(
+            W.orderBy(F.asc("recency_days"), F.asc("user_id"))
+        ).alias("r_score"),
+        F.ntile(4).over(
+            W.orderBy(F.desc("frequency"), F.asc("user_id"))
+        ).alias("f_score"),
+        F.ntile(4).over(
+            W.orderBy(F.desc("monetary_cents"), F.asc("user_id"))
+        ).alias("m_score"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression TRAINED BY THE ENGINE under the full hash gate
+# -- the gradient-descent companion to `ml_kmeans_portable` (integer-
+# exact reduces) and `ml_naive_bayes_train` (snapped transcendentals).
+# Two batch GD iterations on two scan-derived features; the only
+# engine-sensitive step (exp in the sigmoid) is snapped to 1e-6
+# BEFORE the gradient, and the gradient reduce itself is an int64 sum
+# of 1e-6-quantized contributions -- order-independent, so the
+# distributed reduction order cannot perturb the weights.
+# ---------------------------------------------------------------------------
+
+_LOGREG_LR = 0.5
+
+_LOGREG_ORACLE = f"""
+WITH d AS (
+  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         n_chars / 500.0 AS x1,
+         len(string_split(text, ' ')) / 100.0 AS x2
+  FROM documents
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+ga AS (
+  /* iteration 1: w = 0 -> margin = 0 -> p = 0.5 exactly */
+  SELECT
+    CAST(sum(CAST(floor((0.5 - y) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s0,
+    CAST(sum(CAST(floor((0.5 - y) * x1 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+    CAST(sum(CAST(floor((0.5 - y) * x2 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s2
+  FROM d
+),
+wa AS (
+  SELECT 0 - {_LOGREG_LR} * ((ga.s0 / CAST(nn.n AS DOUBLE)) / 1e6) AS w0,
+         0 - {_LOGREG_LR} * ((ga.s1 / CAST(nn.n AS DOUBLE)) / 1e6) AS w1,
+         0 - {_LOGREG_LR} * ((ga.s2 / CAST(nn.n AS DOUBLE)) / 1e6) AS w2
+  FROM ga, nn
+),
+pb AS (
+  SELECT d.y, d.x1, d.x2,
+         floor((1.0 / (1.0 + exp(-(wa.w0 + wa.w1 * d.x1 + wa.w2 * d.x2))))
+               * 1e6 + 0.5) / 1e6 AS p
+  FROM d, wa
+),
+gb AS (
+  SELECT
+    CAST(sum(CAST(floor((p - y) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s0,
+    CAST(sum(CAST(floor((p - y) * x1 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+    CAST(sum(CAST(floor((p - y) * x2 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s2
+  FROM pb
+),
+wb AS (
+  SELECT wa.w0 - {_LOGREG_LR} * ((gb.s0 / CAST(nn.n AS DOUBLE)) / 1e6) AS w0,
+         wa.w1 - {_LOGREG_LR} * ((gb.s1 / CAST(nn.n AS DOUBLE)) / 1e6) AS w1,
+         wa.w2 - {_LOGREG_LR} * ((gb.s2 / CAST(nn.n AS DOUBLE)) / 1e6) AS w2
+  FROM wa, gb, nn
+),
+acc AS (
+  SELECT CAST(sum(CASE WHEN (wb.w0 + wb.w1 * d.x1 + wb.w2 * d.x2 > 0)
+                            = (d.y = 1.0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM d, wb
+)
+SELECT t.term,
+       floor(t.w * 1e6 + 0.5) / 1e6 AS weight_s,
+       nn.n AS n_rows, acc.n_correct
+FROM (SELECT 'bias' AS term, w0 AS w FROM wb
+      UNION ALL SELECT 'x_chars', w1 FROM wb
+      UNION ALL SELECT 'x_tokens', w2 FROM wb) t, nn, acc
+ORDER BY t.term
+"""
+
+
+@register("ml_logreg_portable", oracle=_LOGREG_ORACLE)
+def ml_logreg_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two batch gradient-descent iterations of logistic regression
+    (is-English from chars/tokens), distributed and hash-checked:
+    the sigmoid is snapped to 1e-6 before the residual, per-row
+    gradient contributions quantize to int64 and reduce exactly, the
+    weight update replays the same two IEEE divisions in both
+    engines. Output: the fitted weights plus training accuracy under
+    the final weights.
+
+    Scale: each iteration is one map-side-combined 3-sum aggregate
+    over the scan (gradient payload = 3 longs per partition); driver
+    state = 3 doubles per iteration, the same bounded-model-state
+    contract as `kmeans_portable_fit`. The feature pass is
+    recomputed per iteration from the scan (two iterations = two
+    scans) -- at 100 TB you'd persist the projected feature columns,
+    the same call the k-means trainer makes."""
+    import math
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0))
+        .alias("y"),
+        (F.col("n_chars") / 500.0).alias("x1"),
+        (F.size(tokens("text")) / 100.0).alias("x2"),
+    ).persist()
+    try:
+        n = d.count()
+        w = [0.0, 0.0, 0.0]
+        for it in range(2):
+            margin = (F.lit(w[0]) + F.lit(w[1]) * F.col("x1")
+                      + F.lit(w[2]) * F.col("x2"))
+            p = _snap6(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)))
+            r = p - F.col("y")
+            row = d.agg(
+                F.sum(F.floor(r * 1e6 + F.lit(0.5)).cast("long")).alias("s0"),
+                F.sum(F.floor(r * F.col("x1") * 1e6 + F.lit(0.5))
+                      .cast("long")).alias("s1"),
+                F.sum(F.floor(r * F.col("x2") * 1e6 + F.lit(0.5))
+                      .cast("long")).alias("s2"),
+            ).collect()[0]
+            w = [w[k] - _LOGREG_LR * ((row[f"s{k}"] / n) / 1e6)
+                 for k in range(3)]
+        margin = (F.lit(w[0]) + F.lit(w[1]) * F.col("x1")
+                  + F.lit(w[2]) * F.col("x2"))
+        n_correct = d.filter(
+            (margin > 0) == (F.col("y") == 1.0)
+        ).count()
+    finally:
+        d.unpersist()
+
+    rows = [
+        ("bias", math.floor(w[0] * 1e6 + 0.5) / 1e6, n, n_correct),
+        ("x_chars", math.floor(w[1] * 1e6 + 0.5) / 1e6, n, n_correct),
+        ("x_tokens", math.floor(w[2] * 1e6 + 0.5) / 1e6, n, n_correct),
+    ]
+    return spark.createDataFrame(
+        rows, "term string, weight_s double, n_rows bigint, n_correct bigint"
+    ).orderBy("term")

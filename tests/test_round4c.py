@@ -248,3 +248,51 @@ def test_asof_nearest_matches_pandas_merge_asof(spark):
         if pd.notna(r["cid"]):
             want[int(r["pid"])] = int(r["cid"])
     assert {p: c for p, (c, _) in got.items()} == want
+
+
+def test_rolling_distinct_bounded_by_type_totals(spark):
+    from dataingestionengineprocess_spark.queries.round4c import (
+        window_rolling_distinct_users,
+    )
+
+    got = window_rolling_distinct_users(spark, SF_SMOKE)
+    events = load(spark, SF_SMOKE, "events")
+    totals = {r["event_type"]: r["u"] for r in events.groupBy("event_type")
+              .agg(F.countDistinct("user_id").alias("u")).collect()}
+    for r in got.collect():
+        assert 1 <= r.users_1h <= totals[r.event_type]
+
+
+def test_rfm_scores_are_quartiles(spark):
+    from dataingestionengineprocess_spark.queries.round4c import (
+        events_rfm_segments,
+    )
+
+    rows = events_rfm_segments(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.r_score <= 4
+        assert 1 <= r.f_score <= 4
+        assert 1 <= r.m_score <= 4
+        assert r.frequency >= 1 and r.monetary_cents >= 0
+        assert r.recency_days >= 0
+    # quartile sizes differ by at most 1 per score dimension
+    import collections
+
+    for dim in ("r_score", "f_score", "m_score"):
+        sizes = collections.Counter(getattr(r, dim) for r in rows)
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_logreg_learns_separable_direction(spark):
+    import math
+
+    from dataingestionengineprocess_spark.queries.round4c import (
+        ml_logreg_portable,
+    )
+
+    rows = {r.term: r for r in ml_logreg_portable(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"bias", "x_chars", "x_tokens"}
+    n = rows["bias"].n_rows
+    assert all(math.isfinite(r.weight_s) for r in rows.values())
+    assert 0 <= rows["bias"].n_correct <= n
