@@ -146,11 +146,24 @@ def asof_join_nearest(left: DataFrame, right: DataFrame, on: str,
         "__fwd", F.last(r_only, ignorenulls=True).over(w_fwd)
     ).filter(F.col("__is_left") == 1)
 
-    lus = F.unix_micros(F.col(left_ts))
-    d_back = lus - F.unix_micros(F.col("__back")["__rts"])   # >= 0
-    d_fwd = F.unix_micros(F.col("__fwd")["__rts"]) - lus     # >= 0
+    # Timestamp axes measure in exact integer microseconds (tolerance
+    # given in seconds); any other orderable numeric axis measures in
+    # its own units (tolerance given in axis units) -- same contract
+    # as backward/forward, which are axis-type-agnostic.
+    is_ts = str(left.schema[left_ts].dataType).startswith("Timestamp")
+    if is_ts:
+        def axis(c):
+            return F.unix_micros(c)
+        tol_mult = 1_000_000
+    else:
+        def axis(c):
+            return c.cast("long")
+        tol_mult = 1
+    lus = axis(F.col(left_ts))
+    d_back = lus - axis(F.col("__back")["__rts"])   # >= 0
+    d_fwd = axis(F.col("__fwd")["__rts"]) - lus     # >= 0
     if tolerance_seconds is not None:
-        tol_us = F.lit(int(tolerance_seconds) * 1_000_000)
+        tol_us = F.lit(int(tolerance_seconds) * tol_mult)
         back_ok = F.col("__back").isNotNull() & (d_back <= tol_us)
         fwd_ok = F.col("__fwd").isNotNull() & (d_fwd <= tol_us)
     else:

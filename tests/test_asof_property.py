@@ -100,3 +100,56 @@ def test_asof_forward_matches_reference(spark, case):
         if v is not None
     }
     assert got == expect
+
+
+def _reference_nearest(left, right, tol=None):
+    """Per-row reference: nearest right on either side within
+    tolerance, ties to the backward (at-or-before) candidate."""
+    out = {}
+    for k, lt in left:
+        back = None
+        fwd = None
+        for k2, rt in right:
+            if k2 != k:
+                continue
+            if rt <= lt and (back is None or rt > back):
+                back = rt
+            if rt >= lt and (fwd is None or rt < fwd):
+                fwd = rt
+        db = None if back is None else lt - back
+        df = None if fwd is None else fwd - lt
+        if tol is not None:
+            if db is not None and db > tol:
+                db, back = None, None
+            if df is not None and df > tol:
+                df, fwd = None, None
+        if db is not None and (df is None or db <= df):
+            out[(k, lt)] = (back, -db)
+        elif df is not None:
+            out[(k, lt)] = (fwd, df)
+    return out
+
+
+@given(asof_case(), st.one_of(st.none(), st.integers(0, 10)))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_asof_nearest_matches_reference(spark, case, tol):
+    from dataingestionengineprocess_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    left_rows, right_rows = case
+    left = spark.createDataFrame(
+        [(k, t) for k, t in left_rows], "k int, lt bigint"
+    )
+    right = spark.createDataFrame(
+        [(k, t, t) for k, t in right_rows], "k int, rt bigint, rv bigint"
+    ) if right_rows else spark.createDataFrame([], "k int, rt bigint, rv bigint")
+
+    joined = asof_join_nearest(
+        left, right, on="k", left_ts="lt", right_ts="rt",
+        payload_cols=["rv"], tolerance_seconds=tol, how="inner",
+    )
+    got = {(r["k"], r["lt"]): (r["rv"], r["__delta_us"])
+           for r in joined.collect()}
+    assert got == _reference_nearest(left_rows, right_rows, tol)
