@@ -92,11 +92,14 @@ def test_bloom_prefilter_is_load_bearing(spark):
     assert row["n_bloom_pass"] == row["n_match"] + row["n_false_pos"]
 
 
-def _oracle_con(sf_dir):
+def _oracle_con(sf_dir, tables=("documents", "events")):
+    """One DuckDB connection with views over the given fixture tables
+    (ONE view-creation rule for every edge-corpus test in this file;
+    missing files are skipped so partial fixtures work)."""
     import os
 
     con = duckdb.connect()
-    for t in ("documents", "events"):
+    for t in tables:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):
             con.execute(
@@ -208,18 +211,6 @@ def test_stream_outer_join_cutoff_is_strict(spark, tmp_path):
         odf, float_digits=9)
 
 
-def _oracle_con_t(sf_dir, tables):
-    import os
-
-    con = duckdb.connect()
-    for t in tables:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            + (f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"))
-    return con
-
-
 def test_naive_bayes_edge_corpus_matches_oracle(spark, tmp_path):
     """Degenerate corpora: a single-token doc, a doc whose every token
     is unseen in another class, and a class with one document. The
@@ -247,10 +238,16 @@ def test_naive_bayes_edge_corpus_matches_oracle(spark, tmp_path):
      .coalesce(1).write.mode("overwrite") \
      .parquet(os.path.join(d, "documents.parquet"))
 
+    expect_rows = {
+        # 3 langs x 5 distinct tokens = the full smoothed grid
+        "ml_naive_bayes_train": 15,
+        "ml_naive_bayes_score": 4,
+    }
     for name in ("ml_naive_bayes_train", "ml_naive_bayes_score"):
         sdf = all_queries()[name](spark, d).toPandas()
-        odf = _oracle_con_t(d, ["documents"]).execute(
+        odf = _oracle_con(d, tables=("documents",)).execute(
             all_oracles()[name]).df()
+        assert len(sdf) == expect_rows[name], (name, len(sdf))
         assert digest_frame(sdf, float_digits=9) == digest_frame(
             odf, float_digits=9), name
 
@@ -274,6 +271,6 @@ def test_centroid_similarity_single_label_is_empty(spark, tmp_path):
      .parquet(os.path.join(d, "embeddings.parquet"))
 
     sdf = all_queries()["embedding_centroid_similarity"](spark, d).toPandas()
-    odf = _oracle_con_t(d, ["embeddings"]).execute(
+    odf = _oracle_con(d, tables=("embeddings",)).execute(
         all_oracles()["embedding_centroid_similarity"]).df()
     assert len(sdf) == 0 and len(odf) == 0
