@@ -23,44 +23,66 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.types import (ByteType, IntegerType, LongType, ShortType,
+                               TimestampNTZType, TimestampType)
 
 
-def _asof_union_fill(left: DataFrame, right: DataFrame, on: str,
-                     left_ts: str, right_ts: str,
-                     payload_cols: list[str], how: str,
-                     direction: str) -> DataFrame:
+def _tag_union(left: DataFrame, right: DataFrame, on: str,
+               left_ts: str, right_ts: str, payload_cols: list[str],
+               with_axis: bool = False) -> DataFrame:
+    """Tag + union scaffolding shared by every direction: left rows
+    carry ``__is_left=1`` and their probe axis; right rows collapse to
+    (key, axis, payload-struct). ``with_axis`` additionally embeds the
+    right timestamp in the payload (the nearest direction needs it for
+    the delta arithmetic). One place so the tie-ordering / null-carry
+    rules can never drift between backward/forward and nearest."""
+    fields = [F.col(c) for c in payload_cols]
+    if with_axis:
+        fields = [F.col(right_ts).alias("__rts")] + fields
     l_tag = left.withColumn("__is_left", F.lit(1)).withColumn(
         "__axis_ts", F.col(left_ts)
     )
     r_tag = right.select(
         F.col(on),
         F.col(right_ts).alias("__axis_ts"),
-        F.struct(*[F.col(c) for c in payload_cols]).alias("__payload"),
+        F.struct(*fields).alias("__payload"),
     ).withColumn("__is_left", F.lit(0))
+    return l_tag.unionByName(r_tag, allowMissingColumns=True)
 
-    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
-    # Both directions carry over the RUNNING preceding frame (linear,
-    # incremental); the axis direction decides the semantics. Right
-    # rows order before left rows at an equal timestamp either way, so
-    # exact ties are visible to the probe (<= / >= inclusive).
-    if direction == "backward":
-        order = [F.col("__axis_ts").asc(), F.col("__is_left").asc()]
-    else:
-        order = [F.col("__axis_ts").desc(), F.col("__is_left").asc()]
-    w = (
+def _carry_window(on: str, direction: str):
+    """RUNNING [unbounded preceding, current] frame over the axis.
+    Right rows order before left rows at an equal timestamp either
+    way, so exact ties are visible to the probe (<= / >= inclusive)."""
+    axis = (F.col("__axis_ts").asc() if direction == "backward"
+            else F.col("__axis_ts").desc())
+    return (
         W.partitionBy(on)
-        .orderBy(*order)
+        .orderBy(axis, F.col("__is_left").asc())
         .rowsBetween(W.unboundedPreceding, 0)
     )
+
+
+def _unpack(out: DataFrame, src: str, payload_cols: list[str],
+            how: str) -> DataFrame:
+    if how == "inner":
+        out = out.filter(F.col(src).isNotNull())
+    for c in payload_cols:
+        out = out.withColumn(c, F.col(src)[c])
+    return out
+
+
+def _asof_union_fill(left: DataFrame, right: DataFrame, on: str,
+                     left_ts: str, right_ts: str,
+                     payload_cols: list[str], how: str,
+                     direction: str) -> DataFrame:
+    unioned = _tag_union(left, right, on, left_ts, right_ts, payload_cols)
     filled = unioned.withColumn(
-        "__matched", F.last("__payload", ignorenulls=True).over(w)
+        "__matched",
+        F.last("__payload", ignorenulls=True).over(_carry_window(on, direction)),
     )
     out = filled.filter(F.col("__is_left") == 1)
-    if how == "inner":
-        out = out.filter(F.col("__matched").isNotNull())
-    for c in payload_cols:
-        out = out.withColumn(c, F.col("__matched")[c])
+    out = _unpack(out, "__matched", payload_cols, how)
     return out.drop("__is_left", "__axis_ts", "__payload", "__matched")
 
 
@@ -96,7 +118,7 @@ def asof_join_forward(left: DataFrame, right: DataFrame, on: str,
 def asof_join_nearest(left: DataFrame, right: DataFrame, on: str,
                       left_ts: str, right_ts: str,
                       payload_cols: list[str],
-                      tolerance_seconds: int | None = None,
+                      tolerance_seconds: float | None = None,
                       how: str = "inner") -> DataFrame:
     """For each left row, attach the right row whose ``right_ts`` is
     NEAREST to ``left_ts`` within the same ``on`` key, on either side
@@ -109,63 +131,53 @@ def asof_join_nearest(left: DataFrame, right: DataFrame, on: str,
     (ascending carry for the backward candidate, descending for the
     forward one -- the second window reuses the exchange, it only
     re-sorts). Still no per-row lookups and no broadcast of either
-    side; the delta arithmetic is integer microseconds, so the
-    nearest/tolerance decisions are exact and engine-portable.
+    side. Delta arithmetic by axis type: timestamps measure in exact
+    integer microseconds (tolerance given in seconds), integral axes
+    in their own exact integer units, and fractional numeric axes
+    (float/double/decimal) in IEEE doubles -- never silently
+    truncated to integers, so a probe at 1.6 correctly prefers a
+    snapshot at 2.1 over one at 1.0.
 
     ``right`` must be unique per (on, right_ts), as for the other
     directions. Adds ``__delta_us`` (signed: negative when the match
-    is before the probe... positive = match after) to the output.
+    is before the probe... positive = match after; integer micros /
+    axis units for timestamp / integral axes, double axis units for
+    fractional ones) to the output.
     """
-    l_tag = left.withColumn("__is_left", F.lit(1)).withColumn(
-        "__axis_ts", F.col(left_ts)
-    )
-    r_tag = right.select(
-        F.col(on),
-        F.col(right_ts).alias("__axis_ts"),
-        F.struct(
-            F.col(right_ts).alias("__rts"),
-            *[F.col(c) for c in payload_cols],
-        ).alias("__payload"),
-    ).withColumn("__is_left", F.lit(0))
-    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
-
-    w_back = (
-        W.partitionBy(on)
-        .orderBy(F.col("__axis_ts").asc(), F.col("__is_left").asc())
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    w_fwd = (
-        W.partitionBy(on)
-        .orderBy(F.col("__axis_ts").desc(), F.col("__is_left").asc())
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    r_only = F.when(F.col("__is_left") == 0, F.col("__payload"))
+    unioned = _tag_union(left, right, on, left_ts, right_ts,
+                         payload_cols, with_axis=True)
     filled = unioned.withColumn(
-        "__back", F.last(r_only, ignorenulls=True).over(w_back)
+        "__back",
+        F.last("__payload", ignorenulls=True).over(_carry_window(on, "backward")),
     ).withColumn(
-        "__fwd", F.last(r_only, ignorenulls=True).over(w_fwd)
+        "__fwd",
+        F.last("__payload", ignorenulls=True).over(_carry_window(on, "forward")),
     ).filter(F.col("__is_left") == 1)
 
-    # Timestamp axes measure in exact integer microseconds (tolerance
-    # given in seconds); any other orderable numeric axis measures in
-    # its own units (tolerance given in axis units) -- same contract
-    # as backward/forward, which are axis-type-agnostic.
-    is_ts = str(left.schema[left_ts].dataType).startswith("Timestamp")
-    if is_ts:
+    dtype = left.schema[left_ts].dataType
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
         def axis(c):
             return F.unix_micros(c)
-        tol_mult = 1_000_000
-    else:
+        tol_expr = (None if tolerance_seconds is None
+                    else F.lit(int(round(tolerance_seconds * 1_000_000))))
+    elif isinstance(dtype, (ByteType, ShortType, IntegerType, LongType)):
+        # exact integer deltas; the tolerance may still be fractional
+        # (long <= double compares exactly for the magnitudes here)
         def axis(c):
             return c.cast("long")
-        tol_mult = 1
+        tol_expr = (None if tolerance_seconds is None
+                    else F.lit(tolerance_seconds))
+    else:
+        def axis(c):
+            return c.cast("double")
+        tol_expr = (None if tolerance_seconds is None
+                    else F.lit(float(tolerance_seconds)))
     lus = axis(F.col(left_ts))
     d_back = lus - axis(F.col("__back")["__rts"])   # >= 0
     d_fwd = axis(F.col("__fwd")["__rts"]) - lus     # >= 0
-    if tolerance_seconds is not None:
-        tol_us = F.lit(int(tolerance_seconds) * tol_mult)
-        back_ok = F.col("__back").isNotNull() & (d_back <= tol_us)
-        fwd_ok = F.col("__fwd").isNotNull() & (d_fwd <= tol_us)
+    if tol_expr is not None:
+        back_ok = F.col("__back").isNotNull() & (d_back <= tol_expr)
+        fwd_ok = F.col("__fwd").isNotNull() & (d_fwd <= tol_expr)
     else:
         back_ok = F.col("__back").isNotNull()
         fwd_ok = F.col("__fwd").isNotNull()
@@ -180,9 +192,6 @@ def asof_join_nearest(left: DataFrame, right: DataFrame, on: str,
     out = filled.withColumn("__chosen", chosen).withColumn(
         "__delta_us", delta
     )
-    if how == "inner":
-        out = out.filter(F.col("__chosen").isNotNull())
-    for c in payload_cols:
-        out = out.withColumn(c, F.col("__chosen")[c])
+    out = _unpack(out, "__chosen", payload_cols, how)
     return out.drop("__is_left", "__axis_ts", "__payload",
                     "__back", "__fwd", "__chosen")

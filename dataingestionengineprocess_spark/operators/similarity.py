@@ -698,7 +698,10 @@ def kmeans_portable_fit(corpus: DataFrame, n_clusters: int = 8,
         ),
     ).persist()
     try:
-        centroids = portable_init_sample(corpus, n_clusters, id_col, vec_col)
+        # init from the SAME cached (id, v) projection -- the first
+        # action below both materializes the cache and picks the seed
+        # rows, so the raw corpus is scanned exactly once per fit
+        centroids = portable_init_sample(vecs, n_clusters, "id", "v")
         dim = len(centroids[0])
         counts: dict[int, int] = {}
         for _ in range(iters):

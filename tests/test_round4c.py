@@ -207,6 +207,34 @@ def test_asof_nearest_tolerance_drops_far_matches(spark):
     assert got == {2: (11, 30_000_000)}
 
 
+def test_asof_nearest_fractional_axis_exact(spark):
+    # Regression: a fractional double axis must NOT be truncated to
+    # integers before the distance compare -- probe 1.6 is nearer to
+    # 2.1 (0.5) than to 1.0 (0.6), though truncation would say the
+    # opposite; a fractional tolerance must survive un-truncated too.
+    from dataingestionengineprocess_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    left = spark.createDataFrame([(1, 1.6)], "k int, lt double")
+    right = spark.createDataFrame(
+        [(1, 1.0, 10), (1, 2.1, 20)], "k int, rt double, rv int")
+    row = asof_join_nearest(
+        left, right, on="k", left_ts="lt", right_ts="rt",
+        payload_cols=["rv"]).collect()[0]
+    assert row["rv"] == 20 and abs(row["__delta_us"] - 0.5) < 1e-12
+    assert asof_join_nearest(
+        left, right, on="k", left_ts="lt", right_ts="rt",
+        payload_cols=["rv"], tolerance_seconds=0.4).count() == 0
+    # fractional tolerance on an INTEGER axis: int() would make it 0
+    li = spark.createDataFrame([(1, 5)], "k int, lt int")
+    ri = spark.createDataFrame([(1, 5, 7)], "k int, rt int, rv int")
+    out = asof_join_nearest(
+        li, ri, on="k", left_ts="lt", right_ts="rt",
+        payload_cols=["rv"], tolerance_seconds=0.5).collect()
+    assert out[0]["rv"] == 7 and out[0]["__delta_us"] == 0
+
+
 def test_asof_nearest_no_cross_key_leak(spark):
     got = _nearest(
         spark,
