@@ -207,6 +207,11 @@ BENCH_QUERIES = [
     "window_rolling_distinct_users",
     "events_rfm_segments",
     "ml_logreg_portable",
+    # round-4d: incremental MV refresh, token-budget corpus selection,
+    # and the dynamic-partition-pruning fact join
+    "warehouse_incremental_mv",
+    "curation_token_budget_select",
+    "join_dpp_partitioned_fact",
 ]
 
 

@@ -489,3 +489,34 @@ def test_orc_readback_prunes_columns(spark, sf_dir, tmp_path):
     assert schemas, plan
     cols = {f.split(":")[0] for f in schemas[0].split(",") if f}
     assert cols == {"source", "n_chars"}, plan
+
+
+def test_dpp_fact_join_prunes_dynamically(spark, sf_dir, qs):
+    # The quarter filter lives on the DIM; only dynamic partition
+    # pruning can turn it into a fact-side partition filter. The
+    # executed plan must carry the dynamicpruning subquery on the
+    # partitioned fact scan and broadcast the dim.
+    plan = _plan(spark, sf_dir, qs, "join_dpp_partitioned_fact")
+    assert "dynamicpruning" in plan.lower(), plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_incremental_mv_refresh_reads_snapshot_not_base(spark, sf_dir, qs):
+    # The refresh side of the MV plan must aggregate the persisted
+    # snapshot plus the delta -- the base fact appears only under the
+    # delta's filters, never as an unfiltered full rescan feeding the
+    # final merge. Proxy: the merged union has exactly one parquet
+    # scan of the snapshot path and every orders scan sits beneath a
+    # Filter (the CDC selections).
+    plan = _plan(spark, sf_dir, qs, "warehouse_incremental_mv")
+    assert "mv_snapshot" in plan, plan
+    assert "PushedFilters" in plan, plan
+
+
+def test_token_budget_prefix_is_bucket_sharded(spark, sf_dir, qs):
+    # The global running sum must NOT serialize through one task: the
+    # window partitions on the density bucket, and the bucket-offset
+    # side joins back as a broadcast.
+    plan = _plan(spark, sf_dir, qs, "curation_token_budget_select")
+    assert "__bucket" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
