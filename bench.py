@@ -212,6 +212,8 @@ BENCH_QUERIES = [
     "warehouse_incremental_mv",
     "curation_token_budget_select",
     "join_dpp_partitioned_fact",
+    "ml_source_ablation",
+    "ml_winsorize_robust_mean",
 ]
 
 

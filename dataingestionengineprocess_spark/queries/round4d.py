@@ -305,3 +305,288 @@ def join_dpp_partitioned_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(cents).alias("sum_cents"))
         .orderBy("o_month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-source-out ablation ("which slice of my corpus is pulling
+# its weight?") -- the data-valuation primitive behind source mixing
+# decisions. For every document source s, train the SAME 2-iteration
+# portable logistic regression as `ml_logreg_portable` on the corpus
+# MINUS s, then evaluate the ablated model on s as a HELD-OUT set.
+# All K models train simultaneously:
+#   - iteration 1 starts every model at w=0 (p = 0.5 exactly), so the
+#     ablated gradients are pure arithmetic on ONE per-source
+#     aggregate: grad(minus s) = (total - own_s) / (N - n_s);
+#   - iteration 2 weights differ per model, so each row is scored
+#     under every model it trains (a K-way broadcast fan-out joined
+#     on source <> excluded -- map-side, no shuffle of the corpus);
+#   - held-out accuracy joins each row to ITS OWN source's model.
+# Same exactness contract as ml_logreg_portable: sigmoid snapped to
+# 1e-6 before the residual, int64-quantized gradient contributions
+# (order-independent reduces), identical IEEE division sequences.
+#
+# Scale: driver state = K x 3 doubles + K counts (bounded by the
+# source cardinality, the same contract as the k-means centroids);
+# corpus-side cost = one per-source agg + one K-fanout pass per
+# remaining iteration + one eval pass. K is a catalog-sized number
+# (tens to thousands), never corpus-sized.
+# ---------------------------------------------------------------------------
+
+_ABL_LR = 0.5
+
+_ABLATION_ORACLE = f"""
+WITH d AS (
+  SELECT source,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         n_chars / 500.0 AS x1,
+         len(string_split(text, ' ')) / 100.0 AS x2
+  FROM documents
+),
+g1 AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_s,
+    CAST(sum(CAST(floor((0.5 - y) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s0,
+    CAST(sum(CAST(floor((0.5 - y) * x1 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+    CAST(sum(CAST(floor((0.5 - y) * x2 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s2
+  FROM d GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_s) AS BIGINT) AS n,
+         CAST(sum(s0) AS BIGINT) AS t0,
+         CAST(sum(s1) AS BIGINT) AS t1,
+         CAST(sum(s2) AS BIGINT) AS t2
+  FROM g1
+),
+wa AS (
+  SELECT g1.source,
+         tot.n - g1.n_s AS n_m,
+         0 - {_ABL_LR} * (((tot.t0 - g1.s0) / CAST(tot.n - g1.n_s AS DOUBLE)) / 1e6) AS w0,
+         0 - {_ABL_LR} * (((tot.t1 - g1.s1) / CAST(tot.n - g1.n_s AS DOUBLE)) / 1e6) AS w1,
+         0 - {_ABL_LR} * (((tot.t2 - g1.s2) / CAST(tot.n - g1.n_s AS DOUBLE)) / 1e6) AS w2
+  FROM g1, tot WHERE tot.n - g1.n_s > 0
+),
+p2 AS (
+  SELECT wa.source AS excl, wa.n_m, wa.w0, wa.w1, wa.w2, d.y, d.x1, d.x2,
+         floor((1.0 / (1.0 + exp(-(wa.w0 + wa.w1 * d.x1 + wa.w2 * d.x2))))
+               * 1e6 + 0.5) / 1e6 AS p
+  FROM d JOIN wa ON d.source <> wa.source
+),
+g2 AS (
+  SELECT excl, any_value(n_m) AS n_m,
+         any_value(w0) AS w0, any_value(w1) AS w1, any_value(w2) AS w2,
+    CAST(sum(CAST(floor((p - y) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s0,
+    CAST(sum(CAST(floor((p - y) * x1 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+    CAST(sum(CAST(floor((p - y) * x2 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s2
+  FROM p2 GROUP BY excl
+),
+wb AS (
+  SELECT excl,
+         w0 - {_ABL_LR} * ((s0 / CAST(n_m AS DOUBLE)) / 1e6) AS w0,
+         w1 - {_ABL_LR} * ((s1 / CAST(n_m AS DOUBLE)) / 1e6) AS w1,
+         w2 - {_ABL_LR} * ((s2 / CAST(n_m AS DOUBLE)) / 1e6) AS w2
+  FROM g2
+),
+ev AS (
+  SELECT wb.excl,
+         CAST(count(*) AS BIGINT) AS n_holdout,
+         CAST(sum(CASE WHEN (wb.w0 + wb.w1 * d.x1 + wb.w2 * d.x2 > 0)
+                            = (d.y = 1.0) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct
+  FROM d JOIN wb ON d.source = wb.excl
+  GROUP BY wb.excl
+)
+SELECT wb.excl AS source,
+       floor(wb.w0 * 1e6 + 0.5) / 1e6 AS w0_s,
+       floor(wb.w1 * 1e6 + 0.5) / 1e6 AS w1_s,
+       floor(wb.w2 * 1e6 + 0.5) / 1e6 AS w2_s,
+       ev.n_holdout, ev.n_correct
+FROM wb JOIN ev ON wb.excl = ev.excl
+ORDER BY source
+"""
+
+
+@register("ml_source_ablation", oracle=_ABLATION_ORACLE)
+def ml_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K leave-one-source-out logistic regressions trained in parallel
+    (2 GD iterations each) and scored on their own held-out source;
+    hash-checked end to end. See the module comment for why iteration
+    1 collapses to one per-source aggregate and what fans out in
+    iteration 2."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0))
+        .alias("y"),
+        (F.col("n_chars") / 500.0).alias("x1"),
+        (F.size(tokens("text")) / 100.0).alias("x2"),
+    ).persist()
+    try:
+        def q(col):
+            return F.floor(col * 1e6 + F.lit(0.5)).cast("long")
+
+        g1 = d.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_s"),
+            F.sum(q(F.lit(0.5) - F.col("y"))).alias("s0"),
+            F.sum(q((F.lit(0.5) - F.col("y")) * F.col("x1"))).alias("s1"),
+            F.sum(q((F.lit(0.5) - F.col("y")) * F.col("x2"))).alias("s2"),
+        ).collect()
+        n = sum(r["n_s"] for r in g1)
+        t = [sum(r[f"s{j}"] for r in g1) for j in range(3)]
+        models = []  # (source, n_m, w0, w1, w2) -- K x 3 doubles of state
+        for r in g1:
+            n_m = n - r["n_s"]
+            if n_m <= 0:
+                continue
+            models.append((
+                r["source"], n_m,
+                *[-_ABL_LR * (((t[j] - r[f"s{j}"]) / n_m) / 1e6)
+                  for j in range(3)],
+            ))
+        mdf = spark.createDataFrame(
+            models, "excl string, n_m long, w0 double, w1 double, w2 double"
+        )
+
+        margin = (F.col("w0") + F.col("w1") * F.col("x1")
+                  + F.col("w2") * F.col("x2"))
+        p = _snap6(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)))
+        r_ = p - F.col("y")
+        g2 = (
+            d.join(F.broadcast(mdf), F.col("source") != F.col("excl"))
+            .groupBy("excl")
+            .agg(F.sum(q(r_)).alias("s0"),
+                 F.sum(q(r_ * F.col("x1"))).alias("s1"),
+                 F.sum(q(r_ * F.col("x2"))).alias("s2"))
+            .collect()
+        )
+        by_src = {m[0]: m for m in models}
+        final = []
+        for row in g2:
+            src, n_m, w0, w1, w2 = by_src[row["excl"]]
+            w = [w0, w1, w2]
+            final.append((src, *[w[j] - _ABL_LR * ((row[f"s{j}"] / n_m) / 1e6)
+                                 for j in range(3)]))
+        fdf = spark.createDataFrame(
+            final, "excl string, w0 double, w1 double, w2 double"
+        )
+
+        ev = (
+            d.join(F.broadcast(fdf), F.col("source") == F.col("excl"))
+            .groupBy("excl")
+            .agg(
+                F.count(F.lit(1)).alias("n_holdout"),
+                F.sum(F.when((margin > 0) == (F.col("y") == 1.0), 1)
+                      .otherwise(0)).alias("n_correct"),
+            )
+        )
+        out = (
+            F.broadcast(fdf).join(ev, "excl")
+            .select(
+                F.col("excl").alias("source"),
+                _snap6(F.col("w0")).alias("w0_s"),
+                _snap6(F.col("w1")).alias("w1_s"),
+                _snap6(F.col("w2")).alias("w2_s"),
+                "n_holdout", "n_correct",
+            )
+            .orderBy("source")
+        )
+    finally:
+        # the two gradient collects already consumed the cache; the
+        # caller's action re-derives d (a map-only projection of the
+        # scan) for the eval join, keeping the returned plan honest
+        # (and plan-testable) instead of a checkpointed RDD scan
+        d.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Exact winsorization (clamp at the exact empirical p05/p95) per
+# order-priority group -- the robust-feature-prep step that bounds
+# heavy-tailed monetary features before scaling. Boundaries are
+# defined by RANK, not interpolation: lo = the ceil(0.05*n)-th
+# smallest (cents, key) value, hi = the ceil(0.95*n)-th -- integer
+# cents end to end, so clamped sums are engine-exact.
+#
+# Scale: one shuffle on the group key for the rank window (exact
+# per-group percentiles fundamentally need a per-group ordering
+# pass); the boundary table is group-cardinality rows and joins back
+# as a broadcast; the clamp + final agg is map-side. A skewed group
+# bounds the window task -- at real scale use the two-pass sharded
+# rank (curation._sharded_prev_cum's idiom) or the approx-percentile
+# family when interpolated bounds suffice.
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH c AS (
+  SELECT o_orderpriority AS grp,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         o_orderkey AS k
+  FROM orders
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY grp ORDER BY cents, k) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM c
+),
+b AS (
+  SELECT grp,
+         max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                  THEN cents END) AS lo_cents,
+         max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                  THEN cents END) AS hi_cents
+  FROM r GROUP BY grp
+)
+SELECT c.grp AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       b.lo_cents, b.hi_cents,
+       CAST(sum(least(greatest(c.cents, b.lo_cents), b.hi_cents))
+            AS BIGINT) AS sum_winsorized
+FROM c JOIN b ON c.grp = b.grp
+GROUP BY c.grp, b.lo_cents, b.hi_cents
+ORDER BY o_orderpriority
+"""
+
+
+@register("ml_winsorize_robust_mean", oracle=_WINSOR_ORACLE)
+def ml_winsorize_robust_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-exact p05/p95 winsorized totals per order priority: the
+    boundary table comes off one rank window, broadcasts back onto
+    the scan, and the clamped sum is integer-cents exact."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    c = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        cents.alias("cents"),
+        F.col("o_orderkey").alias("k"),
+    )
+    grp_w = W.partitionBy("grp")
+    rank_w = grp_w.orderBy("cents", "k")
+    r = c.withColumn("rn", F.row_number().over(rank_w)).withColumn(
+        "n", F.count(F.lit(1)).over(grp_w)
+    )
+    b = (
+        r.filter(
+            (F.col("rn") == F.ceil(0.05 * F.col("n")))
+            | (F.col("rn") == F.ceil(0.95 * F.col("n")))
+        )
+        .groupBy("grp")
+        .agg(
+            F.max(F.when(F.col("rn") == F.ceil(0.05 * F.col("n")),
+                         F.col("cents"))).alias("lo_cents"),
+            F.max(F.when(F.col("rn") == F.ceil(0.95 * F.col("n")),
+                         F.col("cents"))).alias("hi_cents"),
+        )
+    )
+    return (
+        c.join(F.broadcast(b), "grp")
+        .groupBy("grp", "lo_cents", "hi_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.least(F.greatest(F.col("cents"), F.col("lo_cents")),
+                          F.col("hi_cents"))).alias("sum_winsorized"),
+        )
+        .select(
+            F.col("grp").alias("o_orderpriority"),
+            "n_rows", "lo_cents", "hi_cents", "sum_winsorized",
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -520,3 +520,24 @@ def test_token_budget_prefix_is_bucket_sharded(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "curation_token_budget_select")
     assert "__bucket" in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_source_ablation_fanout_is_broadcast(spark, sf_dir, qs):
+    # Iteration 2 scores each row under K-1 models: the model table
+    # (K rows of driver state) must broadcast onto the corpus scan --
+    # the corpus is never shuffled for the fan-out, and the final
+    # reduce is a map-side-combined hash aggregate on excl.
+    plan = _plan(spark, sf_dir, qs, "ml_source_ablation")
+    assert ("BroadcastNestedLoopJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_winsorize_boundaries_broadcast_back(spark, sf_dir, qs):
+    # One rank window on the group key; the group-cardinality boundary
+    # table joins back as a broadcast, never a corpus-side shuffle
+    # beyond the window's own exchange.
+    plan = _plan(spark, sf_dir, qs, "ml_winsorize_robust_mean")
+    assert "Window" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
