@@ -214,6 +214,8 @@ BENCH_QUERIES = [
     "join_dpp_partitioned_fact",
     "ml_source_ablation",
     "ml_winsorize_robust_mean",
+    "join_bucketed_colocated",
+    "events_audience_overlap",
 ]
 
 

@@ -541,3 +541,28 @@ def test_winsorize_boundaries_broadcast_back(spark, sf_dir, qs):
     assert "Window" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bucketed_colocated_join_has_no_exchange(spark, sf_dir, qs):
+    # Both sides are published bucketBy(8, orderkey): the sort-merge
+    # join must consume the on-disk bucketing -- zero Exchange below
+    # the join (the final 5-group agg may exchange above it).
+    plan = _plan(spark, sf_dir, qs, "join_bucketed_colocated")
+    assert "SortMergeJoin" in plan, plan
+    join_subtree = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_subtree, plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+
+
+def test_audience_overlap_distinct_before_self_join(spark, sf_dir, qs):
+    # The fact must shrink to distinct (type, user) BEFORE the self
+    # join: the join inputs are aggregates, and the pair fan-out joins
+    # on user equality (hash join), never a cartesian.
+    plan = _plan(spark, sf_dir, qs, "events_audience_overlap")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    first_join = min(
+        i for i in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"),
+                    plan.find("ShuffledHashJoin")) if i >= 0
+    )
+    assert "HashAggregate" in plan[first_join:], plan
