@@ -79,6 +79,15 @@ SHOWCASE = [
     # so they are excluded like the other eager queries; the k-means
     # per-iteration plan shape is pinned in test_plan_shapes.)
     "curation_length_buckets",
+    # round-4d: the audience-overlap distinct-then-self-join and the
+    # rank-exact winsorize boundary broadcast.
+    # (warehouse_incremental_mv, join_dpp_partitioned_fact,
+    # join_bucketed_colocated, ml_source_ablation, and
+    # curation_token_budget_select all publish scratch tables or
+    # collect bounded state at build time -- excluded like the other
+    # eager queries; their shapes are pinned in test_plan_shapes.)
+    "events_audience_overlap",
+    "ml_winsorize_robust_mean",
 ]
 
 
