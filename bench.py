@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "ml_winsorize_robust_mean",
     "join_bucketed_colocated",
     "events_audience_overlap",
+    "stream_retraction_mv",
 ]
 
 

@@ -709,3 +709,143 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_both"))
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming RETRACTION aggregate: the signed-delta MV maintenance of
+# `warehouse_incremental_mv` driven by a micro-batch CDC stream --
+# upserts AND deletes flow as (sign, cents) rows, each epoch's batch
+# reduces to group-cardinality partials, and the running MV is
+# re-published to the versioned sink stamped (app, epoch) for
+# exactly-once replay. This is the aggregate family's answer to
+# changelog streams (what Flink calls retract streams): state per
+# epoch = one small snapshot, never the raw history; a replayed epoch
+# is detected by the stamp and skipped.
+#
+# Epochs live IN THE DATA: e0 inserts keys=0 mod 3, e1 inserts keys=1
+# mod 3 and DELETES (key%3=0 AND key%5=0), e2 inserts keys=2 mod 3
+# and UPDATES (key%3=1 AND key%5=0) as delete+insert(+$5). The final
+# state therefore has a closed-form DuckDB oracle over orders, and a
+# hash pass proves the whole drain -- bootstrap publish, two signed
+# merges, retraction of emptied groups -- reached exactly the
+# recompute answer. Integer cents keep every merge engine-exact.
+# ---------------------------------------------------------------------------
+
+_SRMV_ORACLE = """
+WITH eff AS (
+  SELECT o_orderpriority,
+         date_trunc('month', o_orderdate) AS month,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+           + CASE WHEN o_orderkey % 3 = 1 AND o_orderkey % 5 = 0
+                  THEN 500 ELSE 0 END AS cents
+  FROM orders
+  WHERE NOT (o_orderkey % 3 = 0 AND o_orderkey % 5 = 0)
+)
+SELECT o_orderpriority, month,
+       CAST(count(*) AS BIGINT)   AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM eff
+GROUP BY o_orderpriority, month
+ORDER BY o_orderpriority, month
+"""
+
+
+def _stage_retraction_epochs(spark: SparkSession, sf_dir: str) -> str:
+    """Orders as a 3-epoch signed CDC drop directory (scaffolding,
+    outside the measured drain -- shared stager semantics in
+    queries/streaming.stage_epoch_files)."""
+    from .streaming import stage_epoch_files
+
+    def frame():
+        orders = load(spark, sf_dir, "orders")
+        key = F.col("o_orderkey")
+        cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) \
+            .cast("long")
+        month = F.date_trunc("month", F.col("o_orderdate")).alias("month")
+
+        def part(cond, sign, c, epoch):
+            return orders.filter(cond).select(
+                "o_orderpriority", month,
+                F.lit(sign).alias("sign"), c.alias("cents"),
+                F.lit(epoch).alias("epoch"),
+            )
+
+        del_cond = (key % 3 == 0) & (key % 5 == 0)
+        upd_cond = (key % 3 == 1) & (key % 5 == 0)
+        return (
+            part(key % 3 == 0, 1, cents, 0)
+            .unionByName(part(key % 3 == 1, 1, cents, 1))
+            .unionByName(part(del_cond, -1, cents, 1))
+            .unionByName(part(key % 3 == 2, 1, cents, 2))
+            .unionByName(part(upd_cond, -1, cents, 2))
+            .unionByName(part(upd_cond, 1, cents + F.lit(500), 2))
+        )
+
+    return stage_epoch_files(spark, sf_dir, source_table="orders",
+                             tag="retractmv", frame_fn=frame,
+                             ident_extra=("retraction-mv-v1",))
+
+
+@register("stream_retraction_mv", oracle=_SRMV_ORACLE)
+def stream_retraction_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the 3-epoch signed CDC stream into a versioned MV via
+    per-batch signed merges (see the section comment); return the
+    final MV state. Per-run state (table, checkpoint) is wiped each
+    call so repeat invocations re-run the whole drain identically."""
+    import os
+
+    from ..pipeline import checkpoint_app_id
+    from ..sinks.versioned import VersionedTable
+
+    src = _stage_retraction_epochs(spark, sf_dir)
+    scratch = scratch_dir("retractmv_run", sf_dir)
+    tbl = os.path.join(scratch, "tbl")
+    ck = os.path.join(scratch, "ck")
+
+    vt = VersionedTable(spark, tbl)
+    app = checkpoint_app_id(ck)
+    keys = ["o_orderpriority", "month"]
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = vt.last_epoch(app)
+        if last is not None and epoch_id <= last:
+            return  # replayed epoch: already folded in, skip
+        partial = batch_df.groupBy(keys).agg(
+            F.sum("sign").alias("sum_n"),
+            F.sum(F.col("sign") * F.col("cents")).alias("sum_c"),
+        )
+        if vt.current_version() is not None:
+            partial = (
+                vt.read().unionByName(partial)
+                .groupBy(keys)
+                .agg(F.sum("sum_n").alias("sum_n"),
+                     F.sum("sum_c").alias("sum_c"))
+            )
+        # zero-count groups carry no information for future signed
+        # adds -- retract them from the snapshot as they empty
+        vt.publish(partial.filter(F.col("sum_n") != 0),
+                   epoch=epoch_id, app=app)
+
+    schema = spark.read.parquet(src).schema
+    (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    return (
+        vt.read()
+        .select("o_orderpriority", "month",
+                F.col("sum_n").alias("n_orders"),
+                F.col("sum_c").alias("sum_cents"))
+        .filter(F.col("n_orders") > 0)
+        .orderBy("o_orderpriority", "month")
+    )

@@ -97,3 +97,55 @@ def test_token_budget_bucket_is_monotone_in_density():
            for d in densities]
     assert ids == sorted(ids)
     assert ids[0] == 0 and ids[-1] == buckets - 1
+
+
+def test_retraction_mv_drain_is_versioned_and_idempotent(spark):
+    # The drain publishes one snapshot per epoch (bootstrap + 2 signed
+    # merges), stamps (app, epoch), and a full re-run (fresh scratch)
+    # reaches the identical final state.
+    import os
+
+    from dataingestionengineprocess_spark.catalog import scratch_path
+    from dataingestionengineprocess_spark.queries.round4d import (
+        stream_retraction_mv,
+    )
+    from dataingestionengineprocess_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = {(r["o_orderpriority"], str(r["month"])): (r["n_orders"],
+                                                   r["sum_cents"])
+         for r in stream_retraction_mv(spark, sf).collect()}
+    tbl = os.path.join(scratch_path("retractmv_run", sf), "tbl")
+    vt = VersionedTable(spark, tbl)
+    assert len(vt.versions()) == 3          # one snapshot per epoch
+    # exactly-once stamps rode in under the checkpoint-derived app id
+    from dataingestionengineprocess_spark.pipeline import checkpoint_app_id
+
+    app = checkpoint_app_id(os.path.join(scratch_path("retractmv_run", sf),
+                                         "ck"))
+    assert vt.last_epoch(app) == 2          # epochs 0..2 folded
+    b = {(r["o_orderpriority"], str(r["month"])): (r["n_orders"],
+                                                   r["sum_cents"])
+         for r in stream_retraction_mv(spark, sf).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_retraction_mv_replay_guard_skips_folded_epoch(spark, tmp_path):
+    # A replayed micro-batch (same epoch id) must be a no-op: the
+    # (app, epoch) stamp already on the table wins over re-delivery.
+    from dataingestionengineprocess_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "tbl"))
+    df = spark.createDataFrame([("P", 1, 100)], "k string, sum_n int, sum_c int")
+    vt.publish(df, epoch=5, app="ab12")
+    assert vt.last_epoch("ab12") == 5
+    # the query's guard condition: epoch_id <= last_epoch -> skip
+    assert 5 <= vt.last_epoch("ab12")
+    assert 4 <= vt.last_epoch("ab12")
+    assert not (6 <= vt.last_epoch("ab12"))
+    # a different app's stamps never mask this producer's progress
+    assert vt.last_epoch("cd34") is None
