@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "join_bucketed_colocated",
     "events_audience_overlap",
     "stream_retraction_mv",
+    "multimodal_pixel_histogram",
 ]
 
 

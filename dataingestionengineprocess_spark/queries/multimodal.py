@@ -846,3 +846,105 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-image pixel histogram statistics -- the screening pass an image
+# curation pipeline runs before any model sees a byte (flat/blank
+# frames, low-dynamic-range captures, single-color padding). The
+# kernel REALLY decodes each PGM (shared _decode_pgm parser) and
+# reduces the pixel array to integers only: 4 brightness-quartile bin
+# counts, distinct-value count, and the modal pixel value (ties to
+# the lowest value -- np.argmax's first-index rule, mirrored by the
+# oracle's (count desc, value asc) rank). The fixture pixels are the
+# document's text bytes tiled to w*h, so DuckDB reproduces every
+# count from character frequencies: per 1-based char position i,
+# multiplicity = reps+1 if i <= rem else reps (reps = n_pixels //
+# len, rem = n_pixels % len). Integer-exact end to end.
+#
+# Scale: mapInPandas decode is embarrassingly parallel (one Arrow
+# batch of binaries per task, no shuffle); the histogram reduce
+# happens inside the kernel, so the exchanged rows are 8 integers per
+# image regardless of resolution.
+# ---------------------------------------------------------------------------
+
+_PIXHIST_ORACLE = """
+WITH m AS (
+  SELECT doc_id, text,
+         (8 + doc_id % 16) * (8 + doc_id % 8) AS n_pixels,
+         length(text) AS len
+  FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         ascii(substring(text, CAST(i AS INT), 1)) AS v,
+         CASE WHEN i <= n_pixels % len
+              THEN n_pixels // len + 1 ELSE n_pixels // len END AS cnt
+  FROM m, unnest(range(1, len + 1)) AS t(i)
+),
+agg AS (
+  SELECT doc_id, v, CAST(sum(cnt) AS BIGINT) AS n
+  FROM ch GROUP BY doc_id, v
+  HAVING sum(cnt) > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY n DESC, v ASC) AS rk
+  FROM agg
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v < 64 THEN n ELSE 0 END) AS BIGINT)  AS bin0,
+       CAST(sum(CASE WHEN v BETWEEN 64 AND 127 THEN n ELSE 0 END)
+            AS BIGINT) AS bin1,
+       CAST(sum(CASE WHEN v BETWEEN 128 AND 191 THEN n ELSE 0 END)
+            AS BIGINT) AS bin2,
+       CAST(sum(CASE WHEN v > 191 THEN n ELSE 0 END) AS BIGINT) AS bin3,
+       CAST(count(*) AS BIGINT) AS n_distinct_vals,
+       CAST(max(CASE WHEN rk = 1 THEN v END) AS BIGINT) AS modal_val,
+       CAST(max(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS modal_n
+FROM ranked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_pixel_histogram", oracle=_PIXHIST_ORACLE)
+def multimodal_pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PGM decode -> per-image brightness-quartile histogram,
+    distinct pixel values, and modal pixel (count, value) -- the
+    blank/low-dynamic-range screening stats, integer-exact."""
+    import pandas as pd
+
+    imgs = _pgm_payloads(spark, sf_dir)
+
+    def hist_batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            out = {"doc_id": pdf["doc_id"], "bin0": [], "bin1": [],
+                   "bin2": [], "bin3": [], "n_distinct_vals": [],
+                   "modal_val": [], "modal_n": []}
+            for p in pdf["payload"]:
+                _w, _h, arr = _decode_pgm(bytes(p))
+                counts = np.bincount(
+                    np.asarray(arr, dtype=np.uint8).ravel(), minlength=256
+                ).astype(np.int64)
+                out["bin0"].append(int(counts[:64].sum()))
+                out["bin1"].append(int(counts[64:128].sum()))
+                out["bin2"].append(int(counts[128:192].sum()))
+                out["bin3"].append(int(counts[192:].sum()))
+                out["n_distinct_vals"].append(int((counts > 0).sum()))
+                modal = int(np.argmax(counts))  # first max = lowest value
+                out["modal_val"].append(modal)
+                out["modal_n"].append(int(counts[modal]))
+            yield pd.DataFrame(out)
+
+    return (
+        imgs.mapInPandas(
+            hist_batches,
+            schema="doc_id long, bin0 long, bin1 long, bin2 long, "
+                   "bin3 long, n_distinct_vals long, modal_val long, "
+                   "modal_n long",
+        )
+        .orderBy("doc_id")
+    )
