@@ -198,11 +198,15 @@ def curation_token_budget_select(spark: SparkSession,
     global order, counting every doc) stays <= budget."""
     docs = load(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
+    # Persist the tokenized projection: three consumers follow (budget
+    # agg, the per-bucket window, the bucket-total offsets), and without
+    # the cache each one re-tokenizes the full corpus -- the dominant
+    # cost at scale. The cached rows are four narrow columns per doc.
     t = docs.select(
         "doc_id", "source",
         F.size(toks).alias("n_tok"),
         F.size(F.array_distinct(toks)).alias("n_dist"),
-    ).filter(F.col("n_tok") > 0)
+    ).filter(F.col("n_tok") > 0).persist()
 
     # corpus total -> budget: ONE long of driver state (exact int sum)
     total = t.agg(F.sum("n_tok")).collect()[0][0]
@@ -623,8 +627,6 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the CO-LOCATED join. At warehouse scale the publish is the
     one-time layout investment; every subsequent orderkey join rides
     it shuffle-free."""
-    from ..catalog import scratch_path
-
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"

@@ -561,8 +561,9 @@ def test_audience_overlap_distinct_before_self_join(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "events_audience_overlap")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    first_join = min(
+    join_positions = [
         i for i in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"),
                     plan.find("ShuffledHashJoin")) if i >= 0
-    )
-    assert "HashAggregate" in plan[first_join:], plan
+    ]
+    assert join_positions, plan
+    assert "HashAggregate" in plan[min(join_positions):], plan
