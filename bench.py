@@ -218,6 +218,16 @@ BENCH_QUERIES = [
     "events_audience_overlap",
     "stream_retraction_mv",
     "multimodal_pixel_histogram",
+    # round-4e: annotation/preference/governance tier -- pairwise
+    # Bradley-Terry ratings, Fleiss consolidation, embedding eval
+    # decontamination, Poisson-bootstrap error bars, k-anonymity
+    # audit, last-touch attribution
+    "ml_bradley_terry_portable",
+    "label_fleiss_consolidation",
+    "curation_semantic_decontaminate",
+    "stat_poisson_bootstrap",
+    "gov_k_anonymity_audit",
+    "events_attribution_last_touch",
 ]
 
 

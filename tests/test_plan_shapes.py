@@ -567,3 +567,58 @@ def test_audience_overlap_distinct_before_self_join(spark, sf_dir, qs):
     ]
     assert join_positions, plan
     assert "HashAggregate" in plan[min(join_positions):], plan
+
+
+def test_bradley_terry_solve_joins_are_broadcast(spark, sf_dir, qs):
+    # The MM solve runs over the SOURCE-level matrix (|sources|^2 at
+    # worst): every ratings/wtot join above the pair synthesis must be
+    # a broadcast, and nothing in the plan may degrade to a cartesian.
+    plan = _plan(spark, sf_dir, qs, "ml_bradley_terry_portable")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_fleiss_kappa_is_join_free_over_corpus(spark, sf_dir, qs):
+    # Explode-3 fan-out + two aggregations; the only join is the 1-row
+    # kappa constant broadcast back. No shuffle join over documents.
+    plan = _plan(spark, sf_dir, qs, "label_fleiss_consolidation")
+    assert "SortMergeJoin" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_semantic_decontaminate_broadcasts_eval_side(spark, sf_dir, qs):
+    # Bounded eval suite broadcasts; the train corpus streams through
+    # map-side. The per-eval argmax is a struct-max AGGREGATE with a
+    # partial below the exchange (each partition reduces to |eval|
+    # rows), never a rank window over the scored cross product.
+    plan = _plan(spark, sf_dir, qs, "curation_semantic_decontaminate")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    pre_exchange = plan.split("Exchange", 1)[1]
+    assert "HashAggregate" in pre_exchange or "SortAggregate" in pre_exchange, plan
+
+
+def test_poisson_bootstrap_partial_aggregates_before_shuffle(spark, sf_dir, qs):
+    # The B=32 fan-out must combine map-side: a partial HashAggregate
+    # below the exchange, and no join over the corpus.
+    plan = _plan(spark, sf_dir, qs, "stat_poisson_bootstrap")
+    assert "SortMergeJoin" not in plan, plan
+    pre_exchange = plan.split("Exchange", 1)[1]
+    assert "HashAggregate" in pre_exchange, plan
+
+
+def test_k_anonymity_scan_prunes_to_qi_columns(spark, sf_dir, qs):
+    # Join-free double aggregation reading only the three QI columns.
+    plan = _plan(spark, sf_dir, qs, "gov_k_anonymity_audit")
+    assert "Join" not in plan, plan
+    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "c_acctbal" in schema and "c_name" not in schema, schema
+
+
+def test_attribution_single_user_window_no_join(spark, sf_dir, qs):
+    # Carry-forward window on user_id then channel agg: exactly one
+    # Window, no join, no second corpus exchange below it.
+    plan = _plan(spark, sf_dir, qs, "events_attribution_last_touch")
+    assert "Join" not in plan, plan
+    assert plan.count("Window") == 1, plan

@@ -88,6 +88,17 @@ SHOWCASE = [
     # eager queries; their shapes are pinned in test_plan_shapes.)
     "events_audience_overlap",
     "ml_winsorize_robust_mean",
+    # round-4e: the broadcast-eval decontamination argmax (struct-max
+    # aggregate, no window over the cross product), the join-free
+    # Fleiss fan-out, and the carry-forward attribution window.
+    # (ml_bradley_terry_portable localCheckpoints its model state at
+    # build time -- excluded like the other eager queries; its
+    # broadcast solve shape is pinned in test_plan_shapes.)
+    "curation_semantic_decontaminate",
+    "label_fleiss_consolidation",
+    "stat_poisson_bootstrap",
+    "gov_k_anonymity_audit",
+    "events_attribution_last_touch",
 ]
 
 
