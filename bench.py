@@ -228,6 +228,14 @@ BENCH_QUERIES = [
     "stat_poisson_bootstrap",
     "gov_k_anonymity_audit",
     "events_attribution_last_touch",
+    # round-4f: model-eval / mixture diagnostics -- exact AUC, langid
+    # confusion, Zipf fit, source KL, GRPO reward normalize, ESS
+    "ml_auc_exact",
+    "quality_langid_confusion",
+    "text_zipf_slope",
+    "text_kl_source_divergence",
+    "ml_reward_group_normalize",
+    "ml_effective_sample_size",
 ]
 
 

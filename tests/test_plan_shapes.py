@@ -622,3 +622,56 @@ def test_attribution_single_user_window_no_join(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "events_attribution_last_touch")
     assert "Join" not in plan, plan
     assert plan.count("Window") == 1, plan
+
+
+def test_auc_window_rides_distinct_score_table(spark, sf_dir, qs):
+    # The cumulative pass runs over the grouped distinct-score table:
+    # a HashAggregate must sit BELOW the single window (plan text is
+    # top-down, so the feeding agg prints after Window), and the whole
+    # plan is join-free.
+    plan = _plan(spark, sf_dir, qs, "ml_auc_exact")
+    assert "Join" not in plan, plan
+    assert plan.count("Window") == 1, plan
+    below_window = plan.split("Window", 1)[1]
+    assert "HashAggregate" in below_window, plan
+
+
+def test_langid_confusion_margins_from_checkpointed_cm(spark, sf_dir, qs):
+    # Both margins derive from the checkpointed contingency table:
+    # exactly ONE parquet scan of documents in the whole plan (the
+    # checkpoint shows as ExistingRDD), plus the tiny full-outer join.
+    plan = _plan(spark, sf_dir, qs, "quality_langid_confusion")
+    assert plan.count("FileScan parquet") == 0, plan  # cm pre-resolved
+    assert plan.count("Scan ExistingRDD") == 2, plan  # two margin reads
+    assert "FullOuter" in plan, plan
+
+
+def test_zipf_single_vocab_window_no_join(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "text_zipf_slope")
+    assert "Join" not in plan, plan
+    assert plan.count("Window") == 1, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_kl_terms_join_reuses_checkpointed_counts(spark, sf_dir, qs):
+    # All four consumers read the checkpointed (source, tok) table:
+    # zero parquet rescans, and the per-source/total constants ride
+    # broadcasts (the vocab equi-join is the one real join).
+    plan = _plan(spark, sf_dir, qs, "text_kl_source_divergence")
+    assert "FileScan parquet" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_grpo_single_user_window_no_join(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "ml_reward_group_normalize")
+    assert "Join" not in plan, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_ess_scan_prunes_to_two_columns(spark, sf_dir, qs):
+    # Join-free single aggregation reading only (source, n_chars).
+    plan = _plan(spark, sf_dir, qs, "ml_effective_sample_size")
+    assert "Join" not in plan, plan
+    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "n_chars" in schema and "text" not in schema, schema

@@ -99,6 +99,15 @@ SHOWCASE = [
     "stat_poisson_bootstrap",
     "gov_k_anonymity_audit",
     "events_attribution_last_touch",
+    # round-4f: the grouped-rank AUC (agg below the bounded window),
+    # the Zipf vocab window, and the single-exchange GRPO normalize.
+    # (quality_langid_confusion and text_kl_source_divergence
+    # checkpoint their bounded count tables at build time -- excluded
+    # like the other eager queries; shapes pinned in test_plan_shapes.)
+    "ml_auc_exact",
+    "text_zipf_slope",
+    "ml_reward_group_normalize",
+    "ml_effective_sample_size",
 ]
 
 
