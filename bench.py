@@ -236,6 +236,13 @@ BENCH_QUERIES = [
     "text_kl_source_divergence",
     "ml_reward_group_normalize",
     "ml_effective_sample_size",
+    # round-4g: statistical-dependence / governance -- chi2, MI,
+    # cross-source contamination matrix, l-diversity, DP counts
+    "stat_chi2_independence",
+    "ml_mutual_information",
+    "text_source_ngram_overlap",
+    "gov_l_diversity_audit",
+    "gov_dp_noisy_counts",
 ]
 
 

@@ -675,3 +675,47 @@ def test_ess_scan_prunes_to_two_columns(spark, sf_dir, qs):
     assert "Join" not in plan, plan
     schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "n_chars" in schema and "text" not in schema, schema
+
+
+def test_chi2_cells_from_checkpointed_contingency(spark, sf_dir, qs):
+    # Everything past the one corpus groupBy runs on the checkpointed
+    # contingency table: zero parquet scans, margins ride broadcasts,
+    # and the dense r x c grid never becomes a CartesianProduct.
+    plan = _plan(spark, sf_dir, qs, "stat_chi2_independence")
+    assert "FileScan parquet" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mi_reduces_checkpointed_joint_table(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "ml_mutual_information")
+    assert "FileScan parquet" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_source_overlap_single_gram_materialization(spark, sf_dir, qs):
+    # The distinct (source, gram) set is checkpointed once: the
+    # self-join sides and both size lookups read ExistingRDD, so the
+    # shingle explode runs exactly once, and the size dims broadcast.
+    plan = _plan(spark, sf_dir, qs, "text_source_ngram_overlap")
+    assert "FileScan parquet" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 4, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ldiversity_join_free_pruned_scan(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "gov_l_diversity_audit")
+    assert "Join" not in plan, plan
+    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "c_mktsegment" in schema and "c_name" not in schema, schema
+
+
+def test_dp_counts_scan_prunes_to_source_only(spark, sf_dir, qs):
+    # One groupBy + a per-group scalar map: join-free, and the scan
+    # reads ONLY the source column.
+    plan = _plan(spark, sf_dir, qs, "gov_dp_noisy_counts")
+    assert "Join" not in plan, plan
+    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert schema.strip() == "struct<source:string>", schema

@@ -108,6 +108,11 @@ SHOWCASE = [
     "text_zipf_slope",
     "ml_reward_group_normalize",
     "ml_effective_sample_size",
+    # round-4g: the two lazy governance queries. (chi2 / MI / source
+    # overlap checkpoint their count tables at build time -- excluded
+    # like the other eager queries; shapes pinned in test_plan_shapes.)
+    "gov_l_diversity_audit",
+    "gov_dp_noisy_counts",
 ]
 
 
