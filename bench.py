@@ -243,6 +243,13 @@ BENCH_QUERIES = [
     "text_source_ngram_overlap",
     "gov_l_diversity_audit",
     "gov_dp_noisy_counts",
+    # round-4h: lifecycle / concentration / distinctiveness --
+    # Kaplan-Meier, basket lift, Gini, log-odds terms, seasonal
+    "events_kaplan_meier",
+    "basket_brand_lift",
+    "sales_gini_by_region",
+    "text_distinctive_terms",
+    "events_seasonal_decompose",
 ]
 
 

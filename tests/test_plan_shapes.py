@@ -719,3 +719,53 @@ def test_dp_counts_scan_prunes_to_source_only(spark, sf_dir, qs):
     assert "Join" not in plan, plan
     schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert schema.strip() == "struct<source:string>", schema
+
+
+def test_km_single_scan_bounded_windows(spark, sf_dir, qs):
+    # The per-user (first, last) table is checkpointed once; the
+    # duration rollup, at-risk window, and survival window all run on
+    # it / its bounded descendants.
+    plan = _plan(spark, sf_dir, qs, "events_kaplan_meier")
+    assert "FileScan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_basket_single_basket_materialization(spark, sf_dir, qs):
+    # DISTINCT (order, brand) is checkpointed once: the pair
+    # self-join sides and both marginals read ExistingRDD; brand
+    # dims broadcast back onto the pair table.
+    plan = _plan(spark, sf_dir, qs, "basket_brand_lift")
+    assert "FileScan parquet" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 5, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_gini_broadcasts_dims_prunes_scans(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "sales_gini_by_region")
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    # orders scan reads only the join key + price
+    schemas = [ln.split("ReadSchema:")[1] for ln in plan.splitlines()
+               if "ReadSchema:" in ln]
+    o_schema = [s for s in schemas if "o_custkey" in s][0]
+    assert "o_totalprice" in o_schema and "o_orderdate" not in o_schema
+
+
+def test_distinctive_terms_vocab_level_windows(spark, sf_dir, qs):
+    # Everything past the one exploded groupBy reads the checkpointed
+    # (source, token) table; the top-200 cut and per-source rank are
+    # windows over vocab-sized inputs, and dims broadcast.
+    plan = _plan(spark, sf_dir, qs, "text_distinctive_terms")
+    assert "FileScan parquet" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_seasonal_daily_table_reused(spark, sf_dir, qs):
+    # grand mean, dow means, and the trend window all read the one
+    # checkpointed daily table.
+    plan = _plan(spark, sf_dir, qs, "events_seasonal_decompose")
+    assert "FileScan parquet" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 4, plan
+    assert "CartesianProduct" not in plan, plan

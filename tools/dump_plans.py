@@ -113,6 +113,11 @@ SHOWCASE = [
     # like the other eager queries; shapes pinned in test_plan_shapes.)
     "gov_l_diversity_audit",
     "gov_dp_noisy_counts",
+    # round-4h: the lazy Gini query (broadcast dim chain + one
+    # region-partitioned rank window). The other four checkpoint
+    # their base tables at build time -- excluded like the other
+    # eager queries; shapes pinned in test_plan_shapes.
+    "sales_gini_by_region",
 ]
 
 
