@@ -250,6 +250,12 @@ BENCH_QUERIES = [
     "sales_gini_by_region",
     "text_distinctive_terms",
     "events_seasonal_decompose",
+    # round-4i: experimentation / monitoring / evaluation -- A/B
+    # readout, CUSUM, average precision, calibration
+    "events_ab_test_analysis",
+    "events_cusum_changepoint",
+    "ml_auprc_exact",
+    "ml_expected_calibration_error",
 ]
 
 

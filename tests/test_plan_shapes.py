@@ -769,3 +769,31 @@ def test_seasonal_daily_table_reused(spark, sf_dir, qs):
     assert "FileScan parquet" not in plan, plan
     assert plan.count("Scan ExistingRDD") == 4, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ab_single_pruned_scan_no_join(spark, sf_dir, qs):
+    # Per-user agg -> 2-row arm table -> one-row stats: one corpus
+    # scan reading only (ts, user_id, event_type), join-free.
+    plan = _plan(spark, sf_dir, qs, "events_ab_test_analysis")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "event_type" in schema and "props" not in schema, schema
+
+
+def test_cusum_bounded_daily_windows(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "events_cusum_changepoint")
+    assert "FileScan parquet" not in plan, plan  # daily checkpointed
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_auprc_cumulative_over_checkpointed_scores(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "ml_auprc_exact")
+    assert "FileScan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ece_reliability_from_checkpointed_bins(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "ml_expected_calibration_error")
+    assert "FileScan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -118,6 +118,10 @@ SHOWCASE = [
     # their base tables at build time -- excluded like the other
     # eager queries; shapes pinned in test_plan_shapes.
     "sales_gini_by_region",
+    # round-4i: the lazy A/B readout (single pruned scan, join-free).
+    # cusum/auprc/ece checkpoint their base tables at build time --
+    # excluded; shapes pinned in test_plan_shapes.
+    "events_ab_test_analysis",
 ]
 
 
