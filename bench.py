@@ -256,6 +256,9 @@ BENCH_QUERIES = [
     "events_cusum_changepoint",
     "ml_auprc_exact",
     "ml_expected_calibration_error",
+    # round-4j: distributed PCA under the hash gate + encoding screen
+    "ml_pca_power_portable",
+    "text_mojibake_screen",
 ]
 
 

@@ -86,6 +86,7 @@ def _load_all() -> None:
     from . import round4g  # noqa: F401
     from . import round4h  # noqa: F401
     from . import round4i  # noqa: F401
+    from . import round4j  # noqa: F401
 
 
 _LOADED = False

@@ -797,3 +797,14 @@ def test_ece_reliability_from_checkpointed_bins(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "ml_expected_calibration_error")
     assert "FileScan parquet" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_mojibake_map_only_single_scan(spark, sf_dir, qs):
+    # Per-doc regexp counts + one map-side-combinable groupBy: one
+    # pruned scan, join-free, window-free.
+    plan = _plan(spark, sf_dir, qs, "text_mojibake_screen")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "text" in schema and "lang" not in schema, schema

@@ -122,6 +122,10 @@ SHOWCASE = [
     # cusum/auprc/ece checkpoint their base tables at build time --
     # excluded; shapes pinned in test_plan_shapes.
     "events_ab_test_analysis",
+    # round-4j: the lazy mojibake screen (map-only regexp counts).
+    # ml_pca_power_portable collects its covariance at build time --
+    # excluded like the other eager queries.
+    "text_mojibake_screen",
 ]
 
 
