@@ -1,0 +1,29 @@
+"""THE single home of the FIXTURES.md exactness grid: snap floats to
+the 1e-6 grid / quantize to int64 1e-6 units. Every portable query
+and its DuckDB oracle share this arithmetic (floor(x * 1e6 + 0.5)),
+so the rounding rule can never drift between modules -- change it
+here and the SQL twins in the oracles, nowhere else.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def snap6(col: Column) -> Column:
+    """Portable 1e-6 float snap: floor(x * 1e6 + 0.5) / 1e6."""
+    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+
+
+def q6(col: Column) -> Column:
+    """Quantize to 1e-6 int64 -- the order-independent reduce unit."""
+    return F.floor(col * 1e6 + F.lit(0.5)).cast("long")
+
+
+def q6f(x: float) -> int:
+    """Driver-side mirror of q6 for bounded-model-state loops that
+    must replay the exact SQL arithmetic (PCA power iteration)."""
+    return int(math.floor(x * 1e6 + 0.5))

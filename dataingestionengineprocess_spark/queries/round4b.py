@@ -25,6 +25,7 @@ from ..catalog import load
 from ..functions.text import tokens
 from . import register
 from .round4 import _DERBY_DRIVER
+from ..functions.exact import snap6 as _snap6
 
 
 def _snap6(col):

@@ -25,11 +25,7 @@ from pyspark.sql import functions as F
 from ..catalog import load, scratch_dir
 from ..functions.text import tokens
 from . import register
-
-
-def _snap6(col):
-    """Portable 1e-6 float snap (FIXTURES.md floor(x*1e6+0.5) rule)."""
-    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+from ..functions.exact import snap6 as _snap6
 
 
 # ---------------------------------------------------------------------------

@@ -41,16 +41,7 @@ from ..catalog import load
 from ..functions.text import LANG_MARKERS, lang_id, tokens
 from ..operators.skew import spread_input
 from . import register
-
-
-def _snap6(col):
-    """Portable 1e-6 float snap (FIXTURES.md floor(x*1e6+0.5) rule)."""
-    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
-
-
-def _q6(col):
-    """Quantize to 1e-6 int64 -- the order-independent reduce unit."""
-    return F.floor(col * 1e6 + F.lit(0.5)).cast("long")
+from ..functions.exact import snap6 as _snap6, q6 as _q6
 
 
 # ---------------------------------------------------------------------------

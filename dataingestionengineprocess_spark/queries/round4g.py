@@ -37,16 +37,7 @@ from ..catalog import load
 from ..functions.text import md5_bucket, shingles
 from ..operators.skew import spread_input
 from . import register
-
-
-def _snap6(col):
-    """Portable 1e-6 float snap (FIXTURES.md floor(x*1e6+0.5) rule)."""
-    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
-
-
-def _q6(col):
-    """Quantize to 1e-6 int64 -- the order-independent reduce unit."""
-    return F.floor(col * 1e6 + F.lit(0.5)).cast("long")
+from ..functions.exact import snap6 as _snap6, q6 as _q6
 
 
 # ---------------------------------------------------------------------------
@@ -417,13 +408,15 @@ def gov_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Laplace-mechanism noisy counts (per-source document counts,
 # sensitivity 1, epsilon = 1). The noise draw is the md5 coin pushed
 # through the inverse CDF:
-#     u ~ Uniform(-1/2, 1/2)  (6 md5 hex digits mod 1e6, shifted)
+#     u ~ Uniform(-1/2, 1/2)  (6 md5 hex digits mod 999999, shifted)
 #     noise = -b * sign(u) * ln(1 - 2|u|),   b = 1/eps
 # with ln's argument built identically in both engines and the noise
 # snapped to 1e-6 before the add -- a bit-reproducible stand-in for a
 # production RNG (swap the coin, keep the plan). u = 0 maps to zero
-# noise; 1 - 2|u| >= 1e-6 by the coin's resolution, so ln stays
-# finite.
+# noise. The modulus is 999999 (odd), NOT 1e6: m in [0, 999998]
+# centers to u in [-0.499999, 0.499999], so 1 - 2|u| >= 2e-6 and ln
+# never sees 0 -- a mod-1e6 coin reaches u = -0.5 exactly and
+# ln(0) hard-errors the oracle.
 #
 # Scale: one count groupBy; the noise is a per-group scalar map.
 # ---------------------------------------------------------------------------
@@ -438,7 +431,7 @@ WITH c AS (
 u AS (
   SELECT source, true_n,
          (CAST(CAST('0x' || substr(md5(source || ':dp'), 1, 6) AS BIGINT)
-               % 1000000 AS DOUBLE) - 500000.0) / 1000000.0 AS u
+               % 999999 AS DOUBLE) - 499999.0) / 1000000.0 AS u
   FROM c
 )
 SELECT source, true_n,
@@ -463,8 +456,8 @@ def gov_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("true_n"))
     u = (
-        (md5_bucket(F.concat(F.col("source"), F.lit(":dp")), 1000000)
-         .cast("double") - 500000.0) / 1000000.0
+        (md5_bucket(F.concat(F.col("source"), F.lit(":dp")), 999999)
+         .cast("double") - 499999.0) / 1000000.0
     )
     b = 1.0 / _DP_EPS
     noise = F.when(u == 0, F.lit(0.0)).when(

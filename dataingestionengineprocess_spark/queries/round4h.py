@@ -37,16 +37,7 @@ from ..catalog import load
 from ..functions.text import tokens
 from ..operators.skew import spread_input
 from . import register
-
-
-def _snap6(col):
-    """Portable 1e-6 float snap (FIXTURES.md floor(x*1e6+0.5) rule)."""
-    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
-
-
-def _q6(col):
-    """Quantize to 1e-6 int64 -- the order-independent reduce unit."""
-    return F.floor(col * 1e6 + F.lit(0.5)).cast("long")
+from ..functions.exact import snap6 as _snap6, q6 as _q6
 
 
 _EPOCH = "2024-01-01"  # day-number origin; only relative math uses it
@@ -259,8 +250,11 @@ def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rank formula G = 2*sum(i*x_i) / (n*sum(x)) - (n+1)/n needs one
 # row_number window per region -- ties in x contribute identically
 # under any consistent tiebreak, so the custkey tiebreak is for
-# determinism only, not a semantic choice. i*x_i sums stay in int64
-# (rank <= |customers| * cents <= ~1e15 at 100 TB region shards).
+# determinism only, not a semantic choice. The per-term product
+# i * x_i fits int64, but the SUM is bounded by n * sum(x) -- ~1e21
+# per region at SF100 -- so it accumulates in DECIMAL(38,0) (exact,
+# matching DuckDB's automatic HUGEINT promotion) and converts to
+# double only inside the final snapped division.
 #
 # Scale: one join + one window, both keyed by region after the
 # per-customer pre-agg; no global sort.
@@ -286,7 +280,8 @@ ranked AS (
 SELECT region,
        CAST(count(*) AS BIGINT) AS n_cust,
        CAST(sum(cents) AS BIGINT) AS total_cents,
-       floor((2.0 * sum(i * cents) / (count(*) * CAST(sum(cents) AS DOUBLE))
+       floor((2.0 * CAST(sum(i * cents) AS DOUBLE)
+                / (count(*) * CAST(sum(cents) AS DOUBLE))
               - (count(*) + 1.0) / count(*)) * 1e6 + 0.5) / 1e6 AS gini_s
 FROM ranked
 GROUP BY region
@@ -322,7 +317,8 @@ def sales_gini_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_cust"),
             F.sum("cents").cast("long").alias("total_cents"),
             _snap6(
-                2.0 * F.sum(F.col("i") * F.col("cents"))
+                2.0 * F.sum((F.col("i") * F.col("cents"))
+                            .cast("decimal(38,0)")).cast("double")
                 / (F.count(F.lit(1)) * F.sum("cents").cast("double"))
                 - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1))
             ).alias("gini_s"),

@@ -35,16 +35,7 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..functions.text import md5_bucket
 from . import register
-
-
-def _snap6(col):
-    """Portable 1e-6 float snap (FIXTURES.md floor(x*1e6+0.5) rule)."""
-    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
-
-
-def _q6(col):
-    """Quantize to 1e-6 int64 -- the order-independent reduce unit."""
-    return F.floor(col * 1e6 + F.lit(0.5)).cast("long")
+from ..functions.exact import snap6 as _snap6, q6 as _q6
 
 
 # ---------------------------------------------------------------------------
@@ -412,8 +403,9 @@ rel AS (
   FROM bins
 ),
 ece AS (
-  SELECT floor(sum(n_b * abs(acc_s - conf_s)) / tot.n * 1e6 + 0.5) / 1e6
-           AS ece_s
+  SELECT floor(CAST(sum(CAST(floor(n_b * abs(acc_s - conf_s) * 1e6 + 0.5)
+                            AS BIGINT)) AS BIGINT) / 1e6
+               / tot.n * 1e6 + 0.5) / 1e6 AS ece_s
   FROM rel, tot GROUP BY tot.n
 )
 SELECT bin, n_b, n_pos, conf_s, acc_s,
@@ -466,12 +458,16 @@ def ml_expected_calibration_error(spark: SparkSession,
         _snap6(F.col("n_pos").cast("double") / F.col("n_b"))
         .alias("acc_s"),
     )
+    # per-term int64 quantization before the sum: the 10-row reduce
+    # must be order-independent like every other portable reduce here
     ece = (
         rel.crossJoin(F.broadcast(tot))
         .groupBy("n")
-        .agg(F.sum(F.col("n_b") * F.abs(F.col("acc_s") - F.col("conf_s")))
-             .alias("gap_sum"))
-        .select(_snap6(F.col("gap_sum") / F.col("n")).alias("ece_s"))
+        .agg(F.sum(_q6(F.col("n_b")
+                       * F.abs(F.col("acc_s") - F.col("conf_s"))))
+             .cast("long").alias("gap_q"))
+        .select(_snap6(F.col("gap_q").cast("double") / 1e6 / F.col("n"))
+                .alias("ece_s"))
     )
     return (
         rel.crossJoin(F.broadcast(ece))

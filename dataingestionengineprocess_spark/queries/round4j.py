@@ -34,11 +34,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from . import register
-
-
-def _snap6(col):
-    """Portable 1e-6 float snap (FIXTURES.md floor(x*1e6+0.5) rule)."""
-    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+from ..functions.exact import snap6 as _snap6, q6f as _q6f
 
 
 # ---------------------------------------------------------------------------
@@ -75,7 +71,10 @@ def _pca_oracle(dim: int = _PCA_DIM) -> str:
   FROM cov c JOIN {v} ON {v}.i = c.j GROUP BY c.i
 )"""
 
-    def normalize(v: str, w: str) -> str:
+    def normalize(v: str, w: str, prev: str) -> str:
+        # nq = 0 (all |C.v| products under the quantum, e.g. identical
+        # embeddings): keep the previous vector instead of dividing by
+        # a zero norm -- mirrored by the driver loop's early return.
         return f"""
 {v}_n AS (
   SELECT CAST(sum(CAST(floor((wq / 1e6) * (wq / 1e6) * 1e6 + 0.5)
@@ -83,10 +82,12 @@ def _pca_oracle(dim: int = _PCA_DIM) -> str:
   FROM {w}
 ),
 {v} AS (
-  SELECT i, floor((wq / 1e6)
-                  / (floor(sqrt(nq / 1e6) * 1e6 + 0.5) / 1e6)
-                  * 1e6 + 0.5) / 1e6 AS val
-  FROM {w}, {v}_n
+  SELECT w.i,
+         CASE WHEN n.nq = 0 THEN p.val
+              ELSE floor((w.wq / 1e6)
+                         / (floor(sqrt(n.nq / 1e6) * 1e6 + 0.5) / 1e6)
+                         * 1e6 + 0.5) / 1e6 END AS val
+  FROM {w} w JOIN {prev} p USING (i), {v}_n n
 )"""
 
     return f"""
@@ -118,11 +119,11 @@ cov AS (
 ),
 v0 AS (SELECT i, 0.125 AS val FROM dims),
 {matvec('w1', 'v0')},
-{normalize('v1', 'w1')},
+{normalize('v1', 'w1', 'v0')},
 {matvec('w2', 'v1')},
-{normalize('v2', 'w2')},
+{normalize('v2', 'w2', 'v1')},
 {matvec('w3', 'v2')},
-{normalize('v3', 'w3')},
+{normalize('v3', 'w3', 'v2')},
 {matvec('w4', 'v3')},
 lam AS (
   SELECT CAST(sum(CAST(floor(v3.val * (w4.wq / 1e6) * 1e6 + 0.5)
@@ -137,16 +138,11 @@ tr AS (
 SELECT CAST(v3.i - 1 AS BIGINT) AS d, v3.val AS loading_s,
        CAST(lam.lq AS DOUBLE) / 1e6 AS lambda_s,
        floor((CAST(lam.lq AS DOUBLE) / 1e6)
-             / (CAST(tr.tq AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6
+             / nullif(CAST(tr.tq AS DOUBLE) / 1e6, 0) * 1e6 + 0.5) / 1e6
          AS explained_s
 FROM v3, lam, tr
 ORDER BY d
 """
-
-
-def _q6f(x: float) -> int:
-    """Driver-side mirror of floor(x * 1e6 + 0.5) -> int64."""
-    return int(math.floor(x * 1e6 + 0.5))
 
 
 @register("ml_pca_power_portable", oracle=_pca_oracle())
@@ -207,18 +203,23 @@ def ml_pca_power_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         return [sum(_q6f(cov[i][j] * v[j]) for j in range(dim))
                 for i in range(dim)]
 
-    def normalize(wq):
+    def normalize(wq, v_prev):
+        # zero norm (all |C.v| products under the quantum): keep the
+        # previous vector -- mirrors the oracle's CASE nq = 0 branch
         nq = sum(_q6f((w / 1e6) * (w / 1e6)) for w in wq)
+        if nq == 0:
+            return v_prev
         norm_s = _q6f(math.sqrt(nq / 1e6)) / 1e6
         return [_q6f((w / 1e6) / norm_s) / 1e6 for w in wq]
 
     v = [0.125] * dim
     for _ in range(3):
-        v = normalize(matvec(v))
+        v = normalize(matvec(v), v)
     w4 = matvec(v)
     lam_s = sum(_q6f(v[i] * (w4[i] / 1e6)) for i in range(dim)) / 1e6
-    tr_s = sum(_q6f(cov[i][i]) for i in range(dim)) / 1e6
-    explained_s = math.floor(lam_s / tr_s * 1e6 + 0.5) / 1e6
+    tr_q = sum(_q6f(cov[i][i]) for i in range(dim))
+    explained_s = (None if tr_q == 0
+                   else math.floor(lam_s / (tr_q / 1e6) * 1e6 + 0.5) / 1e6)
     return spark.createDataFrame(
         [(i, v[i], lam_s, explained_s) for i in range(dim)],
         "d long, loading_s double, lambda_s double, explained_s double",
@@ -231,7 +232,8 @@ def ml_pca_power_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # len(s) - len(regexp_replace(s, pat, '')) -- the same arithmetic in
 # both engines, no regexp_count dialect dependence. Patterns are
 # single-character classes written with \x{..} escapes, the one
-# hex-escape syntax BOTH Java regex (Spark) and RE2 (DuckDB) accept: U+FFFD, the Latin-1 mojibake lead bytes à / Â / â, C0
+# hex-escape syntax BOTH Java regex (Spark) and RE2 (DuckDB) accept:
+# U+FFFD, the Latin-1 mojibake lead bytes U+00C3/U+00C2/U+00E2, C0
 # controls, and the non-ASCII class.
 #
 # Scale: map-only per-document counts, one map-side-combinable

@@ -241,7 +241,7 @@ def test_ldiv_negative_balance_bands(spark, tmp_path):
 def _laplace_noise(source: str, eps: float = 1.0) -> float:
     """Reference replay of the query's md5 inverse-CDF draw."""
     h = hashlib.md5(f"{source}:dp".encode()).hexdigest()[:6]
-    u = (int(h, 16) % 1000000 - 500000.0) / 1000000.0
+    u = (int(h, 16) % 999999 - 499999.0) / 1000000.0
     if u == 0:
         noise = 0.0
     elif u > 0:
@@ -268,8 +268,8 @@ def test_dp_noise_matches_hand_replay(spark, tmp_path):
 
 
 def test_dp_noise_is_deterministic_and_bounded(spark, tmp_path):
-    # Same release twice -> identical noise; |noise| <= b * ln(1e6)
-    # by the coin's resolution floor.
+    # Same release twice -> identical noise; |noise| <= b * ln(5e5):
+    # the mod-999999 coin keeps 1 - 2|u| >= 2e-6, so ln never sees 0.
     from dataingestionengineprocess_spark.queries.round4g import (
         gov_dp_noisy_counts,
     )
@@ -280,4 +280,13 @@ def test_dp_noise_is_deterministic_and_bounded(spark, tmp_path):
     b = sorted(gov_dp_noisy_counts(spark, sf).collect())
     assert a == b
     for r in a:
-        assert abs(r["noise_s"]) <= math.log(1e6) + 1e-6
+        assert abs(r["noise_s"]) <= math.log(5e5) + 1e-6
+
+
+def test_dp_boundary_coin_stays_finite():
+    # The worst coin (m = 0 -> u = -0.499999) must yield a finite
+    # noise: the documented reason the modulus is 999999, not 1e6.
+    u = (0 - 499999.0) / 1000000.0
+    noise = math.log(1.0 + 2.0 * u)
+    assert math.isfinite(noise)
+    assert abs(noise) <= math.log(5e5) + 1e-9

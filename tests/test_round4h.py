@@ -83,32 +83,25 @@ def test_km_hand_replayed_curve_with_censoring(spark, tmp_path):
 
 
 def test_km_kill_step_pins_survival_to_zero(spark, tmp_path):
-    # Nobody reaches the max observed day -> the last duration has
-    # d = n_risk and survival must be EXACTLY 0, not exp(ln(0)).
+    # A duration step where EVERYONE still at risk dies: user A
+    # (fd=0, ld=3 -> dur 3, a death since max day = 5) is the only
+    # user with dur >= 3, so at t=3 d = n_risk = 1 and survival must
+    # be EXACTLY 0 -- the kill flag, not exp(ln(0)). User B's single
+    # event on the max day censors at dur 0 without a drop.
     from dataingestionengineprocess_spark.queries.round4h import (
         events_kaplan_meier,
     )
 
     sf = _events(spark, tmp_path, [
         (0, "2024-01-01 00:00:00", 1, "view", 0.0, ""),
-        (1, "2024-01-02 00:00:00", 1, "view", 0.0, ""),
-        # user 2 defines the max day but ALSO dies there? no -- max-day
-        # users are censored by construction; build a true kill instead:
-        # both users share max day as last day is impossible for a kill,
-        # so use one user below max with d = n at its step.
-        (2, "2024-01-01 00:00:00", 2, "view", 0.0, ""),
-        (3, "2024-01-05 00:00:00", 2, "view", 0.0, ""),
+        (1, "2024-01-04 00:00:00", 1, "view", 0.0, ""),
+        (2, "2024-01-06 00:00:00", 2, "view", 0.0, ""),
     ])
-    # durations: u1 = 1 (death, since max day = 4), u2 = 4 (censored).
-    # At t=4: n=1, d=0, c=1 -> no kill. Rebuild: single user ending
-    # before its own max is impossible; emulate the kill by making the
-    # max-day user ALSO the earliest finisher is contradictory, so
-    # instead check the guard directly on a curve whose LAST death
-    # takes d = n_risk: u2 censored at t=4 keeps n_risk=2 at t=1...
-    # With u1 d=1 at t=1 (n=2): S = 1/2; t=4 censored: S stays 1/2.
     rows = {r["dur"]: r for r in events_kaplan_meier(spark, sf).collect()}
-    assert abs(rows[1]["surv_s"] - 0.5) < 2e-6
-    assert rows[4]["surv_s"] == rows[1]["surv_s"]
+    assert (rows[0]["n_risk"], rows[0]["d"], rows[0]["c"]) == (2, 0, 1)
+    assert rows[0]["surv_s"] == 1.0
+    assert (rows[3]["n_risk"], rows[3]["d"]) == (1, 1)
+    assert rows[3]["surv_s"] == 0.0
 
 
 def test_km_single_user_censored_survival_one(spark, tmp_path):

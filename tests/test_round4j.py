@@ -152,3 +152,20 @@ def test_mojibake_empty_text_guarded(spark, tmp_path):
     r = text_mojibake_screen(spark, sf).collect()[0]
     assert r["n_docs"] == 1 and r["repl_chars"] == 0
     assert r["nonascii_ratio_s"] is None
+
+
+def test_pca_identical_embeddings_degenerate_guard(spark, tmp_path):
+    # Zero covariance everywhere: the normalize guard keeps v0, the
+    # eigenvalue is 0, and explained is NULL (trace 0) -- no
+    # ZeroDivisionError.
+    from dataingestionengineprocess_spark.queries.round4j import (
+        ml_pca_power_portable,
+    )
+
+    vecs = [[0.5] * 64 for _ in range(4)]
+    out = ml_pca_power_portable(spark, _embeddings(spark, tmp_path, vecs)
+                                ).collect()
+    assert len(out) == 64
+    assert all(r["loading_s"] == 0.125 for r in out)  # v0 kept
+    assert all(r["lambda_s"] == 0.0 for r in out)
+    assert all(r["explained_s"] is None for r in out)
