@@ -259,6 +259,10 @@ BENCH_QUERIES = [
     # round-4j: distributed PCA under the hash gate + encoding screen
     "ml_pca_power_portable",
     "text_mojibake_screen",
+    # round-4k: spatial grid join, rolling median, Markov chain
+    "join_spatial_grid",
+    "window_rolling_median",
+    "events_markov_stationary",
 ]
 
 

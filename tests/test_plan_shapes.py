@@ -808,3 +808,21 @@ def test_mojibake_map_only_single_scan(spark, sf_dir, qs):
     assert "Window" not in plan, plan
     schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "text" in schema and "lang" not in schema, schema
+
+
+def test_spatial_grid_equi_join_no_cartesian(spark, sf_dir, qs):
+    # The candidate pairs come from the checkpointed grid-probe
+    # equi-join: no CartesianProduct anywhere, count + top-k read the
+    # checkpointed pair table.
+    plan = _plan(spark, sf_dir, qs, "join_spatial_grid")
+    assert "CartesianProduct" not in plan, plan
+    assert "FileScan parquet" not in plan, plan  # pairs checkpointed
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_rolling_median_single_type_window(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "window_rolling_median")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "event_type" in schema and "props" not in schema, schema

@@ -126,6 +126,9 @@ SHOWCASE = [
     # ml_pca_power_portable collects its covariance at build time --
     # excluded like the other eager queries.
     "text_mojibake_screen",
+    # round-4k: the lazy rolling-median window. spatial grid and
+    # markov checkpoint/collect at build time -- excluded.
+    "window_rolling_median",
 ]
 
 
