@@ -263,6 +263,10 @@ BENCH_QUERIES = [
     "join_spatial_grid",
     "window_rolling_median",
     "events_markov_stationary",
+    # round-4l: URL canonical dedup, cohort LTV, cross-field rules
+    "dedup_url_canonical",
+    "orders_cohort_ltv",
+    "quality_cross_field_rules",
 ]
 
 

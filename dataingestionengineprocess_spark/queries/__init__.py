@@ -88,6 +88,7 @@ def _load_all() -> None:
     from . import round4i  # noqa: F401
     from . import round4j  # noqa: F401
     from . import round4k  # noqa: F401
+    from . import round4l  # noqa: F401
 
 
 _LOADED = False

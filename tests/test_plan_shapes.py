@@ -826,3 +826,29 @@ def test_rolling_median_single_type_window(spark, sf_dir, qs):
     assert "Join" not in plan, plan
     schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "event_type" in schema and "props" not in schema, schema
+
+
+def test_url_canonical_map_only_groupby(spark, sf_dir, qs):
+    # Canonicalization is codegen expressions; the dedup is one hash
+    # groupBy on the canonical string -- join-free, window-free.
+    plan = _plan(spark, sf_dir, qs, "dedup_url_canonical")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "doc_id" in schema and "text" not in schema, schema
+
+
+def test_cohort_ltv_single_orders_rescan(spark, sf_dir, qs):
+    # first_ord is checkpointed: the rev join reads orders ONCE plus
+    # the ExistingRDD; cohort sizes broadcast back.
+    plan = _plan(spark, sf_dir, qs, "orders_cohort_ltv")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rules_one_pass_no_window(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "quality_cross_field_rules")
+    assert plan.count("FileScan parquet") == 2, plan  # the two tables
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

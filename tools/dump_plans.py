@@ -129,6 +129,10 @@ SHOWCASE = [
     # round-4k: the lazy rolling-median window. spatial grid and
     # markov checkpoint/collect at build time -- excluded.
     "window_rolling_median",
+    # round-4l: the two lazy single-plan queries (cohort LTV
+    # checkpoints its first-order table at build time -- excluded).
+    "dedup_url_canonical",
+    "quality_cross_field_rules",
 ]
 
 
