@@ -645,3 +645,54 @@ def pq_search_index(spark, index_path: str, queries: DataFrame,
     )
     return _pq_search(coded, books, corpus, queries, k=k, refine=refine,
                       id_col=id_col, vec_col=vec_col)
+
+
+def quantized_covariance(emb: DataFrame, id_col: str,
+                         vec_col: str) -> DataFrame:
+    """Exact int64-quantized covariance matrix of an array column:
+    (i, j, cov_s) rows on the 1e-6 grid, identically reproducible in
+    SQL (the `ml_pca_power_portable` oracle replays it term by term).
+
+    Elements quantize ONCE to int64; per-dim means come from exact
+    integer sums; the d^2-per-vector self-join is the standard X^T X
+    accumulation with per-term floor(c_i * c_j * 1e6 + 0.5) reduces.
+    """
+    from ..functions.exact import snap6
+
+    x = (
+        emb.select(
+            id_col,
+            F.posexplode(F.col(vec_col).cast("array<double>"))
+            .alias("i0", "val"),
+        )
+        .select(
+            id_col, (F.col("i0") + 1).alias("i"),
+            F.floor(F.col("val") * 1e6 + F.lit(0.5)).cast("long")
+            .alias("q"),
+        )
+        .localCheckpoint(eager=True)  # means + both self-join sides
+    )
+    nv = x.agg((F.countDistinct(id_col)).cast("long").alias("n"))
+    mu = x.groupBy("i").agg(F.sum("q").cast("long").alias("sq"))
+    cx = (
+        x.join(F.broadcast(mu), "i")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            id_col, "i",
+            (F.col("q") / 1e6
+             - (F.col("sq") / F.col("n").cast("double")) / 1e6).alias("c"),
+        )
+    )
+    a = cx.alias("a")
+    b = cx.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.floor(F.col("a.c") * F.col("b.c") * 1e6
+                           + F.lit(0.5)).cast("long")).cast("long")
+             .alias("sum_q"))
+        .crossJoin(F.broadcast(nv))
+        .select("i", "j",
+                snap6(F.col("sum_q").cast("double") / 1e6 / F.col("n"))
+                .alias("cov_s"))
+    )

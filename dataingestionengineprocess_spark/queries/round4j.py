@@ -154,45 +154,10 @@ def ml_pca_power_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     covariance (bounded model state, like the k-means centroids);
     every float op mirrors the SQL replica's quantized arithmetic.
     """
+    from ..operators.quantize import quantized_covariance
+
     emb = load(spark, sf_dir, "embeddings")
-    x = (
-        emb.select(
-            "vec_id",
-            F.posexplode(F.col("embedding").cast("array<double>"))
-            .alias("i0", "val"),
-        )
-        .select(
-            "vec_id", (F.col("i0") + 1).alias("i"),
-            F.floor(F.col("val") * 1e6 + F.lit(0.5)).cast("long")
-            .alias("q"),
-        )
-        .localCheckpoint(eager=True)  # means + both self-join sides
-    )
-    nv = x.agg((F.countDistinct("vec_id")).cast("long").alias("n"))
-    mu = x.groupBy("i").agg(F.sum("q").cast("long").alias("sq"))
-    cx = (
-        x.join(F.broadcast(mu), "i")
-        .crossJoin(F.broadcast(nv))
-        .select(
-            "vec_id", "i",
-            (F.col("q") / 1e6
-             - (F.col("sq") / F.col("n").cast("double")) / 1e6).alias("c"),
-        )
-    )
-    a = cx.alias("a")
-    b = cx.alias("b")
-    cov_rows = (
-        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(F.sum(F.floor(F.col("a.c") * F.col("b.c") * 1e6
-                           + F.lit(0.5)).cast("long")).cast("long")
-             .alias("sum_q"))
-        .crossJoin(F.broadcast(nv))
-        .select("i", "j",
-                _snap6(F.col("sum_q").cast("double") / 1e6 / F.col("n"))
-                .alias("cov_s"))
-        .collect()
-    )
+    cov_rows = quantized_covariance(emb, "vec_id", "embedding").collect()
     dim = _PCA_DIM
     cov = [[0.0] * dim for _ in range(dim)]
     for r in cov_rows:

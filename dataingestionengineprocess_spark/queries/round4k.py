@@ -84,44 +84,31 @@ LIMIT {_GRID_TOPK}
 """
 
 
+def md5_points(df: DataFrame, key: str, ax: str, ay: str) -> DataFrame:
+    """Deterministic unit-square points from a key column (k/10000 --
+    exactly representable the same way in both engines)."""
+    k = F.col(key).cast("string")
+    return df.select(
+        key,
+        (md5_bucket(F.concat(k, F.lit(f":{ax}")), 10000)
+         .cast("double") / 10000.0).alias("x"),
+        (md5_bucket(F.concat(k, F.lit(f":{ay}")), 10000)
+         .cast("double") / 10000.0).alias("y"),
+    )
+
+
 @register("join_spatial_grid", oracle=_SPATIAL_ORACLE)
 def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius join customers x suppliers via grid-cell bucketing +
     3x3 neighbor probe; oracle = the naive quadratic join."""
-    def pts(df: DataFrame, key: str, ax: str, ay: str) -> DataFrame:
-        k = F.col(key).cast("string")
-        return df.select(
-            key,
-            (md5_bucket(F.concat(k, F.lit(f":{ax}")), 10000)
-             .cast("double") / 10000.0).alias("x"),
-            (md5_bucket(F.concat(k, F.lit(f":{ay}")), 10000)
-             .cast("double") / 10000.0).alias("y"),
-        ).withColumn("cell_x", F.floor(F.col("x") / _R).cast("long")) \
-         .withColumn("cell_y", F.floor(F.col("y") / _R).cast("long"))
+    from ..operators.spatial import grid_radius_pairs
 
-    cust = pts(load(spark, sf_dir, "customer"), "c_custkey", "cx", "cy")
-    supp = pts(load(spark, sf_dir, "supplier"), "s_suppkey", "sx", "sy")
-    offsets = F.array(*[
-        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-    ])
-    probes = (
-        cust.withColumn("o", F.explode(offsets))
-        .select("c_custkey", "x", "y",
-                (F.col("cell_x") + F.col("o.dx")).alias("px"),
-                (F.col("cell_y") + F.col("o.dy")).alias("py"))
-    )
-    d2 = ((F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx"))
-          + (F.col("y") - F.col("sy")) * (F.col("y") - F.col("sy")))
+    cust = md5_points(load(spark, sf_dir, "customer"),
+                      "c_custkey", "cx", "cy")
+    supp = md5_points(load(spark, sf_dir, "supplier"),
+                      "s_suppkey", "sx", "sy")
     pairs = (
-        probes.join(
-            supp.select("s_suppkey", F.col("x").alias("sx"),
-                        F.col("y").alias("sy"), "cell_x", "cell_y"),
-            (F.col("px") == F.col("cell_x"))
-            & (F.col("py") == F.col("cell_y")))
-        .withColumn("d2", d2)
-        .filter(F.col("d2") <= F.lit(_R * _R))
-        .select("c_custkey", "s_suppkey", "d2")
+        grid_radius_pairs(cust, supp, _R, "c_custkey", "s_suppkey")
         .localCheckpoint(eager=True)  # count + top-k reuse
     )
     tot = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))

@@ -49,10 +49,17 @@ def main() -> None:
         minhash_neardup_pairs,
         prefix_filter_jaccard_pairs,
     )
+    from dataingestionengineprocess_spark.operators.quantize import (
+        quantized_covariance,
+    )
     from dataingestionengineprocess_spark.operators.similarity import lsh_topk
+    from dataingestionengineprocess_spark.operators.spatial import (
+        grid_radius_pairs,
+    )
     from dataingestionengineprocess_spark.queries.mlprep import (
         classifier_score,
     )
+    from dataingestionengineprocess_spark.queries.round4k import md5_points
     from dataingestionengineprocess_spark.session import get_spark
 
     spark = get_spark("scale-probe", extra_confs={"spark.ui.enabled": "false"})
@@ -60,6 +67,8 @@ def main() -> None:
     emb = load(spark, SF, "embeddings")
     li = load(spark, SF, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+    cust = load(spark, SF, "customer").select("c_custkey")
+    supp = load(spark, SF, "supplier").select("s_suppkey")
 
     def run(build, k: int) -> float:
         # time BUILD + EXECUTE: some operators (PPJoin, IVF) run eager
@@ -96,6 +105,18 @@ def main() -> None:
             scaled(docs, k, "doc_id")
             .select("doc_id", (classifier_score("text") >= 0.5).alias("keep"))
         ),
+        # spatial grid radius join: left side grows (offset keys draw
+        # fresh md5 points, so density rises with the data); pair
+        # output grows ~linearly with |left| at fixed right side
+        "spatial_grid": lambda k: grid_radius_pairs(
+            md5_points(scaled(cust, k, "c_custkey"),
+                       "c_custkey", "cx", "cy"),
+            md5_points(supp, "s_suppkey", "sx", "sy"),
+            0.02, "c_custkey", "s_suppkey"),
+        # PCA covariance: the X^T X self-join, n * d^2 terms -- the
+        # linear-in-n matrix accumulation behind ml_pca_power_portable
+        "pca_covariance": lambda k: quantized_covariance(
+            scaled(emb, k, "vec_id"), "vec_id", "embedding"),
     }
 
     # warm the session once
