@@ -267,6 +267,10 @@ BENCH_QUERIES = [
     "dedup_url_canonical",
     "orders_cohort_ltv",
     "quality_cross_field_rules",
+    # round-4m: CSV edge round-trip, erasure impact, dataset card
+    "source_csv_roundtrip_edgecases",
+    "gov_erasure_impact",
+    "curation_dataset_card",
 ]
 
 

@@ -852,3 +852,19 @@ def test_rules_one_pass_no_window(spark, sf_dir, qs):
     assert plan.count("FileScan parquet") == 2, plan  # the two tables
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_erasure_semi_joins_broadcast(spark, sf_dir, qs):
+    # The doomed sets ride broadcast left-semi joins; the lineitem
+    # leg reads the checkpointed doomed-orders keys.
+    plan = _plan(spark, sf_dir, qs, "gov_erasure_impact")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dataset_card_two_pass_bounded_entropy(spark, sf_dir, qs):
+    # The doc-level aggregate is checkpointed; entropy consumers scan
+    # documents for the two bounded count tables only.
+    plan = _plan(spark, sf_dir, qs, "curation_dataset_card")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
