@@ -657,7 +657,7 @@ def quantized_covariance(emb: DataFrame, id_col: str,
     integer sums; the d^2-per-vector self-join is the standard X^T X
     accumulation with per-term floor(c_i * c_j * 1e6 + 0.5) reduces.
     """
-    from ..functions.exact import snap6
+    from ..functions.exact import q6, snap6
 
     x = (
         emb.select(
@@ -667,8 +667,7 @@ def quantized_covariance(emb: DataFrame, id_col: str,
         )
         .select(
             id_col, (F.col("i0") + 1).alias("i"),
-            F.floor(F.col("val") * 1e6 + F.lit(0.5)).cast("long")
-            .alias("q"),
+            q6(F.col("val")).alias("q"),
         )
         .localCheckpoint(eager=True)  # means + both self-join sides
     )
@@ -688,8 +687,7 @@ def quantized_covariance(emb: DataFrame, id_col: str,
     return (
         a.join(b, F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
         .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(F.sum(F.floor(F.col("a.c") * F.col("b.c") * 1e6
-                           + F.lit(0.5)).cast("long")).cast("long")
+        .agg(F.sum(q6(F.col("a.c") * F.col("b.c"))).cast("long")
              .alias("sum_q"))
         .crossJoin(F.broadcast(nv))
         .select("i", "j",

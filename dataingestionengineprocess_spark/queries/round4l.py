@@ -53,8 +53,8 @@ def _url_sql() -> str:
     return f"""
 WITH raw AS (
   SELECT doc_id,
-         doc_id % 100 AS page, CAST(doc_id / 100 AS BIGINT) % {_URL_STYLES}
-           AS style
+         doc_id % 100 AS page,
+         CAST(floor(doc_id / 100) AS BIGINT) % {_URL_STYLES} AS style
   FROM documents
 ),
 urls AS (

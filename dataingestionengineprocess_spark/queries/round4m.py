@@ -204,7 +204,7 @@ def gov_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doomed = cust.filter(
         md5_bucket(F.concat(F.col("c_custkey").cast("string"),
                             F.lit(":erase")), 100) < _ERASE_PCT
-    ).select("c_custkey")
+    ).select("c_custkey").localCheckpoint(eager=True)  # 2 consumers
     doomed_orders = (
         orders.join(F.broadcast(doomed),
                     orders.o_custkey == doomed.c_custkey, "left_semi")

@@ -93,11 +93,21 @@ def test_spatial_grid_cell_boundary_pair_found(spark, tmp_path):
                                   != math.floor(sy / _R)):
                 straddlers.append((c, s))
     assert straddlers, "fixture too small to exercise the boundary"
+    # probe the operator directly (no top-k LIMIT): EVERY straddling
+    # pair must be found -- the off-by-one a one-cell probe would drop
+    from dataingestionengineprocess_spark.catalog import load
+    from dataingestionengineprocess_spark.operators.spatial import (
+        grid_radius_pairs,
+    )
+    from dataingestionengineprocess_spark.queries.round4k import md5_points
+
+    cust = md5_points(load(spark, sf, "customer"), "c_custkey", "cx", "cy")
+    supp = md5_points(load(spark, sf, "supplier"), "s_suppkey", "sx", "sy")
     got = {(r["c_custkey"], r["s_suppkey"])
-           for r in join_spatial_grid(spark, sf).collect()}
-    # at least the nearest straddler must be in the returned top-k,
-    # and the count column already proved the full set matches
-    assert got  # non-empty result
+           for r in grid_radius_pairs(cust, supp, _R, "c_custkey",
+                                      "s_suppkey").collect()}
+    for pair in straddlers:
+        assert pair in got, pair
 
 
 # --- rolling median ----------------------------------------------------------
