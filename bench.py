@@ -271,6 +271,9 @@ BENCH_QUERIES = [
     "source_csv_roundtrip_edgecases",
     "gov_erasure_impact",
     "curation_dataset_card",
+    # round-4n: NDCG ranking quality + journey path mining
+    "ml_ndcg_exact",
+    "events_path_trigrams",
 ]
 
 

@@ -868,3 +868,10 @@ def test_dataset_card_two_pass_bounded_entropy(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "curation_dataset_card")
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_path_trigrams_one_window_topk(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "events_path_trigrams")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan  # top-15, no global sort
+    assert "Join" not in plan, plan

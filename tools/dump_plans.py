@@ -133,6 +133,8 @@ SHOWCASE = [
     # checkpoints its first-order table at build time -- excluded).
     "dedup_url_canonical",
     "quality_cross_field_rules",
+    # round-4n: the lazy path miner (ndcg checkpoints at build time)
+    "events_path_trigrams",
 ]
 
 
