@@ -274,6 +274,9 @@ BENCH_QUERIES = [
     # round-4n: NDCG ranking quality + journey path mining
     "ml_ndcg_exact",
     "events_path_trigrams",
+    # round-4o: exact weighted quantiles + fill-in-the-middle
+    "agg_weighted_median",
+    "curation_fim_transform",
 ]
 
 

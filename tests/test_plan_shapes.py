@@ -875,3 +875,22 @@ def test_path_trigrams_one_window_topk(spark, sf_dir, qs):
     assert plan.count("FileScan parquet") == 1, plan
     assert "TakeOrderedAndProject" in plan, plan  # top-15, no global sort
     assert "Join" not in plan, plan
+
+
+def test_weighted_median_single_group_window(spark, sf_dir, qs):
+    # One shuffle on the group key, one cumulative window, pruned
+    # 3-column scan -- no collect, no global sort.
+    plan = _plan(spark, sf_dir, qs, "agg_weighted_median")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_extendedprice" in schema and "l_shipdate" not in schema
+
+
+def test_fim_map_only_no_exchange_before_sort(spark, sf_dir, qs):
+    # The transform itself is pure codegen: the only exchange in the
+    # plan belongs to the output ordering.
+    plan = _plan(spark, sf_dir, qs, "curation_fim_transform")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan

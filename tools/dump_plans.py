@@ -135,6 +135,9 @@ SHOWCASE = [
     "quality_cross_field_rules",
     # round-4n: the lazy path miner (ndcg checkpoints at build time)
     "events_path_trigrams",
+    # round-4o: both lazy single-plan queries
+    "agg_weighted_median",
+    "curation_fim_transform",
 ]
 
 
