@@ -277,6 +277,9 @@ BENCH_QUERIES = [
     # round-4o: exact weighted quantiles + fill-in-the-middle
     "agg_weighted_median",
     "curation_fim_transform",
+    # round-4p: bot-traffic screen + order backlog time series
+    "quality_bot_user_screen",
+    "orders_backlog_timeseries",
 ]
 
 

@@ -92,6 +92,7 @@ def _load_all() -> None:
     from . import round4m  # noqa: F401
     from . import round4n  # noqa: F401
     from . import round4o  # noqa: F401
+    from . import round4p  # noqa: F401
 
 
 _LOADED = False

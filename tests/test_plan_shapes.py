@@ -894,3 +894,18 @@ def test_fim_map_only_no_exchange_before_sort(spark, sf_dir, qs):
     assert plan.count("FileScan parquet") == 1, plan
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_bot_screen_one_window_one_group(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "quality_bot_user_screen")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_backlog_bounded_axis_window(spark, sf_dir, qs):
+    # Per-flow groupBys collapse the facts; the cumulative window
+    # runs on the bounded day axis after the full-outer join.
+    plan = _plan(spark, sf_dir, qs, "orders_backlog_timeseries")
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -138,6 +138,9 @@ SHOWCASE = [
     # round-4o: both lazy single-plan queries
     "agg_weighted_median",
     "curation_fim_transform",
+    # round-4p: both lazy single-plan queries
+    "quality_bot_user_screen",
+    "orders_backlog_timeseries",
 ]
 
 
