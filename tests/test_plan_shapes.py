@@ -909,3 +909,22 @@ def test_backlog_bounded_axis_window(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "orders_backlog_timeseries")
     assert "FullOuter" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_winnowing_banded_equi_join_no_cartesian(spark, sf_dir, qs):
+    # The argmax-position resolution is an equi-join on
+    # (doc_id, h = wmin) with the w-row band as a post-filter --
+    # never a cartesian pairing of grams.
+    plan = _plan(spark, sf_dir, qs, "text_winnowing_fingerprints")
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan, plan
+
+
+def test_islands_single_user_partitioning(spark, sf_dir, qs):
+    # Distinct, window, and both groupBys all key on user_id: the
+    # plan needs no join and exactly one scan.
+    plan = _plan(spark, sf_dir, qs, "events_activity_islands")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "props" not in schema and "value" not in schema
