@@ -928,3 +928,22 @@ def test_islands_single_user_partitioning(spark, sf_dir, qs):
     assert "Join" not in plan, plan
     schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "props" not in schema and "value" not in schema
+
+
+def test_skyline_pruned_candidates_broadcast_back(spark, sf_dir, qs):
+    # The dominance window runs AFTER the per-size min-price
+    # aggregate (bounded candidates); the join back to facts is a
+    # broadcast.
+    plan = _plan(spark, sf_dir, qs, "part_pareto_skyline")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "p_name" not in schema and "p_type" not in schema
+
+
+def test_theil_broadcast_group_stats_no_window(spark, sf_dir, qs):
+    # Per-nation n/tot ride a broadcast join back onto the spend
+    # rows; no window anywhere, nation dim broadcast.
+    plan = _plan(spark, sf_dir, qs, "agg_theil_inequality")
+    assert "Window" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
