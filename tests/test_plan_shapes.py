@@ -947,3 +947,30 @@ def test_theil_broadcast_group_stats_no_window(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "agg_theil_inequality")
     assert "Window" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_khop_checkpointed_edges_no_cartesian(spark, sf_dir, qs):
+    # Each hop (equi-join frontier x edges + left-anti visited
+    # subtraction) materializes eagerly per iteration, so the FINAL
+    # plan is just the union of bounded checkpointed frontiers --
+    # no join of any kind survives to the output stage.
+    plan = _plan(spark, sf_dir, qs, "graph_khop_reachability")
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Scan ExistingRDD") >= 3, plan  # d0, d1, d2
+
+
+def test_flesch_map_only_single_scan(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "text_readability_flesch")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "lang" not in schema and "source" not in schema
+
+
+def test_postings_takeordered_no_global_sort(spark, sf_dir, qs):
+    # Top-100 by df rides TakeOrdered over the term aggregate.
+    plan = _plan(spark, sf_dir, qs, "text_inverted_postings")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
