@@ -974,3 +974,20 @@ def test_postings_takeordered_no_global_sort(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "text_inverted_postings")
     assert "TakeOrderedAndProject" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_pyth_means_single_scan_no_window(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "agg_pythagorean_means")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_extendedprice" in schema and "l_quantity" not in schema
+
+
+def test_prf_sweep_broadcast_axis(spark, sf_dir, qs):
+    # The 9-row threshold axis rides a broadcast nested-loop cross
+    # join onto the scored scan -- the only join in the plan.
+    plan = _plan(spark, sf_dir, qs, "ml_threshold_sweep_prf")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
