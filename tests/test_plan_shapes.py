@@ -991,3 +991,32 @@ def test_prf_sweep_broadcast_axis(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "ml_threshold_sweep_prf")
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_ttc_user_keyed_rollup_then_week_window(spark, sf_dir, qs):
+    # One scan; the user rollup shrinks events before the per-week
+    # ranking window; the cohort/quantile join is on the bounded
+    # week axis.
+    plan = _plan(spark, sf_dir, qs, "events_time_to_convert")
+    # the checkpointed user rollup replaces the parquet scan entirely
+    assert plan.count("FileScan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") >= 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_abc_windows_run_on_part_rollup(spark, sf_dir, qs):
+    # The ranking window consumes the per-part aggregate (bounded by
+    # the part dimension), never raw lineitem rows.
+    plan = _plan(spark, sf_dir, qs, "orders_abc_classes")
+    assert plan.count("FileScan parquet") == 1, plan
+    # a HashAggregate must sit BELOW the window (printed after it):
+    # the ranking runs on the per-part rollup, not raw lineitem
+    assert plan.rindex("HashAggregate") > plan.index("Window"), plan
+
+
+def test_quota_window_on_bounded_strata(spark, sf_dir, qs):
+    # Strata aggregate first; the apportionment window and the total
+    # cross join ride the bounded strata table.
+    plan = _plan(spark, sf_dir, qs, "agg_largest_remainder_quota")
+    assert plan.count("FileScan parquet") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
