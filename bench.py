@@ -280,6 +280,25 @@ BENCH_QUERIES = [
     # round-4p: bot-traffic screen + order backlog time series
     "quality_bot_user_screen",
     "orders_backlog_timeseries",
+    # round-4q: winnowing fingerprints + activity islands
+    "text_winnowing_fingerprints",
+    "events_activity_islands",
+    # round-4r: Pareto skyline, trimmed mean, Theil index
+    "part_pareto_skyline",
+    "agg_trimmed_mean",
+    "agg_theil_inequality",
+    # round-4s: k-hop BFS, Flesch readability, inverted postings
+    "graph_khop_reachability",
+    "text_readability_flesch",
+    "text_inverted_postings",
+    # round-4t: XML source round-trip, Pythagorean means, PRF sweep
+    "source_xml_roundtrip",
+    "agg_pythagorean_means",
+    "ml_threshold_sweep_prf",
+    # round-4u: conversion lag, ABC classes, Hamilton quotas
+    "events_time_to_convert",
+    "orders_abc_classes",
+    "agg_largest_remainder_quota",
 ]
 
 
