@@ -1020,3 +1020,20 @@ def test_quota_window_on_bounded_strata(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "agg_largest_remainder_quota")
     assert plan.count("FileScan parquet") <= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_acf_bounded_axis_joins(spark, sf_dir, qs):
+    # The lag self-join and both reduces run on the checkpointed
+    # bounded day axis -- the only parquet scan is the fact groupBy.
+    plan = _plan(spark, sf_dir, qs, "events_autocorrelation")
+    assert plan.count("FileScan parquet") <= 1, plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+
+
+def test_ks_one_window_per_stage_group_stats_broadcast(spark, sf_dir, qs):
+    # Gap extraction is one type-keyed lag window; group stats are
+    # unordered window aggregates over the SAME partitioning as the
+    # rank -- one scan, no join anywhere.
+    plan = _plan(spark, sf_dir, qs, "stat_ks_exponential")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
