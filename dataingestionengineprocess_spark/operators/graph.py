@@ -176,3 +176,34 @@ def pagerank_iteration(w_edges: DataFrame, nodes: DataFrame,
             ).alias("rank"),
         )
     )
+
+
+def khop_bfs(edges: DataFrame, seeds: DataFrame, hops: int = 2,
+             src: str = "src", dst: str = "dst",
+             node: str = "node") -> DataFrame:
+    """Exact min-hop BFS distances from ``seeds`` (one ``node``
+    column) over directed ``edges``, bounded depth.
+
+    Each hop is one equi-join of the current frontier against the
+    edge table plus a left-anti subtraction of the visited set -- the
+    standard distributed BFS step. Frontiers materialize eagerly per
+    hop (localCheckpoint) so lineage stays flat and each frontier is
+    computed exactly once; depth is bounded, so driver state is just
+    the loop counter. Shared with `graph_khop_reachability`
+    (queries/round4s.py), whose DuckDB oracle unrolls the identical
+    frontier algebra as chained CTEs.
+    """
+    d0 = seeds.select(node).distinct().localCheckpoint(eager=True)
+    frontier, visited = d0, d0
+    out = d0.withColumn("dist", F.lit(0))
+    for hop in range(1, hops + 1):
+        nxt = (
+            frontier.join(edges, frontier[node] == edges[src])
+            .select(F.col(dst).alias(node)).distinct()
+            .join(visited, node, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        out = out.union(nxt.withColumn("dist", F.lit(hop)))
+        visited = visited.union(nxt)
+        frontier = nxt
+    return out

@@ -99,6 +99,7 @@ def _load_all() -> None:
     from . import round4t  # noqa: F401
     from . import round4u  # noqa: F401
     from . import round4v  # noqa: F401
+    from . import round4w  # noqa: F401
 
 
 _LOADED = False

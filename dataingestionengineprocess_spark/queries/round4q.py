@@ -97,54 +97,13 @@ def text_winnowing_fingerprints(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """MOSS winnowing: rightmost-min of each w-window of character
     k-gram hashes, deduplicated -- positional near-dup fingerprints
-    with the shared-substring detection guarantee."""
-    docs = load(spark, sf_dir, "documents").where(
-        F.length("text") >= _K)
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(1),
-                       F.greatest(F.length("text") - _K + 1, F.lit(1)))
-        ).alias("pos"),
-        "text",
-    ).select(
-        "doc_id",
-        F.col("pos").cast("long").alias("pos"),
-        F.conv(
-            F.substring(
-                F.md5(F.expr(f"substring(text, pos, {_K})")
-                      .cast("binary")), 1, 8),
-            16, 10).cast("long").alias("h"),
-    )
-    bounds = grams.groupBy("doc_id").agg(F.max("pos").alias("max_pos"))
-    wmin_w = (W.partitionBy("doc_id").orderBy("pos")
-              .rowsBetween(W.currentRow, _W - 1))
-    starts = grams.select(
-        "doc_id", F.col("pos").alias("s_pos"),
-        F.min("h").over(wmin_w).alias("wmin"),
-    )
-    full_starts = (
-        starts.join(bounds, "doc_id")
-        .where(F.col("s_pos")
-               <= F.greatest(F.col("max_pos") - _W + 1, F.lit(1)))
-        .select("doc_id", "s_pos", "wmin")
-    )
-    s = full_starts.alias("s")
-    g = grams.select("doc_id", "pos", "h").alias("g")
-    picked = (
-        s.join(
-            g,
-            (F.col("s.doc_id") == F.col("g.doc_id"))
-            & (F.col("g.h") == F.col("s.wmin"))
-            & (F.col("g.pos") >= F.col("s.s_pos"))
-            & (F.col("g.pos") <= F.col("s.s_pos") + _W - 1),
-        )
-        .groupBy(F.col("s.doc_id").alias("doc_id"), F.col("s.s_pos"),
-                 F.col("s.wmin"))
-        .agg(F.max(F.col("g.pos")).alias("pos"))
-        .select("doc_id", "pos", F.col("wmin").alias("fp"))
-    )
-    return picked.distinct().orderBy("doc_id", "pos")
+    with the shared-substring detection guarantee. Core shared with
+    operators/winnow.py (scale-probed at 1x/2x/4x)."""
+    from ..operators.winnow import winnow_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    return (winnow_fingerprints(docs, k=_K, w=_W)
+            .orderBy("doc_id", "pos"))
 
 
 # ---------------------------------------------------------------------------

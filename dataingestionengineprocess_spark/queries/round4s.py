@@ -89,7 +89,10 @@ ORDER BY dist, p_partkey
 @register("graph_khop_reachability", oracle=_KHOP_ORACLE)
 def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 2-hop BFS distances over the co-purchase graph from the
-    lexicographically smallest brand's parts."""
+    lexicographically smallest brand's parts. BFS core shared with
+    operators/graph.py:khop_bfs (scale-probed at 1x/2x/4x)."""
+    from ..operators.graph import khop_bfs
+
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     u = li.distinct()
     a = u.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p"))
@@ -105,26 +108,14 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = load(spark, sf_dir, "part")
     seed_brand = part.agg(F.min("p_brand").alias("b"))
-    d0 = (
-        part.join(F.broadcast(seed_brand),
-                  part.p_brand == F.col("b"))
-        .select(F.col("p_partkey").alias("node")).distinct()
-        .localCheckpoint(eager=True)
+    seeds = (
+        part.join(F.broadcast(seed_brand), part.p_brand == F.col("b"))
+        .select(F.col("p_partkey").alias("node"))
     )
-    frontier, visited, out = d0, d0, d0.withColumn("dist", F.lit(0))
-    for hop in (1, 2):
-        nxt = (
-            frontier.join(edges, frontier.node == edges.src)
-            .select(F.col("dst").alias("node")).distinct()
-            .join(visited, "node", "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        out = out.union(nxt.withColumn("dist", F.lit(hop)))
-        visited = visited.union(nxt)
-        frontier = nxt
     return (
-        out.select(F.col("node").cast("long").alias("p_partkey"),
-                   F.col("dist").cast("long").alias("dist"))
+        khop_bfs(edges, seeds, hops=2)
+        .select(F.col("node").cast("long").alias("p_partkey"),
+                F.col("dist").cast("long").alias("dist"))
         .orderBy("dist", "p_partkey")
     )
 

@@ -1037,3 +1037,30 @@ def test_ks_one_window_per_stage_group_stats_broadcast(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "stat_ks_exponential")
     assert plan.count("FileScan parquet") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_entropy_rate_broadcast_uni_no_window_after_lag(spark, sf_dir, qs):
+    # One user-keyed lag window extracts transitions; everything
+    # after is groupBy + broadcast joins on the bounded state space.
+    plan = _plan(spark, sf_dir, qs, "events_markov_entropy_rate")
+    # the checkpointed bigram table replaces the scan+window in the
+    # final plan; both downstream legs read the bounded RDD
+    assert plan.count("FileScan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_quota_apply_broadcast_quota_onto_ranked(spark, sf_dir, qs):
+    # The bounded quota table broadcasts onto the per-stratum ranked
+    # documents; no cartesian anywhere.
+    plan = _plan(spark, sf_dir, qs, "sample_quota_apply")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_profile_single_scan_single_aggregate(spark, sf_dir, qs):
+    # The profiler is ONE wide aggregate over one pruned scan; the
+    # unpivot is a generate, not extra scans.
+    plan = _plan(spark, sf_dir, qs, "quality_column_profile")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan

@@ -56,19 +56,47 @@ def main() -> None:
     from dataingestionengineprocess_spark.operators.spatial import (
         grid_radius_pairs,
     )
+    from dataingestionengineprocess_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+    from dataingestionengineprocess_spark.operators.graph import khop_bfs
     from dataingestionengineprocess_spark.queries.mlprep import (
         classifier_score,
     )
     from dataingestionengineprocess_spark.queries.round4k import md5_points
     from dataingestionengineprocess_spark.session import get_spark
 
-    spark = get_spark("scale-probe", extra_confs={"spark.ui.enabled": "false"})
+    spark = get_spark("scale-probe", extra_confs={
+        "spark.ui.enabled": "false",
+        # the 4x replicas of the gram/edge-heavy ops (winnowing,
+        # khop) need real heap; the default 1g JVM OOMs
+        "spark.driver.memory": "8g",
+    })
     docs = load(spark, SF, "documents").select("doc_id", "text")
     emb = load(spark, SF, "embeddings")
     li = load(spark, SF, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
     cust = load(spark, SF, "customer").select("c_custkey")
     supp = load(spark, SF, "supplier").select("s_suppkey")
+    li_full = load(spark, SF, "lineitem")
+    part = load(spark, SF, "part")
+    seed_brand = part.agg(F.min("p_brand").alias("b"))
+    part_seeds = (
+        part.join(F.broadcast(seed_brand), part.p_brand == F.col("b"))
+        .select(F.col("p_partkey").alias("node"))
+    )
+
+    def _copurchase_edges(li_pairs):
+        u = li_pairs.distinct()
+        a = u.select(F.col("l_orderkey").alias("k"),
+                     F.col("l_partkey").alias("p"))
+        b = u.select(F.col("l_orderkey").alias("k"),
+                     F.col("l_partkey").alias("q"))
+        half = (a.join(b, "k").where(F.col("p") < F.col("q"))
+                .select(F.col("p").alias("src"), F.col("q").alias("dst"))
+                .distinct())
+        return half.union(half.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
 
     def run(build, k: int) -> float:
         # time BUILD + EXECUTE: some operators (PPJoin, IVF) run eager
@@ -117,6 +145,17 @@ def main() -> None:
         # linear-in-n matrix accumulation behind ml_pca_power_portable
         "pca_covariance": lambda k: quantized_covariance(
             scaled(emb, k, "vec_id"), "vec_id", "embedding"),
+        # winnowing fingerprints: per-doc window + selective
+        # (doc, h=wmin) equi-join -- cost linear in total grams
+        "winnowing": lambda k: winnow_fingerprints(
+            scaled(docs, k, "doc_id")),
+        # bounded BFS: per-hop frontier equi-join + left-anti; edge
+        # count grows ~linearly with replicated orders (offset order
+        # keys, fixed part universe), frontier bounded by nodes
+        "khop_bfs": lambda k: khop_bfs(
+            _copurchase_edges(scaled(li.select("l_orderkey", "l_partkey"),
+                                     k, "l_orderkey")),
+            part_seeds, hops=2),
     }
 
     # warm the session once
