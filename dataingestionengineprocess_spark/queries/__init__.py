@@ -100,6 +100,7 @@ def _load_all() -> None:
     from . import round4u  # noqa: F401
     from . import round4v  # noqa: F401
     from . import round4w  # noqa: F401
+    from . import round4x  # noqa: F401
 
 
 _LOADED = False

@@ -1064,3 +1064,20 @@ def test_profile_single_scan_single_aggregate(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "quality_column_profile")
     assert plan.count("FileScan parquet") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_sequence_gaps_windows_on_bounded_islands(spark, sf_dir, qs):
+    # Distinct keys collapse to islands before the lead window; one
+    # scan, no join.
+    plan = _plan(spark, sf_dir, qs, "quality_id_sequence_gaps")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert schema.count(":") == 1, schema  # only o_orderkey read
+
+
+def test_kfold_single_scan_single_aggregate(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "ml_group_kfold_assign")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
