@@ -153,8 +153,9 @@ def main() -> None:
         # count grows ~linearly with replicated orders (offset order
         # keys, fixed part universe), frontier bounded by nodes
         "khop_bfs": lambda k: khop_bfs(
-            _copurchase_edges(scaled(li.select("l_orderkey", "l_partkey"),
-                                     k, "l_orderkey")),
+            _copurchase_edges(scaled(
+                li_full.select("l_orderkey", "l_partkey"),
+                k, "l_orderkey")),
             part_seeds, hops=2),
     }
 
