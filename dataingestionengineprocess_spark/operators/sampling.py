@@ -147,3 +147,46 @@ def systematic_weighted_sample(df: DataFrame, weight_col: str,
         f"((__cum - cast({weight_col} as bigint)) div {stride})"
     )
     return cum.filter(keep).drop("__cum", "__pid", "__off")
+
+
+def hamilton_quota(strata: DataFrame, k: int, n_col: str = "n_docs",
+                   key_cols: tuple[str, ...] = ("lang", "source"),
+                   ) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of ``k`` slots across
+    the ``strata`` rows, proportional to ``n_col``, in exact integer
+    arithmetic: quota = floor(k*n/N) plus one extra for the strata with
+    the largest remainders (ties broken by ``key_cols``), so the quotas
+    always sum to exactly ``k``. Returns key_cols + n_col + floor_q +
+    rem + quota. THE single Spark-side source of the apportionment
+    algebra -- `agg_largest_remainder_quota` (the published quota
+    table) and `sample_quota_apply` (the applied draw) both route
+    through here so the remainder ranking cannot drift between them;
+    their oracles stay self-contained SQL twins of the same algebra.
+
+    Scale: the whole computation runs on the strata SUMMARY (one row
+    per stratum -- bounded by the label-combination universe, not the
+    corpus), so the two single-partition windows are over that bounded
+    table only.
+    """
+    keys = list(key_cols)
+    tot = strata.agg(F.sum(n_col).cast("long").alias("__n"))
+    base = strata.crossJoin(F.broadcast(tot)).select(
+        *keys, n_col,
+        ((F.lit(k) * F.col(n_col)) / F.col("__n"))
+        .cast("long").alias("floor_q"),
+        ((F.lit(k) * F.col(n_col)) % F.col("__n"))
+        .cast("long").alias("rem"),
+    )
+    ranked = base.select(
+        "*",
+        F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), *keys)).alias("__rk"),
+        (F.lit(k) - F.sum("floor_q").over(
+            Window.partitionBy(F.lit(1)))).cast("long").alias("__left"),
+    )
+    return ranked.select(
+        *keys, n_col, "floor_q", "rem",
+        (F.col("floor_q")
+         + F.when(F.col("__rk") <= F.col("__left"), 1).otherwise(0))
+        .cast("long").alias("quota"),
+    )

@@ -481,31 +481,16 @@ ORDER BY round(rank, 6) DESC, node LIMIT 50
 
 @register("graph_pagerank_parts", oracle=_pagerank_oracle())
 def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import pagerank
+    from ..operators.graph import copurchase_half, pagerank
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # Co-purchase pairs via per-order part sets + in-array pair
-    # explosion: one groupBy shuffle instead of a self-join's two-sided
-    # shuffle of every line (measured 2.3x at sf0.1, identical edges).
-    # Per-order fan-out is |parts|^2 -- bounded by order size, the same
-    # quadratic the self-join pays, but with no join machinery.
-    #
-    # The graph is symmetric, so only src < dst pairs are exploded and
-    # de-duplicated (HALF the distinct's shuffle volume); the mirror
-    # direction is a narrow union afterwards, and per-node degrees come
-    # from the half-pair table + a broadcast join inside pagerank()
-    # instead of a groupBy over the full mirrored edge list.
-    sets_ = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
-    half = (
-        sets_.select(F.explode(F.expr(
-            "filter(flatten(transform(ps,"
-            " x -> transform(ps, y -> struct(x as src, y as dst)))),"
-            " p -> p.src < p.dst)"
-        )).alias("p"))
-        .select("p.src", "p.dst")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # Shared set-explosion edge build (operators/graph.py): one groupBy
+    # shuffle, identical edges to the distinct self-join, 2.3x faster.
+    # The graph is symmetric, so only the src < dst half is built; the
+    # mirror direction is a narrow union afterwards, and per-node
+    # degrees come from the half-pair table + a broadcast join inside
+    # pagerank() instead of a groupBy over the full mirrored edge list.
+    half = copurchase_half(li)
     deg = (
         half.select(F.explode(F.array("src", "dst")).alias("node"))
         .groupBy("node").agg(F.count("*").alias("degree"))

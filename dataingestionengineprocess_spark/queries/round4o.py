@@ -36,8 +36,13 @@ from . import register
 # cumulative weight of rows with value <= v reaches q * W. Exact
 # integer weights (quantity as int64 units) and integer cents keep
 # the crossing test exact; the per-group scan is ONE cumulative
-# window ordered by value with a deterministic (value, orderkey,
-# linenumber) tiebreak, then a min() over qualifying rows.
+# window ordered by value (cents) alone, then a min() over qualifying
+# rows. Intra-tie order within equal cents is NOT pinned and doesn't
+# need to be: the crossing test selects at tie-GROUP granularity --
+# every permutation of a tie group crosses q*W at the same value, and
+# the min() collapses whichever row crossed to that value. The
+# determinism argument is the tie-group invariance, not a per-row
+# tiebreak.
 #
 # Scale: one shuffle on the group key; the window is per-group
 # ordered -- the same cost class as any ranked aggregate. No

@@ -168,14 +168,19 @@ g AS (
          CAST(sum(cents) AS BIGINT) AS tot
   FROM spend GROUP BY c_nationkey
 ),
-terms AS (
+ratio AS (
   SELECT s.c_nationkey, g.n,
-         CAST(floor(
-           (floor(CAST(s.cents AS DOUBLE) * g.n / g.tot * 1e6 + 0.5) / 1e6)
-           * (floor(ln(floor(CAST(s.cents AS DOUBLE) * g.n / g.tot * 1e6
-                             + 0.5) / 1e6) * 1e6 + 0.5) / 1e6)
-           * 1e6 + 0.5) AS BIGINT) AS term_q
+         floor(CAST(s.cents AS DOUBLE) * g.n / g.tot * 1e6 + 0.5) / 1e6
+           AS r_s
   FROM spend s JOIN g ON s.c_nationkey = g.c_nationkey
+),
+terms AS (
+  SELECT c_nationkey, n,
+         CASE WHEN r_s > 0 THEN
+           CAST(floor(r_s * (floor(ln(r_s) * 1e6 + 0.5) / 1e6)
+                      * 1e6 + 0.5) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS term_q
+  FROM ratio
 )
 SELECT n.n_name,
        CAST(max(t.n) AS BIGINT) AS n_customers,
@@ -205,7 +210,15 @@ def agg_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("tot"),
     )
     r_s = _snap6(F.col("cents").cast("double") * F.col("n") / F.col("tot"))
-    term_q = F.floor(r_s * _snap6(F.log(r_s)) * 1e6 + 0.5).cast("long")
+    # A spend share below 5e-7 snaps to exactly 0; x*ln(x) -> 0 there, so
+    # both engines drop the term EXPLICITLY (Spark's log(0)=NULL would
+    # silently vanish while DuckDB's ln(0) raises -- the one divergence
+    # the snap idiom doesn't cover on its own).
+    term_q = (
+        F.when(r_s > 0,
+               F.floor(r_s * _snap6(F.log(r_s)) * 1e6 + 0.5).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+    )
     terms = (
         spend.join(F.broadcast(g), "c_nationkey")
         .select("c_nationkey", "n", term_q.alias("term_q"))

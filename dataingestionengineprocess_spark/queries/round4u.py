@@ -261,32 +261,11 @@ def agg_largest_remainder_quota(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Hamilton-method apportionment of 1000 sample slots across
     (lang, source) strata in exact integer arithmetic."""
+    from ..operators.sampling import hamilton_quota
+
     strata = (
         load(spark, sf_dir, "documents")
         .groupBy("lang", "source")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
-    tot = strata.agg(F.sum("n_docs").cast("long").alias("n"))
-    base = strata.crossJoin(F.broadcast(tot)).select(
-        "lang", "source", "n_docs",
-        ((F.lit(_QUOTA_K) * F.col("n_docs")) / F.col("n"))
-        .cast("long").alias("floor_q"),
-        ((F.lit(_QUOTA_K) * F.col("n_docs")) % F.col("n"))
-        .cast("long").alias("rem"),
-    )
-    ranked = base.select(
-        "*",
-        F.row_number().over(
-            W.orderBy(F.col("rem").desc(), "lang", "source")).alias("rk"),
-        (F.lit(_QUOTA_K) - F.sum("floor_q").over(
-            W.partitionBy(F.lit(1)))).cast("long").alias("leftover"),
-    )
-    return (
-        ranked.select(
-            "lang", "source", "n_docs", "floor_q", "rem",
-            (F.col("floor_q")
-             + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
-            .cast("long").alias("quota"),
-        )
-        .orderBy("lang", "source")
-    )
+    return hamilton_quota(strata, _QUOTA_K).orderBy("lang", "source")

@@ -64,14 +64,19 @@ uni AS (
   GROUP BY prev_type
 ),
 n AS (SELECT CAST(sum(c_x) AS BIGINT) AS n_total FROM uni),
-terms AS (
+ratio AS (
   SELECT b.prev_type, u.c_x,
-         CAST(floor(
-           (CAST(b.c_xy AS DOUBLE) / u.c_x)
-           * (floor(ln(floor(CAST(b.c_xy AS DOUBLE) / u.c_x * 1e6 + 0.5)
-                        / 1e6) * 1e6 + 0.5) / 1e6)
-           * 1e6 + 0.5) AS BIGINT) AS term_q
+         CAST(b.c_xy AS DOUBLE) / u.c_x AS r_raw,
+         floor(CAST(b.c_xy AS DOUBLE) / u.c_x * 1e6 + 0.5) / 1e6 AS r_s
   FROM bi b JOIN uni u ON u.prev_type = b.prev_type
+),
+terms AS (
+  SELECT prev_type, c_x,
+         CASE WHEN r_s > 0 THEN
+           CAST(floor(r_raw * (floor(ln(r_s) * 1e6 + 0.5) / 1e6)
+                      * 1e6 + 0.5) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS term_q
+  FROM ratio
 )
 SELECT t.prev_type,
        CAST(max(t.c_x) AS BIGINT) AS n_out,
@@ -102,9 +107,18 @@ def events_markov_entropy_rate(spark: SparkSession,
         F.sum("c_xy").cast("long").alias("c_x"))
     n = uni.agg(F.sum("c_x").cast("long").alias("n_total"))
     ratio_s = _snap6(F.col("c_xy").cast("double") / F.col("c_x"))
-    term_q = F.floor(
-        (F.col("c_xy").cast("double") / F.col("c_x"))
-        * _snap6(F.log(ratio_s)) * 1e6 + 0.5).cast("long")
+    # A transition rarer than 5e-7 of its prev state's traffic snaps to
+    # a 0 ratio; p*ln(p) -> 0 there, so both engines drop the term
+    # EXPLICITLY (Spark log(0)=NULL would silently null the term while
+    # DuckDB ln(0) raises Out of Range).
+    term_q = (
+        F.when(
+            ratio_s > 0,
+            F.floor(
+                (F.col("c_xy").cast("double") / F.col("c_x"))
+                * _snap6(F.log(ratio_s)) * 1e6 + 0.5).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+    )
     terms = (
         bi.join(F.broadcast(uni), "prev_type")
         .select("prev_type", "c_x", term_q.alias("term_q"))
@@ -181,26 +195,15 @@ ORDER BY q.lang, q.source
 def sample_quota_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamilton quotas at K=200 applied: md5-ranked draw per stratum,
     selection pinned by an md5 digest of the ordered ids."""
+    from ..operators.sampling import hamilton_quota
+
     docs = load(spark, sf_dir, "documents")
     strata = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"))
-    tot = strata.agg(F.sum("n_docs").cast("long").alias("n"))
-    base = strata.crossJoin(F.broadcast(tot)).select(
-        "lang", "source", "n_docs",
-        ((F.lit(_APPLY_K) * F.col("n_docs")) / F.col("n"))
-        .cast("long").alias("floor_q"),
-        ((F.lit(_APPLY_K) * F.col("n_docs")) % F.col("n"))
-        .cast("long").alias("rem"),
-    )
-    wall = W.partitionBy(F.lit(1))
-    quota = base.select(
-        "lang", "source", "n_docs",
-        (F.col("floor_q") + F.when(
-            F.row_number().over(
-                wall.orderBy(F.col("rem").desc(), "lang", "source"))
-            <= F.lit(_APPLY_K) - F.sum("floor_q").over(wall), 1)
-         .otherwise(0)).cast("long").alias("quota"),
-    )
+    # Shared apportionment algebra (operators/sampling.py) -- same
+    # remainder ranking as agg_largest_remainder_quota, K=200.
+    quota = hamilton_quota(strata, _APPLY_K).select(
+        "lang", "source", "n_docs", "quota")
     ranked = docs.select(
         "lang", "source", "doc_id",
         F.row_number().over(

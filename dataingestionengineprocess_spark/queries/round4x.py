@@ -36,9 +36,19 @@ from . import register
 
 # ---------------------------------------------------------------------------
 # Sequence gaps. Islands of consecutive keys collapse the corpus to
-# a bounded island table (one groupBy on key - row_number); the
-# holes are read off a lead window over it. Output: each gap's
-# bounds and width, plus nothing at all for a gapless sequence.
+# a bounded island table; the holes are read off a lead window over
+# it. Output: each gap's bounds and width, plus nothing at all for a
+# gapless sequence.
+#
+# Scale shape: the classic key - row_number island idiom needs a
+# GLOBAL dense rank -- a corpus-wide single-partition window. Instead
+# the keys are bucketed by key div B, islands are found with
+# PER-BUCKET windows (partitioned, parallel), and islands that touch
+# across a bucket boundary are merged with one conditional-running-sum
+# window over the island summary table only (bounded by
+# n_gaps + n_keys/B rows -- ~366k at 1.5e9 keys with B=4096, vs 1.5e9
+# through a single task for the global-rank form). The DuckDB oracle
+# keeps the one-shot global idiom: same gaps either way.
 # ---------------------------------------------------------------------------
 
 _GAPS_ORACLE = """
@@ -64,18 +74,46 @@ ORDER BY gap_lo
 """
 
 
+_GAP_BUCKET = 4096  # keys per island bucket; sf0.01 spans 4 buckets,
+# so the driver gate exercises the cross-boundary merge
+
+
+def sequence_islands(keys: DataFrame, key: str = "k",
+                     bucket: int = _GAP_BUCKET) -> DataFrame:
+    """Maximal runs of consecutive integers in ``keys`` as (lo, hi)
+    islands, without a corpus-wide single-partition window: per-bucket
+    key - row_number islands (parallel), then boundary-touching
+    islands merged by a conditional running sum over the bounded
+    island summary."""
+    k = F.col(key)
+    runs = keys.select(
+        k.alias("k"), (k - (k % bucket)).alias("b")
+    ).withColumn(
+        "grp",
+        F.col("k") - F.row_number().over(W.partitionBy("b").orderBy("k")),
+    )
+    local = runs.groupBy("b", "grp").agg(
+        F.min("k").cast("long").alias("lo"),
+        F.max("k").cast("long").alias("hi"),
+    )
+    w_ord = W.orderBy("lo")
+    w_run = w_ord.rowsBetween(W.unboundedPreceding, 0)
+    starts_new = F.when(
+        F.col("lo") > F.lag("hi").over(w_ord) + 1, 1).otherwise(0)
+    return (
+        local.withColumn("mgrp", F.sum(starts_new).over(w_run))
+        .groupBy("mgrp")
+        .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
+    )
+
+
 @register("quality_id_sequence_gaps", oracle=_GAPS_ORACLE)
 def quality_id_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every missing range in the order-key sequence: islands of
     consecutive keys, then the holes between them."""
     ks = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k")).distinct()
-    runs = ks.withColumn(
-        "grp", F.col("k") - F.row_number().over(W.orderBy("k")))
-    islands = runs.groupBy("grp").agg(
-        F.min("k").cast("long").alias("lo"),
-        F.max("k").cast("long").alias("hi"),
-    )
+    islands = sequence_islands(ks)
     holes = islands.select(
         (F.col("hi") + 1).alias("gap_lo"),
         (F.lead("lo").over(W.orderBy("lo")) - 1).alias("gap_hi"),
@@ -104,7 +142,7 @@ def quality_id_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KFOLD_ORACLE = """
 WITH tagged AS (
   SELECT user_id, event_type,
-         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6))
               AS BIGINT) % 5 AS fold
   FROM events
 )
@@ -123,12 +161,13 @@ ORDER BY fold
 def ml_group_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe 5-fold assignment by user md5 with the per-fold
     balance sheet (users, events, purchases)."""
+    from ..functions.text import md5_bucket
+
     ev = load(spark, sf_dir, "events")
-    fold = F.pmod(
-        F.conv(F.substring(
-            F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8),
-            16, 10).cast("long"),
-        F.lit(5))
+    # THE shared bucket arithmetic (functions/text.py:md5_bucket) --
+    # same 6-hex-digit fold coin as every other split/mix/resample
+    # surface, so the fold assignment cannot drift from them.
+    fold = md5_bucket(F.col("user_id").cast("string").cast("binary"), 5)
     return (
         ev.select(fold.alias("fold"), "user_id", "event_type")
         .groupBy("fold")

@@ -1081,3 +1081,34 @@ def test_kfold_single_scan_single_aggregate(spark, sf_dir, qs):
     assert plan.count("FileScan parquet") == 1, plan
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_trimmed_mean_pergroup_window_pruned_scan(spark, sf_dir, qs):
+    # The rank/count windows are PER-GROUP (partitioned by returnflag,
+    # never a single global task) and the scan reads only the three
+    # ranking columns plus the flag.
+    plan = _plan(spark, sf_dir, qs, "agg_trimmed_mean")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_extendedprice" in schema and "l_shipdate" not in schema
+
+
+def test_lift_gain_single_scan_bounded_cum_window(spark, sf_dir, qs):
+    # One scan of the (eval-set-sized) embeddings table; the only
+    # joins-free shape is the global ranking window -- documented as
+    # eval-set-bounded -- plus the 10-row decile cumsum.
+    plan = _plan(spark, sf_dir, qs, "ml_lift_gain_table")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_fano_dense_axis_left_join_no_cartesian(spark, sf_dir, qs):
+    # The densified type x day axis comes from an explode over the
+    # bounded span, joined LEFT back to the checkpointed counts --
+    # no cartesian pairing, no window anywhere.
+    plan = _plan(spark, sf_dir, qs, "events_fano_burstiness")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Join" in plan, plan

@@ -85,7 +85,7 @@ def test_kfold_user_never_straddles_folds(spark, tmp_path):
     import collections
 
     expect_users = collections.Counter(
-        int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 5
+        int(hashlib.md5(str(u).encode()).hexdigest()[:6], 16) % 5
         for u in range(40))
     for f, n in expect_users.items():
         assert by_fold[f]["n_users"] == n

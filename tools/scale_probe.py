@@ -86,17 +86,11 @@ def main() -> None:
         .select(F.col("p_partkey").alias("node"))
     )
 
-    def _copurchase_edges(li_pairs):
-        u = li_pairs.distinct()
-        a = u.select(F.col("l_orderkey").alias("k"),
-                     F.col("l_partkey").alias("p"))
-        b = u.select(F.col("l_orderkey").alias("k"),
-                     F.col("l_partkey").alias("q"))
-        half = (a.join(b, "k").where(F.col("p") < F.col("q"))
-                .select(F.col("p").alias("src"), F.col("q").alias("dst"))
-                .distinct())
-        return half.union(half.select(F.col("dst").alias("src"),
-                                      F.col("src").alias("dst")))
+    # shared product edge build (set-explosion, one groupBy shuffle) --
+    # the probe must measure the idiom the queries actually run
+    from dataingestionengineprocess_spark.operators.graph import (  # noqa: E402
+        copurchase_edges as _copurchase_edges,
+    )
 
     def run(build, k: int) -> float:
         # time BUILD + EXECUTE: some operators (PPJoin, IVF) run eager
