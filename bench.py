@@ -299,6 +299,18 @@ BENCH_QUERIES = [
     "events_time_to_convert",
     "orders_abc_classes",
     "agg_largest_remainder_quota",
+    # round-4v: autocorrelation, KS exponential screen, lift/gains
+    "events_autocorrelation",
+    "stat_ks_exponential",
+    "ml_lift_gain_table",
+    # round-4w: Markov entropy, quota-applied draw, column profiler
+    "events_markov_entropy_rate",
+    "sample_quota_apply",
+    "quality_column_profile",
+    # round-4x: sequence-gap audit, grouped k-fold, Fano screen
+    "quality_id_sequence_gaps",
+    "ml_group_kfold_assign",
+    "events_fano_burstiness",
 ]
 
 
