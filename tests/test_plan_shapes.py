@@ -1112,3 +1112,31 @@ def test_fano_dense_axis_left_join_no_cartesian(spark, sf_dir, qs):
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
     assert "Join" in plan, plan
+
+
+def test_allocation_pergroup_windows_only(spark, sf_dir, qs):
+    # Every window is partitioned by the order key -- no global
+    # single-partition window anywhere in the allocation chain.
+    plan = _plan(spark, sf_dir, qs, "orders_discount_allocation")
+    assert "CartesianProduct" not in plan, plan
+    import re
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert spec.strip(), f"unpartitioned window in plan:\n{plan}"
+
+
+def test_concurrency_persupplier_sweep(spark, sf_dir, qs):
+    # Boundary deltas pre-aggregate BEFORE the running sum; the sweep
+    # windows are per-supplier partitions.
+    plan = _plan(spark, sf_dir, qs, "supplier_shipment_concurrency")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_compaction_window_on_bounded_summary(spark, sf_dir, qs):
+    # The plan window runs AFTER the strata aggregate (bounded rows),
+    # reading only the two label columns plus text length.
+    plan = _plan(spark, sf_dir, qs, "warehouse_compaction_plan")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "text" in schema and "doc_id" not in schema

@@ -118,3 +118,23 @@ def test_fano_metronomic_zero_bursty_high(spark, tmp_path):
     assert out["steady"]["n_days"] == 4
     assert out["bursty"]["n_days"] == 4  # densified to the global span
     assert out["bursty"]["fano_s"] == 6.0
+
+
+def test_gaps_island_across_bucket_boundary_merges(spark, tmp_path):
+    # Dense keys 4094..4098 straddle the 4096 island bucket: the two
+    # per-bucket islands must merge into one, yielding NO gap; keys
+    # 4090..4093 + 4099 leave a real gap that also spans the merge.
+    from dataingestionengineprocess_spark.queries.round4x import (
+        quality_id_sequence_gaps,
+    )
+
+    out = quality_id_sequence_gaps(
+        spark, _orders_keys(spark, tmp_path, [4094, 4095, 4096, 4097,
+                                              4098])).collect()
+    assert out == []
+
+    out2 = quality_id_sequence_gaps(
+        spark, _orders_keys(spark, tmp_path, [4090, 4094, 4095, 4096,
+                                              4097, 4100])).collect()
+    got = [(r["gap_lo"], r["gap_hi"], r["n_missing"]) for r in out2]
+    assert got == [(4091, 4093, 3), (4098, 4099, 2)]
