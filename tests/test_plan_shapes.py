@@ -1140,3 +1140,28 @@ def test_compaction_window_on_bounded_summary(spark, sf_dir, qs):
     assert "Join" not in plan, plan
     schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "text" in schema and "doc_id" not in schema
+
+
+def test_session_stats_user_partitioned_windows(spark, sf_dir, qs):
+    # Both sessionization windows ride the user partition; one scan.
+    import re
+    plan = _plan(spark, sf_dir, qs, "events_session_stats")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "user_id" in spec, f"non-user window:\n{plan}"
+
+
+def test_churn_one_scan_per_window_no_cartesian(spark, sf_dir, qs):
+    # Observation and horizon legs are disjoint-filter scans of the
+    # same table, joined LEFT on the user key -- no window at all.
+    plan = _plan(spark, sf_dir, qs, "ml_churn_labels")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_recall_eval_no_allpairs(spark, sf_dir, qs):
+    # Candidate generation stays banded/prefix-filtered: the plan may
+    # broadcast tiny 1-row aggregates but never cartesian-pairs docs.
+    plan = _plan(spark, sf_dir, qs, "dedup_minhash_recall_eval")
+    assert "CartesianProduct" not in plan, plan
