@@ -1165,3 +1165,22 @@ def test_recall_eval_no_allpairs(spark, sf_dir, qs):
     # broadcast tiny 1-row aggregates but never cartesian-pairs docs.
     plan = _plan(spark, sf_dir, qs, "dedup_minhash_recall_eval")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_quantile_normalize_no_global_window(spark, sf_dir, qs):
+    # Per-source rank windows partition by source; the pooled rank
+    # rides the checkpointed range-partition layout (__pid windows).
+    # NO window may run unpartitioned.
+    import re
+    plan = _plan(spark, sf_dir, qs, "ml_quantile_normalize")
+    assert "CartesianProduct" not in plan, plan
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert spec.strip(), f"unpartitioned window:\n{plan}"
+
+
+def test_mann_whitney_prefix_windows_partitioned(spark, sf_dir, qs):
+    import re
+    plan = _plan(spark, sf_dir, qs, "stat_mann_whitney")
+    assert "CartesianProduct" not in plan, plan
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert spec.strip(), f"unpartitioned window:\n{plan}"

@@ -1,0 +1,109 @@
+"""Unit coverage for operators/ranking.py (distributed global rank /
+prefix sum) and the round-5a queries built on them."""
+
+from __future__ import annotations
+
+
+def test_global_rank_matches_single_partition_rank(spark):
+    from pyspark.sql import functions as F
+    from dataingestionengineprocess_spark.operators.ranking import (
+        global_rank,
+    )
+
+    # deterministic shuffled keys across many input partitions
+    vals = [((i * 131) % 997, i) for i in range(997)]
+    df = spark.createDataFrame(vals, "k long, uid long").repartition(16)
+    out = {r["uid"]: r["gr"]
+           for r in global_rank(df, ["k", "uid"]).collect()}
+    expect = {uid: rank + 1
+              for rank, (_, uid) in enumerate(sorted(vals))}
+    assert out == expect
+    # ranks are a dense 1..n permutation
+    assert sorted(out.values()) == list(range(1, 998))
+    _ = F  # keep linters honest about the import pattern
+
+
+def test_distributed_prefix_sum_exact(spark):
+    from dataingestionengineprocess_spark.operators.ranking import (
+        distributed_prefix_sum,
+    )
+
+    rows = [(i, (i * 7) % 11 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, w long").repartition(8)
+    out = {r["k"]: r["cum"]
+           for r in distributed_prefix_sum(df, ["k"], "w").collect()}
+    acc = 0
+    for k, w in sorted(rows):
+        acc += w
+        assert out[k] == acc
+
+
+def _embeddings(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def _documents(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_quantile_normalize_equalizes_sources(spark, tmp_path):
+    # Source a: scores 1..4; source b: 101..104 (a shifted scale).
+    # After normalization both sources map to the SAME pooled quantile
+    # values -> identical per-source moments.
+    from dataingestionengineprocess_spark.queries.round5a import (
+        ml_quantile_normalize,
+    )
+
+    emb, docs = [], []
+    for i, v in enumerate([1.0, 2.0, 3.0, 4.0]):
+        emb.append((i, [v, 0.0], 0))
+        docs.append((i, "t", "en", "a", 1))
+    for i, v in enumerate([101.0, 102.0, 103.0, 104.0]):
+        emb.append((10 + i, [v, 0.0], 0))
+        docs.append((10 + i, "t", "en", "b", 1))
+    sf = _embeddings(spark, tmp_path, emb)
+    _documents(spark, tmp_path, docs)
+    out = {r["source"]: r
+           for r in ml_quantile_normalize(spark, sf).collect()}
+    a, b = out["a"], out["b"]
+    assert a["n_vecs"] == b["n_vecs"] == 4
+    assert a["mean_norm_s"] == b["mean_norm_s"]
+    assert a["min_norm_s"] == b["min_norm_s"] == 2.0   # pos 2 of pooled
+    assert a["max_norm_s"] == b["max_norm_s"] == 104.0
+
+
+def test_mann_whitney_hand_case_with_ties(spark, tmp_path):
+    # x = {1, 2}, y = {2, 3}: ranks 1, 2.5, 2.5, 4 -> R1 = 3.5,
+    # U1 = 0.5, tie sum (c^3 - c) = 6, z = -1.5 / sqrt(1.5).
+    from dataingestionengineprocess_spark.queries.round5a import (
+        stat_mann_whitney,
+    )
+
+    sf = _embeddings(spark, tmp_path, [
+        (0, [1.0, 0.0], 0), (1, [2.0, 0.0], 0),
+        (2, [2.0, 0.0], 1), (3, [3.0, 0.0], 1),
+    ])
+    r = stat_mann_whitney(spark, sf).collect()[0]
+    assert (r["n1"], r["n2"], r["r1_x2"], r["u1_x2"]) == (2, 2, 7, 1)
+    assert r["z_s"] == -1.224745
+
+
+def test_mann_whitney_all_one_group_null_z(spark, tmp_path):
+    # Degenerate: every row in group x -> n2 = 0, variance 0, z NULL.
+    from dataingestionengineprocess_spark.queries.round5a import (
+        stat_mann_whitney,
+    )
+
+    sf = _embeddings(spark, tmp_path, [
+        (0, [1.0, 0.0], 0), (1, [2.0, 0.0], 0),
+    ])
+    r = stat_mann_whitney(spark, sf).collect()[0]
+    assert (r["n1"], r["n2"]) == (2, 0)
+    assert r["z_s"] is None
