@@ -1184,3 +1184,26 @@ def test_mann_whitney_prefix_windows_partitioned(spark, sf_dir, qs):
     assert "CartesianProduct" not in plan, plan
     for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert spec.strip(), f"unpartitioned window:\n{plan}"
+
+
+def test_sar_broadcast_nation_left_joins(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "gov_subject_access_report")
+    assert "BroadcastHashJoin" in plan, plan   # the 25-row nation dim
+    assert "LeftOuter" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_spearman_value_group_prefix_partitioned(spark, sf_dir, qs):
+    import re
+    plan = _plan(spark, sf_dir, qs, "stat_spearman_corr")
+    assert "CartesianProduct" not in plan, plan
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert spec.strip(), f"unpartitioned window:\n{plan}"
+
+
+def test_rolling_slope_pertype_frame(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "window_rolling_slope")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Window") == 1, plan
