@@ -311,6 +311,20 @@ BENCH_QUERIES = [
     "quality_id_sequence_gaps",
     "ml_group_kfold_assign",
     "events_fano_burstiness",
+    # round-4y: exact allocation, sweep-line concurrency, compaction
+    "orders_discount_allocation",
+    "supplier_shipment_concurrency",
+    "warehouse_compaction_plan",
+    # round-4z: session stats, churn labels, minhash recall eval
+    "events_session_stats",
+    "ml_churn_labels",
+    "dedup_minhash_recall_eval",
+    # round-5a/5b: global-order primitives + consumers
+    "ml_quantile_normalize",
+    "stat_mann_whitney",
+    "gov_subject_access_report",
+    "stat_spearman_corr",
+    "window_rolling_slope",
 ]
 
 
