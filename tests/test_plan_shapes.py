@@ -1207,3 +1207,24 @@ def test_rolling_slope_pertype_frame(spark, sf_dir, qs):
     assert plan.count("FileScan parquet") == 1, plan
     assert "Join" not in plan, plan
     assert plan.count("Window") == 1, plan
+
+
+def test_psi_bounded_axis_no_window(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "ml_psi_drift")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_fk_orphans_anti_joins(spark, sf_dir, qs):
+    # Every edge probes with a LEFT ANTI join; parent key sets ride
+    # broadcast builds at fixture scale.
+    plan = _plan(spark, sf_dir, qs, "quality_fk_orphans")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_dedup_savings_fp_join_no_window(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "dedup_savings_report")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
