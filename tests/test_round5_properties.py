@@ -1,0 +1,167 @@
+"""Property tests: the round-4y..5c distributed algebra agrees with
+per-row reference implementations on arbitrary generated inputs --
+hamilton_quota (sums/pigeonhole), sequence_islands (vs a sequential
+scan), the sweep-line concurrency (vs brute-force day counting), and
+global_rank / distributed_prefix_sum (vs a sorted fold)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(max_examples=12, deadline=None,
+                 suppress_health_check=[HealthCheck.too_slow])
+
+
+# --- hamilton_quota ----------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=500),
+             min_size=1, max_size=10),
+    st.integers(min_value=1, max_value=300),
+)
+@settings(**_SETTINGS)
+def test_hamilton_quota_sums_and_bounds(spark, sizes, k):
+    from dataingestionengineprocess_spark.operators.sampling import (
+        hamilton_quota,
+    )
+
+    strata = spark.createDataFrame(
+        [(f"l{i}", "s", n) for i, n in enumerate(sizes)],
+        "lang string, source string, n_docs long",
+    )
+    out = hamilton_quota(strata, k).collect()
+    quotas = {r["lang"]: r["quota"] for r in out}
+    floors = {r["lang"]: r["floor_q"] for r in out}
+    total = sum(sizes)
+    # exact-sum invariant and the floor <= quota <= floor+1 pigeonhole
+    assert sum(quotas.values()) == k
+    for i, n in enumerate(sizes):
+        f = (k * n) // total
+        assert floors[f"l{i}"] == f
+        assert quotas[f"l{i}"] in (f, f + 1)
+
+
+# --- sequence_islands --------------------------------------------------------
+
+
+def _islands_reference(keys):
+    islands, run = [], []
+    for x in sorted(set(keys)):
+        if run and x == run[-1] + 1:
+            run.append(x)
+        else:
+            if run:
+                islands.append((run[0], run[-1]))
+            run = [x]
+    if run:
+        islands.append((run[0], run[-1]))
+    return sorted(islands)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=20000),
+                min_size=1, max_size=60))
+@settings(**_SETTINGS)
+def test_sequence_islands_matches_sequential_scan(spark, keys):
+    from dataingestionengineprocess_spark.queries.round4x import (
+        sequence_islands,
+    )
+
+    # keys chosen to straddle several 4096-buckets regularly
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = sorted((r["lo"], r["hi"])
+                 for r in sequence_islands(df.distinct()).collect())
+    assert got == _islands_reference(keys)
+
+
+# --- sweep-line concurrency --------------------------------------------------
+
+
+def _concurrency_reference(intervals):
+    """Brute force: per-day membership over normalized intervals."""
+    norm = [(min(a, b), max(a, b)) for a, b in intervals]
+    days = {}
+    for lo, hi in norm:
+        for d in range(lo, hi + 1):
+            days[d] = days.get(d, 0) + 1
+    lo = min(a for a, _ in norm)
+    hi = max(b for _, b in norm)
+    return max(days.values()), len(days), hi - lo + 1
+
+
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=25),
+              st.integers(min_value=0, max_value=25)),
+    min_size=1, max_size=12))
+@settings(**_SETTINGS)
+def test_concurrency_matches_bruteforce(spark, tmp_path_factory,
+                                        intervals):
+    from pyspark.sql import functions as F
+    from dataingestionengineprocess_spark.queries.round4y import (
+        supplier_shipment_concurrency,
+    )
+
+    tmp = tmp_path_factory.mktemp("conc")
+    base = "2024-01-01"
+    orders, lines = [], []
+    for i, (a, b) in enumerate(intervals):
+        orders.append((i, 1, "O", 1.0,
+                       f"2024-01-{a + 1:02d}" if a < 31 else base, "P"))
+        lines.append((i, 1, 7, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                      f"2024-01-{b + 1:02d}" if b < 31 else base))
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate string, "
+                "o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate")) \
+     .write.mode("overwrite").parquet(str(tmp / "orders.parquet"))
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_partkey long, l_suppkey long, "
+               "l_linenumber int, l_quantity double, "
+               "l_extendedprice double, l_discount double, l_tax double, "
+               "l_returnflag string, l_linestatus string, "
+               "l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate")) \
+     .write.mode("overwrite").parquet(str(tmp / "lineitem.parquet"))
+
+    r = supplier_shipment_concurrency(spark, str(tmp)).collect()[0]
+    peak, covered, span = _concurrency_reference(intervals)
+    assert (r["peak_inflight"], r["covered_days"], r["span_days"]) == \
+        (peak, covered, span)
+
+
+# --- global_rank / distributed_prefix_sum ------------------------------------
+
+
+@given(st.lists(st.integers(min_value=-1000, max_value=1000),
+                min_size=1, max_size=80, unique=True))
+@settings(**_SETTINGS)
+def test_global_rank_is_sorted_position(spark, keys):
+    from dataingestionengineprocess_spark.operators.ranking import (
+        global_rank,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long") \
+        .repartition(7)
+    got = {r["k"]: r["gr"] for r in global_rank(df, ["k"]).collect()}
+    for pos, k in enumerate(sorted(keys), start=1):
+        assert got[k] == pos
+
+
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=10000),
+                          st.integers(min_value=0, max_value=50)),
+                min_size=1, max_size=60, unique_by=lambda t: t[0]))
+@settings(**_SETTINGS)
+def test_prefix_sum_matches_fold(spark, rows):
+    from dataingestionengineprocess_spark.operators.ranking import (
+        distributed_prefix_sum,
+    )
+
+    df = spark.createDataFrame(rows, "k long, w long").repartition(5)
+    got = {r["k"]: r["cum"]
+           for r in distributed_prefix_sum(df, ["k"], "w").collect()}
+    acc = 0
+    for k, w in sorted(rows):
+        acc += w
+        assert got[k] == acc
