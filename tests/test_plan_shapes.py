@@ -1228,3 +1228,23 @@ def test_dedup_savings_fp_join_no_window(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "dedup_savings_report")
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_woe_bounded_category_table_no_window(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "ml_woe_iv_encoding")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dup_payment_single_scan_two_groupbys(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "orders_duplicate_payment_screen")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_hhi_broadcast_dims(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "supplier_herfindahl_index")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
