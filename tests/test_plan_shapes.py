@@ -1248,3 +1248,25 @@ def test_hhi_broadcast_dims(spark, sf_dir, qs):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_oversample_pergroup_rank_and_fanout(spark, sf_dir, qs):
+    # The md5 rank is per-language partitioned; the expansion is a
+    # Generate (explode) node, not a join multiplication.
+    import re
+    plan = _plan(spark, sf_dir, qs, "curation_oversample_minority")
+    assert "Generate explode" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "lang" in spec, f"non-lang window:\n{plan}"
+
+
+def test_outlier_broadcast_stats_pergroup_topk(spark, sf_dir, qs):
+    # The (label, dim) stats table broadcasts back onto components;
+    # the ranking window is label-partitioned.
+    import re
+    plan = _plan(spark, sf_dir, qs, "embedding_outlier_zscore")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "label" in spec, f"non-label window:\n{plan}"
