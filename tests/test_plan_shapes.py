@@ -1270,3 +1270,11 @@ def test_outlier_broadcast_stats_pergroup_topk(spark, sf_dir, qs):
     assert "CartesianProduct" not in plan, plan
     for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert "label" in spec, f"non-label window:\n{plan}"
+
+
+def test_markov_attribution_bounded_output_join(spark, sf_dir, qs):
+    # The output is the literal model rows joined to the bounded
+    # touch-count table -- builds eagerly (driver-bounded matrix),
+    # output plan stays a small left join.
+    plan = _plan(spark, sf_dir, qs, "events_markov_attribution")
+    assert "CartesianProduct" not in plan, plan
