@@ -325,6 +325,18 @@ BENCH_QUERIES = [
     "gov_subject_access_report",
     "stat_spearman_corr",
     "window_rolling_slope",
+    # round-5c: PSI drift, FK-orphan audit, dedup savings
+    "ml_psi_drift",
+    "quality_fk_orphans",
+    "dedup_savings_report",
+    # round-5d: WOE/IV, duplicate payments, HHI
+    "ml_woe_iv_encoding",
+    "orders_duplicate_payment_screen",
+    "supplier_herfindahl_index",
+    # round-5e/5f: oversampling, outlier screen, Markov attribution
+    "curation_oversample_minority",
+    "embedding_outlier_zscore",
+    "events_markov_attribution",
 ]
 
 
