@@ -1278,3 +1278,27 @@ def test_markov_attribution_bounded_output_join(spark, sf_dir, qs):
     # output plan stays a small left join.
     plan = _plan(spark, sf_dir, qs, "events_markov_attribution")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_welch_two_power_sum_aggregates(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "stat_welch_ttest")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_anova_bounded_label_table(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "stat_anova_oneway")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_heaps_broadcast_axis_no_window(spark, sf_dir, qs):
+    # Prefix checkpoints come from broadcast range joins against the
+    # 10-row axis; the only windows live inside the checkpointed
+    # global_rank layout (__pid-partitioned).
+    import re
+    plan = _plan(spark, sf_dir, qs, "text_vocab_growth_heaps")
+    assert "CartesianProduct" not in plan, plan
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert spec.strip(), f"unpartitioned window:\n{plan}"
