@@ -1302,3 +1302,16 @@ def test_heaps_broadcast_axis_no_window(spark, sf_dir, qs):
     assert "CartesianProduct" not in plan, plan
     for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert spec.strip(), f"unpartitioned window:\n{plan}"
+
+
+def test_isotonic_bounded_minimax_tables(spark, sf_dir, qs):
+    # One scan collapses to <= 20 bins; the triangular joins live on
+    # the checkpointed bounded table -- windows are over it only.
+    plan = _plan(spark, sf_dir, qs, "ml_isotonic_calibration")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_brier_two_aggregate_legs(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "ml_brier_decomposition")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
