@@ -337,6 +337,12 @@ BENCH_QUERIES = [
     "curation_oversample_minority",
     "embedding_outlier_zscore",
     "events_markov_attribution",
+    # round-5g/5h: rank/parametric statistics, Heaps, calibration
+    "stat_welch_ttest",
+    "stat_anova_oneway",
+    "text_vocab_growth_heaps",
+    "ml_isotonic_calibration",
+    "ml_brier_decomposition",
 ]
 
 
