@@ -27,3 +27,18 @@ def q6f(x: float) -> int:
     """Driver-side mirror of q6 for bounded-model-state loops that
     must replay the exact SQL arithmetic (PCA power iteration)."""
     return int(math.floor(x * 1e6 + 0.5))
+
+
+#: microseconds per day -- the shared unit for `unix_micros`-based
+#: day numbers (the SQL twin divides `epoch_us(ts)` by this)
+US_PER_DAY = 86_400_000_000
+
+
+def epoch_day(col: Column | str) -> Column:
+    """Days since 1970-01-01 from a date/timestamp column -- works on
+    BOTH timestamp flavors (a plain driver session reads parquet
+    timestamps as TIMESTAMP_NTZ, which `unix_micros` rejects). The
+    SQL twin is ``date_diff('day', DATE '1970-01-01', CAST(x AS
+    DATE))``. One home so the day-number rule can never drift between
+    modules."""
+    return F.datediff(F.to_date(col), F.to_date(F.lit("1970-01-01")))

@@ -36,10 +36,9 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.exact import snap6 as _snap6
+from ..functions.exact import US_PER_DAY as _US_PER_DAY, snap6 as _snap6
 from . import register
 
-_US_PER_DAY = 86_400_000_000
 _SESSION_GAP_US = 30 * 60 * 1_000_000
 
 # ---------------------------------------------------------------------------

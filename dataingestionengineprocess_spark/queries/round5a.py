@@ -96,7 +96,8 @@ def ml_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     scored = emb.join(docs, emb.vec_id == docs.doc_id).select(
-        "source", "vec_id", "s")
+        "source", "vec_id", "s",
+    ).localCheckpoint(eager=True)  # feeds persrc, nn, AND global_rank
     wsrc = W.partitionBy("source")
     persrc = scored.select(
         "source", "s",

@@ -34,10 +34,9 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.exact import snap6 as _snap6
+from ..functions.exact import (US_PER_DAY as _US_PER_DAY,
+                               epoch_day as _epoch_day, snap6 as _snap6)
 from . import register
-
-_US_PER_DAY = 86_400_000_000
 
 # ---------------------------------------------------------------------------
 # Subject access report. Everything is keyed on the subject: two
@@ -90,10 +89,7 @@ def gov_subject_access_report(spark: SparkSession,
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey")
-    # o_orderdate reads as TIMESTAMP_NTZ under a plain driver session,
-    # which unix_micros rejects -- the to_date/datediff pair works on
-    # both timestamp flavors (same idiom as the concurrency sweep).
-    day = F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+    day = _epoch_day("o_orderdate")
     po = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)).cast("long")

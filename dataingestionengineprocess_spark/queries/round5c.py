@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.exact import snap6 as _snap6
+from ..functions.exact import epoch_day as _epoch_day, snap6 as _snap6
 from . import register
 
 # ---------------------------------------------------------------------------
@@ -109,9 +109,7 @@ def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                f"div {_PSI_BIN_CENTS}"),
         F.lit(_PSI_BUCKETS - 1))
     half = F.when(
-        F.datediff(F.to_date("o_orderdate"),
-                   F.to_date(F.lit("1970-01-01"))) < _PSI_SPLIT_DAY,
-        1).otherwise(2)
+        _epoch_day("o_orderdate") < _PSI_SPLIT_DAY, 1).otherwise(2)
     base = orders.select(bucket.alias("bucket"), half.alias("half"))
     axis = spark.range(_PSI_BUCKETS).select(
         F.col("id").cast("long").alias("bucket"))

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.exact import snap6 as _snap6
+from ..functions.exact import epoch_day as _epoch_day, snap6 as _snap6
 from . import register
 
 # ---------------------------------------------------------------------------
@@ -175,8 +175,7 @@ def orders_duplicate_payment_screen(spark: SparkSession,
         F.col("o_custkey").alias("ck"),
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
         .alias("cents"),
-        F.datediff(F.to_date("o_orderdate"),
-                   F.to_date(F.lit("1970-01-01"))).alias("day"),
+        _epoch_day("o_orderdate").alias("day"),
     )
     grp = (
         pay.groupBy("ck", "cents", "day")

@@ -38,8 +38,9 @@ from . import register
 # ---------------------------------------------------------------------------
 # Oversample. copies(doc) = k_full + [md5-rank <= rem]; per-class
 # output count is EXACTLY the majority count. The digest is over
-# lpad-12 doc ids (lexical == numeric order), so the hash pins the
-# multiset, not just totals.
+# lpad-20 doc ids (lexical == numeric order at ANY int64 width --
+# lpad truncates past its width, so 12 would alias 13+-digit ids),
+# so the hash pins the multiset, not just totals.
 # ---------------------------------------------------------------------------
 
 _OVERSAMPLE_ORACLE = """
@@ -73,7 +74,7 @@ SELECT lang,
        CAST(max(k_full) AS BIGINT) AS k_full,
        CAST(max(rem) AS BIGINT) AS rem,
        CAST(sum(n_copies) AS BIGINT) AS n_after,
-       md5(string_agg(lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':'
+       md5(string_agg(lpad(CAST(doc_id AS VARCHAR), 20, '0') || ':'
                       || CAST(n_copies AS VARCHAR), ','
                       ORDER BY doc_id)) AS expansion_md5
 FROM copies
@@ -123,7 +124,7 @@ def curation_oversample_minority(spark: SparkSession,
         "lang", "doc_id", "n_before", "k_full", "rem"
     ).agg(F.count(F.lit(1)).cast("long").alias("n_copies"))
     tag = F.concat(
-        F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+        F.lpad(F.col("doc_id").cast("string"), 20, "0"),
         F.lit(":"), F.col("n_copies").cast("string"))
     return (
         per_doc.groupBy("lang")

@@ -121,11 +121,12 @@ rem AS (SELECT var AS state, val AS rv FROM v{steps}
 re AS (
   SELECT r.state, b.bv, r.rv,
          CASE WHEN b.bv > 0 THEN
-           greatest(floor((1 - r.rv / b.bv) * 1e6 + 0.5) / 1e6, 0.0)
-         END AS re_pos
+           CAST(greatest(floor((1 - r.rv / b.bv) * 1e6 + 0.5), 0)
+                AS BIGINT)
+         END AS re_q
   FROM rem r CROSS JOIN base b
 ),
-tot AS (SELECT sum(re_pos) AS t FROM re),
+tot AS (SELECT CAST(sum(re_q) AS BIGINT) AS t FROM re),
 touches AS (
   SELECT dst AS state, CAST(sum(c) AS BIGINT) AS n_touches
   FROM cnt GROUP BY dst
@@ -134,9 +135,9 @@ SELECT r.state,
        COALESCE(t2.n_touches, 0) AS n_touches,
        floor(r.bv * 1e6 + 0.5) / 1e6 AS pconv_base_s,
        floor(r.rv * 1e6 + 0.5) / 1e6 AS pconv_removed_s,
-       r.re_pos AS re_s,
+       CAST(r.re_q AS DOUBLE) / 1e6 AS re_s,
        CASE WHEN tot.t > 0 THEN
-         floor(r.re_pos / tot.t * 1e6 + 0.5) / 1e6
+         floor(CAST(r.re_q AS DOUBLE) / tot.t * 1e6 + 0.5) / 1e6
        END AS share_s
 FROM re r CROSS JOIN tot
 LEFT JOIN touches t2 ON t2.state = r.state
@@ -225,19 +226,24 @@ def events_markov_attribution(spark: SparkSession,
     rows = []
     for s in jstates:
         rv = iterate(s)["START"]
-        re_pos = None
+        # removal effect as an INTEGER of 1e-6 units: a sum of snapped
+        # doubles would be addition-order-dependent between the Python
+        # mirror and the oracle's scan order -- the quantize-then-sum
+        # idiom applies to the driver mirror too
+        re_q = None
         if bv > 0:
-            re_pos = max(round_half_up((1 - rv / bv) * 1e6) / 1e6, 0.0)
-        rows.append((s, rv, re_pos))
+            re_q = max(round_half_up((1 - rv / bv) * 1e6), 0)
+        rows.append((s, rv, re_q))
     tot = (sum(r[2] for r in rows if r[2] is not None)
            if any(r[2] is not None for r in rows) else None)
     out_rows = []
-    for s, rv, re_pos in rows:
-        share = (round_half_up(re_pos / tot * 1e6) / 1e6
-                 if re_pos is not None and tot and tot > 0 else None)
+    for s, rv, re_q in rows:
+        share = (round_half_up(re_q / tot * 1e6) / 1e6
+                 if re_q is not None and tot and tot > 0 else None)
         out_rows.append(
             (s, round_half_up(bv * 1e6) / 1e6,
-             round_half_up(rv * 1e6) / 1e6, re_pos, share))
+             round_half_up(rv * 1e6) / 1e6,
+             None if re_q is None else re_q / 1e6, share))
     model = spark.createDataFrame(
         out_rows,
         "state string, pconv_base_s double, pconv_removed_s double, "

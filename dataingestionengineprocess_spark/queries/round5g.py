@@ -150,15 +150,19 @@ st AS (
 tot AS (
   SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS k,
          sum(sx) AS s,
-         sum(CAST(sxx AS DOUBLE)) AS sxx_all,
-         sum(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) AS ssg
+         CAST(sum(CAST(floor(CAST(sxx AS DOUBLE) / 1e12 * 1e6 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS sxxo_q,
+         CAST(sum(CAST(floor((CAST(sx AS DOUBLE) / 1e6)
+                             * (CAST(sx AS DOUBLE) / 1e6) / n
+                             * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS ssg_q
   FROM st
 ),
 f AS (
   SELECT nn, k,
-         (ssg - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / nn) / (k - 1)
-           AS msb,
-         (sxx_all - ssg) / (nn - k) AS msw
+         (ssg_q / 1e6
+          - floor((CAST(s AS DOUBLE) / 1e6) * (CAST(s AS DOUBLE) / 1e6)
+                  / nn * 1e6 + 0.5) / 1e6) / (k - 1) AS msb,
+         (sxxo_q - ssg_q) / 1e6 / (nn - k) AS msw
   FROM tot
 ),
 groups AS (
@@ -189,21 +193,27 @@ def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec(F.col("xq"))).alias("sx"),
         F.sum(dec(F.col("xq")) * F.col("xq")).alias("sxx"),
     ).localCheckpoint(eager=True)  # bounded label table, two legs
+    # per-label terms descale to ORIGINAL units^2, quantize to the
+    # 1e-6 grid as integers, THEN sum: sums of raw doubles would be
+    # addition-order-dependent across partitions/engines
+    sxo = F.col("sx").cast("double") / 1e6
     tot = st.agg(
         F.sum("n").cast("long").alias("nn"),
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("sx").alias("s"),
-        F.sum(F.col("sxx").cast("double")).alias("sxx_all"),
-        F.sum(F.col("sx").cast("double") * F.col("sx").cast("double")
-              / F.col("n")).alias("ssg"),
+        F.sum(F.floor(F.col("sxx").cast("double") / 1e12 * 1e6 + 0.5)
+              .cast("long")).cast("long").alias("sxxo_q"),
+        F.sum(F.floor(sxo * sxo / F.col("n") * 1e6 + 0.5).cast("long"))
+        .cast("long").alias("ssg_q"),
     )
+    so = F.col("s").cast("double") / 1e6
     f = tot.select(
         "nn", "k",
-        ((F.col("ssg") - F.col("s").cast("double")
-          * F.col("s").cast("double") / F.col("nn"))
+        ((F.col("ssg_q") / 1e6
+          - F.floor(so * so / F.col("nn") * 1e6 + 0.5) / 1e6)
          / (F.col("k") - 1)).alias("msb"),
-        ((F.col("sxx_all") - F.col("ssg")) / (F.col("nn") - F.col("k")))
-        .alias("msw"),
+        ((F.col("sxxo_q") - F.col("ssg_q")) / 1e6
+         / (F.col("nn") - F.col("k"))).alias("msw"),
     )
     groups = st.select(
         F.col("label").cast("long").alias("label"), "n",
@@ -269,20 +279,21 @@ pts AS (
 ),
 lg AS (
   SELECT ck, n_docs, n_tokens, vocab,
-         floor(ln(n_tokens) * 1e6 + 0.5) / 1e6 AS lx,
-         floor(ln(vocab) * 1e6 + 0.5) / 1e6 AS ly
+         CAST(floor(ln(n_tokens) * 1e6 + 0.5) AS BIGINT) AS lxq,
+         CAST(floor(ln(vocab) * 1e6 + 0.5) AS BIGINT) AS lyq
   FROM pts
 ),
 fit AS (
   SELECT CAST(count(*) AS BIGINT) AS m,
-         sum(lx) AS sx, sum(ly) AS sy,
-         sum(lx * ly) AS sxy, sum(lx * lx) AS sxx
+         CAST(sum(lxq) AS BIGINT) AS sx, CAST(sum(lyq) AS BIGINT) AS sy,
+         CAST(sum(lxq * lyq) AS BIGINT) AS sxy,
+         CAST(sum(lxq * lxq) AS BIGINT) AS sxx
   FROM lg
 )
 SELECT g.ck, g.n_docs, g.n_tokens, g.vocab,
-       floor((f.m * f.sxy - f.sx * f.sy)
-             / nullif(f.m * f.sxx - f.sx * f.sx, 0) * 1e6 + 0.5) / 1e6
-         AS beta_s
+       floor(CAST(f.m * f.sxy - f.sx * f.sy AS DOUBLE)
+             / nullif(CAST(f.m * f.sxx - f.sx * f.sx AS DOUBLE), 0)
+             * 1e6 + 0.5) / 1e6 AS beta_s
 FROM lg g CROSS JOIN fit f
 ORDER BY g.ck
 """
@@ -329,25 +340,32 @@ def text_vocab_growth_heaps(spark: SparkSession,
         .groupBy("ck")
         .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
     )
+    # ln pairs quantized to INTEGERS before any sum: sums of snapped
+    # doubles are addition-order-dependent across engines/partitions
     lg = (
         n_tokens.join(vocab, "ck")
         .select(
             "ck", "n_docs", "n_tokens", "vocab",
-            _snap6(F.log("n_tokens")).alias("lx"),
-            _snap6(F.log("vocab")).alias("ly"),
+            F.floor(F.log("n_tokens") * 1e6 + 0.5).cast("long")
+            .alias("lxq"),
+            F.floor(F.log("vocab") * 1e6 + 0.5).cast("long")
+            .alias("lyq"),
         )
         .localCheckpoint(eager=True)  # 10 rows, feeds fit + output
     )
     fit = lg.agg(
         F.count(F.lit(1)).cast("long").alias("m"),
-        F.sum("lx").alias("sx"), F.sum("ly").alias("sy"),
-        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
-        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum("lxq").cast("long").alias("sx"),
+        F.sum("lyq").cast("long").alias("sy"),
+        F.sum(F.col("lxq") * F.col("lyq")).cast("long").alias("sxy"),
+        F.sum(F.col("lxq") * F.col("lxq")).cast("long").alias("sxx"),
     )
     beta = _snap6(
         (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        / F.nullif(F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"),
-                   F.lit(0.0)))
+        .cast("double")
+        / F.nullif(
+            (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double"), F.lit(0.0)))
     return (
         lg.crossJoin(F.broadcast(fit))
         .select("ck", "n_docs", "n_tokens", "vocab",

@@ -1121,7 +1121,9 @@ def test_allocation_pergroup_windows_only(spark, sf_dir, qs):
     assert "CartesianProduct" not in plan, plan
     import re
     for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
-        assert spec.strip(), f"unpartitioned window in plan:\n{plan}"
+        assert (spec.strip() and " ASC" not in spec
+                and " DESC" not in spec), (
+            f"unpartitioned window (empty or ORDER-spec capture):\n{plan}")
 
 
 def test_concurrency_persupplier_sweep(spark, sf_dir, qs):
@@ -1175,7 +1177,9 @@ def test_quantile_normalize_no_global_window(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "ml_quantile_normalize")
     assert "CartesianProduct" not in plan, plan
     for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
-        assert spec.strip(), f"unpartitioned window:\n{plan}"
+        assert (spec.strip() and " ASC" not in spec
+                and " DESC" not in spec), (
+            f"unpartitioned window (empty or ORDER-spec capture):\n{plan}")
 
 
 def test_mann_whitney_prefix_windows_partitioned(spark, sf_dir, qs):
@@ -1183,7 +1187,9 @@ def test_mann_whitney_prefix_windows_partitioned(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "stat_mann_whitney")
     assert "CartesianProduct" not in plan, plan
     for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
-        assert spec.strip(), f"unpartitioned window:\n{plan}"
+        assert (spec.strip() and " ASC" not in spec
+                and " DESC" not in spec), (
+            f"unpartitioned window (empty or ORDER-spec capture):\n{plan}")
 
 
 def test_sar_broadcast_nation_left_joins(spark, sf_dir, qs):
@@ -1199,7 +1205,9 @@ def test_spearman_value_group_prefix_partitioned(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "stat_spearman_corr")
     assert "CartesianProduct" not in plan, plan
     for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
-        assert spec.strip(), f"unpartitioned window:\n{plan}"
+        assert (spec.strip() and " ASC" not in spec
+                and " DESC" not in spec), (
+            f"unpartitioned window (empty or ORDER-spec capture):\n{plan}")
 
 
 def test_rolling_slope_pertype_frame(spark, sf_dir, qs):
@@ -1301,7 +1309,9 @@ def test_heaps_broadcast_axis_no_window(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "text_vocab_growth_heaps")
     assert "CartesianProduct" not in plan, plan
     for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
-        assert spec.strip(), f"unpartitioned window:\n{plan}"
+        assert (spec.strip() and " ASC" not in spec
+                and " DESC" not in spec), (
+            f"unpartitioned window (empty or ORDER-spec capture):\n{plan}")
 
 
 def test_isotonic_bounded_minimax_tables(spark, sf_dir, qs):

@@ -122,8 +122,9 @@ def test_fano_metronomic_zero_bursty_high(spark, tmp_path):
 
 def test_gaps_island_across_bucket_boundary_merges(spark, tmp_path):
     # Dense keys 4094..4098 straddle the 4096 island bucket: the two
-    # per-bucket islands must merge into one, yielding NO gap; keys
-    # 4090..4093 + 4099 leave a real gap that also spans the merge.
+    # per-bucket islands must merge into one, yielding NO gap. Then
+    # keys {4090, 4094..4097, 4100} leave gap (4091..4093) before the
+    # boundary-merged island and gap (4098..4099) after it.
     from dataingestionengineprocess_spark.queries.round4x import (
         quality_id_sequence_gaps,
     )

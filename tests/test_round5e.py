@@ -53,7 +53,7 @@ def test_oversample_majority_unchanged_digest(spark, tmp_path):
     rows = [(i, "t", "en", "s", 1) for i in (3, 11, 200)]
     r = curation_oversample_minority(
         spark, _documents(spark, tmp_path, rows)).collect()[0]
-    expect = ",".join(f"{i:012d}:1" for i in sorted((3, 11, 200)))
+    expect = ",".join(f"{i:020d}:1" for i in sorted((3, 11, 200)))
     assert r["expansion_md5"] == hashlib.md5(expect.encode()).hexdigest()
     assert (r["n_before"], r["n_after"]) == (3, 3)
 
