@@ -1325,3 +1325,30 @@ def test_brier_two_aggregate_legs(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "ml_brier_decomposition")
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ks_two_sample_prefix_partitioned(spark, sf_dir, qs):
+    import re
+    plan = _plan(spark, sf_dir, qs, "ml_ks_two_sample")
+    assert "CartesianProduct" not in plan, plan
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert (spec.strip() and " ASC" not in spec
+                and " DESC" not in spec), (
+            f"unpartitioned window (empty or ORDER-spec capture):\n{plan}")
+
+
+def test_rfm_migration_bounded_rollup_windows(spark, sf_dir, qs):
+    # The ntile rides the bounded user x period rollup, partitioned
+    # by period.
+    import re
+    plan = _plan(spark, sf_dir, qs, "events_rfm_migration")
+    assert "CartesianProduct" not in plan, plan
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "period" in spec, f"non-period window:\n{plan}"
+
+
+def test_similarity_histogram_prefix_filtered(spark, sf_dir, qs):
+    # Pair generation is the shared prefix-filtered operator -- no
+    # cartesian pairing of documents anywhere.
+    plan = _plan(spark, sf_dir, qs, "curation_similarity_histogram")
+    assert "CartesianProduct" not in plan, plan

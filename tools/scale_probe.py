@@ -60,6 +60,9 @@ def main() -> None:
         winnow_fingerprints,
     )
     from dataingestionengineprocess_spark.operators.graph import khop_bfs
+    from dataingestionengineprocess_spark.operators.ranking import (
+        global_rank as _global_rank,
+    )
     from dataingestionengineprocess_spark.queries.mlprep import (
         classifier_score,
     )
@@ -151,6 +154,13 @@ def main() -> None:
                 li_full.select("l_orderkey", "l_partkey"),
                 k, "l_orderkey")),
             part_seeds, hops=2),
+        # distributed global rank: the two-pass range-partition prefix
+        # (operators/ranking.py) -- per-partition totals to bounded
+        # driver state, partition-local windows; must stay ~linear
+        "global_rank": lambda k: _global_rank(
+            scaled(li_full.select("l_orderkey", "l_linenumber",
+                                  "l_extendedprice"), k, "l_orderkey"),
+            ["l_extendedprice", "l_orderkey", "l_linenumber"]),
     }
 
     # warm the session once
