@@ -351,8 +351,26 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    spark = get_spark("engine-bench", extra_confs={"spark.ui.enabled": "false"})
+    spark = get_spark("engine-bench", extra_confs={
+        "spark.ui.enabled": "false",
+        # The 200+-query sweep runs in ONE session and many queries
+        # eagerly localCheckpoint bounded model tables; those
+        # MEMORY_AND_DISK blocks accumulate across queries and the
+        # default 1g driver JVM eventually fails a broadcast build
+        # mid-sweep (observed on graph_khop_reachability). Real heap
+        # plus the per-query unpersist below keeps the sweep flat.
+        "spark.driver.memory": "8g",
+    })
     registry = all_queries()
+
+    def _release_checkpoints() -> None:
+        """Unpersist every persistent RDD (localCheckpoint blocks) a
+        query left behind -- per-query hygiene so the sweep's memory
+        profile is each query's own, not the sum of all before it."""
+        jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = jmap.values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
 
     # Warm up the JVM: file listing + parquet footers + the codegen /
     # shuffle machinery (one tiny aggregate over the fact table), so
@@ -373,6 +391,7 @@ def main() -> None:
         start = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
+        _release_checkpoints()
 
     print(json.dumps({
         "metric": "headline_queries_total_wall",
