@@ -1352,3 +1352,17 @@ def test_similarity_histogram_prefix_filtered(spark, sf_dir, qs):
     # cartesian pairing of documents anywhere.
     plan = _plan(spark, sf_dir, qs, "curation_similarity_histogram")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_snaive_bounded_lag_window(spark, sf_dir, qs):
+    import re
+    plan = _plan(spark, sf_dir, qs, "events_snaive_backtest")
+    assert "CartesianProduct" not in plan, plan
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "event_type" in spec, f"non-type window:\n{plan}"
+
+
+def test_price_index_matched_basket_joins(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "part_price_index")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
