@@ -343,6 +343,13 @@ BENCH_QUERIES = [
     "text_vocab_growth_heaps",
     "ml_isotonic_calibration",
     "ml_brier_decomposition",
+    # round-5i/5j: KS separation, RFM migration, similarity histogram,
+    # forecast backtest, price index
+    "ml_ks_two_sample",
+    "events_rfm_migration",
+    "curation_similarity_histogram",
+    "events_snaive_backtest",
+    "part_price_index",
 ]
 
 
