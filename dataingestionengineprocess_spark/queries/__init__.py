@@ -113,6 +113,7 @@ def _load_all() -> None:
     from . import round5h  # noqa: F401
     from . import round5i  # noqa: F401
     from . import round5j  # noqa: F401
+    from . import round5k  # noqa: F401
 
 
 _LOADED = False

@@ -1366,3 +1366,18 @@ def test_price_index_matched_basket_joins(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "part_price_index")
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_audio_silence_arrow_eval(spark, sf_dir, qs):
+    # The decode+segmentation kernel is ONE Arrow-batched python
+    # evaluation; no join, no window around it.
+    plan = _plan(spark, sf_dir, qs, "multimodal_audio_silence")
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_struct_battery_single_scan_generate(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "scalar_struct_funcs")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Generate posexplode" in plan, plan
+    assert "Join" not in plan, plan
