@@ -350,6 +350,9 @@ BENCH_QUERIES = [
     "curation_similarity_histogram",
     "events_snaive_backtest",
     "part_price_index",
+    # round-5k: audio silence segmentation, struct battery
+    "multimodal_audio_silence",
+    "scalar_struct_funcs",
 ]
 
 
