@@ -141,6 +141,20 @@ SHOWCASE = [
     # round-4p: both lazy single-plan queries
     "quality_bot_user_screen",
     "orders_backlog_timeseries",
+    # round-4y..5k lazy single-plan representatives (checkpointing
+    # queries -- concurrency sweep, markov attribution, isotonic,
+    # heaps, ks -- run eager work at build time and are excluded)
+    "orders_discount_allocation",
+    "ml_churn_labels",
+    "gov_subject_access_report",
+    "window_rolling_slope",
+    "quality_fk_orphans",
+    "dedup_savings_report",
+    "orders_duplicate_payment_screen",
+    "supplier_herfindahl_index",
+    "part_price_index",
+    "scalar_struct_funcs",
+    "multimodal_audio_silence",
 ]
 
 
