@@ -114,6 +114,7 @@ def _load_all() -> None:
     from . import round5i  # noqa: F401
     from . import round5j  # noqa: F401
     from . import round5k  # noqa: F401
+    from . import round5l  # noqa: F401
 
 
 _LOADED = False

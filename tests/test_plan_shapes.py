@@ -1381,3 +1381,18 @@ def test_struct_battery_single_scan_generate(spark, sf_dir, qs):
     assert plan.count("FileScan parquet") == 1, plan
     assert "Generate posexplode" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_adstock_bounded_triangular_join(spark, sf_dir, qs):
+    # The convolution joins the checkpointed bounded type x day table
+    # against itself plus the broadcast decay literals -- no window,
+    # no cartesian over raw events.
+    plan = _plan(spark, sf_dir, qs, "events_adstock_decay")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_key_discovery_distinct_aggregates(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "quality_key_discovery")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
