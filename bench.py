@@ -353,6 +353,9 @@ BENCH_QUERIES = [
     # round-5k: audio silence segmentation, struct battery
     "multimodal_audio_silence",
     "scalar_struct_funcs",
+    # round-5l: adstock decay, candidate-key discovery
+    "events_adstock_decay",
+    "quality_key_discovery",
 ]
 
 
