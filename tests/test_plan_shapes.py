@@ -1396,3 +1396,19 @@ def test_key_discovery_distinct_aggregates(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "quality_key_discovery")
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_temperature_mix_bounded_class_table(spark, sf_dir, qs):
+    # The only windows are hamilton_quota's apportionment pair, which
+    # BY DESIGN run unpartitioned over the bounded per-language
+    # weight summary (rows = |languages|, never the corpus).
+    plan = _plan(spark, sf_dir, qs, "curation_temperature_mix")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Window") <= 2, plan
+
+
+def test_permutation_fanout_broadcast_axis(spark, sf_dir, qs):
+    # The B+1 fan-out is a broadcast join against the 21-row axis;
+    # all sums group by b -- no window, no cartesian over rows x rows.
+    plan = _plan(spark, sf_dir, qs, "stat_permutation_test")
+    assert "Window" not in plan, plan
