@@ -356,6 +356,9 @@ BENCH_QUERIES = [
     # round-5l: adstock decay, candidate-key discovery
     "events_adstock_decay",
     "quality_key_discovery",
+    # round-5m: temperature mix, permutation test
+    "curation_temperature_mix",
+    "stat_permutation_test",
 ]
 
 
