@@ -116,6 +116,7 @@ def _load_all() -> None:
     from . import round5k  # noqa: F401
     from . import round5l  # noqa: F401
     from . import round5m  # noqa: F401
+    from . import round5n  # noqa: F401
 
 
 _LOADED = False

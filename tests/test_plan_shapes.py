@@ -1412,3 +1412,17 @@ def test_permutation_fanout_broadcast_axis(spark, sf_dir, qs):
     # all sums group by b -- no window, no cartesian over rows x rows.
     plan = _plan(spark, sf_dir, qs, "stat_permutation_test")
     assert "Window" not in plan, plan
+
+
+def test_did_broadcast_part_dim(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "orders_promo_lift_did")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_transitivity_edge_self_join_only(spark, sf_dir, qs):
+    # 2-paths come from an equi-join on the shared middle vertex of
+    # the bounded candidate edge set -- no cartesian pairing.
+    plan = _plan(spark, sf_dir, qs, "dedup_transitivity_audit")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
