@@ -359,6 +359,9 @@ BENCH_QUERIES = [
     # round-5m: temperature mix, permutation test
     "curation_temperature_mix",
     "stat_permutation_test",
+    # round-5n: DiD promo lift, transitivity audit
+    "orders_promo_lift_did",
+    "dedup_transitivity_audit",
 ]
 
 
