@@ -1426,3 +1426,10 @@ def test_transitivity_edge_self_join_only(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "dedup_transitivity_audit")
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_code_screen_map_only(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "text_code_screen")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
