@@ -362,6 +362,8 @@ BENCH_QUERIES = [
     # round-5n: DiD promo lift, transitivity audit
     "orders_promo_lift_did",
     "dedup_transitivity_audit",
+    # round-5o: code-vs-prose routing screen
+    "text_code_screen",
 ]
 
 
