@@ -118,6 +118,7 @@ def _load_all() -> None:
     from . import round5m  # noqa: F401
     from . import round5n  # noqa: F401
     from . import round5o  # noqa: F401
+    from . import round5p  # noqa: F401
 
 
 _LOADED = False
