@@ -364,6 +364,8 @@ BENCH_QUERIES = [
     "dedup_transitivity_audit",
     # round-5o: code-vs-prose routing screen
     "text_code_screen",
+    # round-5p: streaming token-bucket rate limiter
+    "stream_rate_limit_gate",
 ]
 
 
