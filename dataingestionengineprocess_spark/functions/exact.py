@@ -42,3 +42,10 @@ def epoch_day(col: Column | str) -> Column:
     DATE))``. One home so the day-number rule can never drift between
     modules."""
     return F.datediff(F.to_date(col), F.to_date(F.lit("1970-01-01")))
+
+
+#: epoch-day of 2024-01-16 -- the fixture's half-month split used by
+#: every before/after comparison (PSI, RFM migration, price index,
+#: DiD). One home: regenerating the fixture with a new date span
+#: means changing exactly one literal.
+FIXTURE_SPLIT_DAY = 19738

@@ -66,18 +66,50 @@ def global_rank(df: DataFrame, order_cols: list[str],
     )
 
 
+def distributed_prefix_sums(df: DataFrame, order_cols: list[str],
+                            weights: dict[str, str]) -> DataFrame:
+    """``df`` plus one exact INCLUSIVE running sum per entry of
+    ``weights`` ({cum_col: weight_col}) over the total order
+    ``order_cols`` -- ONE range-partition pass (one checkpoint, one
+    bounded driver collect) shared by every weight, instead of
+    re-partitioning per cumulative."""
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        r["__pid"]: r
+        for r in parted.groupBy("__pid").agg(
+            *[F.sum(F.col(wc).cast("long")).alias(cc)
+              for cc, wc in weights.items()]).collect()
+    }
+    offsets, acc = [], {cc: 0 for cc in weights}
+    for pid in range(max(totals) + 1 if totals else 0):
+        offsets.append((pid, *[acc[cc] for cc in weights]))
+        row = totals.get(pid)
+        for cc in weights:
+            acc[cc] += int((row[cc] if row is not None else 0) or 0)
+    off_schema = "__pid int, " + ", ".join(
+        f"__off_{cc} long" for cc in weights)
+    off = spark.createDataFrame(
+        offsets or [tuple([0] + [0] * len(weights))], off_schema)
+    w = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, 0)
+    out = parted.join(F.broadcast(off), "__pid")
+    for cc, wc in weights.items():
+        out = out.withColumn(
+            cc, (F.sum(F.col(wc).cast("long")).over(w)
+                 + F.col(f"__off_{cc}")).cast("long"))
+    return out.drop("__pid", *[f"__off_{cc}" for cc in weights])
+
+
 def distributed_prefix_sum(df: DataFrame, order_cols: list[str],
                            weight_col: str,
                            cum_col: str = "cum") -> DataFrame:
     """``df`` plus the exact INCLUSIVE running sum of ``weight_col``
     (cast to long) over the total order ``order_cols`` -- same
     two-pass layout, arbitrary integer weights."""
-    wlong = F.col(weight_col).cast("long")
-    w = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
-        Window.unboundedPreceding, 0)
-    return (
-        _with_offsets(df, order_cols, wlong)
-        .withColumn(cum_col,
-                    (F.sum(wlong).over(w) + F.col("__off")).cast("long"))
-        .drop("__pid", "__off")
-    )
+    return distributed_prefix_sums(df, order_cols, {cum_col: weight_col})

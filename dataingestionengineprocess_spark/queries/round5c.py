@@ -49,7 +49,7 @@ from . import register
 
 _PSI_BUCKETS = 10
 _PSI_BIN_CENTS = 6_000_000  # 60k-dollar-wide bins over o_totalprice
-_PSI_SPLIT_DAY = 19738  # 2024-01-16: first 15 days vs the rest
+from ..functions.exact import FIXTURE_SPLIT_DAY as _PSI_SPLIT_DAY  # noqa: E402
 
 _PSI_ORACLE = f"""
 WITH base AS (

@@ -3,8 +3,8 @@ RFM segment migration, and the near-dup similarity histogram.
 
 - `ml_ks_two_sample` -- the Kolmogorov-Smirnov separation statistic
   between the score distributions of class 0 and the rest: sup-CDF
-  distance over exact value groups, cumulative counts via the shared
-  `distributed_prefix_sum` (one bounded pass per class weight), the
+  distance over exact value groups, both class cumulatives from ONE
+  shared `distributed_prefix_sums` range-partition pass, the
   argmax value reported as the smallest score achieving the sup.
   Complements AUC (rank-based) with the distribution-distance view a
   model-discrimination report needs. Distinct from
@@ -84,7 +84,7 @@ FROM tot t CROSS JOIN mx
 def ml_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS separation of class-0 vs rest score
     distributions; sup-CDF distance plus its leftmost witness."""
-    from ..operators.ranking import distributed_prefix_sum
+    from ..operators.ranking import distributed_prefix_sums
 
     scored = load(spark, sf_dir, "embeddings").select(
         _snap6(F.element_at("embedding", 1).cast("double")).alias("s"),
@@ -94,9 +94,8 @@ def ml_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast("long").alias("c1"),
         F.sum(1 - F.col("x")).cast("long").alias("c2"),
     ).localCheckpoint(eager=True)  # value-group table, three legs
-    cum = distributed_prefix_sum(
-        distributed_prefix_sum(grp, ["s"], "c1", cum_col="k1"),
-        ["s"], "c2", cum_col="k2")
+    # BOTH class cumulatives from ONE range-partition pass
+    cum = distributed_prefix_sums(grp, ["s"], {"k1": "c1", "k2": "c2"})
     tot = grp.agg(F.sum("c1").cast("long").alias("n1"),
                   F.sum("c2").cast("long").alias("n2"))
     d = cum.crossJoin(F.broadcast(tot)).select(
@@ -124,7 +123,7 @@ def ml_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the destination-period spend carried per cell.
 # ---------------------------------------------------------------------------
 
-_RFM_SPLIT_DAY = 19738  # 2024-01-16
+from ..functions.exact import FIXTURE_SPLIT_DAY as _RFM_SPLIT_DAY  # noqa: E402
 
 _MIGRATION_ORACLE = f"""
 WITH p AS (
@@ -245,9 +244,9 @@ def curation_similarity_histogram(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """Distribution of exact trigram-Jaccard pair similarities >= 0.5
     in 0.025-wide buckets (near-dup threshold tuning data)."""
-    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.dedup import prefix_filter_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(
+    pairs = prefix_filter_jaccard_pairs(
         load(spark, sf_dir, "documents"), n=3, threshold=0.5)
     return (
         pairs.groupBy(

@@ -2,11 +2,13 @@
 and the Laspeyres/Paasche/Fisher price index.
 
 - `events_snaive_backtest` -- the forecasting baseline every volume
-  monitor needs beaten: predict day d's count with day d-7's, then
+  monitor needs beaten: predict day d's count with day d-7's (a
+  calendar-day self-join, NOT a 7-row lag -- sparse series would
+  otherwise pair the wrong days), then
   score the final week of the fixture with exact-integer MAE and a
   snapped MAPE (zero-actual days drop out of MAPE identically in
   both engines via the nullif guard). One bounded day-axis self-join
-  -- the lag-7 "join" is a per-type window over the daily rollup.
+  over the checkpointed per-type daily rollup.
 - `part_price_index` -- the economic price-level readout between the
   two half-month periods from exact cents and integer quantities:
   Laspeyres (base-period basket), Paasche (current basket), and
@@ -33,9 +35,9 @@ from . import register
 
 # ---------------------------------------------------------------------------
 # Seasonal-naive backtest. Daily counts per type; forecast(d) =
-# y(d-7) via a 7-row lag over the bounded type x day table; scored
-# days = the last 7 with a forecast available. MAE in exact counts;
-# MAPE per-day terms quantized before the mean.
+# y(d-7) via a calendar-day self-join on the bounded type x day
+# table; scored days = the last 7 with a forecast available. MAE in
+# exact counts; MAPE per-day terms quantized before the mean.
 # ---------------------------------------------------------------------------
 
 _SNAIVE_ORACLE = f"""
@@ -47,9 +49,10 @@ WITH counts AS (
   FROM events GROUP BY 1, 2
 ),
 lagged AS (
-  SELECT event_type, day, y,
-         lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS f
-  FROM counts
+  SELECT c.event_type, c.day, c.y, p.y AS f
+  FROM counts c
+  LEFT JOIN counts p ON p.event_type = c.event_type
+                    AND p.day = c.day - 7
 ),
 span AS (SELECT CAST(max(day) AS BIGINT) AS dmax FROM counts),
 scored AS (
@@ -86,11 +89,16 @@ def events_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("day"),
     ).agg(F.count(F.lit(1)).cast("long").alias("y")) \
      .localCheckpoint(eager=True)  # bounded type x day, two legs
-    lagged = counts.select(
-        "event_type", "day", "y",
-        F.lag("y", 7).over(
-            W.partitionBy("event_type").orderBy("day")).alias("f"),
-    )
+    # lag by 7 CALENDAR days (a self-join on day - 7), not 7 rows:
+    # a type with zero-event days would otherwise pair day d with an
+    # older observation and silently score the wrong seasonal twin
+    prev = counts.select(
+        F.col("event_type").alias("et2"),
+        (F.col("day") + 7).alias("day2"), F.col("y").alias("f"))
+    lagged = counts.join(
+        prev, (counts.event_type == prev.et2)
+        & (counts.day == prev.day2), "left"
+    ).select("event_type", "day", "y", "f")
     span = counts.agg(F.max("day").cast("long").alias("dmax"))
     ae = F.abs(F.col("y") - F.col("f"))
     ape_q = F.when(
@@ -125,7 +133,7 @@ def events_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # matched-basket convention); indices snap once.
 # ---------------------------------------------------------------------------
 
-_PRICE_SPLIT_DAY = 19738  # 2024-01-16
+from ..functions.exact import FIXTURE_SPLIT_DAY as _PRICE_SPLIT_DAY  # noqa: E402
 
 _PRICE_INDEX_ORACLE = f"""
 WITH li AS (

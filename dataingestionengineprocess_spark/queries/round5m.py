@@ -106,8 +106,7 @@ def curation_temperature_mix(spark: SparkSession,
     )
     # Hamilton on the integer tempered weights: proportional to wq
     quotas = hamilton_quota(
-        w.select("lang", F.lit("all").alias("source"),
-                 F.col("wq").alias("n_docs")),
+        w.select("lang", F.col("wq").alias("n_docs")),
         _MIX_K, n_col="n_docs", key_cols=("lang",),
     ).select("lang", F.col("quota"))
     wtot = w.agg(F.sum("wq").cast("long").alias("wt"))
@@ -192,12 +191,14 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("xq"),
         F.when(F.col("label") == 0, 1).otherwise(0).alias("g"),
     )
-    coin = (
-        F.conv(F.substring(
-            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":"),
-                           F.col("b").cast("string")).cast("binary")),
-            1, 6), 16, 10).cast("long") % 10
-    )
+    from ..functions.text import md5_bucket
+
+    # THE shared 6-hex bucket coin (functions/text.py) -- identical
+    # arithmetic, one source, like every other sampler surface
+    coin = md5_bucket(
+        F.concat(F.col("vec_id").cast("string"), F.lit(":"),
+                 F.col("b").cast("string")).cast("binary"), 10)
+
     fan = (
         scored.crossJoin(F.broadcast(
             spark.range(_PERM_B + 1).select(

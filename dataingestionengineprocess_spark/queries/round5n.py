@@ -34,7 +34,7 @@ from ..catalog import load
 from ..functions.exact import epoch_day as _epoch_day, snap6 as _snap6
 from . import register
 
-_DID_SPLIT_DAY = 19738  # 2024-01-16
+from ..functions.exact import FIXTURE_SPLIT_DAY as _DID_SPLIT_DAY  # noqa: E402
 
 # ---------------------------------------------------------------------------
 # DiD. treated = PROMO parts. Cells: (treated, period) mean revenue

@@ -91,9 +91,9 @@ SELECT CAST(epoch AS BIGINT) AS epoch,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(admitted) AS BIGINT) AS n_admitted,
        CAST(count(*) - sum(admitted) AS BIGINT) AS n_rejected,
-       md5(string_agg(CASE WHEN admitted = 1 THEN
+       md5(coalesce(string_agg(CASE WHEN admitted = 1 THEN
                lpad(CAST(event_id AS VARCHAR), 20, '0') END, ','
-               ORDER BY event_id)) AS admitted_md5
+               ORDER BY event_id), '')) AS admitted_md5
 FROM alld
 GROUP BY epoch
 ORDER BY epoch
@@ -170,9 +170,6 @@ def stream_rate_limit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             fs.delete(sp, True)
         fs.rename(nxt, sp)
 
-    import shutil
-
-    shutil.rmtree(scratch, ignore_errors=True)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
