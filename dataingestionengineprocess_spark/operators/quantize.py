@@ -671,11 +671,16 @@ def quantized_covariance(emb: DataFrame, id_col: str,
         )
         .localCheckpoint(eager=True)  # means + both self-join sides
     )
-    nv = x.agg((F.countDistinct(id_col)).cast("long").alias("n"))
-    mu = x.groupBy("i").agg(F.sum("q").cast("long").alias("sq"))
+    # n comes from F.count over the SAME exploded rows as the sums
+    # (per dimension for the mean, per (i, j) group for the final
+    # divide) -- a duplicated id now shifts n and the sums together
+    # instead of silently skewing the mean (ADVICE r4: countDistinct
+    # here diverged from all-row sums under duplicate ids)
+    mu = x.groupBy("i").agg(
+        F.sum("q").cast("long").alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("n"))
     cx = (
         x.join(F.broadcast(mu), "i")
-        .crossJoin(F.broadcast(nv))
         .select(
             id_col, "i",
             (F.col("q") / 1e6
@@ -688,9 +693,10 @@ def quantized_covariance(emb: DataFrame, id_col: str,
         a.join(b, F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
         .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
         .agg(F.sum(q6(F.col("a.c") * F.col("b.c"))).cast("long")
-             .alias("sum_q"))
-        .crossJoin(F.broadcast(nv))
+             .alias("sum_q"),
+             F.count(F.lit(1)).cast("long").alias("n_pair"))
         .select("i", "j",
-                snap6(F.col("sum_q").cast("double") / 1e6 / F.col("n"))
+                snap6(F.col("sum_q").cast("double") / 1e6
+                      / F.col("n_pair"))
                 .alias("cov_s"))
     )

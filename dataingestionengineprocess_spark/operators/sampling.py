@@ -170,10 +170,13 @@ def hamilton_quota(strata: DataFrame, k: int, n_col: str = "n_docs",
     """
     keys = list(key_cols)
     tot = strata.agg(F.sum(n_col).cast("long").alias("__n"))
+    # integer `div`, NOT double `/`: past ~2^53 the double quotient
+    # can round across an integer, splitting floor_q from the exact
+    # `%` remainder so quotas stop summing to k (ADVICE r4)
     base = strata.crossJoin(F.broadcast(tot)).select(
         *keys, n_col,
-        ((F.lit(k) * F.col(n_col)) / F.col("__n"))
-        .cast("long").alias("floor_q"),
+        F.expr(f"(cast({k} as bigint) * cast({n_col} as bigint))"
+               f" div __n").cast("long").alias("floor_q"),
         ((F.lit(k) * F.col(n_col)) % F.col("__n"))
         .cast("long").alias("rem"),
     )

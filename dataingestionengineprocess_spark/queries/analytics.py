@@ -1008,19 +1008,37 @@ FROM (
 
 @register("ml_quantile_bins", oracle=_QBIN_ORACLE)
 def ml_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT equal-count bins via a global ntile -- which means one
-    total sort with a single-task final window: correct and
-    oracle-checkable, but NOT the 100 TB path. At scale the same
-    discretizer is approxQuantile cutpoints + a map-only bucket
-    assignment (exactly how `sinks/warehouse.zorder_write` ranks its
-    clustering axes) -- bins are then approximate at the boundaries,
-    which feature pipelines accept. This query pins the exact
-    semantics the approximate path is judged against."""
-    o = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    """EXACT equal-count bins, distributed: ntile(k) is a pure
+    function of the global ordinal rank and the row count --
+    the first (n mod k) buckets take ceil(n/k) rows, the rest take
+    floor(n/k) -- so the single-task global-ntile window is replaced
+    by `operators/ranking.global_rank` (range-partitioned local
+    row_numbers + broadcast offsets) and integer bucket arithmetic in
+    codegen. The row count is one bounded aggregate. Same exact
+    semantics as the SQL ntile; no stage sorts more than one range
+    partition. (The approximate alternative -- approxQuantile
+    cutpoints + map-only assignment, as in
+    `sinks/warehouse.zorder_write` -- trades exact equal counts for
+    zero ranking passes; this query pins the exact semantics.)"""
+    from ..operators.ranking import global_rank
+
+    o = load(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    n = o.count()  # bounded scalar (one agg job), drives q/r literals
+    ranked = global_rank(o, ["o_totalprice", "o_orderkey"], "gr")
+    q, r = divmod(n, 10)
+    if q == 0:  # degenerate n < 10: ntile = rank
+        binned = ranked.select(
+            "o_totalprice", F.col("gr").cast("long").alias("bin"))
+    else:
+        big = r * (q + 1)  # rows covered by the ceil-sized buckets
+        binned = ranked.select(
+            "o_totalprice",
+            F.when(F.col("gr") <= big,
+                   F.expr(f"(gr - 1) div {q + 1}") + 1)
+            .otherwise(F.expr(f"(gr - 1 - {big}) div {q}") + r + 1)
+            .cast("long").alias("bin"))
     return (
-        o.select("o_totalprice", F.ntile(10).over(w).cast("long").alias("bin"))
-        .groupBy("bin")
+        binned.groupBy("bin")
         .agg(
             F.count("*").alias("n"),
             F.round(F.min("o_totalprice"), 2).alias("lo"),

@@ -22,7 +22,7 @@ driver window is never displaced mid-round.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -35,18 +35,22 @@ from . import register
 # weighted q-quantile is the smallest value v such that the
 # cumulative weight of rows with value <= v reaches q * W. Exact
 # integer weights (quantity as int64 units) and integer cents keep
-# the crossing test exact; the per-group scan is ONE cumulative
-# window ordered by value (cents) alone, then a min() over qualifying
-# rows. Intra-tie order within equal cents is NOT pinned and doesn't
-# need to be: the crossing test selects at tie-GROUP granularity --
-# every permutation of a tie group crosses q*W at the same value, and
-# the min() collapses whichever row crossed to that value. The
-# determinism argument is the tie-group invariance, not a per-row
-# tiebreak.
+# the crossing test exact. Intra-tie order within equal cents is NOT
+# pinned and doesn't need to be: the crossing test selects at
+# tie-GROUP granularity -- every permutation of a tie group crosses
+# q*W at the same value -- so the row stream can be pre-collapsed to
+# one row per (flag, cents) without changing any crossing value.
 #
-# Scale: one shuffle on the group key; the window is per-group
-# ordered -- the same cost class as any ranked aggregate. No
-# driver-side sort, no collect.
+# Scale: l_returnflag has cardinality 3, so a window PARTITION BY
+# flag funnels ~a third of the table through one task. Instead:
+# (1) distributive hash-agg to (flag, cents) -- a real shuffle over
+# a high-cardinality composite key with map-side combine; (2) ONE
+# `distributed_prefix_sum` over the (flag, cents) total order --
+# range-partitioned local windows + broadcast offsets, never a
+# whole-group sort; (3) per-flag cumulative = global cumulative minus
+# the flag's exclusive base offset, where the base offsets come from
+# the 3-row flag-total table (bounded model state). No stage sorts
+# more than one range partition's rows.
 # ---------------------------------------------------------------------------
 
 _WMED_ORACLE = """
@@ -80,6 +84,8 @@ ORDER BY flag
 def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantity-weighted median and p90 of extended price per
     return flag via the cumulative-weight crossing rule."""
+    from ..operators.ranking import distributed_prefix_sum
+
     li = load(spark, sf_dir, "lineitem")
     w = li.select(
         F.col("l_returnflag").alias("flag"),
@@ -87,22 +93,34 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("wt"),
     )
-    win = W.partitionBy("flag").orderBy("cents").rowsBetween(
-        W.unboundedPreceding, W.currentRow)
-    tot = W.partitionBy("flag")
-    cum = w.select(
-        "flag", "cents",
-        F.sum("wt").over(win).cast("long").alias("cw"),
-        F.sum("wt").over(tot).cast("long").alias("tw"),
-    )
+    # tie-group collapse: exact (crossing test is tie-group invariant)
+    # and shrinks the ranked stream to |distinct (flag, cents)|
+    g = w.groupBy("flag", "cents").agg(
+        F.sum("wt").cast("long").alias("w"))
+    # global inclusive cumsum over the (flag, cents) total order --
+    # flags sort contiguously, so per-flag cum = global cum - base
+    cum = distributed_prefix_sum(g, ["flag", "cents"], "w", "gcum")
+    # 3-row bounded state: per-flag totals + exclusive base offsets
+    # (computed from the checkpointed frame -- no second lineitem
+    # scan; driver prefix over |distinct flag| rows, never data-sized)
+    flag_tot = sorted(
+        (r["flag"], int(r["tw"]))
+        for r in cum.groupBy("flag")
+        .agg(F.sum("w").cast("long").alias("tw")).collect())
+    rows, acc = [], 0
+    for flag, tw in flag_tot:
+        rows.append((flag, tw, acc))
+        acc += tw
+    offs = spark.createDataFrame(rows, "flag string, tw long, base long")
+    cw = (F.col("gcum") - F.col("base")).cast("long")
     return (
-        cum.groupBy("flag")
+        cum.join(F.broadcast(offs), "flag")
+        .groupBy("flag")
         .agg(
             F.max("tw").cast("long").alias("total_weight"),
-            F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("cents")))
+            F.min(F.when(cw * 2 >= F.col("tw"), F.col("cents")))
             .cast("long").alias("wmedian_cents"),
-            F.min(F.when(F.col("cw") * 10 >= F.col("tw") * 9,
-                         F.col("cents")))
+            F.min(F.when(cw * 10 >= F.col("tw") * 9, F.col("cents")))
             .cast("long").alias("wp90_cents"),
         )
         .orderBy("flag")

@@ -93,7 +93,15 @@ def part_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Trimmed mean. Rank trimming drops the lowest and highest
 # floor(n/10) rows per flag by (cents, orderkey, linenumber) -- the
 # tie-break makes the kept SET deterministic, so the integer-cent sum
-# hash-checks. One per-group window + one groupBy.
+# hash-checks.
+#
+# Scale: l_returnflag has cardinality 3, so row_number PARTITION BY
+# flag is a ~third-of-the-table single-task sort. Instead the rank
+# comes from `operators/ranking.global_rank` over the total order
+# (flag, cents, orderkey, linenumber): flags sort contiguously, so
+# the per-flag rank is the global rank minus the flag's exclusive
+# row-count base -- a 3-row broadcast table. Every sort is a range
+# partition's local sort; no window sees more than one partition.
 # ---------------------------------------------------------------------------
 
 _TRIMMED_ORACLE = """
@@ -123,14 +131,30 @@ ORDER BY l_returnflag
 def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10% rank-trimmed mean of extended price per return flag over
     exact integer cents with a deterministic tie-break."""
+    from ..operators.ranking import global_rank
+
     cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
-    wg = W.partitionBy("l_returnflag")
-    c = load(spark, sf_dir, "lineitem").select(
+    rows = load(spark, sf_dir, "lineitem").select(
         "l_returnflag", cents.alias("cents"),
-        F.row_number().over(
-            wg.orderBy(cents, "l_orderkey", "l_linenumber")).alias("rn"),
-        F.count(F.lit(1)).over(wg).alias("n"),
-    )
+        "l_orderkey", "l_linenumber")
+    ranked = global_rank(
+        rows, ["l_returnflag", "cents", "l_orderkey", "l_linenumber"],
+        "gr").drop("l_orderkey", "l_linenumber")
+    # 3-row bounded state off the checkpointed frame: per-flag counts
+    # + exclusive base offsets (driver prefix over |distinct flag|
+    # rows, never data-sized); per-flag rn = global rank - base
+    tot = sorted(
+        (r["l_returnflag"], int(r["n"]))
+        for r in ranked.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).cast("long").alias("n")).collect())
+    rows_, acc = [], 0
+    for flag, cnt in tot:
+        rows_.append((flag, cnt, acc))
+        acc += cnt
+    offs = spark.createDataFrame(
+        rows_, "l_returnflag string, n long, base long")
+    c = (ranked.join(F.broadcast(offs), "l_returnflag")
+         .withColumn("rn", (F.col("gr") - F.col("base")).cast("long")))
     lo = F.floor(F.col("n") / 10).cast("long")
     return (
         c.where((F.col("rn") > lo) & (F.col("rn") <= F.col("n") - lo))

@@ -55,12 +55,15 @@ conv AS (
            AS lag_sec
   FROM per_user
   WHERE t0 IS NOT NULL AND tp IS NOT NULL AND tp > t0
+    AND CAST(t0 AS DATE) >= DATE '2024-01-01'
 ),
 cohort_n AS (
   SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(t0 AS DATE)) // 7
               AS BIGINT) AS week,
          CAST(count(*) AS BIGINT) AS n_users
-  FROM per_user WHERE t0 IS NOT NULL GROUP BY 1
+  FROM per_user
+  WHERE t0 IS NOT NULL AND CAST(t0 AS DATE) >= DATE '2024-01-01'
+  GROUP BY 1
 ),
 ranked AS (
   SELECT week, lag_sec,
@@ -97,12 +100,17 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
         .alias("tp"),
     ).localCheckpoint(eager=True)  # feeds conv AND cohort_n: scan once
+    # Cohorts are guarded to t0 >= the 2024-01-01 fixture anchor: for
+    # earlier rows the truncating `/7 -> long` here and the flooring
+    # `// 7` in the oracle would disagree on negative week indexes
+    # (ADVICE r4). With the guard datediff >= 0, where both floor.
+    anchored = F.to_date("t0") >= F.lit("2024-01-01")
     week = (F.datediff(F.to_date("t0"), F.to_date(F.lit("2024-01-01")))
             / 7).cast("long")
     conv = (
         per_user
         .where(F.col("t0").isNotNull() & F.col("tp").isNotNull()
-               & (F.col("tp") > F.col("t0")))
+               & (F.col("tp") > F.col("t0")) & anchored)
         .select(
             "user_id", week.alias("week"),
             ((F.unix_micros("tp") - F.unix_micros("t0")) / 1000000)
@@ -110,7 +118,7 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cohort_n = (
-        per_user.where(F.col("t0").isNotNull())
+        per_user.where(F.col("t0").isNotNull() & anchored)
         .groupBy(week.alias("week"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )

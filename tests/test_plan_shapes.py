@@ -877,14 +877,22 @@ def test_path_trigrams_one_window_topk(spark, sf_dir, qs):
     assert "Join" not in plan, plan
 
 
-def test_weighted_median_single_group_window(spark, sf_dir, qs):
-    # One shuffle on the group key, one cumulative window, pruned
-    # 3-column scan -- no collect, no global sort.
+def test_weighted_median_no_flag_partitioned_window(spark, sf_dir, qs):
+    # l_returnflag has cardinality 3: a window PARTITION BY flag would
+    # funnel a third of the table through one task. The rewrite rides
+    # distributed_prefix_sum (checkpointed __pid-local windows) plus a
+    # broadcast 3-row offset table -- the final plan may contain NO
+    # window at all (the __pid window lives behind the checkpoint) and
+    # never a flag-partitioned or unpartitioned one.
+    import re
     plan = _plan(spark, sf_dir, qs, "agg_weighted_median")
-    assert plan.count("FileScan parquet") == 1, plan
-    assert "Join" not in plan, plan
-    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
-    assert "l_extendedprice" in schema and "l_shipdate" not in schema
+    assert "windowspecdefinition(flag#" not in plan, plan
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert (spec.strip() and " ASC" not in spec
+                and " DESC" not in spec), (
+            f"unpartitioned window:\n{plan}")
+    assert "BroadcastHashJoin" in plan, plan  # 3-row offsets broadcast
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_fim_map_only_no_exchange_before_sort(spark, sf_dir, qs):
@@ -1083,15 +1091,20 @@ def test_kfold_single_scan_single_aggregate(spark, sf_dir, qs):
     assert "Window" not in plan, plan
 
 
-def test_trimmed_mean_pergroup_window_pruned_scan(spark, sf_dir, qs):
-    # The rank/count windows are PER-GROUP (partitioned by returnflag,
-    # never a single global task) and the scan reads only the three
-    # ranking columns plus the flag.
+def test_trimmed_mean_no_flag_partitioned_window(spark, sf_dir, qs):
+    # The per-flag rank comes from global_rank (checkpointed
+    # __pid-local row_numbers) minus a broadcast 3-row base-offset
+    # table -- never a row_number PARTITION BY returnflag (cardinality
+    # 3 = single-task funnel) and never an unpartitioned window.
+    import re
     plan = _plan(spark, sf_dir, qs, "agg_trimmed_mean")
-    assert plan.count("FileScan parquet") == 1, plan
-    assert "Join" not in plan, plan
-    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
-    assert "l_extendedprice" in schema and "l_shipdate" not in schema
+    assert "windowspecdefinition(l_returnflag#" not in plan, plan
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert (spec.strip() and " ASC" not in spec
+                and " DESC" not in spec), (
+            f"unpartitioned window:\n{plan}")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_lift_gain_single_scan_bounded_cum_window(spark, sf_dir, qs):
@@ -1433,3 +1446,18 @@ def test_code_screen_map_only(spark, sf_dir, qs):
     assert plan.count("FileScan parquet") == 1, plan
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_quantile_bins_no_global_ntile(spark, sf_dir, qs):
+    # EXACT deciles without the single-task global ntile window: the
+    # bin is integer arithmetic over global_rank's checkpointed
+    # __pid-local ranks plus a broadcast offset join. The final plan
+    # must show no ntile and no unpartitioned window.
+    import re
+    plan = _plan(spark, sf_dir, qs, "ml_quantile_bins")
+    assert "ntile" not in plan, plan
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert (spec.strip() and " ASC" not in spec
+                and " DESC" not in spec), (
+            f"unpartitioned window:\n{plan}")
+    assert "CartesianProduct" not in plan, plan

@@ -169,3 +169,30 @@ def test_pca_identical_embeddings_degenerate_guard(spark, tmp_path):
     assert all(r["loading_s"] == 0.125 for r in out)  # v0 kept
     assert all(r["lambda_s"] == 0.0 for r in out)
     assert all(r["explained_s"] is None for r in out)
+
+
+def test_quantized_covariance_duplicate_id_consistent(spark):
+    # ADVICE r4: n used countDistinct(id) while the sums aggregated
+    # every row, so a duplicated id doubled the means but not n.
+    # Counting n over the SAME rows as the sums makes covariance
+    # invariant under uniform duplication of the corpus.
+    from dataingestionengineprocess_spark.operators.quantize import (
+        quantized_covariance,
+    )
+
+    vecs = [(1, [1.0, 2.0]), (2, [3.0, -1.0]), (3, [0.5, 4.0])]
+    base = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>")
+    doubled = base.union(base)  # every id appears twice
+    one = {(r["i"], r["j"]): r["cov_s"]
+           for r in quantized_covariance(
+               base, "vec_id", "embedding").collect()}
+    two = {(r["i"], r["j"]): r["cov_s"]
+           for r in quantized_covariance(
+               doubled, "vec_id", "embedding").collect()}
+    assert one == two
+    # and the diagonal is the plain population variance of each dim
+    xs = [v[0] for _, v in vecs]
+    mu = sum(xs) / len(xs)
+    var = sum((x - mu) ** 2 for x in xs) / len(xs)
+    assert math.isclose(one[(1, 1)], var, abs_tol=2e-6)

@@ -146,3 +146,25 @@ def test_quota_sums_to_budget_and_remainder_ranking(spark, tmp_path):
     assert quotas[("fr", "web")] == 143
     assert quotas[("en", "book")] == 429
     assert quotas[("en", "web")] == 428
+
+
+def test_ttc_pre_anchor_signup_excluded(spark, tmp_path):
+    # ADVICE r4: signups before the 2024-01-01 fixture anchor would
+    # hit the truncate-vs-floor split on negative week indexes; the
+    # query now excludes them from every cohort in both engines.
+    from dataingestionengineprocess_spark.queries.round4u import (
+        events_time_to_convert,
+    )
+
+    rows = [
+        (0, "2023-12-20 00:00:00", 1, "signup", 0.0, ""),
+        (1, "2023-12-20 00:10:00", 1, "purchase", 0.0, ""),
+        (2, "2024-01-02 00:00:00", 2, "signup", 0.0, ""),
+        (3, "2024-01-02 00:05:00", 2, "purchase", 0.0, ""),
+    ]
+    r = events_time_to_convert(
+        spark, _events(spark, tmp_path, rows)).collect()
+    assert len(r) == 1  # only the anchored user-2 cohort
+    row = r[0]
+    assert (row["week"], row["n_users"], row["n_converted"]) == (0, 1, 1)
+    assert row["median_lag_sec"] == 300

@@ -165,3 +165,29 @@ def test_prefix_sum_matches_fold(spark, rows):
     for k, w in sorted(rows):
         acc += w
         assert got[k] == acc
+
+
+def test_hamilton_quota_exact_past_double_precision(spark):
+    # ADVICE r4: floor_q via double division desyncs from the exact
+    # integer remainder once k*n exceeds ~2^53. 4e15-doc strata with
+    # k=1000 put k*n at 4e18; integer `div` must keep floor_q and rem
+    # consistent so quotas still sum to exactly k.
+    from dataingestionengineprocess_spark.operators.sampling import (
+        hamilton_quota,
+    )
+
+    sizes = [4_000_000_000_000_003, 3_999_999_999_999_991,
+             4_000_000_000_000_017]
+    k = 1000
+    strata = spark.createDataFrame(
+        [(f"l{i}", "s", n) for i, n in enumerate(sizes)],
+        "lang string, source string, n_docs long",
+    )
+    out = hamilton_quota(strata, k).collect()
+    total = sum(sizes)
+    assert sum(r["quota"] for r in out) == k
+    for r in out:
+        n = sizes[int(r["lang"][1:])]
+        assert r["floor_q"] == (k * n) // total
+        assert r["rem"] == (k * n) % total
+        assert r["quota"] in (r["floor_q"], r["floor_q"] + 1)

@@ -135,8 +135,10 @@ SHOWCASE = [
     "quality_cross_field_rules",
     # round-4n: the lazy path miner (ndcg checkpoints at build time)
     "events_path_trigrams",
-    # round-4o: both lazy single-plan queries
-    "agg_weighted_median",
+    # round-4o: the lazy map-only FIM transform
+    # (agg_weighted_median now checkpoints its prefix-sum layout at
+    # build time -- excluded like the other eager queries; its
+    # no-flag-window shape is pinned in test_plan_shapes.)
     "curation_fim_transform",
     # round-4p: both lazy single-plan queries
     "quality_bot_user_screen",
