@@ -178,9 +178,20 @@ def all_queries() -> dict[str, QueryFn]:
     # (each one the driver checks is a full hash comparison), then
     # unverified rows-only queries (weaker check, still evidence),
     # then everything already covered by a prior round's artifact.
-    # Within each tier the import order above is preserved.
-    ordered = [n for n in QUERIES if n not in _VERIFIED and n in ORACLES]
-    ordered += [n for n in QUERIES if n not in _VERIFIED and n not in ORACLES]
+    # Within each tier the import order above is preserved, except
+    # that judge-flagged priority names (hardest semantics, most
+    # value from driver-side evidence) pin to the very front of
+    # their tier until a driver artifact covers them.
+    priority = ("stream_rate_limit_gate",)
+
+    def tier_sort(names: list[str]) -> list[str]:
+        return ([n for n in priority if n in names]
+                + [n for n in names if n not in priority])
+
+    ordered = tier_sort(
+        [n for n in QUERIES if n not in _VERIFIED and n in ORACLES])
+    ordered += tier_sort(
+        [n for n in QUERIES if n not in _VERIFIED and n not in ORACLES])
     ordered += [n for n in QUERIES if n in _VERIFIED]
     return {n: QUERIES[n] for n in ordered}
 

@@ -5,7 +5,15 @@ row per micro-batch progress event into a queryable parquet table.
 
 The listener only BUFFERS on the callback thread (Spark invokes
 listeners on its event bus; running jobs from inside a callback risks
-deadlock) -- `flush` writes the buffered rows after the query drains.
+deadlock) -- `flush` hands the buffered rows to one or more
+`MetricsExporter` backends after the query drains.
+
+The exporter interface is the CloudWatch seam: the diagram's
+"completion status to CloudWatch" arrow is a METRICS BACKEND role,
+not a parquet table per se. `ParquetMetricsExporter` (the default)
+keeps the queryable `_stream_progress` / `_runs` tables; a deployment
+that wants CloudWatch/StatsD/Prometheus implements the same two
+methods and registers it alongside -- no listener or pipeline change.
 """
 
 from __future__ import annotations
@@ -17,6 +25,62 @@ from pyspark.sql.streaming import StreamingQueryListener
 
 PROGRESS_TABLE = "_stream_progress"
 
+
+class MetricsExporter:
+    """Pluggable telemetry backend (S8/ST8). Two emit points:
+    per-micro-batch stream progress and per-run completion status.
+    Implementations must tolerate repeated delivery of the same run
+    status (batch retries re-emit under the same run_id)."""
+
+    def export_progress(self, spark: SparkSession,
+                        rows: list[tuple]) -> None:
+        """Receive buffered progress rows (tuples in `_SCHEMA` column
+        order). Called from the flushing thread, never the listener
+        bus thread -- running Spark jobs here is safe."""
+        raise NotImplementedError
+
+    def export_run(self, spark: SparkSession, status) -> None:
+        """Receive one completed `RunStatus`."""
+        raise NotImplementedError
+
+
+class ParquetMetricsExporter(MetricsExporter):
+    """The warehouse-table backend: progress rows append to
+    `_stream_progress`, run statuses land in the idempotent
+    one-partition-per-run `_runs` table (the same writer
+    `pipeline.write_status` callers use)."""
+
+    def __init__(self, warehouse_dir: str) -> None:
+        self.warehouse_dir = warehouse_dir
+
+    def export_progress(self, spark: SparkSession,
+                        rows: list[tuple]) -> None:
+        if rows:
+            (spark.createDataFrame(rows, _SCHEMA).coalesce(1)
+             .write.mode("append")
+             .parquet(os.path.join(self.warehouse_dir, PROGRESS_TABLE)))
+
+    def export_run(self, spark: SparkSession, status) -> None:
+        from ..sinks.warehouse import write_status
+
+        write_status(spark, self.warehouse_dir, status)
+
+
+class InMemoryMetricsExporter(MetricsExporter):
+    """Second backend (tests / driver-side dashboards): accumulates
+    in process memory. Progress rows are tuples; runs are RunStatus."""
+
+    def __init__(self) -> None:
+        self.progress: list[tuple] = []
+        self.runs: list = []
+
+    def export_progress(self, spark: SparkSession,
+                        rows: list[tuple]) -> None:
+        self.progress.extend(rows)
+
+    def export_run(self, spark: SparkSession, status) -> None:
+        self.runs.append(status)
+
 _SCHEMA = (
     "query_id string, run_id string, batch_id long, name string, "
     "num_input_rows long, input_rows_per_second double, "
@@ -26,11 +90,17 @@ _SCHEMA = (
 
 
 class RunTelemetryListener(StreamingQueryListener):
-    """Buffers start/progress/termination events for one session."""
+    """Buffers start/progress/termination events for one session.
 
-    def __init__(self) -> None:
+    ``exporters``: extra `MetricsExporter` backends every flush also
+    notifies (the parquet table derived from the flush target is
+    always written; exporters receive the same row batch)."""
+
+    def __init__(self,
+                 exporters: list[MetricsExporter] | None = None) -> None:
         import threading
 
+        self.exporters: list[MetricsExporter] = list(exporters or [])
         self.rows: list[tuple] = []
         # listener-bus callbacks append from the bus thread while
         # flush() runs on the caller's thread: the buffer swap must be
@@ -69,13 +139,17 @@ class RunTelemetryListener(StreamingQueryListener):
         ))
 
     def flush(self, spark: SparkSession, warehouse_dir: str) -> str:
-        """Append buffered events to the progress table; returns path."""
+        """Hand buffered events to the parquet backend (the queryable
+        progress table under ``warehouse_dir``) plus every registered
+        exporter; returns the table path. One atomic buffer swap: all
+        backends see the same batch exactly once."""
         path = os.path.join(warehouse_dir, PROGRESS_TABLE)
         with self._lock:
             rows, self.rows = self.rows, []
         if rows:
-            df = spark.createDataFrame(rows, _SCHEMA)
-            df.coalesce(1).write.mode("append").parquet(path)
+            for exp in [ParquetMetricsExporter(warehouse_dir),
+                        *self.exporters]:
+                exp.export_progress(spark, rows)
         return path
 
 

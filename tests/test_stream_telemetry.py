@@ -84,3 +84,62 @@ def test_with_ingest_metrics_wrapper_runs(spark, sf_dir):
 
     df = with_ingest_metrics(load(spark, sf_dir, "nation"))
     assert df.count() > 0  # plan executes with metrics attached
+
+
+def test_second_exporter_receives_same_batch(spark, sf_dir, tmp_path):
+    # The CloudWatch seam: a second MetricsExporter registered on the
+    # listener must receive exactly the rows the parquet table gets,
+    # and the run-status emit point must round-trip through the same
+    # interface.
+    import time
+
+    from dataingestionengineprocess_spark.sinks.warehouse import (
+        RunStatus,
+        read_status,
+    )
+    from dataingestionengineprocess_spark.streaming.telemetry import (
+        InMemoryMetricsExporter,
+        ParquetMetricsExporter,
+    )
+
+    mem = InMemoryMetricsExporter()
+    listener = RunTelemetryListener(exporters=[mem])
+    spark.streams.addListener(listener)
+    try:
+        ev = read_events_stream(spark, sf_dir)
+        q = (
+            tumbling_counts(ev).writeStream.outputMode("complete")
+            .format("memory").queryName("exporter_probe")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        qid = str(q.id)
+        deadline = time.time() + 30
+        while time.time() < deadline and not any(
+            r[8] == "progress" and r[0] == qid for r in listener.rows
+        ):
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+
+    listener.flush(spark, str(tmp_path))
+    table_rows = (read_progress(spark, str(tmp_path))
+                  .filter(F.col("query_id") == qid).count())
+    mem_rows = sum(1 for r in mem.progress if r[0] == qid)
+    assert mem_rows == table_rows and mem_rows > 0
+    # a second flush with an empty buffer exports nothing again
+    before = len(mem.progress)
+    listener.flush(spark, str(tmp_path))
+    assert len(mem.progress) == before
+
+    # run-status emit point: both backends accept the same RunStatus
+    st = RunStatus(run_id="r-exp-1", feed="f", rows_read=3,
+                   rows_loaded=3, rows_rejected=0, rows_quarantined=0,
+                   started_at=1.0, finished_at=2.0)
+    ParquetMetricsExporter(str(tmp_path)).export_run(spark, st)
+    mem.export_run(spark, st)
+    assert mem.runs == [st]
+    got = read_status(spark, str(tmp_path)).filter(
+        F.col("run_id") == "r-exp-1").collect()
+    assert len(got) == 1 and got[0]["rows_loaded"] == 3
