@@ -368,6 +368,13 @@ BENCH_QUERIES = [
     "stream_rate_limit_gate",
 ]
 
+# Completeness guarantee (round 5): every registered query gets a
+# figure -- an unbenched query can regress silently. The curated list
+# above keeps its stable ordering (figures in BASELINE.md predate
+# this); everything else in the registry appends behind it, so any
+# future registration is auto-benched without touching this file.
+BENCH_QUERIES += [n for n in all_queries() if n not in set(BENCH_QUERIES)]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
