@@ -113,3 +113,65 @@ def distributed_prefix_sum(df: DataFrame, order_cols: list[str],
     (cast to long) over the total order ``order_cols`` -- same
     two-pass layout, arbitrary integer weights."""
     return distributed_prefix_sums(df, order_cols, {cum_col: weight_col})
+
+
+def grouped_rank(df: DataFrame, group_cols: list[str],
+                 order_cols: list[str], rank_col: str = "rn",
+                 count_col: str | None = None) -> DataFrame:
+    """Per-group 1-based ``row_number`` WITHOUT a per-group window --
+    the scale-safe form of ``row_number() OVER (PARTITION BY g ORDER
+    BY ...)`` when ``g`` has a SMALL, bounded universe (return flags,
+    market segments, regions, languages, event types): such a window
+    funnels 1/|g| of the table through one task's sort.
+
+    Mechanism: groups sort contiguously in the total order
+    (group_cols, order_cols), so each row's per-group rank is its
+    `global_rank` minus the group's exclusive base -- and the base is
+    simply ``min(global_rank) - 1`` per group, one distributive
+    aggregate over the checkpointed ranked frame (no window, no
+    driver-side group table). The offsets join broadcasts: it has one
+    row per group, bounded by the group universe, never by the data.
+
+    ``group_cols + order_cols`` must form a total order (include a
+    unique key), same as `global_rank`. ``count_col`` additionally
+    attaches the per-group row count (same bounded aggregate).
+    """
+    ranked = global_rank(df, list(group_cols) + list(order_cols),
+                         "__gr")
+    aggs = [(F.min("__gr") - 1).cast("long").alias("__base")]
+    if count_col:
+        aggs.append(F.count(F.lit(1)).cast("long").alias(count_col))
+    offs = ranked.groupBy(*group_cols).agg(*aggs)
+    return (
+        ranked.join(F.broadcast(offs), list(group_cols))
+        .withColumn(rank_col,
+                    (F.col("__gr") - F.col("__base")).cast("long"))
+        .drop("__gr", "__base")
+    )
+
+
+def grouped_percent_cume(df: DataFrame, group_cols: list[str],
+                         value_col: str, id_col: str,
+                         pct_col: str = "pct_rank",
+                         cume_col: str = "cume") -> DataFrame:
+    """Exact ``percent_rank()`` and ``cume_dist()`` OVER (PARTITION BY
+    group ORDER BY value, id) per small-universe group, without a
+    per-group window. ``id_col`` must be unique, which makes every row
+    its own peer group under the composite order -- so cume_dist is
+    exactly rn/n and percent_rank is (rn-1)/(n-1), both pure
+    arithmetic over `grouped_rank`'s output (the single-row group pins
+    percent_rank to 0.0, both engines' definition). For cume_dist
+    ordered by the VALUE ALONE (value-ties share their group's
+    cumulative count), aggregate max(rn) per (group, value) and join
+    it back instead."""
+    ranked = grouped_rank(df, group_cols, [value_col, id_col],
+                          "__rn", count_col="__n")
+    return (
+        ranked.withColumn(
+            pct_col,
+            (F.col("__rn") - 1)
+            / F.greatest(F.col("__n") - 1, F.lit(1)).cast("double"))
+        .withColumn(cume_col,
+                    F.col("__rn") / F.col("__n").cast("double"))
+        .drop("__rn", "__n")
+    )

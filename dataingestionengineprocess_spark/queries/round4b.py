@@ -1075,9 +1075,13 @@ def stream_stream_full_outer_join(spark: SparkSession,
 # W1 completion: the two distribution window functions not yet
 # exercised Spark-side (percent_rank appears only inside the
 # calibration ORACLE; the engine computes that one distributed).
-# Partitioned by event_type — per-group windows parallelize across
-# groups; the GLOBAL form of this is exactly what
-# quality_score_calibration replaces with the two-pass rank.
+# event_type has a HANDFUL of values, so a per-type window would
+# funnel 1/|types| of the events table through one task's sort --
+# the same funnel class the round-5 rewrites removed from the flag
+# aggregates. Both functions derive exactly from
+# `operators/ranking.grouped_percent_cume`: per-type rank/count via
+# the checkpointed global_rank layout + bounded broadcast offsets,
+# cume_dist tie semantics from the per-(type, value) max rank.
 # ---------------------------------------------------------------------------
 
 _WINDOW_DIST_ORACLE = """
@@ -1094,14 +1098,16 @@ FROM events
 
 @register("window_distribution_funcs", oracle=_WINDOW_DIST_ORACLE)
 def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import grouped_percent_cume
+
     ev = load(spark, sf_dir, "events").select("event_type", "event_id",
                                               "value")
-    w = W.partitionBy("event_type").orderBy("value", "event_id")
-
-    return ev.select(
+    out = grouped_percent_cume(ev, ["event_type"], "value", "event_id",
+                               "__pct", "__cume")
+    return out.select(
         "event_type", "event_id",
-        _snap6(F.percent_rank().over(w)).alias("pct_rank"),
-        _snap6(F.cume_dist().over(w)).alias("cume"),
+        _snap6(F.col("__pct")).alias("pct_rank"),
+        _snap6(F.col("__cume")).alias("cume"),
     )
 
 

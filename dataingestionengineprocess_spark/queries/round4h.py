@@ -309,8 +309,12 @@ def sales_gini_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.coalesce(F.sum("o_cents"), F.lit(0)).cast("long")
              .alias("cents"))
     )
-    w = W.Window.partitionBy("region").orderBy("cents", "c_custkey")
-    ranked = rev.withColumn("i", F.row_number().over(w))
+    # region has 5 values: a per-region rank window would funnel a
+    # fifth of the customer universe through one task. grouped_rank
+    # rides the checkpointed global_rank layout instead.
+    from ..operators.ranking import grouped_rank
+
+    ranked = grouped_rank(rev, ["region"], ["cents", "c_custkey"], "i")
     return (
         ranked.groupBy("region")
         .agg(

@@ -122,12 +122,16 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(week.alias("week"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
-    wk = W.partitionBy("week")
-    ranked = conv.select(
-        "week", "lag_sec",
-        F.row_number().over(wk.orderBy("lag_sec", "user_id")).alias("rn"),
-        F.count(F.lit(1)).over(wk).alias("n"),
-    )
+    # Per-cohort rank WITHOUT a per-week window: a hot signup week
+    # would funnel its whole cohort through one task's sort. The
+    # week universe is bounded-small (weeks elapse linearly in time),
+    # so grouped_rank's broadcast offset table stays tiny while the
+    # rank sort stays range-partitioned.
+    from ..operators.ranking import grouped_rank
+
+    ranked = grouped_rank(conv, ["week"], ["lag_sec", "user_id"],
+                          "rn", count_col="n").select(
+        "week", "lag_sec", "rn", "n")
     q = ranked.groupBy("week").agg(
         F.max("n").cast("long").alias("n_converted"),
         F.min(F.when(F.col("rn") >= F.ceil(F.col("n") * 0.5),

@@ -193,29 +193,43 @@ ORDER BY event_type
 def stat_ks_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KS distance between the per-type inter-event gap distribution
     and its MLE exponential fit, snapped libm grid both engines."""
+    # event_type has a handful of values: every per-type window here
+    # (the lag, the rank, the unordered count/sum) would funnel
+    # 1/|types| of the events table through one task. Distributed
+    # form: (1) lag = grouped_rank over arrival order + an equi-join
+    # of rank r against r+1 per type (the inner join drops each
+    # type's first event, exactly the lag-NULL filter); (2) the gap
+    # rank is a second grouped_rank (event_id tiebreak pins the total
+    # order; max(dd) is tie-invariant, so the oracle's untied
+    # row_number hashes identically); (3) n/sum become one bounded
+    # per-type aggregate, broadcast back.
+    from ..operators.ranking import grouped_rank
+
     ev = load(spark, sf_dir, "events")
     us = F.unix_micros("ts")
-    wl = W.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = grouped_rank(
+        ev.select("event_type", "event_id", us.alias("us")),
+        ["event_type"], ["us", "event_id"], "seq")
+    prv = seq.select("event_type", F.col("us").alias("prev_us"),
+                     (F.col("seq") + 1).alias("seq"))
     gaps = (
-        ev.select("event_type",
-                  (us - F.lag(us).over(wl)).cast("long").alias("gap_us"))
-        .where(F.col("gap_us").isNotNull())
+        seq.join(prv, ["event_type", "seq"])
+        .select("event_type", "event_id",
+                (F.col("us") - F.col("prev_us")).cast("long")
+                .alias("gap_us"))
     )
-    # group stats as UNORDERED window aggregates over the same
-    # event_type partitioning the rank uses: one shuffle, one scan,
-    # no self-join back onto the gaps
-    wp = W.partitionBy("event_type")
-    ranked = gaps.select(
-        "event_type",
-        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
-        F.sum("gap_us").over(wp).cast("long").alias("sum_us"),
-        F.row_number().over(wp.orderBy("gap_us")).alias("rn"),
-        "gap_us",
-    ).select(
-        "event_type", "n", "rn",
-        # lambda*g = n*gap/sum -- snapped before exp
-        _snap6(F.col("n").cast("double") * F.col("gap_us")
-               / F.col("sum_us")).alias("x"),
+    stats = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("gap_us").cast("long").alias("sum_us"))
+    ranked = (
+        grouped_rank(gaps, ["event_type"], ["gap_us", "event_id"], "rn")
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type", "n", "rn",
+            # lambda*g = n*gap/sum -- snapped before exp
+            _snap6(F.col("n").cast("double") * F.col("gap_us")
+                   / F.col("sum_us")).alias("x"),
+        )
     )
     f_fit = _snap6(F.lit(1.0) - F.exp(-F.col("x")))
     dist = ranked.select(

@@ -98,13 +98,14 @@ def ml_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.join(docs, emb.vec_id == docs.doc_id).select(
         "source", "vec_id", "s",
     ).localCheckpoint(eager=True)  # feeds persrc, nn, AND global_rank
-    wsrc = W.partitionBy("source")
-    persrc = scored.select(
-        "source", "s",
-        F.row_number().over(wsrc.orderBy("s", "vec_id")).cast("long")
-        .alias("rn"),
-        F.count(F.lit(1)).over(wsrc).cast("long").alias("n_src"),
-    )
+    # per-source rank WITHOUT the per-source window (sources are a
+    # small bounded universe -- the window form funnels each source's
+    # whole eval population through one task's sort)
+    from ..operators.ranking import grouped_rank
+
+    persrc = grouped_rank(
+        scored, ["source"], ["s", "vec_id"], "rn",
+        count_col="n_src").select("source", "s", "rn", "n_src")
     nn = scored.agg(F.count(F.lit(1)).cast("long").alias("n"))
     glob = global_rank(scored.select("s", "vec_id"), ["s", "vec_id"]) \
         .select(F.col("s").alias("norm_s"), "gr")

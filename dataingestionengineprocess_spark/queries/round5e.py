@@ -98,13 +98,17 @@ def curation_oversample_minority(spark: SparkSession,
         F.expr("t div n_before").cast("long").alias("k_full"),
         (F.col("t") % F.col("n_before")).cast("long").alias("rem"),
     )
-    ranked = docs.select(
-        "lang", "doc_id",
-        F.row_number().over(
-            W.partitionBy("lang")
-            .orderBy(F.md5(F.col("doc_id").cast("string").cast("binary")),
-                     "doc_id")).alias("rn"),
-    )
+    # per-lang md5 rank WITHOUT a per-lang window (langs are a small
+    # bounded universe; the window form funnels each language's whole
+    # corpus through one task's sort)
+    from ..operators.ranking import grouped_rank
+
+    ranked = grouped_rank(
+        docs.select(
+            "lang", "doc_id",
+            F.md5(F.col("doc_id").cast("string").cast("binary"))
+            .alias("__coin")),
+        ["lang"], ["__coin", "doc_id"], "rn").drop("__coin")
     copies = (
         ranked.join(F.broadcast(base), "lang")
         .select(
@@ -225,10 +229,15 @@ def embedding_outlier_zscore(spark: SparkSession,
         .select("vec_id", "label", zq.alias("zq"))
     m2 = terms.groupBy("vec_id", "label").agg(
         _snap6(F.sum("zq") / 1e6).alias("m2_s"))
-    top = m2.select(
-        "label", "vec_id", "m2_s",
-        F.row_number().over(
-            W.partitionBy("label").orderBy(F.desc("m2_s"), "vec_id"))
-        .cast("long").alias("rk"),
-    )
-    return top.where(F.col("rk") <= 5).orderBy("label", "rk")
+    # labels are a small bounded universe: a per-label rank window
+    # would funnel each label's whole vector population through one
+    # task. Rank distributed instead (descending m2 via negation --
+    # grouped_rank orders ascending).
+    from ..operators.ranking import grouped_rank
+
+    top = grouped_rank(
+        m2.withColumn("__neg", -F.col("m2_s")),
+        ["label"], ["__neg", "vec_id"], "rk").drop("__neg")
+    return (top.where(F.col("rk") <= 5)
+            .select("label", "vec_id", "m2_s", "rk")
+            .orderBy("label", "rk"))

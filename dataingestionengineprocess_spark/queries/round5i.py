@@ -174,12 +174,29 @@ def events_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = p.groupBy("user_id", "period").agg(
         F.sum("cents").cast("long").alias("spend")
-    ).localCheckpoint(eager=True)  # bounded user x period rollup
-    seg = u.select(
+    ).localCheckpoint(eager=True)  # user x period rollup
+    # Terciles WITHOUT the per-period ntile window (two periods, so
+    # the window form funnels half the user universe through one
+    # task): ntile(k) is pure integer arithmetic over the per-period
+    # rank and count -- the first (n mod k) buckets take ceil(n/k)
+    # rows, the rest floor(n/k). Descending spend via negation
+    # (grouped_rank orders ascending).
+    from ..operators.ranking import grouped_rank
+
+    ranked = grouped_rank(
+        u.withColumn("__neg", -F.col("spend")),
+        ["period"], ["__neg", "user_id"], "__rn",
+        count_col="__n").drop("__neg")
+    big = F.expr("__n % 3 * (__n div 3 + 1)")  # ceil-bucket row span
+    tile = F.when(F.expr("__n div 3") == 0, F.col("__rn")).otherwise(
+        F.when(F.col("__rn") <= big,
+               F.expr("(__rn - 1) div (__n div 3 + 1) + 1"))
+        .otherwise(F.expr(
+            "__n % 3 + (__rn - 1 - __n % 3 * (__n div 3 + 1))"
+            " div (__n div 3) + 1")))
+    seg = ranked.select(
         "user_id", "period", "spend",
-        F.concat(F.lit("T"), F.ntile(3).over(
-            W.partitionBy("period")
-            .orderBy(F.desc("spend"), "user_id")).cast("string"))
+        F.concat(F.lit("T"), tile.cast("long").cast("string"))
         .alias("seg"),
     )
     users = u.select("user_id").distinct()

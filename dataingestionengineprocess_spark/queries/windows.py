@@ -214,14 +214,20 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 
 @register("window_percent_rank", oracle=_PCTRANK_ORACLE)
 def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    return (
-        load(spark, sf_dir, "customer")
-        .select(
-            "c_mktsegment", "c_custkey",
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
-        )
+    """c_mktsegment has 5 values: a per-segment window would funnel a
+    fifth of the customer universe through one task's sort. The
+    distribution pair derives from `grouped_percent_cume` (checkpointed
+    global_rank layout + bounded broadcast segment offsets) instead."""
+    from ..operators.ranking import grouped_percent_cume
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey", "c_acctbal")
+    out = grouped_percent_cume(cust, ["c_mktsegment"], "c_acctbal",
+                               "c_custkey", "__pct", "__cume")
+    return out.select(
+        "c_mktsegment", "c_custkey",
+        F.round(F.col("__pct"), 6).alias("pct_rank"),
+        F.round(F.col("__cume"), 6).alias("cume"),
     )
 
 

@@ -742,14 +742,20 @@ def test_basket_single_basket_materialization(spark, sf_dir, qs):
 
 
 def test_gini_broadcasts_dims_prunes_scans(spark, sf_dir, qs):
+    # The per-customer revenue rollup (dims broadcast, orders scan
+    # pruned) is pinned at build time by grouped_rank's checkpoint;
+    # the final plan must show the broadcast offset join and NEVER a
+    # region-partitioned or unpartitioned rank window (region has 5
+    # values -- the window form is a single-task funnel).
+    import re
     plan = _plan(spark, sf_dir, qs, "sales_gini_by_region")
-    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
-    # orders scan reads only the join key + price
-    schemas = [ln.split("ReadSchema:")[1] for ln in plan.splitlines()
-               if "ReadSchema:" in ln]
-    o_schema = [s for s in schemas if "o_custkey" in s][0]
-    assert "o_totalprice" in o_schema and "o_orderdate" not in o_schema
+    assert "windowspecdefinition(region#" not in plan, plan
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert (spec.strip() and " ASC" not in spec
+                and " DESC" not in spec), (
+            f"unpartitioned window:\n{plan}")
 
 
 def test_distinctive_terms_vocab_level_windows(spark, sf_dir, qs):
@@ -1038,13 +1044,21 @@ def test_acf_bounded_axis_joins(spark, sf_dir, qs):
     assert plan.count("Scan ExistingRDD") >= 2, plan
 
 
-def test_ks_one_window_per_stage_group_stats_broadcast(spark, sf_dir, qs):
-    # Gap extraction is one type-keyed lag window; group stats are
-    # unordered window aggregates over the SAME partitioning as the
-    # rank -- one scan, no join anywhere.
+def test_ks_no_type_keyed_windows(spark, sf_dir, qs):
+    # event_type has a handful of values: the lag, rank, and
+    # count/sum windows all moved onto grouped_rank's checkpointed
+    # layout + equi/broadcast joins. The final plan must contain no
+    # event_type-partitioned window and no unpartitioned window; the
+    # per-type stats join broadcasts (bounded by the type universe).
+    import re
     plan = _plan(spark, sf_dir, qs, "stat_ks_exponential")
-    assert plan.count("FileScan parquet") == 1, plan
-    assert "Join" not in plan, plan
+    assert "windowspecdefinition(event_type#" not in plan, plan
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert (spec.strip() and " ASC" not in spec
+                and " DESC" not in spec), (
+            f"unpartitioned window:\n{plan}")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_entropy_rate_broadcast_uni_no_window_after_lag(spark, sf_dir, qs):
@@ -1272,25 +1286,31 @@ def test_hhi_broadcast_dims(spark, sf_dir, qs):
 
 
 def test_oversample_pergroup_rank_and_fanout(spark, sf_dir, qs):
-    # The md5 rank is per-language partitioned; the expansion is a
-    # Generate (explode) node, not a join multiplication.
+    # The md5 rank rides grouped_rank's checkpointed __pid layout
+    # (langs are a bounded-small universe -- a per-lang window is a
+    # single-task funnel); the expansion is a Generate (explode)
+    # node, not a join multiplication.
     import re
     plan = _plan(spark, sf_dir, qs, "curation_oversample_minority")
     assert "Generate explode" in plan, plan
     assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition(lang#" not in plan, plan
     for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
-        assert "lang" in spec, f"non-lang window:\n{plan}"
+        assert "__pid" in spec, f"non-__pid window:\n{plan}"
 
 
 def test_outlier_broadcast_stats_pergroup_topk(spark, sf_dir, qs):
     # The (label, dim) stats table broadcasts back onto components;
-    # the ranking window is label-partitioned.
+    # the top-k rank rides grouped_rank's checkpointed __pid layout
+    # (labels are a bounded-small universe -- a per-label window is a
+    # single-task funnel).
     import re
     plan = _plan(spark, sf_dir, qs, "embedding_outlier_zscore")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition(label#" not in plan, plan
     for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
-        assert "label" in spec, f"non-label window:\n{plan}"
+        assert "__pid" in spec, f"non-__pid window:\n{plan}"
 
 
 def test_markov_attribution_bounded_output_join(spark, sf_dir, qs):
@@ -1351,13 +1371,16 @@ def test_ks_two_sample_prefix_partitioned(spark, sf_dir, qs):
 
 
 def test_rfm_migration_bounded_rollup_windows(spark, sf_dir, qs):
-    # The ntile rides the bounded user x period rollup, partitioned
-    # by period.
+    # Terciles are integer arithmetic over grouped_rank's checkpointed
+    # __pid layout (two periods -- a per-period ntile window would
+    # funnel half the user universe through one task).
     import re
     plan = _plan(spark, sf_dir, qs, "events_rfm_migration")
     assert "CartesianProduct" not in plan, plan
+    assert "ntile" not in plan, plan
+    assert "windowspecdefinition(period#" not in plan, plan
     for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
-        assert "period" in spec, f"non-period window:\n{plan}"
+        assert "__pid" in spec, f"non-__pid window:\n{plan}"
 
 
 def test_similarity_histogram_prefix_filtered(spark, sf_dir, qs):

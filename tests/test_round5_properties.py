@@ -191,3 +191,53 @@ def test_hamilton_quota_exact_past_double_precision(spark):
         assert r["floor_q"] == (k * n) // total
         assert r["rem"] == (k * n) % total
         assert r["quota"] in (r["floor_q"], r["floor_q"] + 1)
+
+
+@given(st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),
+              st.integers(min_value=-50, max_value=50)),
+    min_size=1, max_size=60))
+@settings(**_SETTINGS)
+def test_grouped_rank_matches_pergroup_window(spark, rows):
+    # grouped_rank == row_number() OVER (PARTITION BY g ORDER BY v, id)
+    # for arbitrary generated groups/values (id tiebreak pins ties).
+    from dataingestionengineprocess_spark.operators.ranking import (
+        grouped_rank,
+    )
+
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, v long, id long")
+    got = {(r["g"], r["id"]): (r["rn"], r["n"])
+           for r in grouped_rank(df, ["g"], ["v", "id"], "rn",
+                                 count_col="n").collect()}
+    # reference: per-group sequential rank
+    ref = {}
+    for g in {g for g, _, _ in data}:
+        grp = sorted(((v, i) for gg, v, i in data if gg == g))
+        for rn, (v, i) in enumerate(grp, 1):
+            ref[(g, i)] = (rn, len(grp))
+    assert got == ref
+
+
+@given(st.lists(
+    st.tuples(st.sampled_from(["x", "y"]),
+              st.integers(min_value=0, max_value=9)),
+    min_size=1, max_size=40))
+@settings(**_SETTINGS)
+def test_grouped_percent_cume_matches_definitions(spark, rows):
+    from dataingestionengineprocess_spark.operators.ranking import (
+        grouped_percent_cume,
+    )
+
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, v long, id long")
+    got = {(r["g"], r["id"]): (r["pct_rank"], r["cume"])
+           for r in grouped_percent_cume(
+               df, ["g"], "v", "id").collect()}
+    for g in {g for g, _, _ in data}:
+        grp = sorted(((v, i) for gg, v, i in data if gg == g))
+        n = len(grp)
+        for rn, (v, i) in enumerate(grp, 1):
+            pct, cume = got[(g, i)]
+            assert abs(pct - (rn - 1) / max(n - 1, 1)) < 1e-12
+            assert abs(cume - rn / n) < 1e-12
