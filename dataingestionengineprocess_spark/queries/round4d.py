@@ -558,11 +558,12 @@ def ml_winsorize_robust_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.alias("cents"),
         F.col("o_orderkey").alias("k"),
     )
-    grp_w = W.partitionBy("grp")
-    rank_w = grp_w.orderBy("cents", "k")
-    r = c.withColumn("rn", F.row_number().over(rank_w)).withColumn(
-        "n", F.count(F.lit(1)).over(grp_w)
-    )
+    # o_orderpriority has 5 values: a per-priority rank window would
+    # funnel a fifth of orders through one task's sort -- rank via
+    # grouped_rank's checkpointed layout + broadcast bases instead.
+    from ..operators.ranking import grouped_rank
+
+    r = grouped_rank(c, ["grp"], ["cents", "k"], "rn", count_col="n")
     b = (
         r.filter(
             (F.col("rn") == F.ceil(0.05 * F.col("n")))

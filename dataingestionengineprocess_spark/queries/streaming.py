@@ -448,10 +448,16 @@ def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("win.start").alias("win_start"), "user_id", "cents")
     )
     drained = run_to_table(agg, spark)
-    w = W.partitionBy("win_start").orderBy(F.desc("cents"), "user_id")
+    # hour windows are a bounded-small universe but a hot hour's user
+    # population is not: rank the drained rollup distributed
+    # (descending cents via negation) instead of a per-window sort
+    from ..operators.ranking import grouped_rank
+
+    ranked = grouped_rank(
+        drained.withColumn("__neg", -F.col("cents")),
+        ["win_start"], ["__neg", "user_id"], "rnk")
     return (
-        drained.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 3)
+        ranked.filter(F.col("rnk") <= 3)
         .select(
             "win_start", "user_id",
             F.round(F.col("cents") / 100.0, 2).alias("total_value"),

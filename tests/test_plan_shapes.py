@@ -534,11 +534,12 @@ def test_source_ablation_fanout_is_broadcast(spark, sf_dir, qs):
 
 
 def test_winsorize_boundaries_broadcast_back(spark, sf_dir, qs):
-    # One rank window on the group key; the group-cardinality boundary
-    # table joins back as a broadcast, never a corpus-side shuffle
-    # beyond the window's own exchange.
+    # The rank rides grouped_rank's checkpointed __pid layout (order
+    # priority has 5 values -- a per-priority window is a single-task
+    # funnel); the boundary table joins back as a broadcast, never a
+    # corpus-side shuffle.
     plan = _plan(spark, sf_dir, qs, "ml_winsorize_robust_mean")
-    assert "Window" in plan, plan
+    assert "windowspecdefinition(grp#" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
 

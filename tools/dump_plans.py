@@ -79,15 +79,15 @@ SHOWCASE = [
     # so they are excluded like the other eager queries; the k-means
     # per-iteration plan shape is pinned in test_plan_shapes.)
     "curation_length_buckets",
-    # round-4d: the audience-overlap distinct-then-self-join and the
-    # rank-exact winsorize boundary broadcast.
+    # round-4d: the audience-overlap distinct-then-self-join.
+    # (ml_winsorize_robust_mean now checkpoints its grouped_rank
+    # layout at build time -- excluded like the other eager queries.)
     # (warehouse_incremental_mv, join_dpp_partitioned_fact,
     # join_bucketed_colocated, ml_source_ablation, and
     # curation_token_budget_select all publish scratch tables or
     # collect bounded state at build time -- excluded like the other
     # eager queries; their shapes are pinned in test_plan_shapes.)
     "events_audience_overlap",
-    "ml_winsorize_robust_mean",
     # round-4e: the broadcast-eval decontamination argmax (struct-max
     # aggregate, no window over the cross product), the join-free
     # Fleiss fan-out, and the carry-forward attribution window.
@@ -113,11 +113,9 @@ SHOWCASE = [
     # like the other eager queries; shapes pinned in test_plan_shapes.)
     "gov_l_diversity_audit",
     "gov_dp_noisy_counts",
-    # round-4h: the lazy Gini query (broadcast dim chain + one
-    # region-partitioned rank window). The other four checkpoint
-    # their base tables at build time -- excluded like the other
-    # eager queries; shapes pinned in test_plan_shapes.
-    "sales_gini_by_region",
+    # round-4h: all five checkpoint base tables or grouped_rank
+    # layouts at build time -- excluded like the other eager queries;
+    # shapes pinned in test_plan_shapes.
     # round-4i: the lazy A/B readout (single pruned scan, join-free).
     # cusum/auprc/ece checkpoint their base tables at build time --
     # excluded; shapes pinned in test_plan_shapes.
