@@ -89,17 +89,28 @@ def _sharded_prev_cum(df: DataFrame, value_col: str,
     # Totals branch reads the PRE-window frame: a map-side partial agg
     # whose shuffle carries one row per (source, shard) -- the second
     # pass of the classic two-pass prefix sum (scan twice, never sort
-    # globally).
+    # globally). The shard-offset prefix itself runs DISTRIBUTED
+    # (round 5): at 128 docs/shard a 1e11-doc source has ~1e9 shard
+    # rows, so a per-source offsets window would just recreate the
+    # funnel one level up. distributed_prefix_sums gives the global
+    # inclusive cumsum over (source, shard); the per-source exclusive
+    # offset is that minus the shard's own total minus the source's
+    # base -- and the base is min(cum - stot) per source (the value at
+    # each source's first shard), one bounded broadcast aggregate.
+    from ..operators.ranking import distributed_prefix_sums
+
     totals = sharded.groupBy("source", "__shard").agg(
-        F.sum(value_col).alias("__stot")
+        F.sum(value_col).cast("long").alias("__stot")
     )
-    off_w = (
-        W.partitionBy("source").orderBy("__shard")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    offsets = totals.select(
-        "source", "__shard",
-        F.coalesce(F.sum("__stot").over(off_w), F.lit(0)).alias("__off"),
+    cum = distributed_prefix_sums(
+        totals, ["source", "__shard"], {"__gcum": "__stot"})
+    prev = (F.col("__gcum") - F.col("__stot")).cast("long")
+    base = cum.groupBy("source").agg(
+        F.min(prev).cast("long").alias("__base"))
+    offsets = (
+        cum.join(F.broadcast(base), "source")
+        .select("source", "__shard",
+                (prev - F.col("__base")).cast("long").alias("__off"))
     )
     return (
         local.join(F.broadcast(offsets), ["source", "__shard"])

@@ -152,21 +152,22 @@ def test_decontaminate_gram_join_broadcasts(spark, sf_dir, qs):
 def test_packing_window_is_sub_sharded(spark, sf_dir, qs):
     """The packing cumsum must never serialize one source into one
     window task: the ROW-level running-sum window has to be
-    partitioned by (source, __shard); the only window allowed on bare
-    (source) is the offset prefix over the #shards-row totals table.
-    Classic two-pass prefix sum: two scans of documents (rows + shard
-    totals), both column-pruned, no global sort."""
+    partitioned by (source, __shard), and since round 5 the shard
+    OFFSET prefix is itself distributed (distributed_prefix_sums over
+    the totals table -- at 128 docs/shard a giant source's shard
+    count scales with its data, so a per-source offsets window would
+    recreate the funnel one level up). No window on bare (source) may
+    appear anywhere; the only other windows are the checkpointed
+    __pid-local prefix layout's."""
     for name in ("curation_sequence_packing", "curation_packing_bpe_budget",
                  "curation_chunk_packing"):
         plan = _plan(spark, sf_dir, qs, name)
+        # the row-level running sum stays sub-sharded
         assert "windowspecdefinition(source" in plan, (name, plan)
-        # every row-level window spec mentions __shard; the offsets
-        # window runs over __stot (per-shard totals), nothing else
-        # may window on bare source
         for line in plan.splitlines():
             if "windowspecdefinition(source" not in line:
                 continue
-            assert "__shard" in line or "__stot" in line, (name, line)
+            assert "__shard" in line, (name, line)
         # the shard-offset table must broadcast onto the rows
         assert "BroadcastHashJoin" in plan, (name, plan)
 

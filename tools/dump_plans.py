@@ -51,10 +51,12 @@ SHOWCASE = [
     "join_scd2_temporal",
     "embedding_random_projection",
     # round-3 additions: hash-checked LSH (single nested-literal plane
-    # matrix), the sub-sharded packing prefix sum, the portable
-    # MinHash twin, and the unigram-LM scorer's ordered fold
+    # matrix), the portable MinHash twin, and the unigram-LM scorer's
+    # ordered fold. (curation_sequence_packing now checkpoints its
+    # distributed shard-offset prefix at build time -- excluded like
+    # the other eager queries; its sub-sharded shape is pinned in
+    # test_plan_shapes.)
     "knn_lsh_ann",
-    "curation_sequence_packing",
     "dedup_minhash_portable",
     "text_unigram_logprob",
     # round-4: DSIR's broadcast log-ratio scoring, the single-scan

@@ -62,6 +62,7 @@ def main() -> None:
     from dataingestionengineprocess_spark.operators.graph import khop_bfs
     from dataingestionengineprocess_spark.operators.ranking import (
         global_rank as _global_rank,
+        grouped_rank as _grouped_rank,
     )
     from dataingestionengineprocess_spark.queries.mlprep import (
         classifier_score,
@@ -160,6 +161,17 @@ def main() -> None:
         "global_rank": lambda k: _global_rank(
             scaled(li_full.select("l_orderkey", "l_linenumber",
                                   "l_extendedprice"), k, "l_orderkey"),
+            ["l_extendedprice", "l_orderkey", "l_linenumber"]),
+        # grouped rank on a 3-value key: the funnel-removal primitive
+        # behind the round-5 rewrites (per-group rank = global rank -
+        # broadcast min-rank base). The window alternative would sort
+        # a third of the table in ONE task and scale ~k log k per
+        # task; this must stay ~linear with flat parallelism.
+        "grouped_rank_flag": lambda k: _grouped_rank(
+            scaled(li_full.select("l_returnflag", "l_orderkey",
+                                  "l_linenumber", "l_extendedprice"),
+                   k, "l_orderkey"),
+            ["l_returnflag"],
             ["l_extendedprice", "l_orderkey", "l_linenumber"]),
     }
 
