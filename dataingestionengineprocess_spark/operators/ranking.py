@@ -134,7 +134,10 @@ def grouped_rank(df: DataFrame, group_cols: list[str],
 
     ``group_cols + order_cols`` must form a total order (include a
     unique key), same as `global_rank`. ``count_col`` additionally
-    attaches the per-group row count (same bounded aggregate).
+    attaches the per-group row count (same bounded aggregate). NULL
+    group keys form their own group, exactly as a window's NULL
+    partition would (the offsets join is null-safe -- a plain
+    name-based equi-join would silently DROP null-keyed rows).
     """
     ranked = global_rank(df, list(group_cols) + list(order_cols),
                          "__gr")
@@ -142,11 +145,18 @@ def grouped_rank(df: DataFrame, group_cols: list[str],
     if count_col:
         aggs.append(F.count(F.lit(1)).cast("long").alias(count_col))
     offs = ranked.groupBy(*group_cols).agg(*aggs)
+    offs = offs.select(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+        "__base", *([count_col] if count_col else []))
+    cond = None
+    for c in group_cols:
+        e = ranked[c].eqNullSafe(offs[f"__g_{c}"])
+        cond = e if cond is None else (cond & e)
     return (
-        ranked.join(F.broadcast(offs), list(group_cols))
+        ranked.join(F.broadcast(offs), cond)
         .withColumn(rank_col,
                     (F.col("__gr") - F.col("__base")).cast("long"))
-        .drop("__gr", "__base")
+        .drop("__gr", "__base", *[f"__g_{c}" for c in group_cols])
     )
 
 

@@ -1486,3 +1486,14 @@ def test_quantile_bins_no_global_ntile(spark, sf_dir, qs):
                 and " DESC" not in spec), (
             f"unpartitioned window:\n{plan}")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bm25_takeordered_broadcast_stats(spark, sf_dir, qs):
+    # Top-20 must be TakeOrdered (never a global sort); idf and the
+    # corpus totals broadcast; the only shuffles are the (doc, term)
+    # tf agg and the doc-length join.
+    plan = _plan(spark, sf_dir, qs, "text_bm25_retrieval")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan

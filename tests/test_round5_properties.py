@@ -241,3 +241,21 @@ def test_grouped_percent_cume_matches_definitions(spark, rows):
             pct, cume = got[(g, i)]
             assert abs(pct - (rn - 1) / max(n - 1, 1)) < 1e-12
             assert abs(cume - rn / n) < 1e-12
+
+
+def test_grouped_rank_null_group_forms_its_own_partition(spark):
+    # A window's NULL partition ranks normally; a name-based equi-join
+    # on the group key would silently drop those rows. The null-safe
+    # offsets join must keep them.
+    from dataingestionengineprocess_spark.operators.ranking import (
+        grouped_rank,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 3, 1), ("a", 1, 2), (None, 5, 3), (None, 2, 4)],
+        "g string, v long, id long")
+    got = {r["id"]: (r["g"], r["rn"], r["n"])
+           for r in grouped_rank(df, ["g"], ["v", "id"], "rn",
+                                 count_col="n").collect()}
+    assert got[2] == ("a", 1, 2) and got[1] == ("a", 2, 2)
+    assert got[4] == (None, 1, 2) and got[3] == (None, 2, 2)
