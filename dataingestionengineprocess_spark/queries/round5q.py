@@ -120,3 +120,112 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("dl").alias("n_tokens"),
                 (F.col("score_q") / 1e6).alias("bm25_s"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall: rank neighbors by cosine over the
+# FIRST d dims (d = 16, 32, 64) and score each truncation's top-5
+# against the full-dim exact top-5 -- the eval that decides how far
+# an MRL-style embedding can be truncated before ANN quality drops
+# (Kusupati et al., 2022, arXiv:2205.13147). The d = 64 row is the
+# identity sanity check (recall exactly 1).
+#
+# Exactness: cosine rides the proven knn_bruteforce idiom (sequential
+# fold == list_dot_product, round-6) then quantizes to int64 so the
+# rank key is integer; recall is an exact hits/(5*n_queries) ratio.
+#
+# Scale: queries are a sampled eval slice (broadcast); the per-
+# (dim, query) rank rides grouped_rank's checkpointed layout, so a
+# corpus-sized candidate list never serializes through one task.
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (16, 32, 64)
+
+_MRL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+sims AS (
+  SELECT d.dim, qid, nid,
+         CAST(floor(round(
+           list_dot_product(qv[1:d.dim], cv[1:d.dim])
+           / (sqrt(list_dot_product(qv[1:d.dim], qv[1:d.dim]))
+              * sqrt(list_dot_product(cv[1:d.dim], cv[1:d.dim]))), 6)
+           * 1e6 + 0.5) AS BIGINT) AS cosq
+  FROM q JOIN c ON qid <> nid
+  CROSS JOIN (SELECT unnest([{", ".join(str(d) for d in _MRL_DIMS)}])
+              AS dim) d
+),
+ranked AS (
+  SELECT dim, qid, nid,
+         row_number() OVER (PARTITION BY dim, qid
+                            ORDER BY cosq DESC, nid) AS rnk
+  FROM sims
+),
+top5 AS (SELECT dim, qid, nid FROM ranked WHERE rnk <= 5),
+full5 AS (SELECT qid, nid FROM top5 WHERE dim = {_MRL_DIMS[-1]}),
+m AS (
+  SELECT t.dim, t.qid,
+         CAST(count(*) FILTER (WHERE f.nid IS NOT NULL) AS BIGINT) AS hits
+  FROM top5 t
+  LEFT JOIN full5 f ON f.qid = t.qid AND f.nid = t.nid
+  GROUP BY t.dim, t.qid
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       floor(sum(hits) / (5.0 * count(*)) * 1e6 + 0.5) / 1e6
+         AS recall_at5_s
+FROM m GROUP BY dim ORDER BY dim
+"""
+
+
+@register("knn_matryoshka_recall", oracle=_MRL_ORACLE)
+def knn_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of dimension-truncated cosine top-5 vs the full-dim
+    exact baseline, integer rank keys, distributed per-(dim, query)
+    ranking."""
+    from ..functions.vectors import as_double, cosine
+    from ..operators.ranking import grouped_rank
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), as_double("embedding").alias("qv"))
+    c = emb.select(
+        F.col("vec_id").alias("nid"), as_double("embedding").alias("cv"))
+    pairs = c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+    frames = []
+    for d in _MRL_DIMS:
+        cos = cosine(F.slice("qv", 1, d), F.slice("cv", 1, d))
+        frames.append(pairs.select(
+            F.lit(d).cast("long").alias("dim"), "qid", "nid",
+            F.floor(F.round(cos, 6) * 1e6 + 0.5).cast("long")
+            .alias("cosq")))
+    sims = frames[0]
+    for fr in frames[1:]:
+        sims = sims.unionByName(fr)
+    ranked = grouped_rank(
+        sims.withColumn("negq", -F.col("cosq")),
+        ["dim", "qid"], ["negq", "nid"], "rnk")
+    top5 = ranked.filter(F.col("rnk") <= 5).select("dim", "qid", "nid")
+    full5 = (top5.filter(F.col("dim") == _MRL_DIMS[-1])
+             .select(F.col("qid").alias("fqid"),
+                     F.col("nid").alias("fnid")))
+    m = (
+        top5.join(full5,
+                  (F.col("qid") == F.col("fqid"))
+                  & (F.col("nid") == F.col("fnid")),
+                  "left")
+        .groupBy("dim", "qid")
+        .agg(F.count("fnid").cast("long").alias("hits"))
+    )
+    return (
+        m.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            (F.floor(F.sum("hits") / (5.0 * F.count(F.lit(1)))
+                     * 1e6 + 0.5) / 1e6).alias("recall_at5_s"),
+        )
+        .orderBy("dim")
+    )

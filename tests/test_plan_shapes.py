@@ -1497,3 +1497,16 @@ def test_bm25_takeordered_broadcast_stats(spark, sf_dir, qs):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_matryoshka_broadcast_queries_no_group_window(spark, sf_dir, qs):
+    # The eval slice broadcasts onto the corpus scan; the per-
+    # (dim, query) rank rides grouped_rank's checkpointed __pid
+    # layout -- never a (dim, qid)-partitioned window over the
+    # corpus-sized candidate lists.
+    import re
+    plan = _plan(spark, sf_dir, qs, "knn_matryoshka_recall")
+    assert "windowspecdefinition(dim#" not in plan, plan
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "__pid" in spec, f"non-__pid window:\n{plan}"
+    assert "CartesianProduct" not in plan, plan

@@ -72,3 +72,33 @@ def test_bm25_top20_truncates_by_integer_score_then_id(spark, tmp_path):
     sf = _docs(spark, tmp_path, rows)
     got = [r["doc_id"] for r in text_bm25_retrieval(spark, sf).collect()]
     assert sorted(got) == list(range(20))
+
+
+def _emb(spark, tmp_path, vecs):
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_matryoshka_full_dim_is_identity_and_bounds(spark, tmp_path):
+    from dataingestionengineprocess_spark.queries.round5q import (
+        knn_matryoshka_recall,
+    )
+
+    # 12 deterministic 64-dim vectors; first 16 dims are IDENTICAL
+    # across vectors, so the d=16 ranking is pure id-tiebreak while
+    # the full-dim ranking follows the tail structure.
+    vecs = []
+    for i in range(12):
+        head = [1.0] * 16
+        tail = [((i * 7 + j * 3) % 11) / 10.0 for j in range(48)]
+        vecs.append(head + tail)
+    sf = _emb(spark, tmp_path, vecs)
+    rows = {r["dim"]: r for r in knn_matryoshka_recall(spark, sf).collect()}
+    assert set(rows) == {16, 32, 64}
+    assert rows[64]["recall_at5_s"] == 1.0  # identity sanity row
+    for d in (16, 32):
+        assert 0.0 <= rows[d]["recall_at5_s"] <= 1.0
+        assert rows[d]["n_queries"] == 10
