@@ -185,3 +185,20 @@ def grouped_percent_cume(df: DataFrame, group_cols: list[str],
                     F.col("__rn") / F.col("__n").cast("double"))
         .drop("__rn", "__n")
     )
+
+
+def ntile_expr(rank_col: str, n_col: str, k: int):
+    """Exact SQL ``ntile(k)`` as pure integer arithmetic over a
+    1-based rank column and a row-count column (both referenced BY
+    NAME so the division is integer `div`, never a double quotient):
+    the first (n mod k) buckets take ceil(n/k) rows, the rest take
+    floor(n/k). Compose with `global_rank` / `grouped_rank` to get
+    exact equal-count tiles without the single-task ntile window."""
+    q = f"({n_col} div {k})"
+    r = f"({n_col} % {k})"
+    big = f"({r} * ({q} + 1))"
+    return F.expr(
+        f"CASE WHEN {q} = 0 THEN {rank_col} "
+        f"WHEN {rank_col} <= {big} THEN ({rank_col} - 1) div ({q} + 1) + 1 "
+        f"ELSE {r} + ({rank_col} - 1 - {big}) div {q} + 1 END"
+    ).cast("long")

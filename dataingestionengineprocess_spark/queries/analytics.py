@@ -1020,23 +1020,14 @@ def ml_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutpoints + map-only assignment, as in
     `sinks/warehouse.zorder_write` -- trades exact equal counts for
     zero ranking passes; this query pins the exact semantics.)"""
-    from ..operators.ranking import global_rank
+    from ..operators.ranking import global_rank, ntile_expr
 
     o = load(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
-    n = o.count()  # bounded scalar (one agg job), drives q/r literals
-    ranked = global_rank(o, ["o_totalprice", "o_orderkey"], "gr")
-    q, r = divmod(n, 10)
-    if q == 0:  # degenerate n < 10: ntile = rank
-        binned = ranked.select(
-            "o_totalprice", F.col("gr").cast("long").alias("bin"))
-    else:
-        big = r * (q + 1)  # rows covered by the ceil-sized buckets
-        binned = ranked.select(
-            "o_totalprice",
-            F.when(F.col("gr") <= big,
-                   F.expr(f"(gr - 1) div {q + 1}") + 1)
-            .otherwise(F.expr(f"(gr - 1 - {big}) div {q}") + r + 1)
-            .cast("long").alias("bin"))
+    n = o.count()  # bounded scalar (one agg job), drives the tiling
+    ranked = global_rank(o, ["o_totalprice", "o_orderkey"], "gr") \
+        .withColumn("__n", F.lit(n).cast("long"))
+    binned = ranked.select(
+        "o_totalprice", ntile_expr("gr", "__n", 10).alias("bin"))
     return (
         binned.groupBy("bin")
         .agg(

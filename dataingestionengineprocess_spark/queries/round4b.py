@@ -493,11 +493,14 @@ def _stage_late_epochs(spark: SparkSession, sf_dir: str) -> str:
     from .streaming import stage_epoch_files
 
     def frame():
+        # global time rank via the distributed two-pass layout (a bare
+        # row_number() OVER (ORDER BY ts) would single-task the table)
+        from ..operators.ranking import global_rank
+
         ev = load(spark, sf_dir, "events").select("event_id", "ts", "value")
         n = ev.count()
-        ranked = ev.withColumn(
-            "rk", F.row_number().over(W.orderBy("ts", "event_id")) - 1
-        )
+        ranked = global_rank(ev, ["ts", "event_id"], "__grk") \
+            .withColumn("rk", F.col("__grk") - 1).drop("__grk")
         return ranked.selectExpr(
             "event_id", "ts", "value",
             f"least((3*rk) div {n}"

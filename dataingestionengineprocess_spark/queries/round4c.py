@@ -658,13 +658,14 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     microsecond timestamps, summed cents -- and user_id tiebreaks
     make every quartile boundary deterministic.
 
-    Scale: one groupBy(user) plus three global ntile windows over the
-    USER rollup (cardinality = users, not events); at 100 TB the
-    ntile would become the distributed two-pass rank
-    (`quality_score_calibration`'s idiom) -- the per-event scan stays
-    a single pass either way."""
+    Scale: one groupBy(user) rollup, then each quartile score derives
+    from a `global_rank` pass (range-partitioned local ranks +
+    broadcast offsets) and `ntile_expr`'s integer bucket arithmetic --
+    the user universe is unbounded, so the global ntile windows this
+    used before round 5 would each funnel the whole rollup through
+    one task's sort. Three rank passes (one per ordering), zero
+    single-task windows."""
     events = load(spark, sf_dir, "events")
-    from pyspark.sql import Window as W
 
     p = events.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts",
@@ -687,17 +688,23 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency", "monetary_cents",
         )
     )
-    return u.select(
+    from ..operators.ranking import global_rank, ntile_expr
+
+    base = u.select(
         "user_id", "recency_days", "frequency", "monetary_cents",
-        F.ntile(4).over(
-            W.orderBy(F.asc("recency_days"), F.asc("user_id"))
-        ).alias("r_score"),
-        F.ntile(4).over(
-            W.orderBy(F.desc("frequency"), F.asc("user_id"))
-        ).alias("f_score"),
-        F.ntile(4).over(
-            W.orderBy(F.desc("monetary_cents"), F.asc("user_id"))
-        ).alias("m_score"),
+        (-F.col("frequency")).alias("__negf"),
+        (-F.col("monetary_cents")).alias("__negm"),
+    )
+    ranked = global_rank(base, ["recency_days", "user_id"], "__gr_r")
+    ranked = global_rank(ranked, ["__negf", "user_id"], "__gr_f")
+    ranked = global_rank(ranked, ["__negm", "user_id"], "__gr_m")
+    n = base.count()  # bounded scalar: drives the tile arithmetic
+    ranked = ranked.withColumn("__n", F.lit(n).cast("long"))
+    return ranked.select(
+        "user_id", "recency_days", "frequency", "monetary_cents",
+        ntile_expr("__gr_r", "__n", 4).cast("int").alias("r_score"),
+        ntile_expr("__gr_f", "__n", 4).cast("int").alias("f_score"),
+        ntile_expr("__gr_m", "__n", 4).cast("int").alias("m_score"),
     ).orderBy("user_id")
 
 

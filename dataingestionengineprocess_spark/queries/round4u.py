@@ -205,13 +205,20 @@ def orders_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
                            * (1 - F.col("l_discount")) * 100 + 0.5))
              .cast("long").alias("cents"))
     )
-    wcum = W.orderBy(F.col("cents").desc(), "l_partkey") \
-        .rowsBetween(W.unboundedPreceding, 0)
-    wall = W.partitionBy(F.lit(1))
-    ranked = rev.select(
-        "l_partkey", "cents",
-        F.sum("cents").over(wcum).cast("long").alias("cum_cents"),
-        F.sum("cents").over(wall).cast("long").alias("total_cents"),
+    # The part universe scales with the data, so the global cumulative
+    # this used before round 5 was a single-task sort of the whole
+    # rollup; distributed_prefix_sum gives the same inclusive cumsum
+    # over the (revenue desc, partkey) total order, and the grand
+    # total is one bounded aggregate off the checkpointed frame.
+    from ..operators.ranking import distributed_prefix_sum
+
+    cum = distributed_prefix_sum(
+        rev.withColumn("__neg", -F.col("cents")),
+        ["__neg", "l_partkey"], "cents", "cum_cents").drop("__neg")
+    tot = cum.agg(F.sum("cents").cast("long").alias("total_cents"))
+    ranked = (
+        cum.crossJoin(F.broadcast(tot))
+        .select("l_partkey", "cents", "cum_cents", "total_cents")
     )
     abc = (
         F.when(F.col("cum_cents") * 100 <= 80 * F.col("total_cents"), "A")

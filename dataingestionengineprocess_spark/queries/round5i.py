@@ -181,22 +181,16 @@ def events_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank and count -- the first (n mod k) buckets take ceil(n/k)
     # rows, the rest floor(n/k). Descending spend via negation
     # (grouped_rank orders ascending).
-    from ..operators.ranking import grouped_rank
+    from ..operators.ranking import grouped_rank, ntile_expr
 
     ranked = grouped_rank(
         u.withColumn("__neg", -F.col("spend")),
         ["period"], ["__neg", "user_id"], "__rn",
         count_col="__n").drop("__neg")
-    big = F.expr("__n % 3 * (__n div 3 + 1)")  # ceil-bucket row span
-    tile = F.when(F.expr("__n div 3") == 0, F.col("__rn")).otherwise(
-        F.when(F.col("__rn") <= big,
-               F.expr("(__rn - 1) div (__n div 3 + 1) + 1"))
-        .otherwise(F.expr(
-            "__n % 3 + (__rn - 1 - __n % 3 * (__n div 3 + 1))"
-            " div (__n div 3) + 1")))
     seg = ranked.select(
         "user_id", "period", "spend",
-        F.concat(F.lit("T"), tile.cast("long").cast("string"))
+        F.concat(F.lit("T"),
+                 ntile_expr("__rn", "__n", 3).cast("string"))
         .alias("seg"),
     )
     users = u.select("user_id").distinct()

@@ -1020,14 +1020,16 @@ def test_ttc_user_keyed_rollup_then_week_window(spark, sf_dir, qs):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_abc_windows_run_on_part_rollup(spark, sf_dir, qs):
-    # The ranking window consumes the per-part aggregate (bounded by
-    # the part dimension), never raw lineitem rows.
+def test_abc_cumulative_is_distributed_prefix(spark, sf_dir, qs):
+    # The part universe scales with the data: the revenue cumulative
+    # must ride distributed_prefix_sum's checkpointed __pid layout
+    # (visible as __pid-partitioned windows only), with the grand
+    # total broadcast -- never a global-order window over the rollup.
+    import re
     plan = _plan(spark, sf_dir, qs, "orders_abc_classes")
-    assert plan.count("FileScan parquet") == 1, plan
-    # a HashAggregate must sit BELOW the window (printed after it):
-    # the ranking runs on the per-part rollup, not raw lineitem
-    assert plan.rindex("HashAggregate") > plan.index("Window"), plan
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "__pid" in spec, f"non-__pid window:\n{plan}"
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_quota_window_on_bounded_strata(spark, sf_dir, qs):
