@@ -373,7 +373,8 @@ BENCH_QUERIES = [
 # above keeps its stable ordering (figures in BASELINE.md predate
 # this); everything else in the registry appends behind it, so any
 # future registration is auto-benched without touching this file.
-BENCH_QUERIES += [n for n in all_queries() if n not in set(BENCH_QUERIES)]
+_seen = set(BENCH_QUERIES)
+BENCH_QUERIES += [n for n in all_queries() if n not in _seen]
 
 
 def main() -> None:

@@ -37,6 +37,9 @@ from urllib.parse import urlparse
 KNOWN_SCHEMES = {"file", "hdfs", "s3a", "gs", "abfs", "abfss", "wasbs"}
 
 
+_S3A_COMMITTERS = ("magic", "directory", "partitioned")
+
+
 def s3a_confs(*, endpoint: str | None = None,
               region: str | None = None,
               path_style_access: bool = False,
@@ -44,12 +47,13 @@ def s3a_confs(*, endpoint: str | None = None,
               anonymous: bool = False) -> dict[str, str]:
     """Hadoop confs for an ``s3a://`` landing zone / warehouse.
 
-    ``committer``: "magic" (writes task output under a __magic path,
-    completed by multipart-upload commit -- zero-rename, needs no
-    external store) or "staging" (buffers to local disk / HDFS; the
-    directory variant). Both are the hadoop-aws S3A committers; the
-    default FileOutputCommitter is never safe on S3 (rename is COPY +
-    DELETE and directory listings can lag).
+    ``committer``: one of the public hadoop-aws S3A committer names --
+    "magic" (writes task output under a __magic path, completed by
+    multipart-upload commit; zero-rename, needs no external store),
+    "directory" (staging committer, whole-directory conflict
+    resolution) or "partitioned" (staging committer, per-partition
+    conflict resolution). The default FileOutputCommitter is never
+    safe on S3 (rename is COPY + DELETE and listings can lag).
 
     ``endpoint`` / ``path_style_access``: point at a non-AWS
     S3-compatible store (MinIO, Ceph RGW) -- the standard local-stack
@@ -59,6 +63,10 @@ def s3a_confs(*, endpoint: str | None = None,
     the default provider chain (env vars, instance profile) -- never
     hardcoded here.
     """
+    if committer not in _S3A_COMMITTERS:
+        raise ValueError(
+            f"unknown S3A committer {committer!r}: the public names "
+            f"are {_S3A_COMMITTERS}")
     confs = {
         # zero-rename commit: both Spark-side keys are required for
         # parquet to route through the S3A committer factory
@@ -106,7 +114,10 @@ def validate_store_uri(uri: str) -> str:
             f"unknown filesystem scheme {parsed.scheme!r} in {uri!r}: "
             f"known schemes are {sorted(KNOWN_SCHEMES)}; other schemes "
             "need their connector jar on the session classpath")
-    if parsed.scheme != "file" and not parsed.netloc:
+    # only BUCKET-ADDRESSED stores require an authority; hdfs:///path
+    # is valid (the namenode resolves from fs.defaultFS)
+    if parsed.scheme in {"s3a", "gs", "abfs", "abfss", "wasbs"} \
+            and not parsed.netloc:
         raise ValueError(
             f"{parsed.scheme}:// URI needs a bucket/authority: {uri!r}")
     return uri

@@ -26,13 +26,14 @@ from pyspark.sql import types as T
 
 from .operators.dedup import dedup_exact
 from .operators.quality import ValidationResult, validate
+from .streaming.telemetry import emit_run_status
 from .sinks.warehouse import (
     RunStatus,
     SinkConfig,
     new_run_id,
     write_oltp,
     write_run_partition,
-    write_status,
+    write_status,  # noqa: F401 -- re-exported for callers
     write_warehouse,
 )
 from .sources.csv_source import CORRUPT_COL, read_csv_feed
@@ -179,7 +180,7 @@ def ingest_batch(spark: SparkSession, feed: FeedConfig,
         rows_quarantined=int(quar_obs.get["rows"]),
         started_at=started, finished_at=time.time(),
     )
-    write_status(spark, sinks.warehouse_dir, status)
+    emit_run_status(spark, sinks, status)
     # all writes done: release the batch's cached plans
     curated.unpersist()
     validation.unpersist()
@@ -294,7 +295,7 @@ def ingest_stream(spark: SparkSession, feed: FeedConfig, src_dir: str,
             os.path.join(sinks.warehouse_dir, f"{feed.name}_quarantine"),
             run_id,
         )
-        write_status(spark, sinks.warehouse_dir, RunStatus(
+        emit_run_status(spark, sinks, RunStatus(
             run_id=run_id, feed=feed.name,
             rows_read=int(read_obs.get["rows"]),
             rows_loaded=int(load_obs.get["rows"]),
@@ -552,7 +553,7 @@ def replay_quarantine(spark: SparkSession, feed: FeedConfig,
         rows_quarantined=rows_quarantined,
         started_at=started, finished_at=time.time(),
     )
-    write_status(spark, sinks.warehouse_dir, status)
+    emit_run_status(spark, sinks, status)
     return status
 
 

@@ -1023,9 +1023,9 @@ def ml_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranking import global_rank, ntile_expr
 
     o = load(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
-    n = o.count()  # bounded scalar (one agg job), drives the tiling
-    ranked = global_rank(o, ["o_totalprice", "o_orderkey"], "gr") \
-        .withColumn("__n", F.lit(n).cast("long"))
+    ranked = global_rank(o, ["o_totalprice", "o_orderkey"], "gr")
+    n = ranked.count()  # reads the checkpointed layout, not orders
+    ranked = ranked.withColumn("__n", F.lit(n).cast("long"))
     binned = ranked.select(
         "o_totalprice", ntile_expr("gr", "__n", 10).alias("bin"))
     return (

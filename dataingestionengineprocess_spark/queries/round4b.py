@@ -1083,8 +1083,11 @@ def stream_stream_full_outer_join(spark: SparkSession,
 # the same funnel class the round-5 rewrites removed from the flag
 # aggregates. Both functions derive exactly from
 # `operators/ranking.grouped_percent_cume`: per-type rank/count via
-# the checkpointed global_rank layout + bounded broadcast offsets,
-# cume_dist tie semantics from the per-(type, value) max rank.
+# the checkpointed global_rank layout + bounded broadcast offsets.
+# NOTE: cume_dist here is rn/n, which is exact ONLY because the
+# ORDER BY includes the unique event_id (every row is its own peer
+# group) -- an oracle ordered by value ALONE would need the
+# per-(type, value) max-rank tie form instead.
 # ---------------------------------------------------------------------------
 
 _WINDOW_DIST_ORACLE = """

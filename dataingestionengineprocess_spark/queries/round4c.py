@@ -696,9 +696,9 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("monetary_cents")).alias("__negm"),
     )
     ranked = global_rank(base, ["recency_days", "user_id"], "__gr_r")
+    n = ranked.count()  # reads the checkpointed layout, not events
     ranked = global_rank(ranked, ["__negf", "user_id"], "__gr_f")
     ranked = global_rank(ranked, ["__negm", "user_id"], "__gr_m")
-    n = base.count()  # bounded scalar: drives the tile arithmetic
     ranked = ranked.withColumn("__n", F.lit(n).cast("long"))
     return ranked.select(
         "user_id", "recency_days", "frequency", "monetary_cents",

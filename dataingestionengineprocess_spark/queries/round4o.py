@@ -100,18 +100,14 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global inclusive cumsum over the (flag, cents) total order --
     # flags sort contiguously, so per-flag cum = global cum - base
     cum = distributed_prefix_sum(g, ["flag", "cents"], "w", "gcum")
-    # 3-row bounded state: per-flag totals + exclusive base offsets
-    # (computed from the checkpointed frame -- no second lineitem
-    # scan; driver prefix over |distinct flag| rows, never data-sized)
-    flag_tot = sorted(
-        (r["flag"], int(r["tw"]))
-        for r in cum.groupBy("flag")
-        .agg(F.sum("w").cast("long").alias("tw")).collect())
-    rows, acc = [], 0
-    for flag, tw in flag_tot:
-        rows.append((flag, tw, acc))
-        acc += tw
-    offs = spark.createDataFrame(rows, "flag string, tw long, base long")
+    # 3-row bounded state off the checkpointed frame, declaratively:
+    # each flag's exclusive base is the value of (global cum - own
+    # weight) at its FIRST row, i.e. min(gcum - w) per flag -- one
+    # distributive aggregate, no driver collect, no Python sort
+    # (same idiom as curation._sharded_prev_cum's per-source base)
+    offs = cum.groupBy("flag").agg(
+        F.sum("w").cast("long").alias("tw"),
+        F.min(F.col("gcum") - F.col("w")).cast("long").alias("base"))
     cw = (F.col("gcum") - F.col("base")).cast("long")
     return (
         cum.join(F.broadcast(offs), "flag")

@@ -131,30 +131,15 @@ ORDER BY l_returnflag
 def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10% rank-trimmed mean of extended price per return flag over
     exact integer cents with a deterministic tie-break."""
-    from ..operators.ranking import global_rank
+    from ..operators.ranking import grouped_rank
 
     cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
     rows = load(spark, sf_dir, "lineitem").select(
         "l_returnflag", cents.alias("cents"),
         "l_orderkey", "l_linenumber")
-    ranked = global_rank(
-        rows, ["l_returnflag", "cents", "l_orderkey", "l_linenumber"],
-        "gr").drop("l_orderkey", "l_linenumber")
-    # 3-row bounded state off the checkpointed frame: per-flag counts
-    # + exclusive base offsets (driver prefix over |distinct flag|
-    # rows, never data-sized); per-flag rn = global rank - base
-    tot = sorted(
-        (r["l_returnflag"], int(r["n"]))
-        for r in ranked.groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).cast("long").alias("n")).collect())
-    rows_, acc = [], 0
-    for flag, cnt in tot:
-        rows_.append((flag, cnt, acc))
-        acc += cnt
-    offs = spark.createDataFrame(
-        rows_, "l_returnflag string, n long, base long")
-    c = (ranked.join(F.broadcast(offs), "l_returnflag")
-         .withColumn("rn", (F.col("gr") - F.col("base")).cast("long")))
+    c = grouped_rank(
+        rows, ["l_returnflag"], ["cents", "l_orderkey", "l_linenumber"],
+        "rn", count_col="n").drop("l_orderkey", "l_linenumber")
     lo = F.floor(F.col("n") / 10).cast("long")
     return (
         c.where((F.col("rn") > lo) & (F.col("rn") <= F.col("n") - lo))

@@ -436,8 +436,6 @@ FROM ranked WHERE rnk <= 3
 
 @register("stream_topk_users", oracle=_TOPK_STREAM_ORACLE)
 def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     from ..streaming.analytics import read_events_stream, run_to_table
 
     ev = read_events_stream(spark, sf_dir)

@@ -37,6 +37,9 @@ class SinkConfig:
     oltp_dir: str | None = None
     jdbc_url: str | None = None
     jdbc_options: dict[str, str] = field(default_factory=dict)
+    #: extra MetricsExporter backends; every run status lands in the
+    #: `_runs` table AND each of these (streaming.telemetry.emit_run_status)
+    exporters: list = field(default_factory=list)
 
 
 def write_warehouse(df: DataFrame, warehouse_dir: str, table: str,

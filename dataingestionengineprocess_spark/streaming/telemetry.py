@@ -81,6 +81,7 @@ class InMemoryMetricsExporter(MetricsExporter):
     def export_run(self, spark: SparkSession, status) -> None:
         self.runs.append(status)
 
+
 _SCHEMA = (
     "query_id string, run_id string, batch_id long, name string, "
     "num_input_rows long, input_rows_per_second double, "
@@ -142,15 +143,39 @@ class RunTelemetryListener(StreamingQueryListener):
         """Hand buffered events to the parquet backend (the queryable
         progress table under ``warehouse_dir``) plus every registered
         exporter; returns the table path. One atomic buffer swap: all
-        backends see the same batch exactly once."""
+        backends see the same batch. If any backend throws, the batch
+        is RESTORED to the buffer (ahead of rows that arrived
+        meanwhile) and the error propagates -- the next flush
+        redelivers to every backend, so delivery is at-least-once
+        under failure, never silently dropped for the backends after
+        the one that threw."""
         path = os.path.join(warehouse_dir, PROGRESS_TABLE)
         with self._lock:
             rows, self.rows = self.rows, []
         if rows:
-            for exp in [ParquetMetricsExporter(warehouse_dir),
-                        *self.exporters]:
-                exp.export_progress(spark, rows)
+            try:
+                for exp in [ParquetMetricsExporter(warehouse_dir),
+                            *self.exporters]:
+                    exp.export_progress(spark, rows)
+            except BaseException:
+                with self._lock:
+                    self.rows = rows + self.rows
+                raise
         return path
+
+
+def emit_run_status(spark: SparkSession, sinks, status) -> None:
+    """The S8 run-completion emit point: the `_runs` parquet table
+    always writes (idempotent per run_id), then every MetricsExporter
+    in ``sinks.exporters`` receives the same RunStatus -- so a
+    CloudWatch-style backend is one SinkConfig field, no pipeline
+    change. Exporters must tolerate redelivery (batch retries re-emit
+    under the same run_id)."""
+    from ..sinks.warehouse import write_status
+
+    write_status(spark, sinks.warehouse_dir, status)
+    for exp in getattr(sinks, "exporters", None) or []:
+        exp.export_run(spark, status)
 
 
 def read_progress(spark: SparkSession, warehouse_dir: str) -> DataFrame:

@@ -75,19 +75,25 @@ def test_s3a_confs_magic_committer_keys():
 
 def test_s3a_confs_minio_topology():
     confs = s3a_confs(endpoint="http://localhost:9000",
-                      path_style_access=True, committer="staging",
+                      path_style_access=True, committer="directory",
                       anonymous=True)
     assert confs["spark.hadoop.fs.s3a.endpoint"] == "http://localhost:9000"
     assert confs["spark.hadoop.fs.s3a.path.style.access"] == "true"
-    assert confs["spark.hadoop.fs.s3a.committer.name"] == "staging"
+    assert confs["spark.hadoop.fs.s3a.committer.name"] == "directory"
     assert "spark.hadoop.fs.s3a.committer.magic.enabled" not in confs
     assert confs["spark.hadoop.fs.s3a.aws.credentials.provider"].endswith(
         "AnonymousAWSCredentialsProvider")
+    # only the public committer names are accepted ("staging" is the
+    # internal base class, not a documented name)
+    with pytest.raises(ValueError, match="unknown S3A committer"):
+        s3a_confs(committer="staging")
 
 
 def test_validate_store_uri_rules():
     assert validate_store_uri("/plain/local/path") == "/plain/local/path"
     assert validate_store_uri("s3a://bucket/landing") == "s3a://bucket/landing"
+    # authority-less hdfs is VALID (namenode resolves from fs.defaultFS)
+    assert validate_store_uri("hdfs:///warehouse") == "hdfs:///warehouse"
     assert "file" in KNOWN_SCHEMES and "s3a" in KNOWN_SCHEMES
     with pytest.raises(ValueError, match="unknown filesystem scheme"):
         validate_store_uri("ftp://host/x")

@@ -143,3 +143,69 @@ def test_second_exporter_receives_same_batch(spark, sf_dir, tmp_path):
     got = read_status(spark, str(tmp_path)).filter(
         F.col("run_id") == "r-exp-1").collect()
     assert len(got) == 1 and got[0]["rows_loaded"] == 3
+
+
+def test_run_status_reaches_sink_exporters_end_to_end(spark, tmp_path):
+    # The S8 emit point: an exporter registered on SinkConfig must
+    # receive every RunStatus the pipeline publishes -- no pipeline
+    # change, exactly the module's CloudWatch-seam claim.
+    from pyspark.sql import types as T
+
+    from dataingestionengineprocess_spark.pipeline import (
+        FeedConfig,
+        SinkConfig,
+        ingest_batch,
+    )
+    from dataingestionengineprocess_spark.streaming.telemetry import (
+        InMemoryMetricsExporter,
+    )
+
+    schema = T.StructType([
+        T.StructField("order_id", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("updated_at", T.TimestampType()),
+    ])
+    src = tmp_path / "drop.csv"
+    src.write_text("order_id,amount,updated_at\n"
+                   "1,10.0,2024-01-01 10:00:00\n"
+                   "2,20.0,2024-01-01 11:00:00\n")
+    mem = InMemoryMetricsExporter()
+    sinks = SinkConfig(warehouse_dir=str(tmp_path / "wh"),
+                       oltp_dir=str(tmp_path / "oltp"),
+                       exporters=[mem])
+    feed = FeedConfig(name="exp_feed", schema=schema,
+                      key_cols=["order_id"], order_col="updated_at")
+    status = ingest_batch(spark, feed, str(src), sinks)
+    assert [s.run_id for s in mem.runs] == [status.run_id]
+    assert mem.runs[0].rows_loaded == 2
+
+
+def test_flush_restores_buffer_when_backend_throws(spark, tmp_path):
+    # A flaky backend must not starve the others: the batch goes back
+    # on the buffer and the next flush redelivers to every backend.
+    from dataingestionengineprocess_spark.streaming.telemetry import (
+        InMemoryMetricsExporter,
+        MetricsExporter,
+    )
+
+    class Flaky(MetricsExporter):
+        def __init__(self):
+            self.calls = 0
+
+        def export_progress(self, spark, rows):
+            self.calls += 1
+            if self.calls == 1:
+                raise IOError("transient")
+
+    flaky, mem = Flaky(), InMemoryMetricsExporter()
+    listener = RunTelemetryListener(exporters=[flaky, mem])
+    row = ("q", "r", 1, "n", 5, 1.0, 1.0, 10, "progress", "t")
+    listener.rows.append(row)
+    import pytest as _pytest
+    with _pytest.raises(IOError):
+        listener.flush(spark, str(tmp_path))
+    assert listener.rows == [row]      # batch restored
+    assert mem.progress == []          # tail backend saw nothing yet
+    listener.flush(spark, str(tmp_path))
+    assert listener.rows == []
+    assert mem.progress == [row]       # redelivered to every backend
