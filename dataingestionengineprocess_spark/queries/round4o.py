@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.exact import snap6 as _snap6
 from ..functions.text import md5_bucket
 from . import register
 
