@@ -598,22 +598,41 @@ def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     frame memory is bounded by events-per-type-hour, the natural
     rate limit of the feed (a hot type would move to the streaming
     rollup with its bounded state store). The oracle runs DuckDB's
-    NATIVE distinct window, so the composition's semantics -- frame
-    inclusivity, timestamp ties, duplicate users -- are pinned
-    cross-engine."""
-    events = load(spark, sf_dir, "events")
-    from pyspark.sql import Window as W
+    NATIVE distinct window, so the semantics -- frame inclusivity,
+    timestamp ties, duplicate users -- are pinned cross-engine.
 
-    w = (
-        W.partitionBy("event_type")
-        .orderBy(F.unix_micros(F.col("ts")))
-        .rangeBetween(-3_600_000_000, 0)
+    Scale (round-5 rewrite): a range window PARTITION BY event_type
+    sorts 1/|types| of the feed in ONE task. The distributed form is
+    the banded self-join: each event probes its own hour bucket and
+    the one before (every trailing-hour neighbor lives in one of the
+    two), the join distributes on the HIGH-cardinality (type, hour)
+    key, the exact interval is a post-join filter, and the distinct
+    count is a plain (event, user) aggregate. Total work equals the
+    window's total frame size -- now spread across tasks instead of
+    serialized per type."""
+    events = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    hour = F.lit(3_600_000_000)
+    left = events.select(
+        "event_id", "event_type", us.alias("us"),
+        F.explode(F.array(F.floor(us / hour).cast("long"),
+                          F.floor(us / hour).cast("long") - 1))
+        .alias("bucket"),
     )
-    return events.select(
-        "event_id", "event_type",
-        F.size(F.array_distinct(F.collect_list("user_id").over(w)))
-        .cast("long").alias("users_1h"),
-    ).orderBy("event_id")
+    right = events.select(
+        F.col("event_type").alias("r_type"),
+        F.col("user_id").alias("r_user"), us.alias("r_us"),
+        F.floor(us / hour).cast("long").alias("bucket"),
+    )
+    return (
+        left.join(right, (left.event_type == right.r_type)
+                  & (left.bucket == right.bucket))
+        .where((F.col("r_us") >= F.col("us") - hour)
+               & (F.col("r_us") <= F.col("us")))
+        .groupBy("event_id", "event_type")
+        .agg(F.countDistinct("r_user").cast("long").alias("users_1h"))
+        .orderBy("event_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1512,3 +1512,13 @@ def test_matryoshka_broadcast_queries_no_group_window(spark, sf_dir, qs):
     for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert "__pid" in spec, f"non-__pid window:\n{plan}"
     assert "CartesianProduct" not in plan, plan
+
+
+def test_rolling_distinct_banded_join_no_type_window(spark, sf_dir, qs):
+    # The trailing-hour distinct is a (type, hour-bucket) banded
+    # equi-join + plain aggregate -- never a range window partitioned
+    # by the handful-of-values event_type, never a cartesian pairing.
+    plan = _plan(spark, sf_dir, qs, "window_rolling_distinct_users")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan, plan
