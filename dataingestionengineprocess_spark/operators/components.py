@@ -87,11 +87,17 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
 
 def canonical_per_component(components: DataFrame) -> DataFrame:
     """Annotate a components map with cluster size and the keep flag
-    (canonical = the min-id member, which IS the component label)."""
-    from pyspark.sql.window import Window
+    (canonical = the min-id member, which IS the component label).
 
-    w = Window.partitionBy("component")
+    Size comes from a groupBy + equi-join rather than a
+    count-over-window: a window partitioned by component serializes
+    each cluster through one task, and a pathological mega-cluster
+    (boilerplate dup islands) would funnel; the aggregate join
+    distributes on the same key with map-side partial counts."""
+    sizes = components.groupBy("component").agg(
+        F.count("*").alias("cluster_size"))
     return (
-        components.withColumn("cluster_size", F.count("*").over(w))
+        components.join(sizes, "component")
         .withColumn("keep", F.col("node") == F.col("component"))
+        .select("node", "component", "cluster_size", "keep")
     )
