@@ -33,7 +33,6 @@ from .sinks.warehouse import (
     new_run_id,
     write_oltp,
     write_run_partition,
-    write_status,  # noqa: F401 -- re-exported for callers
     write_warehouse,
 )
 from .sources.csv_source import CORRUPT_COL, read_csv_feed
