@@ -610,7 +610,14 @@ def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     count is a plain (event, user) aggregate. Total work equals the
     window's total frame size -- now spread across tasks instead of
     serialized per type."""
-    events = load(spark, sf_dir, "events")
+    return banded_rolling_distinct(
+        load(spark, sf_dir, "events")).orderBy("event_id")
+
+
+def banded_rolling_distinct(events: DataFrame) -> DataFrame:
+    """(event_id, event_type, users_1h) for every event: the
+    trailing-hour distinct-user count as the banded (type, hour)
+    self-join described above. Shared with tools/scale_probe.py."""
     us = F.unix_micros(F.col("ts"))
     hour = F.lit(3_600_000_000)
     left = events.select(
@@ -631,7 +638,6 @@ def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
                & (F.col("r_us") <= F.col("us")))
         .groupBy("event_id", "event_type")
         .agg(F.countDistinct("r_user").cast("long").alias("users_1h"))
-        .orderBy("event_id")
     )
 
 

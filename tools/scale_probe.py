@@ -95,6 +95,24 @@ def main() -> None:
     from dataingestionengineprocess_spark.operators.graph import (  # noqa: E402
         copurchase_edges as _copurchase_edges,
     )
+    from dataingestionengineprocess_spark.queries.round4c import (  # noqa: E402
+        banded_rolling_distinct as _banded_rolling,
+    )
+
+    ev = load(spark, SF, "events").select(
+        "event_id", "event_type", "user_id", "ts")
+
+    def scaled_time_events(k: int) -> DataFrame:
+        """k copies in disjoint 40-day time blocks with offset ids:
+        row count grows k-fold, per-hour density stays constant."""
+        out = ev
+        for i in range(1, k):
+            out = out.unionAll(
+                ev.withColumn("ts", F.col("ts")
+                              + F.expr(f"INTERVAL {i * 40} DAYS"))
+                .withColumn("event_id",
+                            F.col("event_id") + F.lit(i * 10_000_000)))
+        return out
 
     def run(build, k: int) -> float:
         # time BUILD + EXECUTE: some operators (PPJoin, IVF) run eager
@@ -173,6 +191,14 @@ def main() -> None:
                    k, "l_orderkey"),
             ["l_returnflag"],
             ["l_extendedprice", "l_orderkey", "l_linenumber"]),
+        # trailing-hour rolling distinct as the banded (type, hour)
+        # self-join: replicas are TIME-SHIFTED (disjoint 40-day
+        # blocks), so per-hour density stays constant and the pair
+        # fan-out -- the real cost -- must grow linearly with rows
+        # (id-offset replication would inflate density and test the
+        # quadratic-output baseline instead, like PPJoin's caveat)
+        "rolling_distinct": lambda k: _banded_rolling(
+            scaled_time_events(k)),
     }
 
     # warm the session once
