@@ -202,3 +202,32 @@ def ntile_expr(rank_col: str, n_col: str, k: int):
         f"WHEN {rank_col} <= {big} THEN ({rank_col} - 1) div ({q} + 1) + 1 "
         f"ELSE {r} + ({rank_col} - 1 - {big}) div {q} + 1 END"
     ).cast("long")
+
+
+def grouped_value_distribution(df: DataFrame, group_cols: list[str],
+                               value_col: str, id_col: str,
+                               pct_col: str = "pct_rank",
+                               cume_col: str = "cume") -> DataFrame:
+    """Exact ``percent_rank()`` and ``cume_dist()`` OVER (PARTITION BY
+    group ORDER BY value) -- the VALUE-TIES form, where every row of a
+    tie group shares its group's rank and cumulative count: SQL RANK
+    is the tie group's MIN row_number and cume_dist's numerator its
+    MAX, so one distributive aggregate per (group, value) -- a
+    high-cardinality composite key, distributed -- derives both from
+    `grouped_rank`'s output. ``id_col`` only pins the internal total
+    order; it does not affect the result."""
+    ranked = grouped_rank(df, group_cols, [value_col, id_col],
+                          "__rn", count_col="__n")
+    ties = ranked.groupBy(*group_cols, value_col).agg(
+        F.min("__rn").cast("long").alias("__lo"),
+        F.max("__rn").cast("long").alias("__hi"))
+    return (
+        ranked.join(ties, [*group_cols, value_col])
+        .withColumn(
+            pct_col,
+            (F.col("__lo") - 1)
+            / F.greatest(F.col("__n") - 1, F.lit(1)).cast("double"))
+        .withColumn(cume_col,
+                    F.col("__hi") / F.col("__n").cast("double"))
+        .drop("__rn", "__n", "__lo", "__hi")
+    )

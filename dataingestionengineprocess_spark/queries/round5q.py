@@ -229,3 +229,48 @@ def knn_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution functions under VALUE-TIES semantics: percent_rank /
+# cume_dist ordered by the value ALONE (no unique tiebreak), so every
+# row of a tie group shares its group's rank (SQL RANK = tie-min
+# row_number) and cumulative count (tie-max). The companion to
+# `window_distribution_funcs` (whose unique composite order makes
+# each row its own peer); together they pin BOTH peer-group semantics
+# cross-engine. event values tie heavily (two-decimal grid), so the
+# tie path is genuinely exercised.
+#
+# Scale: same grouped_rank layout as the unique-order form plus one
+# distributive (type, value) aggregate joined back on the same
+# high-cardinality key -- no small-key window anywhere.
+# ---------------------------------------------------------------------------
+
+_VALUE_TIES_ORACLE = """
+SELECT event_id, event_type,
+       floor(percent_rank() OVER (PARTITION BY event_type
+                                  ORDER BY value) * 1e6 + 0.5)
+         / 1e6 AS pct_rank,
+       floor(cume_dist() OVER (PARTITION BY event_type
+                               ORDER BY value) * 1e6 + 0.5)
+         / 1e6 AS cume
+FROM events
+"""
+
+
+@register("window_value_ties_distribution", oracle=_VALUE_TIES_ORACLE)
+def window_value_ties_distribution(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist per event type ordered by value alone --
+    tie groups share rank and cumulative count, distributed."""
+    from ..operators.ranking import grouped_value_distribution
+
+    ev = load(spark, sf_dir, "events").select("event_type", "event_id",
+                                              "value")
+    out = grouped_value_distribution(
+        ev, ["event_type"], "value", "event_id", "__pct", "__cume")
+    return out.select(
+        "event_id", "event_type",
+        _snap6(F.col("__pct")).alias("pct_rank"),
+        _snap6(F.col("__cume")).alias("cume"),
+    )

@@ -1522,3 +1522,15 @@ def test_rolling_distinct_banded_join_no_type_window(spark, sf_dir, qs):
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Join" in plan, plan
+
+
+def test_value_ties_distribution_no_type_window(spark, sf_dir, qs):
+    # The tie aggregates ride the (type, value) composite key; the
+    # only windows are the checkpointed __pid layout's -- never an
+    # event_type-partitioned or unpartitioned one.
+    import re
+    plan = _plan(spark, sf_dir, qs, "window_value_ties_distribution")
+    assert "windowspecdefinition(event_type#" not in plan, plan
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "__pid" in spec, f"non-__pid window:\n{plan}"
+    assert "CartesianProduct" not in plan, plan

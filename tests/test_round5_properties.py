@@ -259,3 +259,34 @@ def test_grouped_rank_null_group_forms_its_own_partition(spark):
                                  count_col="n").collect()}
     assert got[2] == ("a", 1, 2) and got[1] == ("a", 2, 2)
     assert got[4] == (None, 1, 2) and got[3] == (None, 2, 2)
+
+
+@given(st.lists(
+    st.tuples(st.sampled_from(["x", "y"]),
+              st.integers(min_value=0, max_value=4)),
+    min_size=1, max_size=40))
+@settings(**_SETTINGS)
+def test_grouped_value_distribution_tie_semantics(spark, rows):
+    # VALUE-TIES form: every row of a tie group shares RANK (tie-min
+    # row_number) for percent_rank and tie-max for cume_dist --
+    # checked against the sequential definition on heavy-tie inputs.
+    from dataingestionengineprocess_spark.operators.ranking import (
+        grouped_value_distribution,
+    )
+
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, v long, id long")
+    got = {(r["g"], r["id"]): (r["pct_rank"], r["cume"])
+           for r in grouped_value_distribution(
+               df, ["g"], "v", "id").collect()}
+    for g in {g for g, _, _ in data}:
+        vals = sorted(v for gg, v, _ in data if gg == g)
+        n = len(vals)
+        for gg, v, i in data:
+            if gg != g:
+                continue
+            rank = 1 + sum(1 for x in vals if x < v)      # SQL RANK
+            below_or_eq = sum(1 for x in vals if x <= v)  # cume numer
+            pct, cume = got[(g, i)]
+            assert abs(pct - (rank - 1) / max(n - 1, 1)) < 1e-12
+            assert abs(cume - below_or_eq / n) < 1e-12
