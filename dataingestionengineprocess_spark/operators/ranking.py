@@ -170,10 +170,9 @@ def grouped_percent_cume(df: DataFrame, group_cols: list[str],
     its own peer group under the composite order -- so cume_dist is
     exactly rn/n and percent_rank is (rn-1)/(n-1), both pure
     arithmetic over `grouped_rank`'s output (the single-row group pins
-    percent_rank to 0.0, both engines' definition). For cume_dist
-    ordered by the VALUE ALONE (value-ties share their group's
-    cumulative count), aggregate max(rn) per (group, value) and join
-    it back instead."""
+    percent_rank to 0.0, both engines' definition). For the VALUE-TIES
+    form (ORDER BY value alone, tie groups sharing rank and
+    cumulative count) use `grouped_value_distribution` below."""
     ranked = grouped_rank(df, group_cols, [value_col, id_col],
                           "__rn", count_col="__n")
     return (
@@ -215,14 +214,24 @@ def grouped_value_distribution(df: DataFrame, group_cols: list[str],
     MAX, so one distributive aggregate per (group, value) -- a
     high-cardinality composite key, distributed -- derives both from
     `grouped_rank`'s output. ``id_col`` only pins the internal total
-    order; it does not affect the result."""
+    order; it does not affect the result. The ties join is null-safe
+    (like `grouped_rank`'s offsets join): a NULL group key or NULL
+    value forms its own peer group, exactly as the window would."""
     ranked = grouped_rank(df, group_cols, [value_col, id_col],
                           "__rn", count_col="__n")
-    ties = ranked.groupBy(*group_cols, value_col).agg(
+    key_cols = [*group_cols, value_col]
+    ties = ranked.groupBy(*key_cols).agg(
         F.min("__rn").cast("long").alias("__lo"),
         F.max("__rn").cast("long").alias("__hi"))
+    ties = ties.select(
+        *[F.col(c).alias(f"__t_{c}") for c in key_cols], "__lo", "__hi")
+    cond = None
+    for c in key_cols:
+        e = ranked[c].eqNullSafe(ties[f"__t_{c}"])
+        cond = e if cond is None else (cond & e)
     return (
-        ranked.join(ties, [*group_cols, value_col])
+        ranked.join(ties, cond)
+        .drop(*[f"__t_{c}" for c in key_cols])
         .withColumn(
             pct_col,
             (F.col("__lo") - 1)

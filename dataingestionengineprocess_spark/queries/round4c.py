@@ -620,16 +620,18 @@ def banded_rolling_distinct(events: DataFrame) -> DataFrame:
     self-join described above. Shared with tools/scale_probe.py."""
     us = F.unix_micros(F.col("ts"))
     hour = F.lit(3_600_000_000)
+    # integer `div`, not floor of a double quotient (the repo's
+    # exactness idiom: no precision argument needed at any timestamp)
+    b = F.expr("unix_micros(ts) div 3600000000")
     left = events.select(
         "event_id", "event_type", us.alias("us"),
-        F.explode(F.array(F.floor(us / hour).cast("long"),
-                          F.floor(us / hour).cast("long") - 1))
+        F.explode(F.array(b.cast("long"), b.cast("long") - 1))
         .alias("bucket"),
     )
     right = events.select(
         F.col("event_type").alias("r_type"),
         F.col("user_id").alias("r_user"), us.alias("r_us"),
-        F.floor(us / hour).cast("long").alias("bucket"),
+        b.cast("long").alias("bucket"),
     )
     return (
         left.join(right, (left.event_type == right.r_type)

@@ -47,8 +47,8 @@ class MetricsExporter:
 class ParquetMetricsExporter(MetricsExporter):
     """The warehouse-table backend: progress rows append to
     `_stream_progress`, run statuses land in the idempotent
-    one-partition-per-run `_runs` table (the same writer
-    `pipeline.write_status` callers use)."""
+    one-partition-per-run `_runs` table (the same
+    `sinks.warehouse.write_status` writer `emit_run_status` uses)."""
 
     def __init__(self, warehouse_dir: str) -> None:
         self.warehouse_dir = warehouse_dir

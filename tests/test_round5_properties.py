@@ -290,3 +290,24 @@ def test_grouped_value_distribution_tie_semantics(spark, rows):
             pct, cume = got[(g, i)]
             assert abs(pct - (rank - 1) / max(n - 1, 1)) < 1e-12
             assert abs(cume - below_or_eq / n) < 1e-12
+
+
+def test_grouped_value_distribution_null_group_and_value(spark):
+    # NULL group keys and NULL values form their own peer groups
+    # (window semantics); the null-safe ties join must keep them.
+    from dataingestionengineprocess_spark.operators.ranking import (
+        grouped_value_distribution,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", None, 2), (None, 1, 3), (None, 1, 4)],
+        "g string, v long, id long")
+    out = grouped_value_distribution(df, ["g"], "v", "id")
+    got = {r["id"]: (r["g"], r["pct_rank"], r["cume"])
+           for r in out.collect()}
+    assert len(got) == 4  # nothing dropped
+    # NULL group of two tied rows: both share rank 1 and cume 1.0
+    assert got[3] == (None, 0.0, 1.0) and got[4] == (None, 0.0, 1.0)
+    # group 'a': NULL value sorts FIRST (asc nulls-first), peer alone
+    assert got[2][1] == 0.0 and abs(got[2][2] - 0.5) < 1e-12
+    assert got[1][1] == 1.0 and got[1][2] == 1.0
