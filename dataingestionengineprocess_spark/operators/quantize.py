@@ -656,17 +656,35 @@ def quantized_covariance(emb: DataFrame, id_col: str,
     Elements quantize ONCE to int64; per-dim means come from exact
     integer sums; the d^2-per-vector self-join is the standard X^T X
     accumulation with per-term floor(c_i * c_j * 1e6 + 0.5) reduces.
-    """
+    Every input ROW is one observation (the self-join rides a per-row
+    key, not ``id_col``), so duplicate ids -- uniform or not -- weight
+    the mean and the covariance identically."""
     from ..functions.exact import q6, snap6
 
-    x = (
+    # Each input ROW is one observation: the self-join pairs dims
+    # WITHIN a row via a per-row key, so a duplicated id contributes
+    # its multiplicity to the mean's n AND the pair count identically
+    # (ADVICE r5: joining on id_col paired dims ACROSS duplicate-id
+    # rows -- n_pair summed m_id^2 while the mean summed m_id, so any
+    # non-uniform duplication skewed cov vs the mean normalization).
+    # The key is materialized by an eager checkpoint BEFORE the
+    # explode: in one select with a generator the non-deterministic
+    # id evaluates per OUTPUT row (one key per (row, dim) -- the
+    # self-join would match nothing but the diagonal), and the
+    # checkpoint also pins one assignment for both self-join sides.
+    keyed = (
         emb.select(
-            id_col,
-            F.posexplode(F.col(vec_col).cast("array<double>"))
-            .alias("i0", "val"),
+            F.monotonically_increasing_id().alias("_obs"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    x = (
+        keyed.select(
+            "_obs", F.posexplode(F.col("_v")).alias("i0", "val"),
         )
         .select(
-            id_col, (F.col("i0") + 1).alias("i"),
+            "_obs", (F.col("i0") + 1).alias("i"),
             q6(F.col("val")).alias("q"),
         )
         .localCheckpoint(eager=True)  # means + both self-join sides
@@ -682,7 +700,7 @@ def quantized_covariance(emb: DataFrame, id_col: str,
     cx = (
         x.join(F.broadcast(mu), "i")
         .select(
-            id_col, "i",
+            "_obs", "i",
             (F.col("q") / 1e6
              - (F.col("sq") / F.col("n").cast("double")) / 1e6).alias("c"),
         )
@@ -690,7 +708,7 @@ def quantized_covariance(emb: DataFrame, id_col: str,
     a = cx.alias("a")
     b = cx.alias("b")
     return (
-        a.join(b, F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
+        a.join(b, F.col("a._obs") == F.col("b._obs"))
         .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
         .agg(F.sum(q6(F.col("a.c") * F.col("b.c"))).cast("long")
              .alias("sum_q"),

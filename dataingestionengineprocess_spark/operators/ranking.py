@@ -18,12 +18,24 @@ The order columns MUST form a total order (include a unique key):
 with duplicate keys, range boundaries and within-partition frame
 order are engine/run-dependent and the result stops being
 deterministic.
+
+NULL placement is pinned to ASC NULLS FIRST (stated explicitly at
+every orderBy/repartitionByRange below, not inherited from Spark's
+default): a NULL order key ranks BEFORE every non-NULL value. An
+oracle ordering a nullable column must therefore say NULLS FIRST
+(DuckDB's ASC default is NULLS LAST) -- see ADVICE r5 on
+`grouped_percent_cume`.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _nf(order_cols: list[str]) -> list:
+    """The pinned sort orders: ASC NULLS FIRST, stated not assumed."""
+    return [F.col(c).asc_nulls_first() for c in order_cols]
 
 
 def _with_offsets(df: DataFrame, order_cols: list[str],
@@ -33,7 +45,7 @@ def _with_offsets(df: DataFrame, order_cols: list[str],
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
     parted = (
-        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        df.repartitionByRange(n_parts, *_nf(order_cols))
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -56,7 +68,7 @@ def global_rank(df: DataFrame, order_cols: list[str],
     """``df`` plus an exact 1-based global ordinal rank over the total
     order ``order_cols`` -- distributed (per-partition row_number +
     broadcast offsets), no global window."""
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    w = Window.partitionBy("__pid").orderBy(*_nf(order_cols))
     return (
         _with_offsets(df, order_cols, F.lit(1))
         .withColumn(rank_col,
@@ -76,7 +88,7 @@ def distributed_prefix_sums(df: DataFrame, order_cols: list[str],
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
     parted = (
-        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        df.repartitionByRange(n_parts, *_nf(order_cols))
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -96,7 +108,7 @@ def distributed_prefix_sums(df: DataFrame, order_cols: list[str],
         f"__off_{cc} long" for cc in weights)
     off = spark.createDataFrame(
         offsets or [tuple([0] + [0] * len(weights))], off_schema)
-    w = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
+    w = Window.partitionBy("__pid").orderBy(*_nf(order_cols)).rowsBetween(
         Window.unboundedPreceding, 0)
     out = parted.join(F.broadcast(off), "__pid")
     for cc, wc in weights.items():
@@ -172,7 +184,12 @@ def grouped_percent_cume(df: DataFrame, group_cols: list[str],
     arithmetic over `grouped_rank`'s output (the single-row group pins
     percent_rank to 0.0, both engines' definition). For the VALUE-TIES
     form (ORDER BY value alone, tie groups sharing rank and
-    cumulative count) use `grouped_value_distribution` below."""
+    cumulative count) use `grouped_value_distribution` below.
+
+    NULL values rank FIRST (the module-wide ASC NULLS FIRST pin); a
+    DuckDB oracle over a nullable ``value_col`` must say ``ORDER BY
+    value NULLS FIRST`` or every row's pct/cume in that group shifts
+    (ADVICE r5: DuckDB's ASC default is NULLS LAST)."""
     ranked = grouped_rank(df, group_cols, [value_col, id_col],
                           "__rn", count_col="__n")
     return (
@@ -216,7 +233,10 @@ def grouped_value_distribution(df: DataFrame, group_cols: list[str],
     `grouped_rank`'s output. ``id_col`` only pins the internal total
     order; it does not affect the result. The ties join is null-safe
     (like `grouped_rank`'s offsets join): a NULL group key or NULL
-    value forms its own peer group, exactly as the window would."""
+    value forms its own peer group, exactly as the window would --
+    and that peer group ranks FIRST (the module-wide ASC NULLS FIRST
+    pin), so a DuckDB oracle over a nullable ``value_col`` must say
+    NULLS FIRST (ADVICE r5)."""
     ranked = grouped_rank(df, group_cols, [value_col, id_col],
                           "__rn", count_col="__n")
     key_cols = [*group_cols, value_col]

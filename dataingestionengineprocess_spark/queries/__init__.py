@@ -120,6 +120,7 @@ def _load_all() -> None:
     from . import round5o  # noqa: F401
     from . import round5p  # noqa: F401
     from . import round5q  # noqa: F401
+    from . import round6  # noqa: F401
 
 
 _LOADED = False

@@ -27,12 +27,6 @@ from . import register
 from .round4 import _DERBY_DRIVER
 from ..functions.exact import snap6 as _snap6
 
-
-def _snap6(col):
-    """The portable 1e-6 float snap (FIXTURES.md floor(x*1e6+0.5)
-    rule) — one module-level copy instead of per-query privates."""
-    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
-
 # ---------------------------------------------------------------------------
 # Multinomial Naive Bayes, trained BY A QUERY. Class = document lang;
 # features = token counts. Training is one groupBy over the exploded
@@ -1093,13 +1087,17 @@ def stream_stream_full_outer_join(spark: SparkSession,
 _WINDOW_DIST_ORACLE = """
 SELECT event_type, event_id,
        floor(percent_rank() OVER (PARTITION BY event_type
-                                  ORDER BY value, event_id) * 1e6 + 0.5)
+                                  ORDER BY value NULLS FIRST, event_id)
+             * 1e6 + 0.5)
          / 1e6 AS pct_rank,
        floor(cume_dist() OVER (PARTITION BY event_type
-                               ORDER BY value, event_id) * 1e6 + 0.5)
+                               ORDER BY value NULLS FIRST, event_id)
+             * 1e6 + 0.5)
          / 1e6 AS cume
 FROM events
 """
+# NULLS FIRST pins the engine-side ASC NULLS FIRST ordering of
+# operators/ranking (ADVICE r5; DuckDB's ASC default is NULLS LAST).
 
 
 @register("window_distribution_funcs", oracle=_WINDOW_DIST_ORACLE)

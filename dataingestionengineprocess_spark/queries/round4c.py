@@ -617,30 +617,50 @@ def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
 def banded_rolling_distinct(events: DataFrame) -> DataFrame:
     """(event_id, event_type, users_1h) for every event: the
     trailing-hour distinct-user count as the banded (type, hour)
-    self-join described above. Shared with tools/scale_probe.py."""
+    self-join described above. Shared with tools/scale_probe.py.
+
+    Window-partition semantics are preserved for NULLs (ADVICE r5):
+    a NULL event_type is its own partition (eqNullSafe join, matching
+    DuckDB's PARTITION BY grouping of NULLs), and NULL-ts rows -- the
+    ORDER BY key -- form one peer group whose RANGE frame is exactly
+    the NULL peers (DuckDB's frame rule), so they count distinct
+    users among the same-type NULL-ts rows rather than vanish."""
     us = F.unix_micros(F.col("ts"))
     hour = F.lit(3_600_000_000)
+    nn = events.where(F.col("ts").isNotNull())
     # integer `div`, not floor of a double quotient (the repo's
     # exactness idiom: no precision argument needed at any timestamp)
     b = F.expr("unix_micros(ts) div 3600000000")
-    left = events.select(
+    left = nn.select(
         "event_id", "event_type", us.alias("us"),
         F.explode(F.array(b.cast("long"), b.cast("long") - 1))
         .alias("bucket"),
     )
-    right = events.select(
+    right = nn.select(
         F.col("event_type").alias("r_type"),
         F.col("user_id").alias("r_user"), us.alias("r_us"),
         b.cast("long").alias("bucket"),
     )
-    return (
-        left.join(right, (left.event_type == right.r_type)
+    timed = (
+        left.join(right, left.event_type.eqNullSafe(right.r_type)
                   & (left.bucket == right.bucket))
         .where((F.col("r_us") >= F.col("us") - hour)
                & (F.col("r_us") <= F.col("us")))
         .groupBy("event_id", "event_type")
         .agg(F.countDistinct("r_user").cast("long").alias("users_1h"))
     )
+    # NULL-ts peer group: one aggregate per type (groupBy keeps NULL
+    # type as its own key), fanned back with a null-safe join.
+    null_ts = events.where(F.col("ts").isNull())
+    ncnt = (null_ts.groupBy(F.col("event_type").alias("n_type"))
+            .agg(F.countDistinct("user_id").cast("long")
+                 .alias("users_1h")))
+    untimed = (
+        null_ts.select("event_id", "event_type")
+        .join(ncnt, F.col("event_type").eqNullSafe(F.col("n_type")))
+        .select("event_id", "event_type", "users_1h")
+    )
+    return timed.unionByName(untimed)
 
 
 # ---------------------------------------------------------------------------

@@ -122,10 +122,14 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
     # Per-cohort rank WITHOUT a per-week window: a hot signup week
-    # would funnel its whole cohort through one task's sort. The
-    # week universe is bounded-small (weeks elapse linearly in time),
-    # so grouped_rank's broadcast offset table stays tiny while the
-    # rank sort stays range-partitioned.
+    # would funnel its whole cohort through one task's sort. HORIZON
+    # ASSUMPTION (ADVICE r5): the group key is signup WEEK, which
+    # grows linearly with the data's time horizon -- the broadcast
+    # offsets table is one row per week (~52/year: decades of history
+    # stay a few-KB broadcast, fine), but a deployment ranking by a
+    # finer time key (hour/minute) over years of data should switch
+    # grouped_rank's offsets join to a non-broadcast shuffle join
+    # above ~1M groups rather than broadcast an unbounded table.
     from ..operators.ranking import grouped_rank
 
     ranked = grouped_rank(conv, ["week"], ["lag_sec", "user_id"],

@@ -249,13 +249,15 @@ def knn_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VALUE_TIES_ORACLE = """
 SELECT event_id, event_type,
        floor(percent_rank() OVER (PARTITION BY event_type
-                                  ORDER BY value) * 1e6 + 0.5)
+                                  ORDER BY value NULLS FIRST) * 1e6 + 0.5)
          / 1e6 AS pct_rank,
        floor(cume_dist() OVER (PARTITION BY event_type
-                               ORDER BY value) * 1e6 + 0.5)
+                               ORDER BY value NULLS FIRST) * 1e6 + 0.5)
          / 1e6 AS cume
 FROM events
 """
+# NULLS FIRST pins the engine-side ASC NULLS FIRST ordering of
+# operators/ranking (ADVICE r5; DuckDB's ASC default is NULLS LAST).
 
 
 @register("window_value_ties_distribution", oracle=_VALUE_TIES_ORACLE)

@@ -448,7 +448,12 @@ def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = run_to_table(agg, spark)
     # hour windows are a bounded-small universe but a hot hour's user
     # population is not: rank the drained rollup distributed
-    # (descending cents via negation) instead of a per-window sort
+    # (descending cents via negation) instead of a per-window sort.
+    # HORIZON ASSUMPTION (ADVICE r5): grouped_rank broadcasts one
+    # offsets row per hour window -- ~9k/year, a few-KB broadcast for
+    # years of history; a deployment draining decades at minute
+    # granularity should flip the offsets join to a shuffle join
+    # above ~1M groups instead of broadcasting an unbounded table.
     from ..operators.ranking import grouped_rank
 
     ranked = grouped_rank(

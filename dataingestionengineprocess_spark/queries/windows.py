@@ -208,8 +208,12 @@ SELECT c_mktsegment, c_custkey,
        round(percent_rank() OVER w, 6) AS pct_rank,
        round(cume_dist()    OVER w, 6) AS cume
 FROM customer
-WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal NULLS FIRST, c_custkey)
 """
+# NULLS FIRST pins the engine-side ASC NULLS FIRST ordering of
+# operators/ranking (ADVICE r5): DuckDB's ASC default is NULLS LAST,
+# so a nullable value column would silently shift every pct/cume.
 
 
 @register("window_percent_rank", oracle=_PCTRANK_ORACLE)

@@ -238,9 +238,11 @@ def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
     store provider conf and (b) the ``protobuf`` package, which the
     transform_with_state driver worker imports for its state-server
     protocol. This container has no protobuf, so the operator is
-    plan-constructable but not runnable here; tests skip accordingly
-    and the registered query surface uses applyInPandasWithState
-    (stream_stateful_user_totals) instead.
+    plan-constructable but not runnable here; tests skip accordingly.
+    The REGISTERED, oracle-gated TWS query is
+    ``queries/round6.stream_tws_user_stats``: it runs this API where
+    protobuf exists and the identical shared fold through
+    applyInPandasWithState otherwise.
     """
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (

@@ -103,6 +103,12 @@ class RunTelemetryListener(StreamingQueryListener):
 
         self.exporters: list[MetricsExporter] = list(exporters or [])
         self.rows: list[tuple] = []
+        # batches a prior flush delivered to SOME backends only:
+        # [(rows, {delivered backend keys})] -- retried ahead of new
+        # rows, skipping backends that already landed the batch (the
+        # parquet backend is append-only; redelivering there would
+        # silently duplicate progress rows)
+        self._pending: list[tuple[list[tuple], set]] = []
         # listener-bus callbacks append from the bus thread while
         # flush() runs on the caller's thread: the buffer swap must be
         # atomic or events landing between snapshot and reset vanish
@@ -143,24 +149,46 @@ class RunTelemetryListener(StreamingQueryListener):
         """Hand buffered events to the parquet backend (the queryable
         progress table under ``warehouse_dir``) plus every registered
         exporter; returns the table path. One atomic buffer swap: all
-        backends see the same batch. If any backend throws, the batch
-        is RESTORED to the buffer (ahead of rows that arrived
-        meanwhile) and the error propagates -- the next flush
-        redelivers to every backend, so delivery is at-least-once
-        under failure, never silently dropped for the backends after
-        the one that threw."""
+        backends see the same batch. Delivery is tracked PER BACKEND:
+        a backend that throws leaves the batch pending for itself
+        only -- the other backends still receive it this flush, and
+        the retry skips backends that already succeeded. Exactly-once
+        per backend under flush retries (the parquet table is
+        append-only; whole-batch redelivery would duplicate progress
+        rows there), at-least-once overall, and the first error still
+        propagates so the caller sees the failure."""
         path = os.path.join(warehouse_dir, PROGRESS_TABLE)
         with self._lock:
             rows, self.rows = self.rows, []
+            pending, self._pending = self._pending, []
         if rows:
-            try:
-                for exp in [ParquetMetricsExporter(warehouse_dir),
-                            *self.exporters]:
-                    exp.export_progress(spark, rows)
-            except BaseException:
-                with self._lock:
-                    self.rows = rows + self.rows
-                raise
+            pending.append((rows, set()))
+        # Backend identity keys: the parquet backend is re-created per
+        # flush, so key it by role + target dir (a different dir is a
+        # different table, which SHOULD receive the batch); registered
+        # exporters are long-lived objects, so id() is stable.
+        backends = [("parquet:" + warehouse_dir,
+                     ParquetMetricsExporter(warehouse_dir))]
+        backends += [(("exp", id(e)), e) for e in self.exporters]
+        still_pending: list[tuple[list[tuple], set]] = []
+        first_err: BaseException | None = None
+        for batch, delivered in pending:
+            for key, exp in backends:
+                if key in delivered:
+                    continue
+                try:
+                    exp.export_progress(spark, batch)
+                    delivered.add(key)
+                except BaseException as e:  # noqa: BLE001 - backend seam
+                    if first_err is None:
+                        first_err = e
+            if len(delivered) < len(backends):
+                still_pending.append((batch, delivered))
+        if still_pending:
+            with self._lock:
+                self._pending = still_pending + self._pending
+        if first_err is not None:
+            raise first_err
         return path
 
 

@@ -291,6 +291,47 @@ def test_rolling_distinct_bounded_by_type_totals(spark):
         assert 1 <= r.users_1h <= totals[r.event_type]
 
 
+def test_rolling_distinct_null_type_and_null_ts_kept(spark):
+    """ADVICE r5: NULL event_type must be its own window partition and
+    NULL-ts rows their own peer group (DuckDB RANGE-frame rule), not
+    silently dropped by the banded join. Pin against DuckDB's NATIVE
+    distinct window on a fixture with both NULL shapes."""
+    import duckdb
+    import pandas as pd
+
+    from dataingestionengineprocess_spark.queries.round4c import (
+        banded_rolling_distinct,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+    pdf = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6, 7, 8],
+        "event_type": ["a", "a", None, None, "a", None, "b", "b"],
+        "user_id": [10, 11, 10, 12, 10, 12, 13, None],
+        "ts": [t0, t0 + pd.Timedelta(minutes=30),
+               t0, t0 + pd.Timedelta(minutes=90),
+               None, None,               # NULL ts peer group per type
+               t0, t0 + pd.Timedelta(minutes=59)],
+    })
+    got = {
+        r["event_id"]: r["users_1h"]
+        for r in banded_rolling_distinct(
+            spark.createDataFrame(pdf)).collect()
+    }
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = {
+        int(r[0]): int(r[1]) for r in con.execute("""
+            SELECT event_id, count(DISTINCT user_id) OVER (
+              PARTITION BY event_type ORDER BY ts
+              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+            ) FROM events
+        """).fetchall()
+    }
+    assert got == want
+    assert len(got) == len(pdf)  # every event kept, NULLs included
+
+
 def test_rfm_scores_are_quartiles(spark):
     from dataingestionengineprocess_spark.queries.round4c import (
         events_rfm_segments,

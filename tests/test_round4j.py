@@ -196,3 +196,29 @@ def test_quantized_covariance_duplicate_id_consistent(spark):
     mu = sum(xs) / len(xs)
     var = sum((x - mu) ** 2 for x in xs) / len(xs)
     assert math.isclose(one[(1, 1)], var, abs_tol=2e-6)
+
+
+def test_quantized_covariance_nonuniform_duplicate_ids(spark):
+    # ADVICE r5: joining the X^T X self-join on id_col paired dims
+    # ACROSS duplicate-id rows (n_pair = sum m_id^2 vs the mean's
+    # n = sum m_id), so NON-uniform duplication skewed cov relative
+    # to the mean normalization. The per-row observation key makes
+    # each row one observation: the result must equal numpy's
+    # population covariance over the rows, regardless of id reuse.
+    import numpy as np
+
+    from dataingestionengineprocess_spark.operators.quantize import (
+        quantized_covariance,
+    )
+
+    rows = [(1, [1.0, 2.0]), (1, [1.0, 2.0]), (1, [1.0, 2.0]),
+            (2, [3.0, -1.0]), (3, [0.5, 4.0]), (3, [-2.0, 0.25])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["i"], r["j"]): r["cov_s"]
+           for r in quantized_covariance(df, "vec_id", "embedding")
+           .collect()}
+    x = np.array([v for _, v in rows])
+    want = np.cov(x, rowvar=False, bias=True)
+    for (i, j), v in got.items():
+        assert math.isclose(v, want[i - 1][j - 1], abs_tol=2e-6), (i, j)
+    assert len(got) == 4

@@ -243,6 +243,41 @@ def test_grouped_percent_cume_matches_definitions(spark, rows):
             assert abs(cume - rn / n) < 1e-12
 
 
+def test_value_distribution_null_values_rank_first_cross_engine(spark):
+    # ADVICE r5: the module pins ASC NULLS FIRST for the value column.
+    # Against DuckDB, the oracle must SAY "NULLS FIRST" (its ASC
+    # default is NULLS LAST) -- this pins both engines on a fixture
+    # that actually contains NULL values.
+    import duckdb
+    import pandas as pd
+
+    from dataingestionengineprocess_spark.operators.ranking import (
+        grouped_value_distribution,
+    )
+
+    pdf = pd.DataFrame({
+        "g": ["a", "a", "a", "a", "b", "b"],
+        "v": [2.0, None, 1.0, None, None, 7.0],
+        "id": [1, 2, 3, 4, 5, 6],
+    })
+    out = grouped_value_distribution(
+        spark.createDataFrame(pdf), ["g"], "v", "id").collect()
+    got = {r["id"]: (round(r["pct_rank"], 9), round(r["cume"], 9))
+           for r in out}
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = {int(r[0]): (round(r[1], 9), round(r[2], 9))
+            for r in con.execute("""
+        SELECT id,
+               percent_rank() OVER (PARTITION BY g
+                                    ORDER BY v NULLS FIRST),
+               cume_dist() OVER (PARTITION BY g ORDER BY v NULLS FIRST)
+        FROM t
+    """).fetchall()}
+    assert got == want
+    assert got[2] == (0.0, 0.5)  # NULL tie pair leads group 'a'
+
+
 def test_grouped_rank_null_group_forms_its_own_partition(spark):
     # A window's NULL partition ranks normally; a name-based equi-join
     # on the group key would silently drop those rows. The null-safe

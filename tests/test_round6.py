@@ -1,0 +1,77 @@
+"""Round-6 invariants: the TWS-path stateful query (shared fold,
+fallback equivalence, final-emission reduction)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dataingestionengineprocess_spark.catalog import load
+from dataingestionengineprocess_spark.queries.round6 import (
+    _fold_user_stats,
+    stream_tws_user_stats,
+    tws_runtime_available,
+    user_stats_tws,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_fold_is_incremental():
+    # Folding in two chunks == folding once: the per-micro-batch state
+    # carry is exactly associative, so update-mode emissions converge
+    # to the batch answer regardless of how files split into batches.
+    a = pd.DataFrame({"value": [1.004, 2.005, None]})
+    b = pd.DataFrame({"value": [0.10, 5.55]})
+    once = _fold_user_stats(0, 0, None, [pd.concat([a, b])])
+    twice = _fold_user_stats(*_fold_user_stats(0, 0, None, [a]), [b])
+    assert once == twice
+    n, cents, mx = once
+    assert n == 5                      # count(*) keeps the NULL row
+    assert cents == 100 + 201 + 10 + 555  # round-half-up cents
+    assert mx == 5.55
+
+
+def test_fold_all_null_values_keeps_count_null_max():
+    n, cents, mx = _fold_user_stats(
+        0, 0, None, [pd.DataFrame({"value": [None, None]})])
+    assert (n, cents, mx) == (2, 0, None)
+
+
+def test_stream_tws_user_stats_equals_batch_aggregate(spark):
+    got = {r["user_id"]: (r["n_events"], r["total_value"], r["max_value"])
+           for r in stream_tws_user_stats(spark, SF_SMOKE).collect()}
+    want = {
+        r["user_id"]: (r["n"], r["t"], r["m"])
+        for r in load(spark, SF_SMOKE, "events").groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))
+                   .cast("long")) / 100.0).alias("t"),
+            F.max("value").alias("m"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_tws_plan_constructs_and_gate_is_honest(spark):
+    # The TWS branch must at least BUILD its plan in this container
+    # (API shape pinned); executing it needs protobuf, and the gate
+    # must report exactly that.
+    ev = (spark.readStream.format("rate").option("rowsPerSecond", 1)
+          .load()
+          .select(F.col("value").alias("user_id"),
+                  (F.col("value") * 1.0).alias("value")))
+    out = user_stats_tws(ev)
+    assert set(out.schema.fieldNames()) == {
+        "user_id", "n_events", "total_value", "max_value"}
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_pb = True
+    except ImportError:
+        has_pb = False
+    assert tws_runtime_available() == has_pb
+    if not has_pb:
+        pytest.skip("protobuf absent: TWS branch plan-checked only; "
+                    "the registered query runs the shared fold via "
+                    "applyInPandasWithState")

@@ -181,11 +181,14 @@ def test_run_status_reaches_sink_exporters_end_to_end(spark, tmp_path):
 
 
 def test_flush_restores_buffer_when_backend_throws(spark, tmp_path):
-    # A flaky backend must not starve the others: the batch goes back
-    # on the buffer and the next flush redelivers to every backend.
+    # A flaky backend must not starve the others, and a retry must not
+    # duplicate the batch at backends that already landed it: delivery
+    # is tracked per backend (ADVICE r5 -- the old whole-batch restore
+    # re-appended the same rows to the append-only parquet table).
     from dataingestionengineprocess_spark.streaming.telemetry import (
         InMemoryMetricsExporter,
         MetricsExporter,
+        read_progress,
     )
 
     class Flaky(MetricsExporter):
@@ -204,8 +207,48 @@ def test_flush_restores_buffer_when_backend_throws(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(IOError):
         listener.flush(spark, str(tmp_path))
-    assert listener.rows == [row]      # batch restored
-    assert mem.progress == []          # tail backend saw nothing yet
+    assert listener.rows == []           # buffer swapped, not restored
+    assert listener._pending != []       # batch pending for flaky only
+    assert mem.progress == [row]         # tail backend NOT starved
     listener.flush(spark, str(tmp_path))
-    assert listener.rows == []
-    assert mem.progress == [row]       # redelivered to every backend
+    assert listener._pending == []
+    assert flaky.calls == 2              # retried at the flaky backend
+    assert mem.progress == [row]         # NOT redelivered where it landed
+    # the append-only parquet table holds the batch exactly once
+    assert read_progress(spark, str(tmp_path)).count() == 1
+
+
+def test_flush_retry_interleaves_pending_and_new_rows(spark, tmp_path):
+    # New rows buffered between the failing flush and the retry are
+    # delivered everywhere; the pending batch only goes to the backend
+    # that missed it.
+    from dataingestionengineprocess_spark.streaming.telemetry import (
+        InMemoryMetricsExporter,
+        MetricsExporter,
+        read_progress,
+    )
+
+    class Flaky(MetricsExporter):
+        def __init__(self):
+            self.calls = 0
+            self.progress = []
+
+        def export_progress(self, spark, rows):
+            self.calls += 1
+            if self.calls == 1:
+                raise IOError("transient")
+            self.progress.extend(rows)
+
+    flaky, mem = Flaky(), InMemoryMetricsExporter()
+    listener = RunTelemetryListener(exporters=[flaky, mem])
+    r1 = ("q", "r", 1, "n", 5, 1.0, 1.0, 10, "progress", "t1")
+    r2 = ("q", "r", 2, "n", 7, 1.0, 1.0, 10, "progress", "t2")
+    listener.rows.append(r1)
+    import pytest as _pytest
+    with _pytest.raises(IOError):
+        listener.flush(spark, str(tmp_path))
+    listener.rows.append(r2)
+    listener.flush(spark, str(tmp_path))
+    assert sorted(flaky.progress) == [r1, r2]   # missed batch + new one
+    assert sorted(mem.progress) == [r1, r2]     # each exactly once
+    assert read_progress(spark, str(tmp_path)).count() == 2
