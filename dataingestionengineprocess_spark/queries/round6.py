@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import load
 from . import register
 
 
@@ -194,3 +195,236 @@ def stream_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("total_value", "n_events").alias("total_value"),
         F.max_by("max_value", "n_events").alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gradient-boosted STUMPS trained by the engine under the full hash
+# gate -- the tree-model companion to `ml_logreg_portable` (GD) and
+# `ml_kmeans_portable` (Lloyd's), in the certificate style the round-5
+# verdict asked new operators to take. Two least-squares boosting
+# rounds of depth-1 trees over pre-bucketed features: each round is
+# ONE map-side-combined groupBy per feature (<= 64 + 24 groups), the
+# split search runs over the bounded bucket table (prefix sums +
+# argmax -- model state, never data), and every engine-sensitive
+# number is either an int64 sum of 1e-6-quantized residuals or a
+# pinned sequence of IEEE double ops replayed verbatim by the oracle.
+# ---------------------------------------------------------------------------
+
+_GBDT_LR = 0.5
+
+_GBDT_ORACLE = f"""
+WITH d AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+         LEAST(CAST(floor(value * 100 + 0.5) AS BIGINT) // 1000,
+               CAST(63 AS BIGINT)) AS b1,
+         CAST(hour(ts) AS BIGINT) AS b2
+  FROM events WHERE value IS NOT NULL
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS sy FROM d),
+f0 AS (SELECT sy / CAST(n AS DOUBLE) AS f0 FROM nn),
+g1a AS (
+  SELECT b1 AS b,
+         CAST(sum(CAST(floor((y - f0.f0) * 1e6 + 0.5) AS BIGINT))
+              AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS c
+  FROM d CROSS JOIN f0 GROUP BY b1
+),
+g1b AS (
+  SELECT b2 AS b,
+         CAST(sum(CAST(floor((y - f0.f0) * 1e6 + 0.5) AS BIGINT))
+              AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS c
+  FROM d CROSS JOIN f0 GROUP BY b2
+),
+t1 AS (SELECT CAST(sum(s) AS BIGINT) AS st,
+              CAST(sum(c) AS BIGINT) AS ct FROM g1a),
+p1a AS (SELECT b, CAST(sum(s) OVER (ORDER BY b) AS BIGINT) AS sl,
+               CAST(sum(c) OVER (ORDER BY b) AS BIGINT) AS cl FROM g1a),
+p1b AS (SELECT b, CAST(sum(s) OVER (ORDER BY b) AS BIGINT) AS sl,
+               CAST(sum(c) OVER (ORDER BY b) AS BIGINT) AS cl FROM g1b),
+gain1 AS (
+  SELECT 'cents' AS feature, b AS t,
+         floor((CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / cl
+                + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+                  / (ct - cl)) / 1e12 * 1e6 + 0.5) / 1e6 AS gain_s,
+         (CAST(sl AS DOUBLE) / cl) / 1e6 AS wl,
+         (CAST(st - sl AS DOUBLE) / (ct - cl)) / 1e6 AS wr
+  FROM p1a, t1 WHERE ct - cl > 0
+  UNION ALL
+  SELECT 'hour', b,
+         floor((CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / cl
+                + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+                  / (ct - cl)) / 1e12 * 1e6 + 0.5) / 1e6,
+         (CAST(sl AS DOUBLE) / cl) / 1e6,
+         (CAST(st - sl AS DOUBLE) / (ct - cl)) / 1e6
+  FROM p1b, t1 WHERE ct - cl > 0
+),
+s1 AS (SELECT * FROM gain1 ORDER BY gain_s DESC, feature, t LIMIT 1),
+d2 AS (
+  SELECT d.y, d.b1, d.b2,
+         f0.f0 + {_GBDT_LR} * (CASE WHEN s1.feature = 'cents'
+           THEN CASE WHEN d.b1 <= s1.t THEN s1.wl ELSE s1.wr END
+           ELSE CASE WHEN d.b2 <= s1.t THEN s1.wl ELSE s1.wr END
+         END) AS f1
+  FROM d, f0, s1
+),
+g2a AS (
+  SELECT b1 AS b,
+         CAST(sum(CAST(floor((y - f1) * 1e6 + 0.5) AS BIGINT))
+              AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS c
+  FROM d2 GROUP BY b1
+),
+g2b AS (
+  SELECT b2 AS b,
+         CAST(sum(CAST(floor((y - f1) * 1e6 + 0.5) AS BIGINT))
+              AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS c
+  FROM d2 GROUP BY b2
+),
+t2 AS (SELECT CAST(sum(s) AS BIGINT) AS st,
+              CAST(sum(c) AS BIGINT) AS ct FROM g2a),
+p2a AS (SELECT b, CAST(sum(s) OVER (ORDER BY b) AS BIGINT) AS sl,
+               CAST(sum(c) OVER (ORDER BY b) AS BIGINT) AS cl FROM g2a),
+p2b AS (SELECT b, CAST(sum(s) OVER (ORDER BY b) AS BIGINT) AS sl,
+               CAST(sum(c) OVER (ORDER BY b) AS BIGINT) AS cl FROM g2b),
+gain2 AS (
+  SELECT 'cents' AS feature, b AS t,
+         floor((CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / cl
+                + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+                  / (ct - cl)) / 1e12 * 1e6 + 0.5) / 1e6 AS gain_s,
+         (CAST(sl AS DOUBLE) / cl) / 1e6 AS wl,
+         (CAST(st - sl AS DOUBLE) / (ct - cl)) / 1e6 AS wr
+  FROM p2a, t2 WHERE ct - cl > 0
+  UNION ALL
+  SELECT 'hour', b,
+         floor((CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / cl
+                + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+                  / (ct - cl)) / 1e12 * 1e6 + 0.5) / 1e6,
+         (CAST(sl AS DOUBLE) / cl) / 1e6,
+         (CAST(st - sl AS DOUBLE) / (ct - cl)) / 1e6
+  FROM p2b, t2 WHERE ct - cl > 0
+),
+s2 AS (SELECT * FROM gain2 ORDER BY gain_s DESC, feature, t LIMIT 1),
+d3 AS (
+  SELECT d2.y,
+         d2.f1 + {_GBDT_LR} * (CASE WHEN s2.feature = 'cents'
+           THEN CASE WHEN d2.b1 <= s2.t THEN s2.wl ELSE s2.wr END
+           ELSE CASE WHEN d2.b2 <= s2.t THEN s2.wl ELSE s2.wr END
+         END) AS f2
+  FROM d2, s2
+),
+mse AS (
+  SELECT CAST(sum(CAST(floor((y - f2) * (y - f2) * 1e6 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS se,
+         CAST(count(*) AS BIGINT) AS n
+  FROM d3
+)
+SELECT r.round, r.feature, CAST(r.t AS BIGINT) AS threshold, r.gain_s,
+       floor(r.wl * 1e6 + 0.5) / 1e6 AS w_left_s,
+       floor(r.wr * 1e6 + 0.5) / 1e6 AS w_right_s,
+       mse.n AS n_rows,
+       floor(mse.se / CAST(mse.n AS DOUBLE) + 0.5) / 1e6 AS mse_s
+FROM (SELECT CAST(1 AS BIGINT) AS round, * FROM s1
+      UNION ALL SELECT CAST(2 AS BIGINT), * FROM s2) r, mse
+ORDER BY r.round
+"""
+
+
+@register("ml_gbdt_stumps_portable", oracle=_GBDT_ORACLE)
+def ml_gbdt_stumps_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of least-squares gradient boosting with depth-1
+    trees (stumps), trained BY THE ENGINE and hash-checked: predict
+    is-purchase from bucketed event value (64 dollar-bucket caps) and
+    hour of day. Output: per round the chosen split (feature,
+    threshold, variance-reduction gain, leaf weights) plus the final
+    training MSE.
+
+    Exactness contract (FIXTURES.md): residuals quantize to int64 at
+    1e-6 BEFORE every sum, so each round's per-bucket statistics are
+    order-independent; the gain / leaf-weight arithmetic is a pinned
+    sequence of IEEE double ops on those integers (cast points stated
+    in the oracle verbatim), so the split search is deterministic
+    cross-engine; ties break (gain DESC, feature, threshold).
+
+    Scale: each round = one scan feeding TWO map-side-combined
+    aggregates with <= 64 + 24 groups; the split search runs on the
+    collected bucket table (bounded model state, like the k-means
+    centroid collect -- never data). At 100 TB: 2 rounds = 2 scans of
+    the projected feature columns; deeper trees would recurse the
+    same bounded-aggregate shape per node."""
+    import math
+
+    ev = load(spark, sf_dir, "events")
+    d = ev.where(F.col("value").isNotNull()).select(
+        F.when(F.col("event_type") == "purchase", F.lit(1.0))
+        .otherwise(F.lit(0.0)).alias("y"),
+        F.least(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 1000"),
+                F.lit(63).cast("long")).alias("b1"),
+        F.hour("ts").cast("long").alias("b2"),
+    ).localCheckpoint(eager=True)  # one materialization feeds all rounds
+
+    head = d.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(F.col("y").cast("long")).cast("long").alias("sy")
+                 ).collect()[0]
+    n, f0 = head["n"], head["sy"] / float(head["n"])
+
+    def best_split(pred) -> tuple:
+        """One boosting round: bounded per-bucket residual stats for
+        both features -> driver-side prefix + gain argmax (the bucket
+        table is model state: <= 88 rows)."""
+        rq = F.floor((F.col("y") - pred) * 1e6 + F.lit(0.5)).cast("long")
+        best = None
+        for feat, bcol in (("cents", "b1"), ("hour", "b2")):
+            rows = sorted(
+                d.groupBy(bcol).agg(
+                    F.sum(rq).cast("long").alias("s"),
+                    F.count(F.lit(1)).cast("long").alias("c"),
+                ).collect(),
+                key=lambda r: r[bcol])
+            st = sum(r["s"] for r in rows)
+            ct = sum(r["c"] for r in rows)
+            sl = cl = 0
+            for r in rows:
+                sl += r["s"]
+                cl += r["c"]
+                if ct - cl <= 0:
+                    continue
+                # the EXACT double sequence the oracle states: cast
+                # each integer sum to double, square, divide, add
+                g = (float(sl) * float(sl) / cl
+                     + float(st - sl) * float(st - sl) / (ct - cl))
+                gain_s = math.floor(g / 1e12 * 1e6 + 0.5) / 1e6
+                wl = (float(sl) / cl) / 1e6
+                wr = (float(st - sl) / (ct - cl)) / 1e6
+                key = (-gain_s, feat, r[bcol])
+                if best is None or key < best[0]:
+                    best = (key, feat, int(r[bcol]), gain_s, wl, wr)
+        return best[1:]
+
+    def leaf(split) -> F.Column:
+        feat, t, _, wl, wr = split
+        bcol = "b1" if feat == "cents" else "b2"
+        return F.when(F.col(bcol) <= F.lit(t), F.lit(wl)).otherwise(
+            F.lit(wr))
+
+    s1 = best_split(F.lit(f0))
+    pred1 = F.lit(f0) + _GBDT_LR * leaf(s1)
+    s2 = best_split(pred1)
+    pred2 = pred1 + _GBDT_LR * leaf(s2)
+
+    se = d.agg(F.sum(
+        F.floor((F.col("y") - pred2) * (F.col("y") - pred2) * 1e6
+                + F.lit(0.5)).cast("long")).cast("long").alias("se")
+    ).collect()[0]["se"]
+    mse_s = math.floor(se / float(n) + 0.5) / 1e6
+
+    out = [(r, feat, t, gain_s,
+            math.floor(wl * 1e6 + 0.5) / 1e6,
+            math.floor(wr * 1e6 + 0.5) / 1e6, n, mse_s)
+           for r, (feat, t, gain_s, wl, wr) in ((1, s1), (2, s2))]
+    return spark.createDataFrame(
+        out, "round bigint, feature string, threshold bigint, "
+             "gain_s double, w_left_s double, w_right_s double, "
+             "n_rows bigint, mse_s double").orderBy("round")

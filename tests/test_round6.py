@@ -53,6 +53,37 @@ def test_stream_tws_user_stats_equals_batch_aggregate(spark):
     assert got == want
 
 
+def test_gbdt_stumps_reduce_training_mse(spark):
+    # Two boosting rounds must not exceed the constant-predictor
+    # baseline MSE = p(1-p), each split must show non-negative
+    # variance-reduction gain, thresholds must lie in bucket range,
+    # and left/right leaves must pull in opposite directions of the
+    # residual mean (their count-weighted sum is the zero-mean total).
+    from dataingestionengineprocess_spark.queries.round6 import (
+        ml_gbdt_stumps_portable,
+    )
+
+    rows = ml_gbdt_stumps_portable(spark, SF_SMOKE).collect()
+    assert [r["round"] for r in rows] == [1, 2]
+    ev = load(spark, SF_SMOKE, "events").where(F.col("value").isNotNull())
+    n = ev.count()
+    k = ev.where(F.col("event_type") == "purchase").count()
+    p = k / n
+    baseline_mse = p * (1 - p)
+    for r in rows:
+        assert r["gain_s"] >= 0
+        assert r["n_rows"] == n
+        assert r["mse_s"] <= baseline_mse + 1e-6
+        if r["feature"] == "cents":
+            assert 0 <= r["threshold"] <= 63
+        else:
+            assert r["feature"] == "hour" and 0 <= r["threshold"] <= 23
+    # round-1 split on the ZERO-mean residual: leaves straddle zero
+    r1 = rows[0]
+    assert min(r1["w_left_s"], r1["w_right_s"]) <= 0 <= max(
+        r1["w_left_s"], r1["w_right_s"])
+
+
 def test_tws_plan_constructs_and_gate_is_honest(spark):
     # The TWS branch must at least BUILD its plan in this container
     # (API shape pinned); executing it needs protobuf, and the gate
