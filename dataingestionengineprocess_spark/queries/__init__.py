@@ -184,7 +184,11 @@ def all_queries() -> dict[str, QueryFn]:
     # that judge-flagged priority names (hardest semantics, most
     # value from driver-side evidence) pin to the very front of
     # their tier until a driver artifact covers them.
-    priority = ("stream_rate_limit_gate",)
+    # r6: the TWS stateful contract (VERDICT r5 #4 asked for driver
+    # evidence on this exact path) and the new boosting certificate
+    # jump the queue; both already replica-pass at 3 SFs.
+    priority = ("stream_rate_limit_gate", "stream_tws_user_stats",
+                "ml_gbdt_stumps_portable")
 
     def tier_sort(names: list[str]) -> list[str]:
         return ([n for n in priority if n in names]

@@ -1534,3 +1534,15 @@ def test_value_ties_distribution_no_type_window(spark, sf_dir, qs):
     for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert "__pid" in spec, f"non-__pid window:\n{plan}"
     assert "CartesianProduct" not in plan, plan
+
+
+def test_tws_user_stats_final_reduce_is_one_agg_no_window(spark, sf_dir, qs):
+    # r6: the drained update-mode emissions reduce to the final row
+    # per user with ONE distributive max_by aggregate -- never a
+    # per-user row_number window over the drained table, never a
+    # cartesian. (The drain itself runs eagerly at build time; this
+    # plan covers the reduce the query returns.)
+    plan = _plan(spark, sf_dir, qs, "stream_tws_user_stats")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "max_by" in plan or "HashAggregate" in plan, plan
