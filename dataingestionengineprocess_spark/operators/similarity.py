@@ -165,6 +165,71 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def lsh_knn_graph(corpus: DataFrame, k: int = 4,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  dim: int = 64, n_planes: int = 8,
+                  n_bands: int = 8) -> DataFrame:
+    """FULL approximate kNN graph: every corpus vector's top-k among
+    its LSH band-mates -- the all-nodes layer-0 build behind the HNSW
+    layer certificate (queries/round6.knn_hnsw_layer_portable) and
+    the graph-ANN / graph-dedup preprocessing shape.
+
+    Same banded candidates as `lsh_topk`, but the corpus is BOTH
+    sides: one SHUFFLE equi-join on (band_idx, band_key) -- no
+    broadcast of a query side, because the query side IS the data --
+    then exact cosine re-rank and a per-node rank window (node id is
+    a high-cardinality key, so the window distributes; this is not
+    the small-universe funnel shape). Returns (node, neighbor,
+    cos_sim, rank). Hot buckets are the skew risk at scale: AQE
+    skew-join handles moderate cases, and a bucket-size cap before
+    the self-join (the `minhash_neardup_pairs` ``max_bucket`` move)
+    is the documented escape hatch for degenerate corpora."""
+    corpus = spread_input(corpus)
+    planes3d = [
+        [_plane(f"band-{b}", p, dim) for p in range(n_planes)]
+        for b in range(n_bands)
+    ]
+    v = as_double(vec_col)
+
+    def band_key(band_planes: Column) -> Column:
+        contribs = F.zip_with(
+            band_planes,
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda pl, p: F.when(
+                dot(v, pl) > 0,
+                F.pow(F.lit(2.0), p).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        return F.aggregate(
+            contribs, F.lit(0).cast("long"), lambda a, x: a + x
+        )
+
+    sigs = F.transform(F.lit(planes3d), band_key)
+    rows = corpus.select(
+        F.col(id_col).alias("node"), v.alias("nv"),
+        F.posexplode(sigs).alias("band_idx", "band_key"),
+    )
+    other = rows.select(
+        F.col("node").alias("neighbor"), F.col("nv").alias("ov"),
+        "band_idx", "band_key",
+    )
+    candidates = (
+        rows.join(other, ["band_idx", "band_key"])
+        .filter(F.col("node") != F.col("neighbor"))
+        .select("node", "nv", "neighbor", "ov")
+        .dropDuplicates(["node", "neighbor"])
+    )
+    scored = candidates.withColumn(
+        "cos_sim", F.round(cosine(F.col("nv"), F.col("ov")), 6)
+    )
+    w = W.partitionBy("node").orderBy(F.desc("cos_sim"), "neighbor")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("node", "neighbor", "cos_sim", "rank")
+    )
+
+
 #: Above this many inlined coefficients (n_lists x dim) the centroid
 #: matrix literal stops being "tiny plan data" (it ships with every
 #: task); fall back to a broadcast join. 8 lists x 64 dims = 512 --

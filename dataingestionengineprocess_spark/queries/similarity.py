@@ -50,16 +50,15 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=5)
 
 
-def _lsh_oracle(n_planes: int = 8, n_bands: int = 8, dim: int = 64,
-                k: int = 5) -> str:
-    """Full DuckDB replica of `lsh_topk`: the hyperplanes are
-    deterministic Python-side constants (operators/similarity._plane),
-    so the oracle inlines the IDENTICAL coefficient double literals and
-    recomputes signature bits, band buckets, candidate pairs and the
-    exact re-rank independently. Sign bits agree bit-exactly because
-    both engines evaluate the same literals with the same left-to-right
+def _bands_sql(n_planes: int = 8, n_bands: int = 8, dim: int = 64) -> str:
+    """The SQL list literal of per-band signature keys over a column
+    ``e`` (DOUBLE[]): the hyperplanes are deterministic Python-side
+    constants (operators/similarity._plane), so the oracle inlines the
+    IDENTICAL coefficient double literals and recomputes signature
+    bits independently. Sign bits agree bit-exactly because both
+    engines evaluate the same literals with the same left-to-right
     double accumulation (the JL-projection oracle's proven property).
-    """
+    Shared by `_lsh_oracle` and the HNSW-layer oracle (round6)."""
     from ..operators.similarity import _plane
 
     band_exprs = []
@@ -74,7 +73,15 @@ def _lsh_oracle(n_planes: int = 8, n_bands: int = 8, dim: int = 64,
                 f"(CASE WHEN ({dot_sql}) > 0 THEN {1 << p} ELSE 0 END)"
             )
         band_exprs.append("(" + " + ".join(bits) + ")")
-    bands_list = "[" + ", ".join(band_exprs) + "]"
+    return "[" + ", ".join(band_exprs) + "]"
+
+
+def _lsh_oracle(n_planes: int = 8, n_bands: int = 8, dim: int = 64,
+                k: int = 5) -> str:
+    """Full DuckDB replica of `lsh_topk` (see `_bands_sql`): signature
+    bits, band buckets, candidate pairs and the exact re-rank, all
+    recomputed independently."""
+    bands_list = _bands_sql(n_planes, n_bands, dim)
     return f"""
 WITH sig AS (
   SELECT vec_id, {bands_list} AS bands

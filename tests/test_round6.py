@@ -84,6 +84,78 @@ def test_gbdt_stumps_reduce_training_mse(spark):
         r1["w_left_s"], r1["w_right_s"])
 
 
+def test_hnsw_layer_structure(spark):
+    # Levels are the md5 leading-zero geometric draw; layer-1 pop must
+    # be ~1/16 of layer 0 (binomial bound), every sampled node appears
+    # at layer 0 with <= 4 ranked-contiguous neighbors, and layer-1
+    # nodes' neighbors are layer-1 members only.
+    from dataingestionengineprocess_spark.queries.round6 import (
+        knn_hnsw_layer_portable,
+    )
+
+    rows = knn_hnsw_layer_portable(spark, SF_SMOKE).collect()
+    pops = {r["layer"]: r["layer_pop"] for r in rows}
+    assert 0 < pops[1] < pops[0]
+    emb = load(spark, SF_SMOKE, "embeddings")
+    l1_ids = {
+        r["vec_id"] for r in emb.select(
+            "vec_id",
+            F.length(F.regexp_extract(
+                F.md5(F.col("vec_id").cast("string")), "^0*", 0))
+            .alias("lvl")).where(F.col("lvl") >= 1).collect()
+    }
+    assert pops[1] == len(l1_ids)
+    by_node = {}
+    for r in rows:
+        by_node.setdefault((r["layer"], r["node"]), []).append(r)
+        if r["layer"] == 1:
+            assert r["node"] in l1_ids and r["neighbor"] in l1_ids
+    for (_, _), lst in by_node.items():
+        ranks = sorted(x["rank"] for x in lst)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 4
+        sims = [x["sim_s"] for x in sorted(lst, key=lambda x: x["rank"])]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_hnsw_full_layer0_graph_recall_planted(spark):
+    # The deployment-shape FULL layer-0 build (lsh_knn_graph: corpus
+    # on BOTH sides of the band join, no query broadcast) must find
+    # planted near-duplicate partners (cosine >= ~0.95 -- the regime
+    # LSH is for; the random fixture has no recall guarantee at 8x8,
+    # same caveat as test_lsh_ann_recall_at_5_fixture).
+    import math as m
+    import random
+
+    from dataingestionengineprocess_spark.operators.similarity import (
+        lsh_knn_graph,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(50):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        nrm = m.sqrt(sum(x * x for x in v))
+        v = [x / nrm for x in v]
+        w = [x + rng.gauss(0, 0.03) for x in v]
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, w))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    g = lsh_knn_graph(df, k=4)
+    by_node = {}
+    for r in g.collect():
+        by_node.setdefault(r["node"], set()).add(r["neighbor"])
+    partner_hits = sum(
+        1 for i in range(100)
+        if (i ^ 1) in by_node.get(i, set()))
+    assert partner_hits >= 90, f"planted partner recall {partner_hits}/100"
+    # graph shape: ranks contiguous from 1, at most k per node
+    for r in g.groupBy("node").agg(
+            F.count(F.lit(1)).alias("d"), F.min("rank").alias("lo"),
+            F.max("rank").alias("hi")).collect():
+        assert r["lo"] == 1 and r["hi"] == r["d"] <= 4
+
+
 def test_tws_plan_constructs_and_gate_is_honest(spark):
     # The TWS branch must at least BUILD its plan in this container
     # (API shape pinned); executing it needs protobuf, and the gate
