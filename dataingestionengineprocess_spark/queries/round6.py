@@ -81,7 +81,6 @@ def user_stats_tws(events: DataFrame) -> DataFrame:
     typed ValueState in the RocksDB-backed store, update-mode
     emission. At 100 TB this is the right ST6 API -- keyed state
     lives off-heap with optional TTL instead of a hand-rolled GC."""
-    import pandas as pd  # noqa: F401
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -218,7 +217,7 @@ WITH d AS (
          LEAST(CAST(floor(value * 100 + 0.5) AS BIGINT) // 1000,
                CAST(63 AS BIGINT)) AS b1,
          CAST(hour(ts) AS BIGINT) AS b2
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
 ),
 nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
               CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS sy FROM d),
@@ -357,7 +356,12 @@ def ml_gbdt_stumps_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     ev = load(spark, sf_dir, "events")
-    d = ev.where(F.col("value").isNotNull()).select(
+    # NULL feature rows are excluded in BOTH engines: a NULL hour
+    # bucket would hit Python's mixed-type sort in the split search
+    # and DuckDB's NULLS LAST prefix window differently -- stated,
+    # not incidental (fixtures carry no NULL ts/value today).
+    d = ev.where(F.col("value").isNotNull()
+                 & F.col("ts").isNotNull()).select(
         F.when(F.col("event_type") == "purchase", F.lit(1.0))
         .otherwise(F.lit(0.0)).alias("y"),
         F.least(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 1000"),

@@ -60,7 +60,10 @@ def main() -> None:
         quantized_covariance,
         semantic_dedup,
     )
-    from dataingestionengineprocess_spark.operators.similarity import lsh_topk
+    from dataingestionengineprocess_spark.operators.similarity import (
+        lsh_knn_graph,
+        lsh_topk,
+    )
     from dataingestionengineprocess_spark.operators.spatial import (
         grid_radius_pairs,
     )
@@ -132,6 +135,26 @@ def main() -> None:
                 (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
                 F.regexp_replace("text", r"(\S+)", f"$1_r{i}")
                 .alias("text")))
+        return out
+
+    def scaled_signed_emb(k: int) -> DataFrame:
+        """k embedding replicas, each under a deterministic per-replica
+        +-1 sign mask (md5 parity of (replica, dim)): norms and the
+        Gaussian-ish marginals are preserved, signatures decorrelate."""
+        import hashlib
+
+        out = emb.select("vec_id", "embedding")
+        for i in range(1, k):
+            mask = [
+                1.0 if int(hashlib.md5(f"sp:{i}:{d}".encode())
+                           .hexdigest(), 16) % 2 == 0 else -1.0
+                for d in range(64)
+            ]
+            out = out.unionAll(emb.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                F.zip_with(F.col("embedding").cast("array<double>"),
+                           F.lit(mask), lambda x, m: x * m)
+                .alias("embedding")))
         return out
 
     batch_docs = docs.limit(200).localCheckpoint(eager=True)
@@ -265,6 +288,18 @@ def main() -> None:
         "admission_fixed_batch": lambda k: incremental_jaccard_admission(
             None, batch_docs, threshold=0.5,
             corpus_index=persisted_index(k)),
+        # full approximate kNN graph (the HNSW layer-0 deployment
+        # build): bucket space must grow with the corpus like
+        # semantic_dedup's cluster count -- n_planes 8/9/10 at k =
+        # 1/2/4 keeps expected bucket population (and with it each
+        # node's candidate set) constant. Replicas get a per-replica
+        # deterministic +-1 sign mask so their vectors decorrelate
+        # into fresh buckets (id-offset copies alone would stack
+        # identical signatures k deep and measure duplicate packing,
+        # not graph construction).
+        "knn_graph": lambda k: lsh_knn_graph(
+            scaled_signed_emb(k), k=4,
+            n_planes={1: 8, 2: 9, 4: 10}[k]),
     }
 
     # warm the session once
