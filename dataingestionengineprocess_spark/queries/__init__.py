@@ -188,7 +188,8 @@ def all_queries() -> dict[str, QueryFn]:
     # evidence on this exact path) and the new boosting certificate
     # jump the queue; both already replica-pass at 3 SFs.
     priority = ("stream_rate_limit_gate", "stream_tws_user_stats",
-                "ml_gbdt_stumps_portable", "knn_hnsw_layer_portable")
+                "ml_gbdt_stumps_portable", "knn_hnsw_layer_portable",
+                "ml_als_halfstep_portable")
 
     def tier_sort(names: list[str]) -> list[str]:
         return ([n for n in priority if n in names]

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.exact import snap6 as _snap6_expr
 from . import register
 
 
@@ -578,3 +579,119 @@ def knn_hnsw_layer_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (shape(up, 1, pops["n1"])
             .unionByName(shape(l0, 0, pops["n0"]))
             .orderBy("layer", "node", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# ALS half-step (matrix factorization) -- the recommender-family
+# certificate: one alternating-least-squares update for every
+# customer's 2-factor vector against md5-derived item factors, as ONE
+# declarative plan (a single map-side-combined groupBy; no driver
+# loop, no collect anywhere -- the normal-equation solve is the
+# CLOSED-FORM 2x2 inverse in codegen). The full ALS alternates this
+# exact step between sides; one audited half-step is the portable
+# certificate, like the 2-iteration logreg/k-means gates.
+# ---------------------------------------------------------------------------
+
+_ALS_LAMBDA = 0.1
+_HEXMAX = float(0xFFFFFF)
+
+_ALS_ORACLE = f"""
+WITH r AS (
+  SELECT o.o_custkey AS cust, l.l_partkey AS part,
+         CAST(sum(l.l_quantity) AS BIGINT) AS r
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+v AS (
+  SELECT cust, r,
+         CAST('0x' || substr(md5(CAST(part AS VARCHAR) || ':a'), 1, 6)
+              AS BIGINT) / {_HEXMAX!r} - 0.5 AS v1,
+         CAST('0x' || substr(md5(CAST(part AS VARCHAR) || ':b'), 1, 6)
+              AS BIGINT) / {_HEXMAX!r} - 0.5 AS v2
+  FROM r
+),
+s AS (
+  SELECT cust, CAST(count(*) AS BIGINT) AS n_items,
+    CAST(sum(CAST(floor(v1 * v1 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s11,
+    CAST(sum(CAST(floor(v1 * v2 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s12,
+    CAST(sum(CAST(floor(v2 * v2 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s22,
+    CAST(sum(CAST(floor(r * v1 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS b1,
+    CAST(sum(CAST(floor(r * v2 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS b2
+  FROM v GROUP BY cust
+),
+u AS (
+  SELECT cust, n_items,
+         (s11 / 1e6 + {_ALS_LAMBDA}) AS a11, s12 / 1e6 AS a12,
+         (s22 / 1e6 + {_ALS_LAMBDA}) AS a22, b1 / 1e6 AS c1,
+         b2 / 1e6 AS c2
+  FROM s
+)
+SELECT cust AS c_custkey, n_items,
+       floor((a22 * c1 - a12 * c2) / (a11 * a22 - a12 * a12)
+             * 1e6 + 0.5) / 1e6 AS u1_s,
+       floor((a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12)
+             * 1e6 + 0.5) / 1e6 AS u2_s
+FROM u ORDER BY c_custkey
+"""
+
+
+@register("ml_als_halfstep_portable", oracle=_ALS_ORACLE)
+def ml_als_halfstep_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ALS user-side update over (customer, part, summed-quantity)
+    ratings with md5-derived 2-dim item factors, hash-checked row by
+    row: per-term 1e-6 int64 quantization makes the five normal-
+    equation sums order-independent, the item factors are exact
+    rationals (hex6/0xFFFFFF - 0.5), and the ridge-regularized 2x2
+    solve is one pinned IEEE sequence (stated identically in both
+    engines, lambda = 0.1 keeps det > 0).
+
+    Scale: three wide stages end to end -- the fact join (orderkey),
+    the ratings rollup (cust, part), and the update's map-side-
+    combined 6-sum aggregate (cust) -- then a codegen'd closed-form
+    solve; no driver model state at all (contrast: the k-means /
+    logreg / GBDT fits collect bounded model tables; here the 'model'
+    IS the output). k factors > 2 need k(k+1)/2 + k sums and a small
+    per-row solve on the same three-stage plan."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey",
+                                                "l_quantity")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("cust"),
+                 F.col("l_partkey").alias("part"))
+        .agg(F.sum("l_quantity").cast("long").alias("r"))
+    )
+
+    def hex6(suffix: str) -> F.Column:
+        return F.conv(F.substring(
+            F.md5(F.concat(F.col("part").cast("string"),
+                           F.lit(suffix))), 1, 6), 16, 10).cast("long")
+
+    v = ratings.select(
+        "cust", "r",
+        (hex6(":a") / _HEXMAX - 0.5).alias("v1"),
+        (hex6(":b") / _HEXMAX - 0.5).alias("v2"),
+    )
+
+    def q(col) -> F.Column:
+        return F.floor(col * 1e6 + F.lit(0.5)).cast("long")
+
+    s = v.groupBy("cust").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(q(F.col("v1") * F.col("v1"))).cast("long").alias("s11"),
+        F.sum(q(F.col("v1") * F.col("v2"))).cast("long").alias("s12"),
+        F.sum(q(F.col("v2") * F.col("v2"))).cast("long").alias("s22"),
+        F.sum(q(F.col("r") * F.col("v1"))).cast("long").alias("b1"),
+        F.sum(q(F.col("r") * F.col("v2"))).cast("long").alias("b2"),
+    )
+    a11 = F.col("s11") / 1e6 + _ALS_LAMBDA
+    a12 = F.col("s12") / 1e6
+    a22 = F.col("s22") / 1e6 + _ALS_LAMBDA
+    c1 = F.col("b1") / 1e6
+    c2 = F.col("b2") / 1e6
+    det = a11 * a22 - a12 * a12
+    return s.select(
+        F.col("cust").alias("c_custkey"), "n_items",
+        _snap6_expr((a22 * c1 - a12 * c2) / det).alias("u1_s"),
+        _snap6_expr((a11 * c2 - a12 * c1) / det).alias("u2_s"),
+    ).orderBy("c_custkey")

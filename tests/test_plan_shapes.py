@@ -1546,3 +1546,14 @@ def test_tws_user_stats_final_reduce_is_one_agg_no_window(spark, sf_dir, qs):
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "max_by" in plan or "HashAggregate" in plan, plan
+
+
+def test_als_halfstep_three_wide_stages_no_window(spark, sf_dir, qs):
+    # r6: fact join + two rollups, all hash aggregates with map-side
+    # partials -- no window anywhere, no cartesian, and the item-
+    # factor derivation stays in codegen (no Python eval node).
+    plan = _plan(spark, sf_dir, qs, "ml_als_halfstep_portable")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_sum" in plan or "partial sum" in plan.lower(), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

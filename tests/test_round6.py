@@ -156,6 +156,66 @@ def test_hnsw_full_layer0_graph_recall_planted(spark):
         assert r["lo"] == 1 and r["hi"] == r["d"] <= 4
 
 
+def test_als_halfstep_matches_numpy_solve(spark):
+    # The closed-form 2x2 ridge solve must agree with numpy's
+    # lstsq-style solve reconstructed from the SAME quantized sums,
+    # and the update must actually FIT: predicted u.v correlates with
+    # the ratings better than the zero-factor baseline (SSE strictly
+    # below sum(r^2)).
+    import hashlib
+
+    import numpy as np
+
+    from dataingestionengineprocess_spark.queries.round6 import (
+        _ALS_LAMBDA,
+        ml_als_halfstep_portable,
+    )
+
+    out = {r["c_custkey"]: (r["n_items"], r["u1_s"], r["u2_s"])
+           for r in ml_als_halfstep_portable(spark, SF_SMOKE).collect()}
+    assert out
+    li = load(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity")
+    orders = load(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey")
+    ratings = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+               .groupBy(F.col("o_custkey").alias("cust"),
+                        F.col("l_partkey").alias("part"))
+               .agg(F.sum("l_quantity").cast("long").alias("r"))
+               .collect())
+
+    def factor(part: int, sfx: str) -> float:
+        h = int(hashlib.md5(f"{part}{sfx}".encode()).hexdigest()[:6], 16)
+        return h / float(0xFFFFFF) - 0.5
+
+    by_cust: dict = {}
+    for row in ratings:
+        by_cust.setdefault(row["cust"], []).append(
+            (factor(row["part"], ":a"), factor(row["part"], ":b"),
+             row["r"]))
+    import math
+
+    def q(x):
+        return math.floor(x * 1e6 + 0.5)
+
+    sse_fit = sse_zero = 0.0
+    for cust, items in by_cust.items():
+        s11 = sum(q(v1 * v1) for v1, _, _ in items) / 1e6
+        s12 = sum(q(v1 * v2) for v1, v2, _ in items) / 1e6
+        s22 = sum(q(v2 * v2) for _, v2, _ in items) / 1e6
+        b1 = sum(q(r * v1) for v1, _, r in items) / 1e6
+        b2 = sum(q(r * v2) for _, v2, r in items) / 1e6
+        a = np.array([[s11 + _ALS_LAMBDA, s12], [s12, s22 + _ALS_LAMBDA]])
+        u = np.linalg.solve(a, np.array([b1, b2]))
+        n, u1, u2 = out[cust]
+        assert n == len(items)
+        assert abs(u1 - u[0]) < 2e-6 and abs(u2 - u[1]) < 2e-6, cust
+        for v1, v2, r in items:
+            sse_fit += (r - (u1 * v1 + u2 * v2)) ** 2
+            sse_zero += r * r
+    assert sse_fit < sse_zero
+
+
 def test_tws_plan_constructs_and_gate_is_honest(spark):
     # The TWS branch must at least BUILD its plan in this container
     # (API shape pinned); executing it needs protobuf, and the gate
