@@ -121,6 +121,8 @@ def _load_all() -> None:
     from . import round5p  # noqa: F401
     from . import round5q  # noqa: F401
     from . import round6  # noqa: F401
+    from . import round6b  # noqa: F401
+    from . import round6c  # noqa: F401
 
 
 _LOADED = False
