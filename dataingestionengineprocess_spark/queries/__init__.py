@@ -124,6 +124,7 @@ def _load_all() -> None:
     from . import round6b  # noqa: F401
     from . import round6c  # noqa: F401
     from . import round6d  # noqa: F401
+    from . import round6e  # noqa: F401
 
 
 _LOADED = False
