@@ -435,7 +435,9 @@ def ml_gmm_em_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(((1e6 - F.col("r2q")) / 1e6) * F.col("xc")
                       + F.lit(0.5)).cast("long")).cast("long")
         .alias("num1"),
-    )
+    ).localCheckpoint(eager=True)  # one-row model state: both
+    # component projections read it, so the union plans ONE scan of
+    # orders instead of recomputing the aggregate per branch.
     c1 = s.select(
         F.lit(1).cast("long").alias("component"),
         F.col("n").alias("n_rows"),

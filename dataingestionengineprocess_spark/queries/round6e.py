@@ -84,13 +84,11 @@ ORDER BY c.c_custkey
 """
 
 
-@register("ml_dbscan_labels", oracle=_DBSCAN_ORACLE)
-def ml_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DBSCAN core/border/noise labels, eps-neighbors via the 3x3
-    grid-cell join proven lossless by the all-pairs oracle."""
-    cust = load(spark, sf_dir, "customer")
-    pts = md5_points(cust, "c_custkey", "cx", "cy") \
-        .localCheckpoint(eager=True)  # one md5 pass feeds both sides
+def eps_neighbor_pairs(pts: DataFrame) -> DataFrame:
+    """(p, q) pairs within eps, via the 3x3 grid-cell equi-join +
+    exact distance filter -- the plan-testable pre-checkpoint shape
+    (the full query checkpoints this frame for its two consumers)."""
+    spark = pts.sparkSession
     cell = pts.select(
         "c_custkey", "x", "y",
         F.floor(F.col("x") / _DB_EPS).cast("long").alias("gx"),
@@ -109,13 +107,23 @@ def ml_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "gx", "gy")
     d2 = ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
           + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
-    nbr = (
+    return (
         probe.join(build, ["gx", "gy"])
         .where((F.col("p") != F.col("q"))
                & (d2 <= F.lit(_DB_EPS * _DB_EPS)))
         .select("p", "q")
-        .localCheckpoint(eager=True)  # feeds the count AND border pass
     )
+
+
+@register("ml_dbscan_labels", oracle=_DBSCAN_ORACLE)
+def ml_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN core/border/noise labels, eps-neighbors via the 3x3
+    grid-cell join proven lossless by the all-pairs oracle."""
+    cust = load(spark, sf_dir, "customer")
+    pts = md5_points(cust, "c_custkey", "cx", "cy") \
+        .localCheckpoint(eager=True)  # one md5 pass feeds both sides
+    nbr = eps_neighbor_pairs(pts) \
+        .localCheckpoint(eager=True)  # feeds the count AND border pass
     cnt = (
         pts.join(nbr.groupBy("p").agg(F.count(F.lit(1)).alias("c")),
                  pts["c_custkey"] == F.col("p"), "left")

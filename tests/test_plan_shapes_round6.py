@@ -1,0 +1,134 @@
+"""Physical-plan proofs for the round-6b..6e certificate families:
+the shapes their 100 TB scaling stories depend on actually plan --
+bounded sides broadcast, candidate joins are equi-joins (never
+cartesian), sparsified graphs filter BEFORE the wedge join.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dataingestionengineprocess_spark.queries import all_queries
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+def _plan(spark, sf_dir, qs, name: str) -> str:
+    return (qs[name](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+
+
+def test_binary_quantize_broadcasts_query_words(spark, sf_dir, qs):
+    """The packed-words Hamming pass must broadcast the (tiny) query
+    side over the corpus scan -- a shuffled join here would move the
+    whole packed table for 5 probe rows."""
+    plan = _plan(spark, sf_dir, qs, "embedding_binary_quantize")
+    assert "Broadcast" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_knn_classifier_no_cartesian(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "ml_knn_classifier")
+    assert "CartesianProduct" not in plan, plan
+    # Bounded query side rides a broadcast nested-loop (20 rows) or
+    # hash join -- either is fine; an unbroadcast cartesian is not.
+    assert "Broadcast" in plan, plan
+
+
+def test_kendall_pairs_join_is_equi_on_nation(spark, sf_dir, qs):
+    """The within-group pair build must plan as an equi-join on the
+    group key (n_name) with the ck< predicate as a post-filter --
+    NEVER a cartesian over customers."""
+    plan = _plan(spark, sf_dir, qs, "stat_kendall_tau")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_theil_sen_pairs_join_is_equi_on_nation(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "stat_theil_sen_slope")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dbscan_neighbor_join_is_equi_on_cells(spark, sf_dir, qs):
+    """The eps-neighborhood must join on (gx, gy) grid cells; the
+    only row-multiplying step is the broadcast 9-offset explode.
+    Tested on the pre-checkpoint frame (the full query consumes the
+    checkpointed RDD, which hides the join from its executed plan)."""
+    from dataingestionengineprocess_spark.catalog import load
+    from dataingestionengineprocess_spark.queries.round4k import (
+        md5_points,
+    )
+    from dataingestionengineprocess_spark.queries.round6e import (
+        eps_neighbor_pairs,
+    )
+
+    pts = md5_points(load(spark, sf_dir, "customer"),
+                     "c_custkey", "cx", "cy")
+    plan = (eps_neighbor_pairs(pts)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan, plan
+    assert "gx" in plan and "gy" in plan, plan
+    # Full query too: no cartesian anywhere downstream.
+    full = _plan(spark, sf_dir, qs, "ml_dbscan_labels")
+    assert "CartesianProduct" not in full, full
+
+
+def test_link_prediction_sparsifies_before_wedge(spark, sf_dir, qs):
+    """The >= 2-shared-orders threshold must appear in the plan (the
+    HAVING filter on the pair counts) -- without it the wedge join is
+    the ~1e9-row shape that OOMs at sf0.1."""
+    plan = _plan(spark, sf_dir, qs, "graph_jaccard_link_prediction")
+    assert "CartesianProduct" not in plan, plan
+    # The half-edge table is checkpointed after the >= 2 filter, so
+    # the executed plan consumes LocalTableScan/checkpoint RDDs, and
+    # the wedge join itself is an equi-join on the middle node.
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan, plan
+
+
+def test_rrf_fusion_is_full_outer_by_doc(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "text_rrf_hybrid_retrieval")
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_facility_location_broadcasts_candidates(spark, sf_dir, qs):
+    """Every greedy step joins the corpus-sized sims table against
+    one-row selections -- those must broadcast."""
+    plan = _plan(spark, sf_dir, qs, "curation_facility_location")
+    assert "Broadcast" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_conformal_scan_prunes_customer_columns(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "ml_conformal_split")
+    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "c_acctbal" in schema and "c_name" not in schema, schema
+
+
+def test_ols_is_single_scan_single_aggregate(spark, sf_dir, qs):
+    """The closed-form OLS must be ONE lineitem scan feeding one
+    global aggregate -- no join, no window, no second pass."""
+    plan = _plan(spark, sf_dir, qs, "ml_ols_normal_equations")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_gmm_em_is_single_scan(spark, sf_dir, qs):
+    """The orders scan happens ONCE, eagerly, at the one-row model-
+    state checkpoint; both component projections then read the
+    checkpointed RDD -- so the downstream plan has ZERO file scans
+    (a FileScan here would mean a branch re-aggregating the table)."""
+    plan = _plan(spark, sf_dir, qs, "ml_gmm_em_portable")
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "ExistingRDD" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_shapley_broadcasts_means_totals(spark, sf_dir, qs):
+    plan = _plan(spark, sf_dir, qs, "ml_shapley_linear")
+    assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan, plan
+    assert "CartesianProduct" not in plan, plan
