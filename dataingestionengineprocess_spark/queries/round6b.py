@@ -241,10 +241,17 @@ ranked AS (
   FROM cal
 ),
 qhat AS (
-  SELECT c_mktsegment, CAST(max(n_cal) AS BIGINT) AS n_cal,
-         CAST(min(CASE WHEN rn = ((n_cal + 1) * 9 + 9) // 10
-                       THEN rq END) AS BIGINT) AS qhat_q
-  FROM ranked GROUP BY c_mktsegment
+  /* Segments whose calibration split cannot reach the ceil rank
+     (k > n_cal, i.e. n_cal < 9 at alpha = 0.1) DROP -- qhat is
+     +infinity, the standard small-n conformal degenerate case; the
+     Spark side drops them identically (no rank-k row survives the
+     filter). Without this guard the engines disagree at smoke SF. */
+  SELECT * FROM (
+    SELECT c_mktsegment, CAST(max(n_cal) AS BIGINT) AS n_cal,
+           CAST(min(CASE WHEN rn = ((n_cal + 1) * 9 + 9) // 10
+                         THEN rq END) AS BIGINT) AS qhat_q
+    FROM ranked GROUP BY c_mktsegment
+  ) WHERE qhat_q IS NOT NULL
 ),
 test AS (
   SELECT c.c_mktsegment,
