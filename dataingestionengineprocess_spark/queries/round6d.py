@@ -374,12 +374,11 @@ ORDER BY jaccard_s DESC, a, b LIMIT 50
 """
 
 
-@register("graph_jaccard_link_prediction", oracle=_LINKPRED_ORACLE)
-def graph_jaccard_link_prediction(spark: SparkSession,
-                                  sf_dir: str) -> DataFrame:
-    """Top-50 neighborhood-Jaccard scores over non-adjacent 2-hop
-    pairs of the >= 2-shared-orders co-purchase projection."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+def jaccard_link_scores(li: DataFrame) -> DataFrame:
+    """Neighborhood-Jaccard scores for all non-adjacent 2-hop pairs
+    of the >= 2-shared-orders co-purchase projection of ``li``
+    (l_orderkey, l_partkey). Factored for tools/scale_probe.py; the
+    registered query takes its top-50."""
     u = li.distinct()
     ua = u.select(F.col("l_orderkey").alias("k"),
                   F.col("l_partkey").alias("pa"))
@@ -416,6 +415,17 @@ def graph_jaccard_link_prediction(spark: SparkSession,
         cand.join(da, "a").join(db, "b")
         .select("a", "b", F.col("common").cast("long").alias("common"),
                 snap6(jac).alias("jaccard_s"))
+    )
+
+
+@register("graph_jaccard_link_prediction", oracle=_LINKPRED_ORACLE)
+def graph_jaccard_link_prediction(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Top-50 neighborhood-Jaccard scores over non-adjacent 2-hop
+    pairs of the >= 2-shared-orders co-purchase projection."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return (
+        jaccard_link_scores(li)
         .orderBy(F.desc("jaccard_s"), "a", "b")
         .limit(50)
     )

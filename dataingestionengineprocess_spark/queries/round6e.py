@@ -84,15 +84,18 @@ ORDER BY c.c_custkey
 """
 
 
-def eps_neighbor_pairs(pts: DataFrame) -> DataFrame:
+def eps_neighbor_pairs(pts: DataFrame,
+                       eps: float = _DB_EPS) -> DataFrame:
     """(p, q) pairs within eps, via the 3x3 grid-cell equi-join +
     exact distance filter -- the plan-testable pre-checkpoint shape
-    (the full query checkpoints this frame for its two consumers)."""
+    (the full query checkpoints this frame for its two consumers).
+    ``eps`` is parameterized for tools/scale_probe.py, which shrinks
+    it ~1/sqrt(k) to hold neighbor density constant as points grow."""
     spark = pts.sparkSession
     cell = pts.select(
         "c_custkey", "x", "y",
-        F.floor(F.col("x") / _DB_EPS).cast("long").alias("gx"),
-        F.floor(F.col("y") / _DB_EPS).cast("long").alias("gy"))
+        F.floor(F.col("x") / eps).cast("long").alias("gx"),
+        F.floor(F.col("y") / eps).cast("long").alias("gy"))
     offs = spark.range(9).select(
         (F.col("id") % 3 - 1).alias("ox"), (F.col("id") / 3).cast("long")
         .alias("oy3"))
@@ -110,7 +113,7 @@ def eps_neighbor_pairs(pts: DataFrame) -> DataFrame:
     return (
         probe.join(build, ["gx", "gy"])
         .where((F.col("p") != F.col("q"))
-               & (d2 <= F.lit(_DB_EPS * _DB_EPS)))
+               & (d2 <= F.lit(eps * eps)))
         .select("p", "q")
     )
 

@@ -79,6 +79,12 @@ def main() -> None:
         classifier_score,
     )
     from dataingestionengineprocess_spark.queries.round4k import md5_points
+    from dataingestionengineprocess_spark.queries.round6d import (
+        jaccard_link_scores,
+    )
+    from dataingestionengineprocess_spark.queries.round6e import (
+        eps_neighbor_pairs,
+    )
     from dataingestionengineprocess_spark.session import get_spark
 
     spark = get_spark("scale-probe", extra_confs={
@@ -300,6 +306,38 @@ def main() -> None:
         "knn_graph": lambda k: lsh_knn_graph(
             scaled_signed_emb(k), k=4,
             n_planes={1: 8, 2: 9, 4: 10}[k]),
+        # --- round-6 continued: the new graph/density certificates.
+        # DBSCAN eps-neighborhood: offset customer keys draw FRESH
+        # md5 points, so the unit square gets denser with k -- at
+        # fixed eps the pair OUTPUT itself is the quadratic baseline
+        # (expected pairs ~ n^2 * eps^2). The deployment story is
+        # "grid resolution tracks data density": eps shrinks ~1/
+        # sqrt(k), holding expected neighbors per point constant, and
+        # the cell equi-join's cost must then track k.
+        "dbscan_neighbors": lambda k: (
+            eps_neighbor_pairs(
+                md5_points(scaled(cust, k, "c_custkey"),
+                           "c_custkey", "cx", "cy"),
+                eps=0.02 / (k ** 0.5))
+            .groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+        ),
+        # Jaccard link prediction: BOTH order and part keys offset,
+        # so replicas form k DISJOINT co-purchase graphs -- degrees
+        # and wedge fan-out per graph stay constant and total cost
+        # must track k (offsetting only orders would inflate every
+        # part's degree k-fold and measure the Sum(deg^2) wedge
+        # blow-up, the graph analog of PPJoin's quadratic-output
+        # caveat).
+        "linkpred_wedges": lambda k: jaccard_link_scores(
+            scaled(li_full.select("l_orderkey", "l_partkey"),
+                   k, "l_orderkey")
+            # recover the replica index from the orderkey offset
+            # (fixture orderkeys < 10M) and shift partkeys by it
+            .withColumn(
+                "l_partkey",
+                F.col("l_partkey")
+                + (F.col("l_orderkey") / F.lit(10_000_000))
+                .cast("long") * F.lit(10_000_000))),
     }
 
     # warm the session once
