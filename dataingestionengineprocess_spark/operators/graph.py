@@ -53,7 +53,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iterations: int = 8, damping: float = 0.85,
              checkpoint_every: int = _CHECKPOINT_EVERY,
              out_degrees: DataFrame | None = None,
-             broadcast_node_limit: int = _BROADCAST_NODE_LIMIT) -> DataFrame:
+             broadcast_node_limit: int = _BROADCAST_NODE_LIMIT,
+             reset: DataFrame | None = None) -> DataFrame:
     """PageRank over a directed edge list -> (node, rank).
 
     Ranks are scaled so they sum to the node count N (the random-surfer
@@ -74,6 +75,14 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     broadcast-ranks iteration; above it the shuffle-join iteration
     (edges pre-bucketed by source once, no broadcast anywhere). Pass 0
     to force the shuffle path, a huge value to force broadcast.
+
+    ``reset`` (node, p): PERSONALIZED PageRank -- the teleport lands
+    on the given distribution (p should sum to 1) instead of
+    uniformly: rank = (1-d) * p(node) + d * contribs, ranks
+    initialized to p and summing to ~1 (minus dangling leakage).
+    Nodes absent from ``reset`` get p = 0. The teleport column rides
+    the (checkpointed) node table, so the per-iteration work is
+    byte-identical to the uniform case.
     """
     if out_degrees is not None:
         out_deg = F.broadcast(out_degrees.select(
@@ -99,8 +108,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         w_edges.select(F.col("__src").alias("node"))
         .union(w_edges.select("node"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if reset is not None:
+        nodes = nodes.join(
+            reset.select("node", F.col("p").alias("__p")), "node", "left"
+        ).select("node", F.coalesce("__p", F.lit(0.0)).alias("__p"))
+    nodes = nodes.localCheckpoint(eager=True)
     # The strategy decision needs the node count; nodes is already
     # materialized, so this count is a cheap narrow scan, not a job
     # over the edge subtree.
@@ -116,7 +129,10 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         w_edges = w_edges.repartition("__src").cache()
         w_edges.count()  # materialize once, before the loop
 
-    ranks = nodes.withColumn("rank", F.lit(1.0))
+    if reset is not None:
+        ranks = nodes.select("node", F.col("__p").alias("rank"))
+    else:
+        ranks = nodes.withColumn("rank", F.lit(1.0))
 
     # The iteration loop runs inside try/finally: an exception mid-loop
     # (executor loss, interrupt, OOM in a checkpoint job) must not leak
@@ -166,14 +182,16 @@ def pagerank_iteration(w_edges: DataFrame, nodes: DataFrame,
         .groupBy("node")
         .agg(F.sum(F.col("rank") * F.col("__w")).alias("contrib"))
     )
+    # Personalized teleport: a "__p" column on the node table routes
+    # the (1-d) mass to the reset distribution instead of uniformly.
+    base = (F.lit(1.0 - damping) * F.col("__p")
+            if "__p" in nodes.columns else F.lit(1.0 - damping))
     return (
         nodes.join(contribs, "node", "left")
         .select(
             "node",
-            (
-                F.lit(1.0 - damping)
-                + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
-            ).alias("rank"),
+            (base + F.lit(damping) * F.coalesce("contrib", F.lit(0.0)))
+            .alias("rank"),
         )
     )
 

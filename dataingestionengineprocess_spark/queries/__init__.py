@@ -125,6 +125,7 @@ def _load_all() -> None:
     from . import round6c  # noqa: F401
     from . import round6d  # noqa: F401
     from . import round6e  # noqa: F401
+    from . import round6f  # noqa: F401
 
 
 _LOADED = False
