@@ -157,6 +157,16 @@ SHOWCASE = [
     "part_price_index",
     "scalar_struct_funcs",
     "multimodal_audio_silence",
+    # round-6b..6f lazy single-plan representatives. (LPA/modularity,
+    # conformal, MMR, binary quantize, kNN classifier, DBSCAN, GMM,
+    # RAKE, HITS, facility location, theil-sen, and PPR all
+    # checkpoint layouts or collect bounded model state at build
+    # time -- excluded like the other eager queries; their shapes
+    # are pinned in test_plan_shapes_round6.)
+    "ml_shapley_linear",
+    "ml_ols_normal_equations",
+    "stat_kendall_tau",
+    "window_hampel_filter",
 ]
 
 
