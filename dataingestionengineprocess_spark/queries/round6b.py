@@ -339,7 +339,7 @@ _RRF_K = 60
 _RRF_ORACLE = f"""
 WITH lex AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS sc
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
         FROM documents)
   WHERE tok IN ({", ".join(f"'{t}'" for t in _RRF_TERMS)})
   GROUP BY doc_id

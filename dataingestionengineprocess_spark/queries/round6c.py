@@ -165,8 +165,10 @@ def embedding_binary_quantize(spark: SparkSession,
     rer = (
         cand.join(F.broadcast(qv), "qid").join(cv, "nid")
         .select("qid", "nid", "hamming",
-                q6(cosine(F.col("qv"), F.col("cv"))).alias("cosq"),
-                (-q6(cosine(F.col("qv"), F.col("cv")))).alias("ncosq"))
+                q6(cosine(F.col("qv"), F.col("cv"))).alias("cosq"))
+        # derive, don't re-fold: the 64-dim cosine aggregate doesn't
+        # codegen, so repeating it would compute the fold twice
+        .withColumn("ncosq", -F.col("cosq"))
     )
     top = grouped_rank(rer, ["qid"], ["ncosq", "nid"], "rr") \
         .where(F.col("rr") <= _BQ_TOPK)
@@ -692,10 +694,12 @@ _BH_P = 0.2316419
 _BH_B = (0.319381530, -0.356563782, 1.781477937,
          -1.821255978, 1.330274429)
 
-_BH_PHI_SQL = """
+# ONE source for the polynomial: the SQL interpolates the same _BH_B
+# tuple the Spark side folds over, so the copies cannot desync.
+_BH_PHI_SQL = f"""
   floor((2.0 * ((exp(-za * za / 2.0) / sqrt(2.0 * pi()))
-    * (((((1.330274429 * k - 1.821255978) * k + 1.781477937) * k
-         - 0.356563782) * k + 0.319381530) * k))) * 1e6 + 0.5) / 1e6
+    * ((((({_BH_B[4]} * k + {_BH_B[3]}) * k + {_BH_B[2]}) * k
+         + {_BH_B[1]}) * k + {_BH_B[0]}) * k))) * 1e6 + 0.5) / 1e6
 """
 
 _BH_ORACLE = f"""

@@ -378,21 +378,14 @@ def jaccard_link_scores(li: DataFrame) -> DataFrame:
     """Neighborhood-Jaccard scores for all non-adjacent 2-hop pairs
     of the >= 2-shared-orders co-purchase projection of ``li``
     (l_orderkey, l_partkey). Factored for tools/scale_probe.py; the
-    registered query takes its top-50."""
-    u = li.distinct()
-    ua = u.select(F.col("l_orderkey").alias("k"),
-                  F.col("l_partkey").alias("pa"))
-    ub = u.select(F.col("l_orderkey").alias("k"),
-                  F.col("l_partkey").alias("pb"))
-    half = (
-        ua.join(ub, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("__n_orders"))
-        .filter(F.col("__n_orders") >= 2)
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .localCheckpoint(eager=True)  # feeds wedges, degrees, anti-join
-    )
+    registered query takes its top-50. The sparsified half-edge
+    build routes through the shared `copurchase_half(min_orders=2)`
+    (set explosion, 2.3x the self-join form) so the projection
+    cannot drift from the other graph surfaces."""
+    from ..operators.graph import copurchase_half
+
+    half = copurchase_half(li, min_orders=2)
+    # checkpointed by the operator: feeds wedges, degrees, anti-join
     edges = half.union(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree")) \
