@@ -227,6 +227,27 @@ def khop_bfs(edges: DataFrame, seeds: DataFrame, hops: int = 2,
     return out
 
 
+#: DuckDB-oracle twin of `copurchase_half(min_orders=1)`: the
+#: sets + half CTE fragment every co-purchase oracle composes over
+#: (pagerank, LPA/modularity, personalized pagerank). ONE copy, next
+#: to the Spark-side single source, so the projection the oracles
+#: model cannot drift from the engine's edge build. Plain string (no
+#: f-string) so the struct-literal braces need no escaping.
+COPURCHASE_HALF_SQL = """
+sets AS (
+  SELECT l_orderkey, list_distinct(list(l_partkey)) AS ps
+  FROM lineitem GROUP BY l_orderkey
+),
+half AS (
+  SELECT DISTINCT p.src AS src, p.dst AS dst FROM (
+    SELECT unnest(flatten(list_transform(ps,
+        x -> list_transform(list_filter(ps, y -> y > x),
+                            y -> {'src': x, 'dst': y})))) AS p
+    FROM sets
+  )
+)"""
+
+
 def copurchase_half(pairs: DataFrame, key: str = "l_orderkey",
                     item: str = "l_partkey",
                     min_orders: int = 1) -> DataFrame:

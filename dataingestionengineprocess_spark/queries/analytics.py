@@ -446,19 +446,9 @@ pr{k} AS (
   ) s ON s.node = n.node
 )""")
         prev = f"pr{k}"
-    return f"""
-WITH sets AS (
-  SELECT l_orderkey, list_distinct(list(l_partkey)) AS ps
-  FROM lineitem GROUP BY l_orderkey
-),
-half AS (
-  SELECT DISTINCT p.src AS src, p.dst AS dst FROM (
-    SELECT unnest(flatten(list_transform(ps,
-        x -> list_transform(list_filter(ps, y -> y > x),
-                            y -> {{'src': x, 'dst': y}})))) AS p
-    FROM sets
-  )
-),
+    from ..operators.graph import COPURCHASE_HALF_SQL
+
+    return "WITH " + COPURCHASE_HALF_SQL + f""",
 deg AS (
   SELECT node, CAST(count(*) AS DOUBLE) AS degree FROM (
     SELECT src AS node FROM half UNION ALL SELECT dst AS node FROM half

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions.exact import q6, snap6
+from ..operators.graph import COPURCHASE_HALF_SQL
 from . import register
 
 # ---------------------------------------------------------------------------
@@ -57,19 +58,7 @@ from . import register
 # edge key, the same scaling contract as graph_pagerank_parts.
 # ---------------------------------------------------------------------------
 
-_LPA_EDGES_SQL = """
-sets AS (
-  SELECT l_orderkey, list_distinct(list(l_partkey)) AS ps
-  FROM lineitem GROUP BY l_orderkey
-),
-half AS (
-  SELECT DISTINCT p.src AS src, p.dst AS dst FROM (
-    SELECT unnest(flatten(list_transform(ps,
-        x -> list_transform(list_filter(ps, y -> y > x),
-                            y -> {'src': x, 'dst': y})))) AS p
-    FROM sets
-  )
-),
+_LPA_EDGES_SQL = COPURCHASE_HALF_SQL + """,
 edges AS (
   SELECT src, dst FROM half
   UNION ALL
