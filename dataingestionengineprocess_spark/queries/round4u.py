@@ -122,14 +122,12 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
     # Per-cohort rank WITHOUT a per-week window: a hot signup week
-    # would funnel its whole cohort through one task's sort. HORIZON
-    # ASSUMPTION (ADVICE r5): the group key is signup WEEK, which
-    # grows linearly with the data's time horizon -- the broadcast
-    # offsets table is one row per week (~52/year: decades of history
-    # stay a few-KB broadcast, fine), but a deployment ranking by a
-    # finer time key (hour/minute) over years of data should switch
-    # grouped_rank's offsets join to a non-broadcast shuffle join
-    # above ~1M groups rather than broadcast an unbounded table.
+    # would funnel its whole cohort through one task's sort. The group
+    # key is signup WEEK, which grows with the data's time horizon --
+    # since round 7 `grouped_rank` itself counts the groups and
+    # auto-switches its offsets join from broadcast to shuffle above
+    # GROUPED_RANK_BROADCAST_MAX, so a finer time key (hour/minute)
+    # over years of data can no longer force an unbounded broadcast.
     from ..operators.ranking import grouped_rank
 
     ranked = grouped_rank(conv, ["week"], ["lag_sec", "user_id"],

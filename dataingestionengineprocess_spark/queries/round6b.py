@@ -286,9 +286,12 @@ def ml_conformal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = grouped_rank(cal, ["c_mktsegment"], ["rq", "c_custkey"],
                           "rn", count_col="n_cal")
-    k = ((F.col("n_cal") + 1) * 9 + 9).cast("long") / 10
+    # Integer `div`, not double-divide-then-floor: past ~2^53 the
+    # double path loses ulps and can land one rank off the oracle's
+    # exact // (the hamilton_quota precedent, ADVICE r4).
+    k = F.expr("((n_cal + 1) * 9 + 9) div 10")
     qhat = (
-        ranked.where(F.col("rn") == F.floor(k))
+        ranked.where(F.col("rn") == k)
         .select("c_mktsegment", F.col("n_cal").cast("long").alias("n_cal"),
                 F.col("rq").alias("qhat_q"))
     )

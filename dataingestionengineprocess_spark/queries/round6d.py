@@ -503,10 +503,12 @@ def stat_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = grouped_rank(slopes, ["n_name"],
                           ["slope_q", "cka", "ckb"], "rn", count_col="n")
+    # Integer `div` keeps the median ranks exact at any n (the
+    # double-divide-then-floor path drifts past ~2^53; ADVICE r6).
     lo = F.min(F.when(
-        F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("slope_q")))
+        F.col("rn") == F.expr("(n + 1) div 2"), F.col("slope_q")))
     hi = F.min(F.when(
-        F.col("rn") == F.floor((F.col("n") + 2) / 2), F.col("slope_q")))
+        F.col("rn") == F.expr("(n + 2) div 2"), F.col("slope_q")))
     return (
         ranked.groupBy("n_name")
         .agg(F.max("n").cast("long").alias("n_pairs"),

@@ -106,7 +106,12 @@ def graph_personalized_pagerank(spark: SparkSession,
         .select(F.col("p_partkey").alias("node"))
     seeds = deg.select("node").join(F.broadcast(parts), "node")
     n_seeds = seeds.count()  # bounded model state (<=|brand| parts)
-    reset = seeds.select("node", F.lit(1.0 / n_seeds).alias("p"))
+    # No seeds in the graph: the oracle's CASE never takes the 1/c
+    # branch and every reset mass is 0.0 -- mirror that instead of
+    # dividing by zero on the driver (the reset frame is empty either
+    # way, so the literal only needs to be well-defined).
+    seed_mass = 1.0 / n_seeds if n_seeds else 0.0
+    reset = seeds.select("node", F.lit(seed_mass).alias("p"))
     ranks = pagerank(co, iterations=_PPR_ITER, damping=_PPR_D,
                      out_degrees=deg, reset=reset)
     n_nodes = deg.count()

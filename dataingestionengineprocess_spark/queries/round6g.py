@@ -292,14 +292,30 @@ def sample_neyman_allocation(spark: SparkSession,
 _HOLT_A = 0.5
 _HOLT_G = 0.3
 
+# The recursive step joins on idx = h.idx + 1, so a GAP in the day
+# series would silently truncate every later day (identically on both
+# engines -- the parity gate can't see it). Densify: left-join the raw
+# daily counts onto a generated contiguous [0, max_idx] series with
+# zero-filled counts, so the recursion walks every day. The series
+# generator is the one dialect-specific spelling (DuckDB
+# unnest(generate_series(..)), Spark explode(sequence(..))).
+
 _HOLT_BODY = f"""
-WITH RECURSIVE days AS (
+WITH RECURSIVE raw AS (
   SELECT CAST(date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE))
               AS BIGINT) AS idx,
          CAST(count(*) AS DOUBLE) AS y
   FROM {{src}}
   WHERE CAST(ts AS DATE) >= DATE '{_EPOCH}'
   GROUP BY 1
+),
+series AS (
+  SELECT unnest(generate_series(CAST(0 AS BIGINT),
+                                (SELECT max(idx) FROM raw))) AS idx
+),
+days AS (
+  SELECT s.idx, COALESCE(r.y, 0.0) AS y
+  FROM series s LEFT JOIN raw r ON r.idx = s.idx
 ),
 holt AS (
   SELECT m0.idx, m0.y, m0.y AS l, m1.y - m0.y AS b
@@ -320,7 +336,13 @@ FROM holt ORDER BY idx
 
 _HOLT_SPARK_BODY = _HOLT_BODY.replace(
     f"date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE))",
-    f"datediff(CAST(ts AS DATE), DATE '{_EPOCH}')")
+    f"datediff(CAST(ts AS DATE), DATE '{_EPOCH}')",
+).replace(
+    "unnest(generate_series(CAST(0 AS BIGINT),\n"
+    "                                (SELECT max(idx) FROM raw)))",
+    "explode(sequence(CAST(0 AS BIGINT),\n"
+    "                                (SELECT max(idx) FROM raw)))",
+)
 
 
 @register("events_holt_linear", oracle=_HOLT_BODY.format(src="events"))

@@ -194,9 +194,11 @@ def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "event_id", "value")
     ranked = grouped_rank(v, ["event_type"], ["value", "event_id"],
                           "rn", count_col="n")
-    lo = F.min(F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2),
+    # Integer `div` keeps the median ranks exact at any n (the
+    # double-divide-then-floor path drifts past ~2^53; ADVICE r6).
+    lo = F.min(F.when(F.col("rn") == F.expr("(n + 1) div 2"),
                       F.col("value")))
-    hi = F.min(F.when(F.col("rn") == F.floor((F.col("n") + 2) / 2),
+    hi = F.min(F.when(F.col("rn") == F.expr("(n + 2) div 2"),
                       F.col("value")))
     med = ranked.groupBy("event_type").agg(((lo + hi) / 2.0).alias("m"))
     z = (

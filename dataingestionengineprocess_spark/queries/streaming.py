@@ -449,11 +449,11 @@ def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hour windows are a bounded-small universe but a hot hour's user
     # population is not: rank the drained rollup distributed
     # (descending cents via negation) instead of a per-window sort.
-    # HORIZON ASSUMPTION (ADVICE r5): grouped_rank broadcasts one
-    # offsets row per hour window -- ~9k/year, a few-KB broadcast for
-    # years of history; a deployment draining decades at minute
-    # granularity should flip the offsets join to a shuffle join
-    # above ~1M groups instead of broadcasting an unbounded table.
+    # The offsets table is one row per hour window and grows with the
+    # drained horizon -- since round 7 `grouped_rank` counts the
+    # groups and auto-switches broadcast -> shuffle join above
+    # GROUPED_RANK_BROADCAST_MAX, so minute-granularity decades can
+    # no longer force an unbounded broadcast.
     from ..operators.ranking import grouped_rank
 
     ranked = grouped_rank(

@@ -107,3 +107,53 @@ def test_mann_whitney_all_one_group_null_z(spark, tmp_path):
     r = stat_mann_whitney(spark, sf).collect()[0]
     assert (r["n1"], r["n2"]) == (2, 0)
     assert r["z_s"] is None
+
+
+def test_grouped_rank_wide_horizon_shuffles_offsets(spark):
+    """VERDICT r6 #2: above ``broadcast_max`` groups, grouped_rank's
+    offsets join must flip from broadcast to shuffle (a time-derived
+    group key growing with the data horizon must not force an
+    unbounded broadcast), with results identical to the broadcast
+    path and to the per-group window definition."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from dataingestionengineprocess_spark.operators.ranking import (
+        grouped_rank,
+    )
+
+    # synthetic wide horizon: 200 time-bucket groups, 5 rows each
+    rows = [((i * 53) % 200, i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "bucket long, uid long") \
+        .repartition(16)
+
+    # The OFFSETS join is the one on __g_bucket; the inner __pid
+    # broadcast (one row per partition, bounded by cluster size, never
+    # by data) from _with_offsets legitimately stays a broadcast.
+    def offsets_join_lines(df_):
+        plan_ = df_._jdf.queryExecution().executedPlan().toString()
+        return plan_, [ln for ln in plan_.splitlines()
+                       if "Join" in ln and "__g_bucket" in ln]
+
+    wide = grouped_rank(df, ["bucket"], ["uid"], "rn",
+                        count_col="n", broadcast_max=50)
+    plan, joins = offsets_join_lines(wide)
+    assert joins, plan
+    assert all("BroadcastHashJoin" not in ln for ln in joins), plan
+    assert any(("SortMergeJoin" in ln) or ("ShuffledHashJoin" in ln)
+               for ln in joins), plan
+
+    small = grouped_rank(df, ["bucket"], ["uid"], "rn", count_col="n")
+    plan_b, joins_b = offsets_join_lines(small)
+    assert any("BroadcastHashJoin" in ln for ln in joins_b), plan_b
+
+    w = Window.partitionBy("bucket").orderBy("uid")
+    expect = {(r["bucket"], r["uid"]): r["rn"]
+              for r in df.withColumn("rn", F.row_number().over(w))
+              .collect()}
+    got_wide = {(r["bucket"], r["uid"]): r["rn"] for r in wide.collect()}
+    got_small = {(r["bucket"], r["uid"]): r["rn"]
+                 for r in small.collect()}
+    assert got_wide == expect
+    assert got_small == expect
+    # count_col agrees on both paths (5 rows per bucket)
+    assert all(r["n"] == 5 for r in wide.collect())
