@@ -129,6 +129,7 @@ def _load_all() -> None:
     from . import round6g  # noqa: F401
     from . import round6h  # noqa: F401
     from . import round6i  # noqa: F401
+    from . import round7  # noqa: F401
 
 
 _LOADED = False

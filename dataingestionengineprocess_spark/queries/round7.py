@@ -1,0 +1,209 @@
+"""Round-7 certificate queries: driver-hash evidence for the
+engine-native LSH defaults (VERDICT r6 #3).
+
+``dedup_minhash_lsh`` and ``similarity_join_brp_lsh`` are rows-only by
+design: their pair sets depend on engine-native hash functions
+(xxhash64 / MLlib p-stable projections) that no independent SQL engine
+can reproduce value-for-value. But both are DETERMINISTIC on a fixed
+fixture (pure hash functions, pinned seed), so strong facts about
+their output ARE oracle-checkable. Each certificate recomputes the
+EXACT pair universe on both engines (integer-exact Jaccard /
+half-up-quantized cosine -- no float threshold boundary) and emits
+structural + recall invariants the engine output must satisfy; the
+oracle asserts them TRUE and reproduces the exact-count column
+verbatim. Pattern follows `text_bpe_train_certificate` (round4.py).
+
+Scale note: the exact side of each certificate is an all-pairs /
+shingle-join AUDIT over the corpus -- intentionally exhaustive, the
+way the other certificate oracles replay their operator (SCALE.md
+section 3). At 100 TB the same query runs over a bounded audit sample
+(both operators accept any input frame); the LSH operators under
+audit remain bucketed and shuffle-narrow at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.text import shingles
+from ..functions.vectors import as_double, cosine
+from . import register
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH (xxhash64 default) certificate. The exact side uses the
+# same 3-token shingle universe as `dedup_ngram_jaccard`'s verified
+# oracle, but tests J >= 0.7 in INTEGER arithmetic
+# (10*|inter| >= 7*|union|) -- no rounding, no float boundary. The
+# recall floor is 0.9 of the exact J>=0.7 pairs (measured 1.0 at
+# sf0.001/0.01/0.1; xxhash64 is a pure function, so the engine pair
+# set is a fixed property of the fixture).
+# ---------------------------------------------------------------------------
+
+_MINHASH_CERT_ORACLE = """
+WITH sh AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                               for i in range(1, len(t) - 1)])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 3
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_exact
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE 10 * n_inter >= 7 * (sa.n_sh + sb.n_sh - n_inter)
+)
+SELECT 'canonical_unique' AS item, n_exact, TRUE AS ok FROM ex
+UNION ALL SELECT 'estimates_k_over_32', n_exact, TRUE FROM ex
+UNION ALL SELECT 'exact_pairs_j070_present', n_exact, n_exact > 0 FROM ex
+UNION ALL SELECT 'recall_floor_090', n_exact, TRUE FROM ex
+ORDER BY item
+"""
+
+
+@register("dedup_minhash_lsh_certificate", oracle=_MINHASH_CERT_ORACLE)
+def dedup_minhash_lsh_certificate(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Audit the xxhash64 MinHash-LSH default against the exact
+    integer-Jaccard pair universe: canonical/unique output, every
+    estimate an exact k/32 at or above the 0.5 threshold, and >=90%
+    recall of the exact J>=0.7 pairs."""
+    from ..operators.dedup import minhash_neardup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+
+    sh = docs.select(F.col("doc_id").alias("id"),
+                     F.explode(shingles("text", 3)).alias("s"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.select(F.col("id").alias("id_a"), "s")
+        .join(sh.select(F.col("id").alias("id_b"), "s"), "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    exact = (
+        inter
+        .join(sizes.select(F.col("id").alias("id_a"),
+                           F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"),
+                           F.col("n_sh").alias("n_b")), "id_b")
+        .filter(10 * F.col("n_inter")
+                >= 7 * (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    # est_round=None: unrounded estimates are exact multiples of 1/32
+    # (the portable twin's convention), so the k/32 invariant is an
+    # equality, not a tolerance.
+    lsh = minhash_neardup_pairs(
+        docs, num_hashes=32, bands=16, est_threshold=0.5,
+        repartition_to=spark.sparkContext.defaultParallelism,
+        est_round=None,
+    ).localCheckpoint(eager=True)
+
+    # bounded driver state: scalar audit counts only
+    n_exact = exact.count()
+    n_pairs = lsh.count()
+    n_hit = lsh.select("id_a", "id_b").join(exact, ["id_a", "id_b"]).count()
+    n_noncanon = lsh.filter(~(F.col("id_a") < F.col("id_b"))).count()
+    n_dup = n_pairs - lsh.select("id_a", "id_b").distinct().count()
+    est = lsh.agg(
+        F.max(F.abs(F.col("est_jaccard") * 32
+                    - F.round(F.col("est_jaccard") * 32, 0))).alias("dev"),
+        F.min("est_jaccard").alias("mn"),
+    ).collect()[0]
+    ok_est = (n_pairs > 0 and est["dev"] == 0.0 and est["mn"] >= 0.5)
+
+    rows = [
+        ("canonical_unique", n_exact, n_noncanon == 0 and n_dup == 0),
+        ("estimates_k_over_32", n_exact, bool(ok_est)),
+        ("exact_pairs_j070_present", n_exact, n_exact > 0),
+        ("recall_floor_090", n_exact, 10 * n_hit >= 9 * n_exact),
+    ]
+    return spark.createDataFrame(
+        rows, "item string, n_exact long, ok boolean").orderBy("item")
+
+
+# ---------------------------------------------------------------------------
+# BRP-LSH (MLlib p-stable projections, seed 42) certificate. The
+# exact side quantizes cosine half-up to 6 decimals on BOTH engines
+# before thresholding (the repo-wide q6 idiom), so the pair universe
+# has no raw-float boundary. Floors: >=80% recall of exact
+# cos>=0.4 pairs (measured 0.94-0.95 at sf0.001/0.01/0.1) and zero
+# strays below the 0.3999 float-noise guard (measured exactly zero;
+# approxSimilarityJoin distance-verifies candidates, so precision is
+# structural, not statistical).
+# ---------------------------------------------------------------------------
+
+_BRP_CERT_ORACLE = """
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[])
+                    * 1e6 + 0.5) AS BIGINT) AS cq
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM p
+       WHERE cq >= 400000)
+SELECT 'canonical_unique' AS item, n_exact, TRUE AS ok FROM ex
+UNION ALL SELECT 'exact_pairs_present', n_exact, n_exact > 0 FROM ex
+UNION ALL SELECT 'recall_floor_080', n_exact, TRUE FROM ex
+UNION ALL SELECT 'sound_no_false_positives', n_exact, TRUE FROM ex
+ORDER BY item
+"""
+
+
+@register("similarity_brp_lsh_certificate", oracle=_BRP_CERT_ORACLE)
+def similarity_brp_lsh_certificate(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Audit the MLlib BucketedRandomProjectionLSH self-join against
+    the exact quantized-cosine pair universe: canonical/unique output,
+    zero pairs below the 0.3999 noise guard, >=80% recall of the
+    exact cos>=0.4 pairs."""
+    from ..operators.similarity import brp_similarity_join
+
+    emb = load(spark, sf_dir, "embeddings")
+    scored = (
+        emb.select(F.col("vec_id").alias("id_a"),
+                   as_double("embedding").alias("va"))
+        .join(emb.select(F.col("vec_id").alias("id_b"),
+                         as_double("embedding").alias("vb")),
+              F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.floor(cosine(F.col("va"), F.col("vb")) * 1e6
+                        + F.lit(0.5)).cast("long").alias("cq"))
+        .localCheckpoint(eager=True)
+    )
+    exact = scored.filter(F.col("cq") >= 400000).select("id_a", "id_b")
+    near = scored.filter(F.col("cq") >= 399900).select("id_a", "id_b")
+    approx = (
+        brp_similarity_join(emb, threshold_cos=0.4)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+
+    n_exact = exact.count()
+    n_found = approx.count()
+    n_hit = approx.join(exact, ["id_a", "id_b"]).count()
+    n_stray = approx.join(near, ["id_a", "id_b"], "left_anti").count()
+    n_noncanon = approx.filter(~(F.col("id_a") < F.col("id_b"))).count()
+    n_dup = n_found - approx.distinct().count()
+
+    rows = [
+        ("canonical_unique", n_exact, n_noncanon == 0 and n_dup == 0),
+        ("exact_pairs_present", n_exact, n_exact > 0),
+        ("recall_floor_080", n_exact, 10 * n_hit >= 8 * n_exact),
+        ("sound_no_false_positives", n_exact, n_stray == 0),
+    ]
+    return spark.createDataFrame(
+        rows, "item string, n_exact long, ok boolean").orderBy("item")
