@@ -42,6 +42,36 @@ def spread_input(df: DataFrame) -> DataFrame:
     return df
 
 
+def key_skew_factor(df: DataFrame, key_col: str) -> float:
+    """The `quality_skew_report` statistic as a pre-join diagnosis:
+    max-per-key count * n_keys / n_rows (1.0 = perfectly uniform,
+    n_keys = one key owns everything). One word-count-shaped pass,
+    one scalar to the driver -- cheap to run ahead of any expensive
+    join at 100 TB."""
+    row = (
+        df.groupBy(key_col).agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"),
+             F.count(F.lit(1)).alias("nk"),
+             F.sum("c").alias("n"))
+        .collect()[0]
+    )
+    if not row["n"]:
+        return 0.0
+    return float(row["mx"]) * float(row["nk"]) / float(row["n"])
+
+
+def needs_salting(df: DataFrame, key_col: str,
+                  threshold: float = 8.0) -> bool:
+    """Report-driven strategy selection: salt the join when the key
+    distribution is pathological (skew factor above ``threshold`` --
+    i.e. the hottest key owns >threshold x its uniform share, the
+    regime where one shuffle partition becomes the straggler that AQE
+    can only split after materializing it). Uniform fact keys stay on
+    the plain equi-join: salting there just replicates the dim side
+    for nothing."""
+    return key_skew_factor(df, key_col) > threshold
+
+
 def salted_join(fact: DataFrame, dim: DataFrame, on: str,
                 n_salts: int = 8, how: str = "inner") -> DataFrame:
     """Equi-join fact⋈dim on `on` with the dim side replicated across

@@ -124,3 +124,83 @@ def test_range_bucket_join_matches_naive_and_avoids_bnlj(spark):
     # nested-loop over the range predicate.
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_hot_key_30pct_salted_beats_plain(spark):
+    """VERDICT r6 #6: the skew-stress gate. ONE key owns 30% of the
+    fact rows; the skew report must flag it (strategy selection), the
+    salted sort-merge join must return exactly the plain join's rows,
+    spread the hot key across tasks instead of funneling it into one
+    straggler partition, and win on wall clock."""
+    import time
+
+    from dataingestionengineprocess_spark.operators.skew import (
+        needs_salting,
+        key_skew_factor,
+        salted_join,
+    )
+
+    # 2M rows: key 7 takes 30%, tail uniform over 2000 keys
+    fact = spark.range(2_000_000).select(
+        F.when(F.col("id") % 10 < 3, 7)
+        .otherwise(F.col("id") % 2000).alias("k"),
+        F.col("id").alias("payload"),
+    ).localCheckpoint(eager=True)
+    dim = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("attr_"), F.col("id")).alias("attr"),
+    ).localCheckpoint(eager=True)
+
+    # --- report-driven strategy selection ---
+    assert key_skew_factor(fact, "k") > 100  # 30% of rows on 1/2000 keys
+    assert needs_salting(fact, "k")
+    uniform = spark.range(100_000).select(
+        (F.col("id") % 2000).alias("k"))
+    assert not needs_salting(uniform, "k")
+
+    # hint("merge") pins both paths to sort-merge joins: the scenario
+    # under test is the broadcast-INELIGIBLE dim (at 100 TB the dim
+    # that needs salting is the one too big to broadcast)
+    plain = fact.join(dim.hint("merge"), "k").select("k", "payload", "attr")
+    salted = salted_join(fact, dim.hint("merge"), "k", n_salts=8) \
+        .select("k", "payload", "attr")
+    for df in (plain, salted):
+        assert "SortMergeJoin" in \
+            df._jdf.queryExecution().executedPlan().toString()
+
+    # --- identical rows: order-insensitive multiset checksum
+    # (exceptAll on 2M rows would blow the test JVM's 1g heap) ---
+    def checksum(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # mod keeps the 2M-row sum inside long under ANSI mode
+            F.sum(F.xxhash64("k", "payload", "attr")
+                  % F.lit(1_000_000_007)).alias("h"),
+        ).collect()[0]
+
+    cp, cs = checksum(plain), checksum(salted)
+    assert (cp["n"], cp["h"]) == (cs["n"], cs["h"])
+
+    # --- the mechanism: the hot key funnels the plain join's output
+    # through one partition; salting spreads it ---
+    def max_rows_per_partition(df):
+        return max(
+            r["c"] for r in df.withColumn(
+                "pid", F.spark_partition_id())
+            .groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect())
+
+    assert max_rows_per_partition(salted) * 2 \
+        < max_rows_per_partition(plain)
+
+    # --- and the payoff: best-of-2 wall clock after a warm run ---
+    def wall(df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    wall(plain), wall(salted)  # warm: codegen + shuffle files
+    t_plain = min(wall(plain) for _ in range(2))
+    t_salted = min(wall(salted) for _ in range(2))
+    assert t_salted < t_plain, (
+        f"salted {t_salted:.2f}s should beat plain {t_plain:.2f}s "
+        "on the 30%-hot-key fixture")

@@ -10,12 +10,16 @@ replicated driver fixtures), and each operator's wall time is taken
 at k = 1, 2, 4. A scale-sound operator's 4x/1x ratio sits near 4
 (linear) or below; a quadratic one would show ~16.
 
-    python tools/scale_probe.py [sf_dir] [op1,op2,...]
+    python tools/scale_probe.py [sf_dir] [op1,op2,...] [k1,k2,...]
 
 Prints one JSON line {op: {"x1": s, "x2": s, "x4": s, "r41": ratio}}.
 The optional second argument restricts the sweep to named ops (the
 heavy dedup tail takes minutes per op; probe it without re-timing
-the whole battery). Results recorded in SCALE.md §8.
+the whole battery). The optional third argument overrides the
+replication factors (default 1,2,4) -- ``1,10`` measures one full
+DECADE from the sf0.1 bench fixture to an sf1 equivalent (VERDICT r6
+#5); the ratio key is then ``r<last><first>``. Results recorded in
+SCALE.md §8.
 """
 
 from __future__ import annotations
@@ -31,7 +35,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 and sys.argv[2] else None
+KS = (tuple(int(k) for k in sys.argv[3].split(","))
+      if len(sys.argv) > 3 else (1, 2, 4))
 
 
 def scaled(df: DataFrame, k: int, id_col: str) -> DataFrame:
@@ -70,7 +76,10 @@ def main() -> None:
     from dataingestionengineprocess_spark.operators.winnow import (
         winnow_fingerprints,
     )
-    from dataingestionengineprocess_spark.operators.graph import khop_bfs
+    from dataingestionengineprocess_spark.operators.graph import (
+        khop_bfs,
+        pagerank as _pagerank,
+    )
     from dataingestionengineprocess_spark.operators.ranking import (
         global_rank as _global_rank,
         grouped_rank as _grouped_rank,
@@ -305,7 +314,10 @@ def main() -> None:
         # not graph construction).
         "knn_graph": lambda k: lsh_knn_graph(
             scaled_signed_emb(k), k=4,
-            n_planes={1: 8, 2: 9, 4: 10}[k]),
+            # bucket space grows with the corpus: +1 plane per
+            # doubling keeps expected bucket population constant
+            # (8/9/10 at k=1/2/4, 11 at k=8..11, the round-6 table)
+            n_planes=8 + max(0, round(__import__("math").log2(k)))),
         # --- round-6 continued: the new graph/density certificates.
         # DBSCAN eps-neighborhood: offset customer keys draw FRESH
         # md5 points, so the unit square gets denser with k -- at
@@ -328,6 +340,22 @@ def main() -> None:
         # part's degree k-fold and measure the Sum(deg^2) wedge
         # blow-up, the graph analog of PPJoin's quadratic-output
         # caveat).
+        # PageRank over the co-purchase graph (VERDICT r6 #5): both
+        # order AND part keys offset per replica, so replicas form k
+        # DISJOINT graphs -- per-graph degrees stay constant and the
+        # per-iteration contribution join + rebuild must track total
+        # edges ~k. 4 iterations (half the query's 8) keep the decade
+        # probe inside minutes without changing the growth exponent.
+        "pagerank": lambda k: _pagerank(
+            _copurchase_edges(
+                scaled(li_full.select("l_orderkey", "l_partkey"),
+                       k, "l_orderkey")
+                .withColumn(
+                    "l_partkey",
+                    F.col("l_partkey")
+                    + (F.col("l_orderkey") / F.lit(10_000_000))
+                    .cast("long") * F.lit(10_000_000))),
+            iterations=4),
         "linkpred_wedges": lambda k: jaccard_link_scores(
             scaled(li_full.select("l_orderkey", "l_partkey"),
                    k, "l_orderkey")
@@ -349,10 +377,12 @@ def main() -> None:
         if ONLY is not None and name not in ONLY:
             continue
         row: dict[str, float] = {}
-        for k in (1, 2, 4):
+        for k in KS:
             run(build, k)  # warm pass: JVM/codegen per plan shape
             row[f"x{k}"] = run(build, k)
-        row["r41"] = round(row["x4"] / row["x1"], 2) if row["x1"] else -1.0
+        lo, hi = KS[0], KS[-1]
+        row[f"r{hi}{lo}"] = (round(row[f"x{hi}"] / row[f"x{lo}"], 2)
+                             if row[f"x{lo}"] else -1.0)
         out[name] = row
     print(json.dumps(out))
 
