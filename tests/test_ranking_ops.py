@@ -121,8 +121,11 @@ def test_grouped_rank_wide_horizon_shuffles_offsets(spark):
         grouped_rank,
     )
 
-    # synthetic wide horizon: 200 time-bucket groups, 5 rows each
+    # synthetic wide horizon: 200 time-bucket groups, 5 rows each,
+    # plus a NULL-bucket group -- the shuffle path's offsets join must
+    # stay null-safe exactly like the broadcast path's
     rows = [((i * 53) % 200, i) for i in range(1000)]
+    rows += [(None, 1000 + i) for i in range(5)]
     df = spark.createDataFrame(rows, "bucket long, uid long") \
         .repartition(16)
 
@@ -155,5 +158,8 @@ def test_grouped_rank_wide_horizon_shuffles_offsets(spark):
                  for r in small.collect()}
     assert got_wide == expect
     assert got_small == expect
-    # count_col agrees on both paths (5 rows per bucket)
+    # count_col agrees on both paths (5 rows per bucket, NULL included)
     assert all(r["n"] == 5 for r in wide.collect())
+    # the NULL group survived the shuffle-form offsets join intact
+    assert sorted(rn for (b, _), rn in got_wide.items()
+                  if b is None) == [1, 2, 3, 4, 5]
