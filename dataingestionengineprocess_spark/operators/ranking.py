@@ -153,8 +153,8 @@ def grouped_rank(df: DataFrame, group_cols: list[str],
     `global_rank` minus the group's exclusive base -- and the base is
     simply ``min(global_rank) - 1`` per group, one distributive
     aggregate over the checkpointed ranked frame (no window, no
-    driver-side group table). The offsets join broadcasts: it has one
-    row per group, bounded by the group universe, never by the data.
+    driver-side group table). The offsets table has one row per
+    group, bounded by the group universe, never by the data.
 
     ``group_cols + order_cols`` must form a total order (include a
     unique key), same as `global_rank`. ``count_col`` additionally

@@ -42,34 +42,56 @@ def spread_input(df: DataFrame) -> DataFrame:
     return df
 
 
-def key_skew_factor(df: DataFrame, key_col: str) -> float:
-    """The `quality_skew_report` statistic as a pre-join diagnosis:
-    max-per-key count * n_keys / n_rows (1.0 = perfectly uniform,
-    n_keys = one key owns everything). One word-count-shaped pass,
-    one scalar to the driver -- cheap to run ahead of any expensive
-    join at 100 TB."""
+def _key_distribution(df: DataFrame, key_col: str):
+    """(max per-key count, n_keys, n_rows) over NON-NULL keys -- NULL
+    join keys never match an inner/left equi-join's other side (Spark
+    inserts IsNotNull on the keys), so counting them would report
+    phantom skew on optional-FK columns. One word-count-shaped pass,
+    three scalars to the driver."""
     row = (
-        df.groupBy(key_col).agg(F.count(F.lit(1)).alias("c"))
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(key_col).agg(F.count(F.lit(1)).alias("c"))
         .agg(F.max("c").alias("mx"),
              F.count(F.lit(1)).alias("nk"),
              F.sum("c").alias("n"))
         .collect()[0]
     )
-    if not row["n"]:
+    return (int(row["mx"] or 0), int(row["nk"] or 0), int(row["n"] or 0))
+
+
+def key_skew_factor(df: DataFrame, key_col: str) -> float:
+    """The `quality_skew_report` statistic as a pre-join diagnosis:
+    max-per-key count * n_keys / n_rows (1.0 = perfectly uniform,
+    n_keys = one key owns everything), over non-null keys."""
+    mx, nk, n = _key_distribution(df, key_col)
+    if not n:
         return 0.0
-    return float(row["mx"]) * float(row["nk"]) / float(row["n"])
+    return float(mx) * float(nk) / float(n)
 
 
 def needs_salting(df: DataFrame, key_col: str,
-                  threshold: float = 8.0) -> bool:
+                  threshold: float = 8.0,
+                  hot_share: float = 0.2) -> bool:
     """Report-driven strategy selection: salt the join when the key
-    distribution is pathological (skew factor above ``threshold`` --
-    i.e. the hottest key owns >threshold x its uniform share, the
-    regime where one shuffle partition becomes the straggler that AQE
-    can only split after materializing it). Uniform fact keys stay on
-    the plain equi-join: salting there just replicates the dim side
-    for nothing."""
-    return key_skew_factor(df, key_col) > threshold
+    distribution is pathological -- the regime where one shuffle
+    partition becomes the straggler AQE can only split after
+    materializing it. Two triggers, either suffices:
+
+    - skew factor above ``threshold``: the hottest key owns
+      >threshold x its uniform share (meaningless when n_keys <=
+      threshold, hence the second trigger);
+    - the hottest key owns >= ``hot_share`` of all rows: catches the
+      LOW-CARDINALITY funnels the ratio is structurally blind to
+      (n_keys = 1 gives factor 1.0 -- 'perfectly uniform' -- while
+      every row rides one partition).
+
+    Uniform fact keys stay on the plain equi-join: salting there just
+    replicates the dim side for nothing."""
+    mx, nk, n = _key_distribution(df, key_col)
+    if not n:
+        return False
+    return (float(mx) * float(nk) / float(n) > threshold
+            or float(mx) / float(n) >= hot_share)
 
 
 def salted_join(fact: DataFrame, dim: DataFrame, on: str,

@@ -153,12 +153,16 @@ def dedup_minhash_lsh_certificate(spark: SparkSession,
 # ---------------------------------------------------------------------------
 
 _BRP_CERT_ORACLE = """
-WITH p AS (
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+),
+p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[],
                                            b.embedding::DOUBLE[])
                     * 1e6 + 0.5) AS BIGINT) AS cq
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
   WHERE a.vec_id % 5 = 0
 ),
 ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM p
@@ -185,13 +189,19 @@ def similarity_brp_lsh_certificate(spark: SparkSession,
     emb = load(spark, sf_dir, "embeddings")
     # norms precomputed ONCE per vector (n rows), not once per pair
     # (n^2/10): numerically identical to cosine() -- same sqrt of the
-    # same sum, same division order -- at a third of the pair work
+    # same sum, same division order -- at a third of the pair work.
+    # Zero-norm vectors are excluded on BOTH engines (na > 0 here, the
+    # dot-product prefilter in the oracle): a zero norm is NaN cosine
+    # in DuckDB (the BIGINT cast would abort the oracle) and a NULL
+    # division here -- brp_similarity_join itself drops them too.
     va = emb.select(F.col("vec_id").alias("id_a"),
                     as_double("embedding").alias("va")) \
-        .withColumn("na", l2_norm(F.col("va")))
+        .withColumn("na", l2_norm(F.col("va"))) \
+        .filter(F.col("na") > 0)
     vb = emb.select(F.col("vec_id").alias("id_b"),
                     as_double("embedding").alias("vb")) \
-        .withColumn("nb", l2_norm(F.col("vb")))
+        .withColumn("nb", l2_norm(F.col("vb"))) \
+        .filter(F.col("nb") > 0)
     cq = F.floor(dot(F.col("va"), F.col("vb"))
                  / (F.col("na") * F.col("nb")) * 1e6
                  + F.lit(0.5)).cast("long").alias("cq")

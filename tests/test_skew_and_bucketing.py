@@ -157,6 +157,16 @@ def test_hot_key_30pct_salted_beats_plain(spark):
     uniform = spark.range(100_000).select(
         (F.col("id") % 2000).alias("k"))
     assert not needs_salting(uniform, "k")
+    # low-cardinality funnel: ONE key owns everything, ratio = 1.0
+    # ('perfectly uniform'), the hot-share trigger must still fire
+    one_key = spark.range(10_000).select(F.lit(1).alias("k"))
+    assert key_skew_factor(one_key, "k") == 1.0
+    assert needs_salting(one_key, "k")
+    # NULL keys never match an inner equi-join: 50% NULLs over a
+    # uniform tail is NOT skew (phantom-skew guard)
+    half_null = spark.range(100_000).select(
+        F.when(F.col("id") % 2 == 0, F.col("id") % 2000).alias("k"))
+    assert not needs_salting(half_null, "k")
 
     # hint("merge") pins both paths to sort-merge joins: the scenario
     # under test is the broadcast-INELIGIBLE dim (at 100 TB the dim
@@ -199,8 +209,11 @@ def test_hot_key_30pct_salted_beats_plain(spark):
         return time.perf_counter() - t0
 
     wall(plain), wall(salted)  # warm: codegen + shuffle files
-    t_plain = min(wall(plain) for _ in range(2))
-    t_salted = min(wall(salted) for _ in range(2))
+    # best-of-3 on each side: the straggler gap is ~2x on this
+    # fixture, so three samples absorb host-noise spikes without
+    # weakening the gate
+    t_plain = min(wall(plain) for _ in range(3))
+    t_salted = min(wall(salted) for _ in range(3))
     assert t_salted < t_plain, (
         f"salted {t_salted:.2f}s should beat plain {t_plain:.2f}s "
         "on the 30%-hot-key fixture")

@@ -25,6 +25,7 @@ SCALE.md §8.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import tempfile
@@ -317,7 +318,7 @@ def main() -> None:
             # bucket space grows with the corpus: +1 plane per
             # doubling keeps expected bucket population constant
             # (8/9/10 at k=1/2/4, 11 at k=8..11, the round-6 table)
-            n_planes=8 + max(0, round(__import__("math").log2(k)))),
+            n_planes=8 + max(0, round(math.log2(k)))),
         # --- round-6 continued: the new graph/density certificates.
         # DBSCAN eps-neighborhood: offset customer keys draw FRESH
         # md5 points, so the unit square gets denser with k -- at
