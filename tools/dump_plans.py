@@ -101,7 +101,11 @@ SHOWCASE = [
     "stat_poisson_bootstrap",
     "gov_k_anonymity_audit",
     "events_attribution_last_touch",
-    # round-4f: the grouped-rank AUC (agg below the bounded window),
+    # round-4f: the grouped-rank AUC (agg below the bounded window;
+    # NOTE since round 7 grouped_rank checkpoints + counts its
+    # offsets at build time, so this entry's dump runs that bounded
+    # eager step -- kept because the final plan's offsets-join
+    # strategy is exactly what round 7 changed and is worth reading),
     # the Zipf vocab window, and the single-exchange GRPO normalize.
     # (quality_langid_confusion and text_kl_source_divergence
     # checkpoint their bounded count tables at build time -- excluded
