@@ -182,11 +182,13 @@ def grouped_rank(df: DataFrame, group_cols: list[str],
         *[F.col(c).alias(f"__g_{c}") for c in group_cols],
         "__base", *([count_col] if count_col else []))
     # Checkpoint BEFORE counting so the group aggregate runs once,
-    # feeding both the strategy decision and the join itself.
-    offs = offs.localCheckpoint(eager=True)
+    # feeding both the strategy decision and the join itself. LAZY
+    # checkpoint + count fuses materialization and decision into ONE
+    # job (eager=True would spend a second job on the same pass).
+    offs = offs.localCheckpoint(eager=False)
     limit = (GROUPED_RANK_BROADCAST_MAX if broadcast_max is None
              else broadcast_max)
-    n_groups = offs.count()  # bounded: one row per group
+    n_groups = offs.count()  # materializes the checkpoint; bounded
     right = F.broadcast(offs) if n_groups <= limit else offs
     cond = None
     for c in group_cols:
