@@ -217,3 +217,30 @@ def test_hot_key_30pct_salted_beats_plain(spark):
     assert t_salted < t_plain, (
         f"salted {t_salted:.2f}s should beat plain {t_plain:.2f}s "
         "on the 30%-hot-key fixture")
+
+
+def test_skew_selector_edge_cases(spark):
+    """key_skew_factor / needs_salting degenerate inputs: empty frame,
+    all-NULL keys, and explicit threshold overrides."""
+    from dataingestionengineprocess_spark.operators.skew import (
+        key_skew_factor,
+        needs_salting,
+    )
+
+    empty = spark.createDataFrame([], "k long")
+    assert key_skew_factor(empty, "k") == 0.0
+    assert not needs_salting(empty, "k")
+
+    all_null = spark.range(100).select(
+        F.when(F.col("id") < 0, F.col("id")).alias("k"))
+    assert key_skew_factor(all_null, "k") == 0.0
+    assert not needs_salting(all_null, "k")
+
+    # 10 keys x 10 rows, perfectly uniform: factor exactly 1.0
+    uniform = spark.range(100).select((F.col("id") % 10).alias("k"))
+    assert key_skew_factor(uniform, "k") == 1.0
+    assert not needs_salting(uniform, "k")
+    # hot_share override: 10% per key >= 0.05 forces the salt verdict
+    assert needs_salting(uniform, "k", hot_share=0.05)
+    # threshold override: factor 1.0 > 0.5 forces it too
+    assert needs_salting(uniform, "k", threshold=0.5)
