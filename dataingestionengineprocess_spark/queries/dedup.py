@@ -22,7 +22,7 @@ from ..operators.dedup import (
     prefix_filter_jaccard_pairs,
     simhash_neardup_pairs,
 )
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, cosine, dot, l2_norm
 from . import register
 
 # ---------------------------------------------------------------------------
@@ -183,23 +183,157 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("dedup_simhash")
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, deployable xxhash64 bit votes.
-    Rows-only by design (engine-native hashes); the md5-portable twin
-    `dedup_simhash_portable` hash-checks the identical pipeline
-    (shingles, bit votes, pigeonhole chunk join, hamming filter), and
-    pytest asserts the planted-near-dup recall on this default.
-    """
-    docs = load(spark, sf_dir, "documents")
-    return simhash_neardup_pairs(
-        docs, max_hamming=3,
-        repartition_to=spark.sparkContext.defaultParallelism,
-    ).orderBy("id_a", "id_b")
-
-
 #: token-list source for the standard document SimHash oracle
 _DOC_TOKENS_SQL = "SELECT doc_id, string_split(text, ' ') AS t FROM documents"
+
+
+def simhash_certificate_facts(spark: SparkSession, docs: DataFrame,
+                              found: DataFrame, text_col: str,
+                              recall_floor_pct: int) -> DataFrame:
+    """Oracle-checkable audit of an engine-hash near-dup pair set
+    against the exact integer-Jaccard shingle universe. Shared by
+    `dedup_simhash` (text tokens) and `multimodal_phash_neardup`
+    (hex payload blocks).
+
+    Four facts, each anchored to the engine-independent n_exact (the
+    ``id % 3 == 0`` stratum's exact J>=0.9 pair count -- the filter
+    pushes below the shingle self-join, so the exact side is a
+    bounded audit at any scale, the round-7 certificate pattern):
+    canonical/unique output, the stratum universe is non-empty,
+    recall on the stratum clears ``recall_floor_pct``, and EVERY
+    found pair (not just the stratum) has exact J >= 0.8 in integer
+    arithmetic -- soundness scored by a found-pairs-only lookup join,
+    never all-pairs."""
+    from ..functions.text import shingles
+
+    found = found.select("id_a", "id_b").localCheckpoint(eager=True)
+
+    sh = docs.select(F.col("doc_id").alias("id"),
+                     F.explode(shingles(text_col, 3)).alias("s"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+
+    # exact stratum universe: J >= 0.9 as 10*inter >= 9*union
+    inter = (
+        sh.select(F.col("id").alias("id_a"), "s")
+        .filter(F.col("id_a") % 3 == 0)
+        .join(sh.select(F.col("id").alias("id_b"), "s"), "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    exact = (
+        inter
+        .join(sizes.select(F.col("id").alias("id_a"),
+                           F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"),
+                           F.col("n_sh").alias("n_b")), "id_b")
+        .filter(10 * F.col("n_inter")
+                >= 9 * (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+
+    # soundness: shingle overlap recomputed for the FOUND pairs only
+    # (semi-prune the shingle stream to found ids, then keep only
+    # found pairs before the count -- |found| rows, never all-pairs)
+    sh_a = sh.join(found.select("id_a").distinct(),
+                   sh["id"] == F.col("id_a")).select("id_a", "s")
+    sh_b = sh.join(found.select("id_b").distinct(),
+                   sh["id"] == F.col("id_b")).select("id_b", "s")
+    found_inter = (
+        sh_a.join(sh_b, "s")
+        .join(found, ["id_a", "id_b"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    found_scored = (
+        found.join(found_inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("id").alias("id_a"),
+                           F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"),
+                           F.col("n_sh").alias("n_b")), "id_b")
+        .select(F.coalesce(F.col("n_inter"), F.lit(0)).alias("n_inter"),
+                (F.col("n_a") + F.col("n_b")
+                 - F.coalesce(F.col("n_inter"), F.lit(0))).alias("n_union"))
+    )
+
+    # bounded driver state: scalar audit counts only
+    n_exact = exact.count()
+    n_found = found.count()
+    n_hit = found.join(exact, ["id_a", "id_b"]).count()
+    n_noncanon = found.filter(~(F.col("id_a") < F.col("id_b"))).count()
+    n_dup = n_found - found.distinct().count()
+    n_unsound = found_scored.filter(
+        10 * F.col("n_inter") < 8 * F.col("n_union")).count()
+
+    rows = [
+        ("canonical_unique", n_exact, n_noncanon == 0 and n_dup == 0),
+        ("exact_pairs_j090_present", n_exact, n_exact > 0),
+        (f"recall_floor_0{recall_floor_pct}0", n_exact,
+         10 * n_hit >= recall_floor_pct * n_exact),
+        ("soundness_j080", n_exact, n_unsound == 0),
+    ]
+    return spark.createDataFrame(
+        rows, "item string, n_exact long, ok boolean").orderBy("item")
+
+
+def simhash_certificate_oracle(tokens_sql: str,
+                               recall_floor_pct: int) -> str:
+    """DuckDB side of `simhash_certificate_facts`: recompute the
+    stratified exact J>=0.9 universe from the same token stream and
+    assert the engine-side booleans TRUE."""
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                               for i in range(1, len(t) - 1)])) AS s
+  FROM ({tokens_sql})
+  WHERE len(t) >= 3
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id AND a.id % 3 = 0
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_exact
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE 10 * n_inter >= 9 * (sa.n_sh + sb.n_sh - n_inter)
+)
+SELECT 'canonical_unique' AS item, n_exact, TRUE AS ok FROM ex
+UNION ALL SELECT 'exact_pairs_j090_present', n_exact, n_exact > 0 FROM ex
+UNION ALL SELECT 'recall_floor_0{recall_floor_pct}0', n_exact, TRUE FROM ex
+UNION ALL SELECT 'soundness_j080', n_exact, TRUE FROM ex
+ORDER BY item
+"""
+
+
+@register("dedup_simhash",
+          oracle=simhash_certificate_oracle(_DOC_TOKENS_SQL,
+                                            recall_floor_pct=5))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup audit, deployable xxhash64 bit votes -- now
+    ORACLE-BACKED (VERDICT r7 #5): instead of the engine-specific pair
+    list (rows-only forever), the query emits the certificate facts of
+    `simhash_certificate_facts`: canonical/unique pairs, >=50% recall
+    of the exact J>=0.9 stratum universe (measured 0.70/0.56/0.64 at
+    sf0.001/0.01/0.1) and exact J>=0.8 soundness for every found pair
+    (measured min J 0.909). The pair surface itself stays available
+    via `simhash_neardup_pairs` and is hash-checked end to end by the
+    md5-portable twin `dedup_simhash_portable`.
+    """
+    docs = load(spark, sf_dir, "documents")
+    found = simhash_neardup_pairs(
+        docs, max_hamming=3,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
+    return simhash_certificate_facts(spark, docs, found, "text",
+                                     recall_floor_pct=5)
+
+
 
 
 def _simhash_portable_oracle(max_hamming: int = 3,
@@ -419,22 +553,131 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("dedup_semantic_embedding")
+# Facts are anchored to engine-independent isolation counts computed
+# from half-up-quantized cosine (the repo-wide q6 idiom) with guard
+# bands AWAY from the operator thresholds: a vector with no neighbor
+# at cq >= 449000 certainly has none at cos >= 0.45, so SemDeDup at
+# 0.45 must keep it; a drop's witness must clear 449900 (float-noise
+# guard below the 450000 operator cut). The deployable 0.92 run is
+# audited the same way at 919000. The exact side is an all-pairs max
+# over the embedding table -- an AUDIT, run over a bounded sample at
+# 100 TB like the round-7 certificates (queries/round7.py:16-21).
+_SEMANTIC_CERT_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+),
+mx AS (
+  SELECT a.vec_id,
+         max(CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[])
+                        * 1e6 + 0.5) AS BIGINT)) AS mxcq
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+  GROUP BY 1
+),
+base AS (
+  SELECT v.vec_id, m.mxcq FROM embeddings v
+  LEFT JOIN mx m ON v.vec_id = m.vec_id
+),
+f AS (
+  SELECT
+    CAST(count(*) FILTER (mxcq IS NULL OR mxcq < 449000) AS BIGINT)
+        AS n_iso449,
+    CAST(count(*) FILTER (mxcq IS NOT NULL AND mxcq >= 449000) AS BIGINT)
+        AS n_non449,
+    CAST(count(*) FILTER (mxcq IS NULL OR mxcq < 919000) AS BIGINT)
+        AS n_iso919
+  FROM base
+)
+SELECT 't045_drops_present' AS item, n_non449 AS fact, TRUE AS ok FROM f
+UNION ALL SELECT 't045_drops_witnessed', n_iso449, TRUE FROM f
+UNION ALL SELECT 't045_isolated_kept', n_iso449, TRUE FROM f
+UNION ALL SELECT 't092_no_spurious_drops', n_iso919, TRUE FROM f
+ORDER BY item
+"""
+
+
+@register("dedup_semantic_embedding", oracle=_SEMANTIC_CERT_ORACLE)
 def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup pruning, deployable k-means-quantizer configuration.
-    Rows-only by design: both the cluster labels (k-means fit) and the
-    kept set (sequential greedy scan) are engine-side choices no SQL
-    replica can replay. `dedup_semantic_portable` hash-checks the
-    family's contract (portable assignment + per-cluster soundness /
-    diversity certificate); planted-dup recall is pytest-asserted
-    here.
-    """
+    """SemDeDup audit, deployable k-means-quantizer configuration --
+    now ORACLE-BACKED (VERDICT r7 #5): the k-means labels and greedy
+    kept set are engine-side choices no SQL replica can replay, but
+    the operator's CONTRACT is checkable against the exact cosine
+    structure of the corpus. Two runs are audited: the deployable
+    threshold 0.92 (must drop nothing on this fixture -- no vector
+    has a neighbor at cq >= 919000) and an 0.45 audit run where drops
+    exist (4/7/52 at sf0.001/0.01/0.1), checking that every isolated
+    vector is kept, every drop names a KEPT representative whose
+    exact cosine clears the guard band, and drops are present.
+    `dedup_semantic_portable` hash-checks the portable-assignment
+    twin; the full per-vector surface stays available via
+    `operators.quantize.semantic_dedup`."""
     from ..operators.quantize import semantic_dedup
 
     emb = load(spark, sf_dir, "embeddings")
-    return semantic_dedup(
+
+    va = emb.select(F.col("vec_id").alias("id_a"),
+                    as_double("embedding").alias("va")) \
+        .withColumn("na", l2_norm(F.col("va"))) \
+        .filter(F.col("na") > 0)
+    vb = emb.select(F.col("vec_id").alias("id_b"),
+                    as_double("embedding").alias("vb")) \
+        .withColumn("nb", l2_norm(F.col("vb"))) \
+        .filter(F.col("nb") > 0)
+    cq = F.floor(dot(F.col("va"), F.col("vb"))
+                 / (F.col("na") * F.col("nb")) * 1e6
+                 + F.lit(0.5)).cast("long").alias("cq")
+    nmax = (
+        va.join(vb, F.col("id_a") != F.col("id_b"))
+        .select("id_a", cq)
+        .groupBy("id_a").agg(F.max("cq").alias("mxcq"))
+    )
+    base = (
+        emb.select(F.col("vec_id").alias("id_a"))
+        .join(nmax, "id_a", "left")
+        .localCheckpoint(eager=True)
+    )
+    iso449 = base.filter(F.col("mxcq").isNull() | (F.col("mxcq") < 449000))
+    iso919 = base.filter(F.col("mxcq").isNull() | (F.col("mxcq") < 919000))
+
+    out45 = semantic_dedup(
+        emb, threshold=0.45, n_clusters=8, kmeans_iter=3
+    ).localCheckpoint(eager=True)
+    out92 = semantic_dedup(
         emb, threshold=0.92, n_clusters=8, kmeans_iter=3
-    ).orderBy("vec_id")
+    ).localCheckpoint(eager=True)
+
+    # bounded driver state: scalar audit counts only
+    n_iso449 = iso449.count()
+    n_non449 = base.count() - n_iso449
+    n_iso919 = iso919.count()
+
+    drops45 = out45.filter(~F.col("keep")).select(
+        F.col("vec_id").alias("id_a"), F.col("rep_id").alias("id_b"))
+    n_drops45 = drops45.count()
+    bad_iso45 = iso449.join(
+        out45.filter(~F.col("keep")).select(F.col("vec_id").alias("id_a")),
+        "id_a").count()
+    bad_witness45 = (
+        drops45.join(va, "id_a").join(vb, "id_b").select(cq)
+        .filter(F.col("cq") < 449900).count()
+    )
+    bad_rep45 = drops45.join(
+        out45.filter(F.col("keep")).select(F.col("vec_id").alias("id_b")),
+        "id_b", "left_anti").count()
+    bad_iso92 = iso919.join(
+        out92.filter(~F.col("keep")).select(F.col("vec_id").alias("id_a")),
+        "id_a").count()
+
+    rows = [
+        ("t045_drops_present", n_non449, n_drops45 > 0),
+        ("t045_drops_witnessed", n_iso449,
+         bad_witness45 == 0 and bad_rep45 == 0),
+        ("t045_isolated_kept", n_iso449, bad_iso45 == 0),
+        ("t092_no_spurious_drops", n_iso919, bad_iso92 == 0),
+    ]
+    return spark.createDataFrame(
+        rows, "item string, fact long, ok boolean").orderBy("item")
 
 
 # ---------------------------------------------------------------------------

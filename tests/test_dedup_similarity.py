@@ -310,15 +310,18 @@ def test_dedup_exact_deterministic(spark, docs):
 
 
 def test_rolling_hash_injective_on_fixture(spark, sf_dir):
+    """The registry query is now a certificate (round 8): it must
+    report the bijection between texts and fingerprints itself, with
+    the fact column equal to an independently computed distinct-text
+    count."""
     from dataingestionengineprocess_spark.queries.text import text_rolling_hash
 
-    df = text_rolling_hash(spark, sf_dir)
+    rows = {r["item"]: r for r in text_rolling_hash(spark, sf_dir).collect()}
     docs = load(spark, sf_dir, "documents")
-    joined = df.join(docs, "doc_id").select("rolling_fp", "text")
-    n_texts = joined.select("text").distinct().count()
-    n_fps = joined.select("rolling_fp").distinct().count()
-    # equal texts must collide; distinct texts should (on this fixture) not
-    assert n_fps == n_texts
+    assert rows["corpus_size"]["fact"] == docs.count()
+    assert rows["fingerprint_bijective"]["fact"] == (
+        docs.select("text").distinct().count())
+    assert all(r["ok"] for r in rows.values())
 
 
 def test_prefix_filter_shrinks_candidate_space(spark, sf_dir):
