@@ -163,3 +163,48 @@ def test_grouped_rank_wide_horizon_shuffles_offsets(spark):
     # the NULL group survived the shuffle-form offsets join intact
     assert sorted(rn for (b, _), rn in got_wide.items()
                   if b is None) == [1, 2, 3, 4, 5]
+
+
+def test_grouped_rank_known_group_count_skips_probe(spark):
+    """VERDICT r7 #4: a caller that already knows the group-key
+    cardinality must be able to skip the eager strategy-probe job, so
+    multi-call queries pay the probe at most once. The hint only picks
+    the join strategy -- results must be identical -- and above
+    ``broadcast_max`` it must still pin the shuffle-hash plan."""
+    from pyspark.sql import functions as F
+    from dataingestionengineprocess_spark.operators.ranking import (
+        grouped_rank,
+    )
+
+    sc = spark.sparkContext
+    rows = [((i * 53) % 200, i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "bucket long, uid long") \
+        .repartition(8).localCheckpoint(eager=True)
+
+    def build(tag, **kw):
+        sc.setJobGroup(tag, "grouped_rank build phase")
+        out = grouped_rank(df, ["bucket"], ["uid"], "rn", **kw)
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup(tag))
+        sc.setJobGroup("grk-idle", "")
+        return out, n_jobs
+
+    probed, n_probed = build("grk-probe")
+    hinted, n_hinted = build("grk-hint", known_group_count=200)
+    # the offsets-probe jobs disappear (global_rank's own build-time
+    # collect remains on both paths; the probe's checkpoint+count can
+    # surface as 1-2 jobs depending on AQE stage splitting, so assert
+    # strictly-fewer rather than an exact delta)
+    assert n_hinted < n_probed, (n_probed, n_hinted)
+
+    assert sorted(map(tuple, hinted.collect())) \
+        == sorted(map(tuple, probed.collect()))
+
+    # above the limit the hinted path pins shuffle-hash on the
+    # offsets join rather than relying on missing stats
+    wide, _ = build("grk-wide", broadcast_max=50, known_group_count=200)
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    joins = [ln for ln in plan.splitlines()
+             if "Join" in ln and "__g_bucket" in ln]
+    assert joins, plan
+    assert any("ShuffledHashJoin" in ln for ln in joins), plan
+    assert all("BroadcastHashJoin" not in ln for ln in joins), plan

@@ -209,14 +209,16 @@ def test_hot_key_30pct_salted_beats_plain(spark):
         return time.perf_counter() - t0
 
     wall(plain), wall(salted)  # warm: codegen + shuffle files
-    # best-of-3 on each side: the straggler gap is ~2x on this
-    # fixture, so three samples absorb host-noise spikes without
-    # weakening the gate
+    # The STRUCTURAL assertions above (plan shape, identical multiset
+    # checksum, per-partition spread) are the gate; the wall-clock
+    # comparison is a logged DIAGNOSTIC only (ADVICE r7: a loaded or
+    # single-core CI host can invert the ~2x gap and fail spuriously
+    # even with a warm pass and best-of-3).
     t_plain = min(wall(plain) for _ in range(3))
     t_salted = min(wall(salted) for _ in range(3))
-    assert t_salted < t_plain, (
-        f"salted {t_salted:.2f}s should beat plain {t_plain:.2f}s "
-        "on the 30%-hot-key fixture")
+    print(f"\n[diagnostic] 30%-hot-key fixture: salted {t_salted:.2f}s "
+          f"vs plain {t_plain:.2f}s "
+          f"({'WIN' if t_salted < t_plain else 'no win on this host'})")
 
 
 def test_skew_selector_edge_cases(spark):
