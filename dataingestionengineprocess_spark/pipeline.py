@@ -40,12 +40,28 @@ from .sources.csv_source import CORRUPT_COL, read_csv_feed
 
 @dataclass
 class Enrichment:
-    """Broadcast lookup join against reference data (J6 -- the
-    diagram's PostgreSQL round-trip, :88-98)."""
+    """Lookup join against reference data (J6 -- the diagram's
+    PostgreSQL round-trip, :88-98).
+
+    ``strategy`` picks the join plan:
+
+    - ``"broadcast"`` (default): the dim is a bounded reference table;
+      pin the broadcast so the fact side never shuffles.
+    - ``"auto"``: the dim is too big to broadcast (a 100 TB-side
+      reference). The fact side's key distribution is probed with
+      `operators.skew.needs_salting` (one bounded aggregate job at
+      plan-construction time, VERDICT r7 #9) and the join runs SALTED
+      when the report flags a pathological key -- the regime where one
+      shuffle partition becomes the straggler AQE can only split
+      after materializing it -- and as a plain shuffle equi-join on
+      uniform keys, where salting would replicate the dim for
+      nothing. Row-level semantics are identical either way.
+    """
     dim: DataFrame
     fact_col: str
     dim_col: str
     how: str = "left"
+    strategy: str = "broadcast"
 
 
 @dataclass
@@ -106,9 +122,28 @@ def run_stages(
                 if c != e.dim_col
             ],
         )
-        curated = curated.join(
-            F.broadcast(dim_side), curated[e.fact_col] == dim_side[key], e.how
-        ).drop(key)
+        if e.strategy == "broadcast":
+            curated = curated.join(
+                F.broadcast(dim_side),
+                curated[e.fact_col] == dim_side[key], e.how,
+            ).drop(key)
+        elif e.strategy == "auto":
+            # broadcast-ineligible dim: shuffle join, salted when the
+            # FACT key distribution is pathological (report-driven --
+            # the probe is one bounded aggregate job)
+            from .operators.skew import needs_salting, salted_join
+
+            dim_named = dim_side.withColumnRenamed(key, e.fact_col)
+            if needs_salting(curated, e.fact_col):
+                curated = salted_join(curated, dim_named,
+                                      on=e.fact_col, how=e.how)
+            else:
+                curated = curated.join(dim_named, [e.fact_col], e.how)
+        else:
+            raise ValueError(
+                f"unknown enrichment strategy {e.strategy!r} "
+                "(expected 'broadcast' or 'auto')"
+            )
     return curated, result.quarantined, result
 
 

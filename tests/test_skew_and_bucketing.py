@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dataingestionengineprocess_spark.operators.skew import salted_join
 
@@ -246,3 +247,71 @@ def test_skew_selector_edge_cases(spark):
     assert needs_salting(uniform, "k", hot_share=0.05)
     # threshold override: factor 1.0 > 0.5 forces it too
     assert needs_salting(uniform, "k", threshold=0.5)
+
+
+def test_enrichment_auto_strategy_is_report_driven(spark):
+    """VERDICT r7 #9: the pipeline's broadcast-ineligible enrichment
+    path must consult `needs_salting` instead of a static decision --
+    auto-salted plan on the 30%-hot-key fixture, identical rows to the
+    pinned-broadcast path, plain equi-join plan on uniform keys."""
+    from dataingestionengineprocess_spark.pipeline import (
+        Enrichment,
+        FeedConfig,
+        run_stages,
+    )
+
+    def fact(hot: bool):
+        key = (F.when(F.col("id") % 10 < 3, 7)
+               .otherwise(F.col("id") % 500) if hot
+               else F.col("id") % 500)
+        return spark.range(50_000).select(
+            key.alias("k"),
+            F.col("id").alias("uid"),
+            F.col("id").cast("timestamp").alias("ts"),
+        ).localCheckpoint(eager=True)
+
+    dim = spark.range(500).select(
+        F.col("id").alias("ref_k"),
+        F.concat(F.lit("attr_"), F.col("id")).alias("attr"),
+    ).localCheckpoint(eager=True)
+
+    def feed(strategy: str) -> FeedConfig:
+        return FeedConfig(
+            name="skewed_feed",
+            schema=T.StructType([
+                T.StructField("k", T.LongType()),
+                T.StructField("uid", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+            ]),
+            key_cols=["uid"],
+            order_col="ts",
+            enrichments=[Enrichment(dim=dim, fact_col="k",
+                                    dim_col="ref_k",
+                                    strategy=strategy)],
+        )
+
+    hot = fact(hot=True)
+    auto, _, v1 = run_stages(feed("auto"), hot)
+    plan_auto = auto._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan_auto, plan_auto
+
+    bcast, _, v2 = run_stages(feed("broadcast"), hot)
+
+    def checksum(df):
+        return tuple(df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("k", "uid", "attr")
+                  % F.lit(1_000_000_007)).alias("h"),
+        ).collect()[0])
+
+    assert checksum(auto.select("k", "uid", "attr")) \
+        == checksum(bcast.select("k", "uid", "attr"))
+
+    uniform = fact(hot=False)
+    plain, _, v3 = run_stages(feed("auto"), uniform)
+    plan_plain = plain._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" not in plan_plain, plan_plain
+    assert plain.where(F.col("attr").isNull()).count() == 0
+
+    for v in (v1, v2, v3):
+        v.unpersist()
