@@ -559,9 +559,11 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at cq >= 449000 certainly has none at cos >= 0.45, so SemDeDup at
 # 0.45 must keep it; a drop's witness must clear 449900 (float-noise
 # guard below the 450000 operator cut). The deployable 0.92 run is
-# audited the same way at 919000. The exact side is an all-pairs max
-# over the embedding table -- an AUDIT, run over a bounded sample at
-# 100 TB like the round-7 certificates (queries/round7.py:16-21).
+# audited the same way at 919000. The exact side audits ISOLATION on
+# the deterministic vec_id % 5 == 0 stratum with the filter pushed
+# below the pair join (the round-7 certificate pattern: one n/5 x n
+# scan feeds BOTH thresholds), so the audit is a bounded sample at
+# any scale; the drop-witness check touches |drops| rows only.
 _SEMANTIC_CERT_ORACLE = """
 WITH e AS (
   SELECT vec_id, embedding FROM embeddings
@@ -573,11 +575,13 @@ mx AS (
                                                b.embedding::DOUBLE[])
                         * 1e6 + 0.5) AS BIGINT)) AS mxcq
   FROM e a JOIN e b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id % 5 = 0
   GROUP BY 1
 ),
 base AS (
   SELECT v.vec_id, m.mxcq FROM embeddings v
   LEFT JOIN mx m ON v.vec_id = m.vec_id
+  WHERE v.vec_id % 5 = 0
 ),
 f AS (
   SELECT
@@ -607,8 +611,9 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold 0.92 (must drop nothing on this fixture -- no vector
     has a neighbor at cq >= 919000) and an 0.45 audit run where drops
     exist (4/7/52 at sf0.001/0.01/0.1), checking that every isolated
-    vector is kept, every drop names a KEPT representative whose
-    exact cosine clears the guard band, and drops are present.
+    vector in the vec_id % 5 == 0 audit stratum is kept, every drop
+    names a KEPT representative whose exact cosine clears the guard
+    band, and drops are present.
     `dedup_semantic_portable` hash-checks the portable-assignment
     twin; the full per-vector surface stays available via
     `operators.quantize.semantic_dedup`."""
@@ -627,13 +632,17 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     cq = F.floor(dot(F.col("va"), F.col("vb"))
                  / (F.col("na") * F.col("nb")) * 1e6
                  + F.lit(0.5)).cast("long").alias("cq")
+    # one (n/5) x n scan feeds both isolation thresholds; the stratum
+    # filter pushes below the pair join
     nmax = (
-        va.join(vb, F.col("id_a") != F.col("id_b"))
+        va.filter(F.col("id_a") % 5 == 0)
+        .join(vb, F.col("id_a") != F.col("id_b"))
         .select("id_a", cq)
         .groupBy("id_a").agg(F.max("cq").alias("mxcq"))
     )
     base = (
         emb.select(F.col("vec_id").alias("id_a"))
+        .filter(F.col("id_a") % 5 == 0)
         .join(nmax, "id_a", "left")
         .localCheckpoint(eager=True)
     )
