@@ -177,6 +177,109 @@ def main() -> None:
     _index_dir = tempfile.mkdtemp(prefix="scale_probe_idx_")
     _index_built: set[int] = set()
 
+    from dataingestionengineprocess_spark.functions.text import shingles
+    from dataingestionengineprocess_spark.functions.vectors import (
+        as_double,
+        dot,
+        l2_norm,
+    )
+
+    def _jaccard_audit_count(docs_k: DataFrame) -> DataFrame:
+        """The MinHash certificate's exact side (integer J >= 0.7)
+        with the audit sample FIXED at replica-0's id % 3 stratum:
+        sizes are one linear pass over the scaled corpus, candidates
+        are sample-shingle collisions."""
+        sh = docs_k.select(F.col("doc_id").alias("id"),
+                           F.explode(shingles("text", 3)).alias("s"))
+        sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+        a = sh.filter((F.col("id") % 3 == 0)
+                      & (F.col("id") < 10_000_000)) \
+            .select(F.col("id").alias("id_a"), "s")
+        inter = (
+            a.join(sh.select(F.col("id").alias("id_b"), "s"), "s")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+        return (
+            inter
+            .join(sizes.select(F.col("id").alias("id_a"),
+                               F.col("n_sh").alias("n_a")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"),
+                               F.col("n_sh").alias("n_b")), "id_b")
+            .filter(10 * F.col("n_inter")
+                    >= 7 * (F.col("n_a") + F.col("n_b")
+                            - F.col("n_inter")))
+            .agg(F.count(F.lit(1)).alias("n_exact"))
+        )
+
+    def _brp_audit_count(emb_k: DataFrame) -> DataFrame:
+        """The BRP certificate's exact side with the audit sample
+        FIXED at replica-0's vec_id % 5 stratum: |sample| x n
+        quantized-cosine terms, linear in the corpus."""
+        va = emb_k.select(F.col("vec_id").alias("id_a"),
+                          as_double("embedding").alias("va")) \
+            .withColumn("na", l2_norm(F.col("va"))) \
+            .filter((F.col("na") > 0) & (F.col("id_a") % 5 == 0)
+                    & (F.col("id_a") < 10_000_000))
+        vb = emb_k.select(F.col("vec_id").alias("id_b"),
+                          as_double("embedding").alias("vb")) \
+            .withColumn("nb", l2_norm(F.col("vb"))) \
+            .filter(F.col("nb") > 0)
+        cq = F.floor(dot(F.col("va"), F.col("vb"))
+                     / (F.col("na") * F.col("nb")) * 1e6
+                     + F.lit(0.5)).cast("long")
+        return (
+            va.join(vb, F.col("id_a") < F.col("id_b"))
+            .select(cq.alias("cq"))
+            .filter(F.col("cq") >= 400100)
+            .agg(F.count(F.lit(1)).alias("n_exact"))
+        )
+
+    _stream_dir = tempfile.mkdtemp(prefix="scale_probe_stream_")
+    _stream_staged: set[int] = set()
+
+    def _staged_drain(k: int) -> DataFrame:
+        """availableNow tumbling-count drain over a k-scaled
+        time-shifted events file (staged OUTSIDE the timed region as
+        one parquet file so the stream source's footer sniff works)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from dataingestionengineprocess_spark.catalog import table_path
+        from dataingestionengineprocess_spark.streaming.analytics import (
+            read_events_stream,
+            run_to_table,
+            tumbling_counts,
+        )
+
+        kdir = os.path.join(_stream_dir, f"k{k}")
+        if k not in _stream_staged:
+            os.makedirs(kdir, exist_ok=True)
+            tbl = pq.read_table(table_path(SF, "events"))
+            if k > 1:
+                import pyarrow.compute as pc
+
+                reps = [tbl]
+                day_ns = 86_400_000_000_000
+                for i in range(1, k):
+                    shifted = tbl.set_column(
+                        tbl.schema.get_field_index("ts"), "ts",
+                        pc.add(tbl.column("ts").cast(pa.int64()),
+                               i * 40 * day_ns)
+                        .cast(tbl.schema.field("ts").type))
+                    shifted = shifted.set_column(
+                        tbl.schema.get_field_index("event_id"),
+                        "event_id",
+                        pc.add(tbl.column("event_id"),
+                               i * 10_000_000))
+                    reps.append(shifted)
+                tbl = pa.concat_tables(reps)
+            pq.write_table(tbl, os.path.join(kdir, "events.parquet"))
+            _stream_staged.add(k)
+        ev_k = read_events_stream(spark, kdir)
+        return run_to_table(tumbling_counts(ev_k), spark)
+
     def persisted_index(k: int) -> DataFrame:
         """Shingle index over the k-scaled salted corpus, written to
         parquet OUTSIDE the timed region (built once per k; the timed
@@ -367,6 +470,28 @@ def main() -> None:
                 F.col("l_partkey")
                 + (F.col("l_orderkey") / F.lit(10_000_000))
                 .cast("long") * F.lit(10_000_000))),
+        # --- round-8 additions (VERDICT r7 #6): the certificate audit
+        # sides and one streaming drain.
+        # MinHash-certificate exact side at deployment shape: a FIXED
+        # audit sample (replica-0's id % 3 stratum, the certificate's
+        # stratum over the original corpus) joined against the
+        # k-scaled corpus's shingle stream. Cost = one linear pass
+        # (shingle sizes) + sample x per-shingle collisions -- must
+        # track k, never pairs^2.
+        "minhash_cert_audit": lambda k: _jaccard_audit_count(
+            scaled(docs, k, "doc_id")),
+        # BRP-certificate exact side at deployment shape: a FIXED
+        # 1-in-5 audit sample of the ORIGINAL vectors scanned against
+        # the k-scaled signed corpus (|sample| x n quantized-cosine
+        # terms) -- linear in the corpus by construction; the probe
+        # checks the constants hold through the decade.
+        "brp_cert_audit": lambda k: _brp_audit_count(
+            scaled_signed_emb(k)),
+        # Watermarked tumbling-count drain over a k-scaled,
+        # TIME-SHIFTED events file (constant per-hour density, like
+        # rolling_distinct): the availableNow drain's state is bounded
+        # by watermark x key universe, so wall must track rows.
+        "stream_drain_tumbling": lambda k: _staged_drain(k),
     }
 
     # warm the session once
