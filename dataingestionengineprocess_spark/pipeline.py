@@ -63,6 +63,22 @@ class Enrichment:
     how: str = "left"
     strategy: str = "broadcast"
 
+    def __post_init__(self) -> None:
+        if self.strategy not in ("broadcast", "auto"):
+            raise ValueError(
+                f"unknown enrichment strategy {self.strategy!r} "
+                "(expected 'broadcast' or 'auto')"
+            )
+        # Fail at CONFIG time, not when a skewed batch first arrives:
+        # the auto path's salted branch supports inner/left only, and
+        # whether it is taken depends on the batch's key distribution.
+        if self.strategy == "auto" and self.how not in ("inner", "left"):
+            raise ValueError(
+                f"strategy='auto' supports how='inner'/'left', got "
+                f"{self.how!r} (the salted fallback cannot replicate "
+                "the fact side)"
+            )
+
 
 @dataclass
 class FeedConfig:
@@ -127,23 +143,25 @@ def run_stages(
                 F.broadcast(dim_side),
                 curated[e.fact_col] == dim_side[key], e.how,
             ).drop(key)
-        elif e.strategy == "auto":
+        else:  # "auto" (validated at Enrichment construction)
             # broadcast-ineligible dim: shuffle join, salted when the
             # FACT key distribution is pathological (report-driven --
-            # the probe is one bounded aggregate job)
+            # the probe is one bounded aggregate job). Lazily
+            # checkpoint first so the probe's aggregate materializes
+            # the upstream lineage (validate -> dedup window -> prior
+            # enrichments) ONCE and the real join reads the
+            # checkpoint -- otherwise the probe would re-execute the
+            # whole batch a second time, exactly the separate
+            # counting pass the A8 telemetry policy below forbids.
             from .operators.skew import needs_salting, salted_join
 
+            curated = curated.localCheckpoint(eager=False)
             dim_named = dim_side.withColumnRenamed(key, e.fact_col)
             if needs_salting(curated, e.fact_col):
                 curated = salted_join(curated, dim_named,
                                       on=e.fact_col, how=e.how)
             else:
                 curated = curated.join(dim_named, [e.fact_col], e.how)
-        else:
-            raise ValueError(
-                f"unknown enrichment strategy {e.strategy!r} "
-                "(expected 'broadcast' or 'auto')"
-            )
     return curated, result.quarantined, result
 
 

@@ -22,7 +22,12 @@ from ..operators.dedup import (
     prefix_filter_jaccard_pairs,
     simhash_neardup_pairs,
 )
-from ..functions.vectors import as_double, cosine, dot, l2_norm
+from ..functions.vectors import (
+    as_double,
+    cosine,
+    norm_side,
+    quantized_cosine,
+)
 from . import register
 
 # ---------------------------------------------------------------------------
@@ -246,14 +251,21 @@ def simhash_certificate_facts(spark: SparkSession, docs: DataFrame,
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
+    # LEFT-join sizes: a doc with zero shingles (under-n-token text)
+    # has no sizes row, and an inner join would silently drop its
+    # found pairs from the soundness audit. Such pairs have an empty
+    # feature union -- sound only when BOTH sides are empty (identical
+    # empty feature sets collide legitimately); any other shape is
+    # counted unsound.
     found_scored = (
         found.join(found_inter, ["id_a", "id_b"], "left")
         .join(sizes.select(F.col("id").alias("id_a"),
-                           F.col("n_sh").alias("n_a")), "id_a")
+                           F.col("n_sh").alias("n_a")), "id_a", "left")
         .join(sizes.select(F.col("id").alias("id_b"),
-                           F.col("n_sh").alias("n_b")), "id_b")
+                           F.col("n_sh").alias("n_b")), "id_b", "left")
         .select(F.coalesce(F.col("n_inter"), F.lit(0)).alias("n_inter"),
-                (F.col("n_a") + F.col("n_b")
+                (F.coalesce(F.col("n_a"), F.lit(0))
+                 + F.coalesce(F.col("n_b"), F.lit(0))
                  - F.coalesce(F.col("n_inter"), F.lit(0))).alias("n_union"))
     )
 
@@ -264,7 +276,11 @@ def simhash_certificate_facts(spark: SparkSession, docs: DataFrame,
     n_noncanon = found.filter(~(F.col("id_a") < F.col("id_b"))).count()
     n_dup = n_found - found.distinct().count()
     n_unsound = found_scored.filter(
-        10 * F.col("n_inter") < 8 * F.col("n_union")).count()
+        # 0/0 union (both docs shingle-less) is a sound collision;
+        # n_inter=0 with a non-empty union falls out of the first arm
+        (10 * F.col("n_inter") < 8 * F.col("n_union"))
+        & (F.col("n_union") > 0)
+        | ((F.col("n_union") == 0) & (F.col("n_inter") != 0))).count()
 
     rows = [
         ("canonical_unique", n_exact, n_noncanon == 0 and n_dup == 0),
@@ -621,17 +637,10 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
 
-    va = emb.select(F.col("vec_id").alias("id_a"),
-                    as_double("embedding").alias("va")) \
-        .withColumn("na", l2_norm(F.col("va"))) \
-        .filter(F.col("na") > 0)
-    vb = emb.select(F.col("vec_id").alias("id_b"),
-                    as_double("embedding").alias("vb")) \
-        .withColumn("nb", l2_norm(F.col("vb"))) \
-        .filter(F.col("nb") > 0)
-    cq = F.floor(dot(F.col("va"), F.col("vb"))
-                 / (F.col("na") * F.col("nb")) * 1e6
-                 + F.lit(0.5)).cast("long").alias("cq")
+    # shared certificate scaffold (functions/vectors.py)
+    va = norm_side(emb, "vec_id", "embedding", "id_a", "va", "na")
+    vb = norm_side(emb, "vec_id", "embedding", "id_b", "vb", "nb")
+    cq = quantized_cosine().alias("cq")
     # one (n/5) x n scan feeds both isolation thresholds; the stratum
     # filter pushes below the pair join
     nmax = (

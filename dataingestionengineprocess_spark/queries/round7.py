@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions.text import shingles
-from ..functions.vectors import as_double
 from . import register
 
 # ---------------------------------------------------------------------------
@@ -205,27 +204,16 @@ def similarity_brp_lsh_certificate(spark: SparkSession,
     denominator on both engines -- threshold-tie guard)."""
     from ..operators.similarity import brp_similarity_join
 
-    from ..functions.vectors import dot, l2_norm
+    from ..functions.vectors import norm_side, quantized_cosine
 
     emb = load(spark, sf_dir, "embeddings")
-    # norms precomputed ONCE per vector (n rows), not once per pair
-    # (n^2/10): numerically identical to cosine() -- same sqrt of the
-    # same sum, same division order -- at a third of the pair work.
-    # Zero-norm vectors are excluded on BOTH engines (na > 0 here, the
-    # dot-product prefilter in the oracle): a zero norm is NaN cosine
-    # in DuckDB (the BIGINT cast would abort the oracle) and a NULL
-    # division here -- brp_similarity_join itself drops them too.
-    va = emb.select(F.col("vec_id").alias("id_a"),
-                    as_double("embedding").alias("va")) \
-        .withColumn("na", l2_norm(F.col("va"))) \
-        .filter(F.col("na") > 0)
-    vb = emb.select(F.col("vec_id").alias("id_b"),
-                    as_double("embedding").alias("vb")) \
-        .withColumn("nb", l2_norm(F.col("vb"))) \
-        .filter(F.col("nb") > 0)
-    cq = F.floor(dot(F.col("va"), F.col("vb"))
-                 / (F.col("na") * F.col("nb")) * 1e6
-                 + F.lit(0.5)).cast("long").alias("cq")
+    # shared certificate scaffold (functions/vectors.py): norms
+    # precomputed once per vector, zero-norm vectors excluded on BOTH
+    # engines (the dot-product prefilter in the oracle --
+    # brp_similarity_join itself drops them too), q6 half-up cosine.
+    va = norm_side(emb, "vec_id", "embedding", "id_a", "va", "na")
+    vb = norm_side(emb, "vec_id", "embedding", "id_b", "vb", "nb")
+    cq = quantized_cosine().alias("cq")
     # exact side: only the audit stratum ever joins (filter pushed
     # below the pair join -- 1/5 of the all-pairs work)
     exact = (

@@ -21,7 +21,7 @@ from ..operators.similarity import (
     lsh_topk,
 )
 from ..functions.text import STOPWORDS
-from ..functions.vectors import as_double, dot, l2_norm
+from ..functions.vectors import as_double, dot
 from . import register
 
 _SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -152,17 +152,20 @@ def ann_certificate_facts(spark: SparkSession, emb: DataFrame,
     found = found.select("query_id", "neighbor_id", "cos_sim", "rank") \
         .localCheckpoint(eager=True)
 
-    va = emb.select(F.col("vec_id").alias("id_a"),
-                    as_double("embedding").alias("va")) \
-        .withColumn("na", l2_norm(F.col("va"))) \
-        .filter(F.col("na") > 0)
-    vb = emb.select(F.col("vec_id").alias("id_b"),
-                    as_double("embedding").alias("vb")) \
-        .withColumn("nb", l2_norm(F.col("vb"))) \
-        .filter(F.col("nb") > 0)
-    cq = F.floor(dot(F.col("va"), F.col("vb"))
-                 / (F.col("na") * F.col("nb")) * 1e6
-                 + F.lit(0.5)).cast("long").alias("cq")
+    from ..functions.vectors import norm_side, quantized_cosine
+
+    # shared certificate scaffold (functions/vectors.py). Residual
+    # cross-engine risk of the sum fact below: a pair cosine landing
+    # within an ulp of an exact x.5e-6 tie could quantize differently
+    # per engine and shift the sum by 1. Unlike a threshold-count
+    # fact there is no band to guard (every top-5 pair contributes),
+    # but the exposure is ~|pairs| ulp-width events (~1e-10 each) vs
+    # the threshold counts' ~1e-4 boundary exposure the guard bands
+    # exist for -- and the fixture is fixed, with all three SFs
+    # verified equal on both engines.
+    va = norm_side(emb, "vec_id", "embedding", "id_a", "va", "na")
+    vb = norm_side(emb, "vec_id", "embedding", "id_b", "vb", "nb")
+    cq = quantized_cosine().alias("cq")
 
     from pyspark.sql import Window
 

@@ -410,14 +410,22 @@ def sample_stratified_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["doc_id"], default_fraction=1.0,
     )
     totals = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
-    counts = sampled.groupBy("lang").agg(F.count("*").alias("n_sampled"))
+    # null-safe join: a NULL-lang stratum groups on both sides but a
+    # plain equi-join would never match it, reporting n_sampled = 0
+    # for rows the default_fraction=1.0 policy actually kept
+    counts = (
+        sampled.groupBy(F.col("lang").alias("s_lang"))
+        .agg(F.count("*").alias("n_sampled"))
+    )
     target = F.coalesce(
         *[F.when(F.col("lang") == s, F.lit(f))
           for s, f in sorted(_STRAT_SAMPLE_FRACTIONS.items())],
         F.lit(1.0),
     )
     return (
-        totals.join(counts, "lang", "left")
+        totals.join(counts,
+                    F.col("lang").eqNullSafe(F.col("s_lang")), "left")
+        .drop("s_lang")
         .withColumn("n_sampled", F.coalesce(F.col("n_sampled"), F.lit(0)))
         .withColumn("target_rate", target)
         .select(

@@ -179,9 +179,8 @@ def main() -> None:
 
     from dataingestionengineprocess_spark.functions.text import shingles
     from dataingestionengineprocess_spark.functions.vectors import (
-        as_double,
-        dot,
-        l2_norm,
+        norm_side,
+        quantized_cosine,
     )
 
     def _jaccard_audit_count(docs_k: DataFrame) -> DataFrame:
@@ -217,21 +216,13 @@ def main() -> None:
         """The BRP certificate's exact side with the audit sample
         FIXED at replica-0's vec_id % 5 stratum: |sample| x n
         quantized-cosine terms, linear in the corpus."""
-        va = emb_k.select(F.col("vec_id").alias("id_a"),
-                          as_double("embedding").alias("va")) \
-            .withColumn("na", l2_norm(F.col("va"))) \
-            .filter((F.col("na") > 0) & (F.col("id_a") % 5 == 0)
+        va = norm_side(emb_k, "vec_id", "embedding", "id_a", "va", "na") \
+            .filter((F.col("id_a") % 5 == 0)
                     & (F.col("id_a") < 10_000_000))
-        vb = emb_k.select(F.col("vec_id").alias("id_b"),
-                          as_double("embedding").alias("vb")) \
-            .withColumn("nb", l2_norm(F.col("vb"))) \
-            .filter(F.col("nb") > 0)
-        cq = F.floor(dot(F.col("va"), F.col("vb"))
-                     / (F.col("na") * F.col("nb")) * 1e6
-                     + F.lit(0.5)).cast("long")
+        vb = norm_side(emb_k, "vec_id", "embedding", "id_b", "vb", "nb")
         return (
             va.join(vb, F.col("id_a") < F.col("id_b"))
-            .select(cq.alias("cq"))
+            .select(quantized_cosine().alias("cq"))
             .filter(F.col("cq") >= 400100)
             .agg(F.count(F.lit(1)).alias("n_exact"))
         )
@@ -261,12 +252,17 @@ def main() -> None:
                 import pyarrow.compute as pc
 
                 reps = [tbl]
-                day_ns = 86_400_000_000_000
+                # one day in the fixture's OWN timestamp unit (fixture
+                # generations vary between timestamp[us] and [ns]; a
+                # hardcoded ns constant on a us column would shift
+                # replicas by ~109 years instead of 40 days)
+                day = 86_400 * {"s": 1, "ms": 10**3, "us": 10**6,
+                                "ns": 10**9}[tbl.schema.field("ts").type.unit]
                 for i in range(1, k):
                     shifted = tbl.set_column(
                         tbl.schema.get_field_index("ts"), "ts",
                         pc.add(tbl.column("ts").cast(pa.int64()),
-                               i * 40 * day_ns)
+                               i * 40 * day)
                         .cast(tbl.schema.field("ts").type))
                     shifted = shifted.set_column(
                         tbl.schema.get_field_index("event_id"),
