@@ -157,7 +157,8 @@ def embedding_binary_quantize(spark: SparkSession,
                  + F.bit_count(F.col("w2").bitwiseXOR(F.col("qw2"))))
                 .cast("long").alias("hamming"))
     )
-    cand = grouped_rank(ham, ["qid"], ["hamming", "nid"], "hr") \
+    cand = grouped_rank(ham, ["qid"], ["hamming", "nid"], "hr",
+                        known_group_count=_BQ_NQ) \
         .where(F.col("hr") <= _BQ_CAND)
     vecs = emb.select("vec_id", as_double("embedding").alias("v"))
     qv = vecs.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
@@ -170,7 +171,8 @@ def embedding_binary_quantize(spark: SparkSession,
         # codegen, so repeating it would compute the fold twice
         .withColumn("ncosq", -F.col("cosq"))
     )
-    top = grouped_rank(rer, ["qid"], ["ncosq", "nid"], "rr") \
+    top = grouped_rank(rer, ["qid"], ["ncosq", "nid"], "rr",
+                       known_group_count=_BQ_NQ) \
         .where(F.col("rr") <= _BQ_TOPK)
     return (
         top.select("qid", "nid", "hamming",
@@ -293,7 +295,8 @@ def knn_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrel", -F.col("rel_q"))
     )
     pool = (
-        grouped_rank(rel, ["qid"], ["nrel", "nid"], "rn")
+        grouped_rank(rel, ["qid"], ["nrel", "nid"], "rn",
+                     known_group_count=_MMR_NQ)
         .where(F.col("rn") <= _MMR_POOL)
         .select("qid", "nid", "rel_q")
         .localCheckpoint(eager=True)  # feeds sims + all three steps

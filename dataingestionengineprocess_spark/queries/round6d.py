@@ -305,7 +305,8 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "true_label", "nid", "label",
                 (-q6(cosine("qv", "cv"))).alias("ncosq"))
     )
-    top = grouped_rank(scored, ["qid"], ["ncosq", "nid"], "rn") \
+    top = grouped_rank(scored, ["qid"], ["ncosq", "nid"], "rn",
+                       known_group_count=_KNN_NQ) \
         .where(F.col("rn") <= _KNN_K)
     votes = top.groupBy("qid", "true_label", "label") \
         .agg(F.count(F.lit(1)).alias("c"))
