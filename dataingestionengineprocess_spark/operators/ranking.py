@@ -184,9 +184,14 @@ def grouped_rank(df: DataFrame, group_cols: list[str],
     already knows the group-key cardinality (a fixed enum, or a count
     carried from an earlier call) can pass ``known_group_count`` to
     skip the probe entirely: multi-call queries then pay it at most
-    once (VERDICT r7 #4). The value only picks the join strategy --
-    a stale or approximate count cannot affect correctness, only the
-    broadcast/shuffle choice.
+    once (VERDICT r7 #4). The value only picks the join strategy,
+    never the result -- but it MUST be an UPPER BOUND on the true
+    group cardinality: an erroneously LOW value pins ``F.broadcast``
+    on an offsets table that may exceed ``broadcast_max``, recreating
+    exactly the unbounded-broadcast OOM the limit exists to prevent
+    (ADVICE r8). When the bound is uncertain, omit it and pay the
+    one bounded probe job. All in-repo call sites pass fixed enum /
+    constant-universe upper bounds.
     """
     ranked = global_rank(df, list(group_cols) + list(order_cols),
                          "__gr")

@@ -148,15 +148,32 @@ def _driver_verified_names() -> set[str]:
     sketches' bounded-error booleans) rotates back to the front so the
     driver re-checks it at full hash strength. Callers must invoke
     this after ``_load_all`` so ORACLES is populated."""
+    return set(_driver_verified_rounds())
+
+
+def _driver_verified_rounds() -> dict[str, int]:
+    """Map of verified query name -> the LATEST driver round that
+    evidenced it (hash rows count forever; rows-only rows count only
+    while the query still has no oracle). The round number feeds the
+    verified tier's staleness ordering in ``all_queries``: with the
+    unverified backlog drained (round 8), the driver's ~50-query
+    window is spent re-verifying the stalest evidence first — many
+    round-1/2 rows had their plans rewritten by the round-5
+    funnel-removal campaign after their only driver check."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    hash_seen: set[str] = set()
-    rows_only_seen: set[str] = set()
+    hash_seen: dict[str, int] = {}
+    rows_only_seen: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as f:
                 artifact = json.load(f)
@@ -166,13 +183,17 @@ def _driver_verified_names() -> set[str]:
             if not isinstance(res, dict):
                 continue
             if res.get("hash_match"):
-                hash_seen.add(name)
+                hash_seen[name] = max(hash_seen.get(name, 0), rnd)
             elif res.get("err") == "no_oracle":
-                rows_only_seen.add(name)
-    return hash_seen | {n for n in rows_only_seen if n not in ORACLES}
+                rows_only_seen[name] = max(rows_only_seen.get(name, 0), rnd)
+    out = dict(hash_seen)
+    for n, rnd in rows_only_seen.items():
+        if n not in ORACLES and rnd > out.get(n, 0):
+            out[n] = rnd
+    return out
 
 
-_VERIFIED: set[str] | None = None
+_VERIFIED: dict[str, int] | None = None
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -184,18 +205,20 @@ def all_queries() -> dict[str, QueryFn]:
         # computed once per process: artifacts only change between
         # driver rounds, and a stable iteration order matters more
         # than noticing a mid-session artifact drop
-        _VERIFIED = _driver_verified_names()
+        _VERIFIED = _driver_verified_rounds()
     # Three tiers, front to back: unverified queries WITH an oracle
     # (each one the driver checks is a full hash comparison), then
     # unverified rows-only queries (weaker check, still evidence),
-    # then everything already covered by a prior round's artifact.
-    # Within each tier the import order above is preserved, except
-    # that judge-flagged priority names (hardest semantics, most
-    # value from driver-side evidence) pin to the very front of
+    # then everything already covered by a prior round's artifact —
+    # the verified tier ordered STALEST EVIDENCE FIRST (ascending
+    # last-verified round, import order as the within-round tiebreak)
+    # so that once the unverified backlog is drained (round 8) the
+    # driver's window continuously re-verifies the oldest rows, which
+    # may have had their plans rewritten since their only check.
+    # Within the unverified tiers the import order above is preserved,
+    # except that judge-flagged priority names (hardest semantics,
+    # most value from driver-side evidence) pin to the very front of
     # their tier until a driver artifact covers them.
-    # r6: the TWS stateful contract (VERDICT r5 #4 asked for driver
-    # evidence on this exact path) and the new boosting certificate
-    # jump the queue; both already replica-pass at 3 SFs.
     priority = ("stream_rate_limit_gate", "stream_tws_user_stats",
                 "ml_gbdt_stumps_portable", "knn_hnsw_layer_portable",
                 "ml_als_halfstep_portable")
@@ -208,7 +231,10 @@ def all_queries() -> dict[str, QueryFn]:
         [n for n in QUERIES if n not in _VERIFIED and n in ORACLES])
     ordered += tier_sort(
         [n for n in QUERIES if n not in _VERIFIED and n not in ORACLES])
-    ordered += [n for n in QUERIES if n in _VERIFIED]
+    import_rank = {n: i for i, n in enumerate(QUERIES)}
+    ordered += sorted(
+        (n for n in QUERIES if n in _VERIFIED),
+        key=lambda n: (_VERIFIED[n], import_rank[n]))
     return {n: QUERIES[n] for n in ordered}
 
 

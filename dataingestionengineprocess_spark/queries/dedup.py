@@ -194,7 +194,7 @@ _DOC_TOKENS_SQL = "SELECT doc_id, string_split(text, ' ') AS t FROM documents"
 
 def simhash_certificate_facts(spark: SparkSession, docs: DataFrame,
                               found: DataFrame, text_col: str,
-                              recall_floor_pct: int) -> DataFrame:
+                              recall_floor_tenths: int) -> DataFrame:
     """Oracle-checkable audit of an engine-hash near-dup pair set
     against the exact integer-Jaccard shingle universe. Shared by
     `dedup_simhash` (text tokens) and `multimodal_phash_neardup`
@@ -205,7 +205,7 @@ def simhash_certificate_facts(spark: SparkSession, docs: DataFrame,
     pushes below the shingle self-join, so the exact side is a
     bounded audit at any scale, the round-7 certificate pattern):
     canonical/unique output, the stratum universe is non-empty,
-    recall on the stratum clears ``recall_floor_pct``, and EVERY
+    recall on the stratum clears ``recall_floor_tenths``, and EVERY
     found pair (not just the stratum) has exact J >= 0.8 in integer
     arithmetic -- soundness scored by a found-pairs-only lookup join,
     never all-pairs."""
@@ -285,8 +285,8 @@ def simhash_certificate_facts(spark: SparkSession, docs: DataFrame,
     rows = [
         ("canonical_unique", n_exact, n_noncanon == 0 and n_dup == 0),
         ("exact_pairs_j090_present", n_exact, n_exact > 0),
-        (f"recall_floor_0{recall_floor_pct}0", n_exact,
-         10 * n_hit >= recall_floor_pct * n_exact),
+        (f"recall_floor_0{recall_floor_tenths}0", n_exact,
+         10 * n_hit >= recall_floor_tenths * n_exact),
         ("soundness_j080", n_exact, n_unsound == 0),
     ]
     return spark.createDataFrame(
@@ -294,7 +294,7 @@ def simhash_certificate_facts(spark: SparkSession, docs: DataFrame,
 
 
 def simhash_certificate_oracle(tokens_sql: str,
-                               recall_floor_pct: int) -> str:
+                               recall_floor_tenths: int) -> str:
     """DuckDB side of `simhash_certificate_facts`: recompute the
     stratified exact J>=0.9 universe from the same token stream and
     assert the engine-side booleans TRUE."""
@@ -321,7 +321,7 @@ ex AS (
 )
 SELECT 'canonical_unique' AS item, n_exact, TRUE AS ok FROM ex
 UNION ALL SELECT 'exact_pairs_j090_present', n_exact, n_exact > 0 FROM ex
-UNION ALL SELECT 'recall_floor_0{recall_floor_pct}0', n_exact, TRUE FROM ex
+UNION ALL SELECT 'recall_floor_0{recall_floor_tenths}0', n_exact, TRUE FROM ex
 UNION ALL SELECT 'soundness_j080', n_exact, TRUE FROM ex
 ORDER BY item
 """
@@ -329,7 +329,7 @@ ORDER BY item
 
 @register("dedup_simhash",
           oracle=simhash_certificate_oracle(_DOC_TOKENS_SQL,
-                                            recall_floor_pct=5))
+                                            recall_floor_tenths=5))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup audit, deployable xxhash64 bit votes -- now
     ORACLE-BACKED (VERDICT r7 #5): instead of the engine-specific pair
@@ -347,7 +347,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         repartition_to=spark.sparkContext.defaultParallelism,
     )
     return simhash_certificate_facts(spark, docs, found, "text",
-                                     recall_floor_pct=5)
+                                     recall_floor_tenths=5)
 
 
 
@@ -676,9 +676,13 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_iso45 = iso449.join(
         out45.filter(~F.col("keep")).select(F.col("vec_id").alias("id_a")),
         "id_a").count()
+    # LEFT-join so a drop whose vector or representative is zero-norm
+    # (excluded from va/vb by norm_side) counts as a FAILED witness
+    # instead of silently falling out of the audit -- the same
+    # treatment the simhash soundness audit gives zero-shingle docs.
     bad_witness45 = (
-        drops45.join(va, "id_a").join(vb, "id_b").select(cq)
-        .filter(F.col("cq") < 449900).count()
+        drops45.join(va, "id_a", "left").join(vb, "id_b", "left").select(cq)
+        .filter(F.col("cq").isNull() | (F.col("cq") < 449900)).count()
     )
     bad_rep45 = drops45.join(
         out45.filter(F.col("keep")).select(F.col("vec_id").alias("id_b")),

@@ -369,7 +369,7 @@ def _phash_certificate_oracle() -> str:
     from .dedup import simhash_certificate_oracle
 
     return simhash_certificate_oracle(_PHASH_BLOCKS_SQL,
-                                      recall_floor_pct=4)
+                                      recall_floor_tenths=4)
 
 
 @register("multimodal_phash_neardup", oracle=_phash_certificate_oracle())
@@ -396,7 +396,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         repartition_to=spark.sparkContext.defaultParallelism,
     )
     return simhash_certificate_facts(spark, bdocs, found, "block_str",
-                                     recall_floor_pct=4)
+                                     recall_floor_tenths=4)
 
 
 def _phash_portable_oracle() -> str:

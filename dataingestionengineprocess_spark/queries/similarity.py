@@ -135,7 +135,7 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_certificate_facts(spark: SparkSession, emb: DataFrame,
                           found: DataFrame,
-                          recall_floor_pct: int) -> DataFrame:
+                          recall_floor_tenths: int) -> DataFrame:
     """Oracle-checkable audit of an engine-trained ANN result (the
     vec_id < 10 probe set, k = 5) against the exact brute-force top-5
     universe. Shared by `knn_ivf_ann` and `knn_pq_ann`.
@@ -180,10 +180,13 @@ def ann_certificate_facts(spark: SparkSession, emb: DataFrame,
         .localCheckpoint(eager=True)
     )
 
-    # bounded driver state: scalar audit counts only
+    # bounded driver state: scalar audit counts only. sum_cq coalesces
+    # to 0 on an empty universe so the nullable fact can't NULL out,
+    # and `exact_pairs_present` below makes a degenerate (empty probe
+    # set) fixture FAIL rather than pass the recall floor vacuously.
     n_queries = emb.filter(F.col("vec_id") < 10).count()
     n_top5 = top5.count()
-    sum_cq = top5.agg(F.sum("cq")).collect()[0][0]
+    sum_cq = top5.agg(F.sum("cq")).collect()[0][0] or 0
     n_hit = found.select(F.col("query_id").alias("id_a"),
                          F.col("neighbor_id").alias("id_b")) \
         .join(top5, ["id_a", "id_b"]).count()
@@ -214,17 +217,18 @@ def ann_certificate_facts(spark: SparkSession, emb: DataFrame,
     )
 
     rows = [
+        ("exact_pairs_present", n_queries, n_top5 > 0),
         ("exact_top5_cq_sum", sum_cq, True),
         ("output_wellformed", n_queries, n_malformed == 0),
-        (f"recall_floor_0{recall_floor_pct}0", n_top5,
-         10 * n_hit >= recall_floor_pct * n_top5),
+        (f"recall_floor_0{recall_floor_tenths}0", n_top5,
+         10 * n_hit >= recall_floor_tenths * n_top5),
         ("scores_exact_rerank", n_queries, n_badscore == 0),
     ]
     return spark.createDataFrame(
         rows, "item string, fact long, ok boolean").orderBy("item")
 
 
-def _ann_certificate_oracle(recall_floor_pct: int) -> str:
+def _ann_certificate_oracle(recall_floor_tenths: int) -> str:
     """DuckDB side of `ann_certificate_facts`: replay the exact top-5
     universe (same quantization, same tiebreak) and assert the
     engine-side booleans TRUE."""
@@ -247,15 +251,16 @@ t5 AS (
   FROM p
 ),
 f AS (
-  SELECT CAST(sum(cq) AS BIGINT) AS sum_cq,
+  SELECT CAST(coalesce(sum(cq), 0) AS BIGINT) AS sum_cq,
          CAST(count(*) AS BIGINT) AS n_top5,
          (SELECT CAST(count(*) AS BIGINT) FROM embeddings
           WHERE vec_id < 10) AS n_queries
   FROM t5 WHERE rn <= 5
 )
-SELECT 'exact_top5_cq_sum' AS item, sum_cq AS fact, TRUE AS ok FROM f
+SELECT 'exact_pairs_present' AS item, n_queries AS fact, TRUE AS ok FROM f
+UNION ALL SELECT 'exact_top5_cq_sum', sum_cq, TRUE FROM f
 UNION ALL SELECT 'output_wellformed', n_queries, TRUE FROM f
-UNION ALL SELECT 'recall_floor_0{recall_floor_pct}0', n_top5, TRUE FROM f
+UNION ALL SELECT 'recall_floor_0{recall_floor_tenths}0', n_top5, TRUE FROM f
 UNION ALL SELECT 'scores_exact_rerank', n_queries, TRUE FROM f
 ORDER BY item
 """
@@ -285,7 +290,7 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     found = ivf_topk(
         emb, queries, k=5, nprobe=2, n_lists=8, train="local",
     )
-    return ann_certificate_facts(spark, emb, found, recall_floor_pct=4)
+    return ann_certificate_facts(spark, emb, found, recall_floor_tenths=4)
 
 
 def _ivf_portable_oracle(n_lists: int = 8, nprobe: int = 2, k: int = 5,
@@ -385,7 +390,7 @@ def knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     found = pq_topk(
         emb, queries, k=5, m=8, ks=16, refine=48,
     )
-    return ann_certificate_facts(spark, emb, found, recall_floor_pct=3)
+    return ann_certificate_facts(spark, emb, found, recall_floor_tenths=3)
 
 
 def _pq_portable_oracle(m: int = 8, ks: int = 16, dsub: int = 8,

@@ -388,8 +388,12 @@ SELECT lang,
                       WHEN 'fr' THEN 0.5 WHEN 'es' THEN 0.5
                       ELSE 1.0 END AS DOUBLE) AS target_rate,
        TRUE AS ok
-FROM documents GROUP BY lang ORDER BY lang
+FROM documents GROUP BY lang ORDER BY lang NULLS FIRST
 """
+# NULLS FIRST matches Spark's ascending-sort NULL placement: a fixture
+# generation with a NULL-lang stratum (real per the null-safe join
+# below) would otherwise hash-mismatch on row order alone -- the same
+# engine-default trap ADVICE r5 documented for grouped_percent_cume.
 
 
 @register("sample_stratified_corpus", oracle=_STRAT_SAMPLE_CERT_ORACLE)

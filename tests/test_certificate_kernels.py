@@ -48,7 +48,7 @@ def test_simhash_kernel_accepts_perfect_found_set(spark):
     docs = _docs(spark, _CORPUS)
     found = _pairs(spark, [(0, 3)])
     facts = _facts(simhash_certificate_facts(spark, docs, found, "text",
-                                             recall_floor_pct=5))
+                                             recall_floor_tenths=5))
     assert facts["exact_pairs_j090_present"]["n_exact"] == 1
     assert all(r["ok"] for r in facts.values()), facts
 
@@ -58,7 +58,7 @@ def test_simhash_kernel_flags_noncanonical_and_unsound(spark):
     # reversed pair -> noncanonical; (1, 2) shares no shingle -> unsound
     found = _pairs(spark, [(3, 0), (1, 2)])
     facts = _facts(simhash_certificate_facts(spark, docs, found, "text",
-                                             recall_floor_pct=5))
+                                             recall_floor_tenths=5))
     assert not facts["canonical_unique"]["ok"]
     assert not facts["soundness_j080"]["ok"]
     # recall: the canonical (0, 3) stratum pair was NOT found
@@ -73,12 +73,12 @@ def test_simhash_kernel_zero_shingle_pairs(spark):
     docs = _docs(spark, _CORPUS + [(4, "tiny doc"), (5, "wee")])
     both_empty = _pairs(spark, [(0, 3), (4, 5)])
     facts = _facts(simhash_certificate_facts(spark, docs, both_empty,
-                                             "text", recall_floor_pct=5))
+                                             "text", recall_floor_tenths=5))
     assert facts["soundness_j080"]["ok"], facts
 
     mixed = _pairs(spark, [(0, 3), (1, 4)])  # doc 1 has shingles, 4 not
     facts = _facts(simhash_certificate_facts(spark, docs, mixed, "text",
-                                             recall_floor_pct=5))
+                                             recall_floor_tenths=5))
     assert not facts["soundness_j080"]["ok"], facts
 
 
@@ -118,7 +118,7 @@ def test_ann_kernel_accepts_exact_answer(spark, tiny_emb):
         F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id"),
         (F.col("cq") / 1e6).alias("cos_sim"), F.col("rn").alias("rank"))
     facts = _facts(ann_certificate_facts(spark, tiny_emb, found,
-                                         recall_floor_pct=9))
+                                         recall_floor_tenths=9))
     assert all(r["ok"] for r in facts.values()), facts
     assert facts["recall_floor_090"]["fact"] == 50
 
@@ -137,7 +137,7 @@ def test_ann_kernel_flags_malformed_and_wrong_scores(spark, tiny_emb):
         [(0, 0, 1.0, 1)],
         "query_id long, neighbor_id long, cos_sim double, rank long"))
     facts = _facts(ann_certificate_facts(spark, tiny_emb, found,
-                                         recall_floor_pct=9))
+                                         recall_floor_tenths=9))
     assert not facts["output_wellformed"]["ok"]
     assert not facts["scores_exact_rerank"]["ok"]
     assert not facts["recall_floor_090"]["ok"]

@@ -66,6 +66,20 @@ def test_registry_orders_unverified_oracles_first():
     assert all(tier(n) == 0 for n in window)
 
 
+def test_verified_tier_reverifies_stalest_first():
+    """With the unverified backlog drained (round 8), the driver's
+    ~50-query window must be spent on the stalest evidence: the
+    verified tier orders by ascending last-verified round so rows
+    whose plans were rewritten since their only check (the round-5
+    funnel-removal campaign touched many round-1/2 rows) are re-seen
+    first, and the rotation keeps tiling oldest-first each round."""
+    ordered = list(reg.all_queries())
+    rounds = reg._driver_verified_rounds()
+    verified_in_order = [rounds[n] for n in ordered if n in rounds]
+    assert verified_in_order == sorted(verified_in_order), (
+        "verified tier must be ordered stalest-evidence-first")
+
+
 def test_every_query_has_callable_and_consistent_oracle_keys():
     qs, os_ = reg.all_queries(), reg.all_oracles()
     assert set(os_) <= set(qs), "oracle without a query"

@@ -130,9 +130,10 @@ def test_range_bucket_join_matches_naive_and_avoids_bnlj(spark):
 def test_hot_key_30pct_salted_beats_plain(spark):
     """VERDICT r6 #6: the skew-stress gate. ONE key owns 30% of the
     fact rows; the skew report must flag it (strategy selection), the
-    salted sort-merge join must return exactly the plain join's rows,
-    spread the hot key across tasks instead of funneling it into one
-    straggler partition, and win on wall clock."""
+    salted sort-merge join must return exactly the plain join's rows
+    and spread the hot key across tasks instead of funneling it into
+    one straggler partition; wall clock is logged as a diagnostic
+    only (ADVICE r7)."""
     import time
 
     from dataingestionengineprocess_spark.operators.skew import (
