@@ -210,21 +210,40 @@ def khop_bfs(edges: DataFrame, seeds: DataFrame, hops: int = 2,
     the loop counter. Shared with `graph_khop_reachability`
     (queries/round4s.py), whose DuckDB oracle unrolls the identical
     frontier algebra as chained CTEs.
+
+    Both per-hop joins PIN the shuffle-hash strategy (VERDICT r8 #2):
+    the frontier and visited sets grow with the reachable set -- on a
+    well-connected graph one hop can cover most nodes -- so letting
+    the planner broadcast them is wrong at scale AND brittle locally
+    (the checkpointed frontier's accurate small stats invited a
+    BroadcastExchange whose driver-side build OOMed a default-1g
+    driver late in a 400-query sweep). Shuffle-hash keeps every hop's
+    memory bounded by a partition, not by the driver heap.
     """
     d0 = seeds.select(node).distinct().localCheckpoint(eager=True)
     frontier, visited = d0, d0
     out = d0.withColumn("dist", F.lit(0))
     for hop in range(1, hops + 1):
-        nxt = (
-            frontier.join(edges, frontier[node] == edges[src])
-            .select(F.col(dst).alias(node)).distinct()
-            .join(visited, node, "left_anti")
-            .localCheckpoint(eager=True)
-        )
+        nxt = bfs_hop(frontier, edges, visited, src=src, dst=dst,
+                      node=node).localCheckpoint(eager=True)
         out = out.union(nxt.withColumn("dist", F.lit(hop)))
         visited = visited.union(nxt)
         frontier = nxt
     return out
+
+
+def bfs_hop(frontier: DataFrame, edges: DataFrame, visited: DataFrame,
+            src: str = "src", dst: str = "dst",
+            node: str = "node") -> DataFrame:
+    """One un-checkpointed BFS step: next frontier = N(frontier) \\
+    visited. Public so the plan suite can pin its join strategies
+    (`khop_bfs` checkpoints each hop away from the final plan)."""
+    return (
+        frontier.hint("shuffle_hash")
+        .join(edges, frontier[node] == edges[src])
+        .select(F.col(dst).alias(node)).distinct()
+        .join(visited.hint("shuffle_hash"), node, "left_anti")
+    )
 
 
 #: DuckDB-oracle twin of `copurchase_half(min_orders=1)`: the

@@ -63,6 +63,55 @@ _SEMDEDUP_SCHEMA = StructType([
     StructField("rep_sim", DoubleType()),
 ])
 
+#: multi-threshold variant: one extra column naming the threshold
+_SEMDEDUP_MULTI_SCHEMA = StructType(
+    _SEMDEDUP_SCHEMA.fields + [StructField("threshold", DoubleType())])
+
+
+def _greedy_prune(pdf, threshold: float):
+    """Per-cluster greedy SemDeDup scan: farthest-from-centroid first
+    (ties by id), drop when cosine to an already-kept clustermate
+    reaches ``threshold``. Module-level so the single- and
+    multi-threshold kernels run the IDENTICAL decision procedure --
+    `semantic_dedup_multi`'s per-threshold slice is row-identical to
+    `semantic_dedup(threshold=t)` by construction."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values(
+        ["centroid_cos", "vec_id"], ascending=[True, True]
+    ).reset_index(drop=True)
+    mat = np.stack(pdf["v"].to_numpy())
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    mat = mat / norms[:, None]
+
+    n = len(pdf)
+    keep_idx: list[int] = []
+    keep = np.ones(n, dtype=bool)
+    rep_id = np.full(n, -1, dtype=np.int64)
+    rep_sim = np.full(n, np.nan)
+    for i in range(n):
+        if keep_idx:
+            sims = mat[keep_idx] @ mat[i]
+            j = int(np.argmax(sims))
+            if sims[j] >= threshold:
+                keep[i] = False
+                rep_id[i] = pdf["vec_id"].iloc[keep_idx[j]]
+                rep_sim[i] = round(float(sims[j]), 6)
+                continue
+        keep_idx.append(i)
+    return pd.DataFrame({
+        "vec_id": pdf["vec_id"],
+        "clabel": pdf["clabel"],
+        "keep": keep,
+        "rep_id": pd.array(
+            [None if k else r for k, r in zip(keep, rep_id)],
+            dtype="Int64",
+        ),
+        "rep_sim": [None if k else s for k, s in zip(keep, rep_sim)],
+    })
+
 
 def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
                    n_clusters: int = 8, id_col: str = "vec_id",
@@ -107,9 +156,69 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
       so callers can count shards per cluster -- no silent behavior
       change.
     """
-    corpus = spread_input(corpus)
-    import numpy as np
+    assigned, group_keys = _semantic_assigned(
+        corpus, n_clusters, id_col, vec_col, kmeans_iter, sample_mod,
+        train, max_cluster)
+
+    def prune(pdf):
+        return _greedy_prune(pdf, threshold)
+
+    return assigned.groupBy(*group_keys).applyInPandas(
+        prune, _SEMDEDUP_SCHEMA
+    )
+
+
+def semantic_dedup_multi(corpus: DataFrame, thresholds,
+                         n_clusters: int = 8, id_col: str = "vec_id",
+                         vec_col: str = "embedding", kmeans_iter: int = 3,
+                         sample_mod: int | None = None,
+                         train: str = "local",
+                         max_cluster: int | None = 200_000) -> DataFrame:
+    """`semantic_dedup` for SEVERAL thresholds in ONE pass: one
+    quantizer fit, one corpus scan + assignment, one groupBy +
+    applyInPandas shuffle -- the per-threshold greedy re-scan inside
+    the kernel is vectorized numpy over an already-transferred,
+    already-normalized cluster matrix, so k thresholds cost far less
+    than k operator runs (VERDICT r8 #6: `dedup_semantic_embedding`
+    audits a deployable 0.92 run AND a 0.45 audit run).
+
+    Output adds a ``threshold`` column; each threshold's slice is
+    row-identical to ``semantic_dedup(threshold=t)`` by construction
+    (same `_greedy_prune` kernel on the same assignment)."""
+    ts = [float(t) for t in thresholds]
+    if not ts or len(set(ts)) != len(ts):
+        raise ValueError("thresholds must be non-empty and distinct")
+    assigned, group_keys = _semantic_assigned(
+        corpus, n_clusters, id_col, vec_col, kmeans_iter, sample_mod,
+        train, max_cluster)
+
     import pandas as pd
+
+    def prune(pdf):
+        frames = []
+        for t in ts:
+            f = _greedy_prune(pdf, t)
+            # pin the all-None object column to float64 so concat's
+            # dtype inference is deterministic across thresholds
+            f["rep_sim"] = f["rep_sim"].astype("float64")
+            f["threshold"] = t
+            frames.append(f)
+        return pd.concat(frames, ignore_index=True)
+
+    return assigned.groupBy(*group_keys).applyInPandas(
+        prune, _SEMDEDUP_MULTI_SCHEMA
+    )
+
+
+def _semantic_assigned(corpus: DataFrame, n_clusters: int, id_col: str,
+                       vec_col: str, kmeans_iter: int,
+                       sample_mod: int | None, train: str,
+                       max_cluster: int | None):
+    """Shared front half of `semantic_dedup` / `semantic_dedup_multi`:
+    quantizer fit, map-only cluster assignment with the
+    farthest-first ordering key, and the max_cluster salt-split.
+    Returns ``(assigned, group_keys)``."""
+    corpus = spread_input(corpus)
 
     if train == "local":
         if sample_mod is not None:
@@ -187,44 +296,7 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
         )
         group_keys = ["clabel", "__shard"]
 
-    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(
-            ["centroid_cos", "vec_id"], ascending=[True, True]
-        ).reset_index(drop=True)
-        mat = np.stack(pdf["v"].to_numpy())
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0.0] = 1.0
-        mat = mat / norms[:, None]
-
-        n = len(pdf)
-        keep_idx: list[int] = []
-        keep = np.ones(n, dtype=bool)
-        rep_id = np.full(n, -1, dtype=np.int64)
-        rep_sim = np.full(n, np.nan)
-        for i in range(n):
-            if keep_idx:
-                sims = mat[keep_idx] @ mat[i]
-                j = int(np.argmax(sims))
-                if sims[j] >= threshold:
-                    keep[i] = False
-                    rep_id[i] = pdf["vec_id"].iloc[keep_idx[j]]
-                    rep_sim[i] = round(float(sims[j]), 6)
-                    continue
-            keep_idx.append(i)
-        return pd.DataFrame({
-            "vec_id": pdf["vec_id"],
-            "clabel": pdf["clabel"],
-            "keep": keep,
-            "rep_id": pd.array(
-                [None if k else r for k, r in zip(keep, rep_id)],
-                dtype="Int64",
-            ),
-            "rep_sim": [None if k else s for k, s in zip(keep, rep_sim)],
-        })
-
-    return assigned.groupBy(*group_keys).applyInPandas(
-        prune, _SEMDEDUP_SCHEMA
-    )
+    return assigned, group_keys
 
 
 # ---------------------------------------------------------------------------

@@ -208,13 +208,28 @@ def simhash_certificate_facts(spark: SparkSession, docs: DataFrame,
     recall on the stratum clears ``recall_floor_tenths``, and EVERY
     found pair (not just the stratum) has exact J >= 0.8 in integer
     arithmetic -- soundness scored by a found-pairs-only lookup join,
-    never all-pairs."""
+    never all-pairs.
+
+    Cost shape (VERDICT r8 #6): the shingle stream is materialized
+    ONCE (four consumers -- stratum self-join left/right, sizes, and
+    the found-id semi-pruned soundness sides -- would otherwise each
+    re-scan and re-explode the corpus; storing the token stream once
+    to disk-backed blocks is the same compute-for-storage trade a
+    shuffle makes), and every scalar fact lands in ONE action: the
+    independent one-row aggregates cross-join into a single row, so
+    the driver pays one job instead of six serial ones."""
     from ..functions.text import shingles
+    from ..operators.skew import spread_input
 
     found = found.select("id_a", "id_b").localCheckpoint(eager=True)
 
-    sh = docs.select(F.col("doc_id").alias("id"),
-                     F.explode(shingles(text_col, 3)).alias("s"))
+    # spread first: a single-file parquet source arrives as ONE
+    # partition and would serialize the explode (and any upstream
+    # hex/regexp block derivation) onto one core
+    sh = spread_input(docs).select(F.col("doc_id").alias("id"),
+                                   F.explode(shingles(text_col, 3))
+                                   .alias("s"))
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
 
     # exact stratum universe: J >= 0.9 as 10*inter >= 9*union
@@ -269,18 +284,34 @@ def simhash_certificate_facts(spark: SparkSession, docs: DataFrame,
                  - F.coalesce(F.col("n_inter"), F.lit(0))).alias("n_union"))
     )
 
-    # bounded driver state: scalar audit counts only
-    n_exact = exact.count()
-    n_found = found.count()
-    n_hit = found.join(exact, ["id_a", "id_b"]).count()
-    n_noncanon = found.filter(~(F.col("id_a") < F.col("id_b"))).count()
-    n_dup = n_found - found.distinct().count()
-    n_unsound = found_scored.filter(
+    # bounded driver state: scalar audit counts only, ONE action --
+    # each aggregate is a single row, so the cross-join chain is a
+    # constant-size model-state fan-out, never data x data
+    unsound = (
         # 0/0 union (both docs shingle-less) is a sound collision;
         # n_inter=0 with a non-empty union falls out of the first arm
         (10 * F.col("n_inter") < 8 * F.col("n_union"))
         & (F.col("n_union") > 0)
-        | ((F.col("n_union") == 0) & (F.col("n_inter") != 0))).count()
+        | ((F.col("n_union") == 0) & (F.col("n_inter") != 0)))
+    facts = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(found.agg(
+            F.count(F.lit(1)).alias("n_found"),
+            F.sum(F.when(~(F.col("id_a") < F.col("id_b")), 1)
+                  .otherwise(0)).alias("n_noncanon")))
+        .crossJoin(found.distinct().agg(
+            F.count(F.lit(1)).alias("n_distinct")))
+        .crossJoin(found.join(exact, ["id_a", "id_b"]).agg(
+            F.count(F.lit(1)).alias("n_hit")))
+        .crossJoin(found_scored.agg(
+            F.sum(F.when(unsound, 1).otherwise(0)).alias("n_unsound")))
+        .collect()[0]
+    )
+    n_exact = facts["n_exact"]
+    n_hit = facts["n_hit"]
+    n_noncanon = int(facts["n_noncanon"] or 0)
+    n_dup = facts["n_found"] - facts["n_distinct"]
+    n_unsound = int(facts["n_unsound"] or 0)
 
     rows = [
         ("canonical_unique", n_exact, n_noncanon == 0 and n_dup == 0),
@@ -632,14 +663,28 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     band, and drops are present.
     `dedup_semantic_portable` hash-checks the portable-assignment
     twin; the full per-vector surface stays available via
-    `operators.quantize.semantic_dedup`."""
-    from ..operators.quantize import semantic_dedup
+    `operators.quantize.semantic_dedup`.
+
+    Cost shape (VERDICT r8 #6): both audited runs come from ONE
+    `semantic_dedup_multi` pass (one quantizer fit, one corpus scan,
+    one prune shuffle -- each threshold's slice is row-identical to
+    the single-threshold operator by construction), and every scalar
+    fact lands in ONE action via cross-joined one-row aggregates."""
+    from ..operators.quantize import semantic_dedup_multi
+
+    from ..operators.skew import spread_input
 
     emb = load(spark, sf_dir, "embeddings")
 
-    # shared certificate scaffold (functions/vectors.py)
-    va = norm_side(emb, "vec_id", "embedding", "id_a", "va", "na")
-    vb = norm_side(emb, "vec_id", "embedding", "id_b", "vb", "nb")
+    # shared certificate scaffold (functions/vectors.py). BOTH sides
+    # are spread first: a single-file parquet source arrives as ONE
+    # partition, and whichever side the planner streams under the
+    # nested-loop pair join would serialize the (n/5) x n
+    # quantized-cosine scan onto one core (measured 4.6s -> ~1s at
+    # sf0.1).
+    spread = spread_input(emb)
+    va = norm_side(spread, "vec_id", "embedding", "id_a", "va", "na")
+    vb = norm_side(spread, "vec_id", "embedding", "id_b", "vb", "nb")
     cq = quantized_cosine().alias("cq")
     # one (n/5) x n scan feeds both isolation thresholds; the stratum
     # filter pushes below the pair join
@@ -658,38 +703,58 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     iso449 = base.filter(F.col("mxcq").isNull() | (F.col("mxcq") < 449000))
     iso919 = base.filter(F.col("mxcq").isNull() | (F.col("mxcq") < 919000))
 
-    out45 = semantic_dedup(
-        emb, threshold=0.45, n_clusters=8, kmeans_iter=3
+    multi = semantic_dedup_multi(
+        emb, [0.45, 0.92], n_clusters=8, kmeans_iter=3
     ).localCheckpoint(eager=True)
-    out92 = semantic_dedup(
-        emb, threshold=0.92, n_clusters=8, kmeans_iter=3
-    ).localCheckpoint(eager=True)
-
-    # bounded driver state: scalar audit counts only
-    n_iso449 = iso449.count()
-    n_non449 = base.count() - n_iso449
-    n_iso919 = iso919.count()
+    out45 = multi.filter(F.col("threshold") == 0.45)
+    out92 = multi.filter(F.col("threshold") == 0.92)
 
     drops45 = out45.filter(~F.col("keep")).select(
         F.col("vec_id").alias("id_a"), F.col("rep_id").alias("id_b"))
-    n_drops45 = drops45.count()
-    bad_iso45 = iso449.join(
-        out45.filter(~F.col("keep")).select(F.col("vec_id").alias("id_a")),
-        "id_a").count()
     # LEFT-join so a drop whose vector or representative is zero-norm
     # (excluded from va/vb by norm_side) counts as a FAILED witness
     # instead of silently falling out of the audit -- the same
-    # treatment the simhash soundness audit gives zero-shingle docs.
-    bad_witness45 = (
-        drops45.join(va, "id_a", "left").join(vb, "id_b", "left").select(cq)
-        .filter(F.col("cq").isNull() | (F.col("cq") < 449900)).count()
+    # treatment the simhash soundness audit gives zero-shingle docs
+    # (ADVICE r8).
+    witness = drops45.join(va, "id_a", "left").join(vb, "id_b", "left") \
+        .select(cq)
+
+    # bounded driver state: scalar audit counts only, ONE action of
+    # cross-joined one-row aggregates over the two checkpoints
+    s = (
+        base.agg(
+            F.count(F.lit(1)).alias("n_base"),
+            F.sum(F.when(F.col("mxcq").isNull()
+                         | (F.col("mxcq") < 449000), 1)
+                  .otherwise(0)).alias("n_iso449"),
+            F.sum(F.when(F.col("mxcq").isNull()
+                         | (F.col("mxcq") < 919000), 1)
+                  .otherwise(0)).alias("n_iso919"))
+        .crossJoin(drops45.agg(F.count(F.lit(1)).alias("n_drops45")))
+        .crossJoin(iso449.join(
+            drops45.select("id_a"), "id_a").agg(
+            F.count(F.lit(1)).alias("bad_iso45")))
+        .crossJoin(witness.agg(
+            F.sum(F.when(F.col("cq").isNull() | (F.col("cq") < 449900), 1)
+                  .otherwise(0)).alias("bad_witness45")))
+        .crossJoin(drops45.join(
+            out45.filter(F.col("keep"))
+            .select(F.col("vec_id").alias("id_b")), "id_b", "left_anti")
+            .agg(F.count(F.lit(1)).alias("bad_rep45")))
+        .crossJoin(iso919.join(
+            out92.filter(~F.col("keep"))
+            .select(F.col("vec_id").alias("id_a")), "id_a").agg(
+            F.count(F.lit(1)).alias("bad_iso92")))
+        .collect()[0]
     )
-    bad_rep45 = drops45.join(
-        out45.filter(F.col("keep")).select(F.col("vec_id").alias("id_b")),
-        "id_b", "left_anti").count()
-    bad_iso92 = iso919.join(
-        out92.filter(~F.col("keep")).select(F.col("vec_id").alias("id_a")),
-        "id_a").count()
+    n_iso449 = int(s["n_iso449"] or 0)
+    n_non449 = s["n_base"] - n_iso449
+    n_iso919 = int(s["n_iso919"] or 0)
+    n_drops45 = s["n_drops45"]
+    bad_iso45 = s["bad_iso45"]
+    bad_witness45 = int(s["bad_witness45"] or 0)
+    bad_rep45 = s["bad_rep45"]
+    bad_iso92 = s["bad_iso92"]
 
     rows = [
         ("t045_drops_present", n_non449, n_drops45 > 0),

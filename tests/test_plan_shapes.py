@@ -976,6 +976,35 @@ def test_khop_checkpointed_edges_no_cartesian(spark, sf_dir, qs):
     assert plan.count("Scan ExistingRDD") >= 3, plan  # d0, d1, d2
 
 
+def test_khop_hop_joins_never_broadcast(spark, sf_dir):
+    """VERDICT r8 #2: the per-hop frontier x edges equi-join and the
+    visited left-anti subtraction must PIN shuffle-hash -- frontier
+    and visited grow with the reachable set, and the checkpointed
+    frontier's accurate small stats otherwise invite a
+    BroadcastExchange whose driver-side build OOMed a default-1g
+    driver late in a 400-query sweep."""
+    from dataingestionengineprocess_spark.catalog import load
+    from dataingestionengineprocess_spark.operators.graph import (
+        bfs_hop,
+        copurchase_edges,
+    )
+    from pyspark.sql import functions as F
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = copurchase_edges(li)
+    part = load(spark, sf_dir, "part")
+    seed_brand = part.agg(F.min("p_brand").alias("b"))
+    seeds = (part.join(F.broadcast(seed_brand), part.p_brand == F.col("b"))
+             .select(F.col("p_partkey").alias("node")))
+    # plan ONE hop through the real step builder (khop_bfs checkpoints
+    # each hop away from the final plan)
+    d0 = seeds.select("node").distinct().localCheckpoint(eager=True)
+    nxt = bfs_hop(d0, edges, d0)
+    plan = nxt._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan, plan
+    assert plan.count("ShuffledHashJoin") == 2, plan
+
+
 def test_flesch_map_only_single_scan(spark, sf_dir, qs):
     plan = _plan(spark, sf_dir, qs, "text_readability_flesch")
     assert plan.count("FileScan parquet") == 1, plan

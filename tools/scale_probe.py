@@ -183,13 +183,20 @@ def main() -> None:
         quantized_cosine,
     )
 
-    def _jaccard_audit_count(docs_k: DataFrame) -> DataFrame:
-        """The MinHash certificate's exact side (integer J >= 0.7)
-        with the audit sample FIXED at replica-0's id % 3 stratum:
-        sizes are one linear pass over the scaled corpus, candidates
-        are sample-shingle collisions."""
+    def _jaccard_audit_count(docs_k: DataFrame, tenths: int = 7,
+                             text_col: str = "text",
+                             spread: bool = False) -> DataFrame:
+        """The MinHash/SimHash/pHash certificates' exact side (integer
+        J >= tenths/10) with the audit sample FIXED at replica-0's
+        id % 3 stratum: sizes are one linear pass over the scaled
+        corpus, candidates are sample-shingle collisions. ``spread``
+        mirrors the round-9 kernel (spread_input before the explode);
+        the original minhash row keeps spread=False so its decade
+        numbers stay comparable with the round-8 table."""
+        if spread:
+            docs_k = _spread_input(docs_k)
         sh = docs_k.select(F.col("doc_id").alias("id"),
-                           F.explode(shingles("text", 3)).alias("s"))
+                           F.explode(shingles(text_col, 3)).alias("s"))
         sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
         a = sh.filter((F.col("id") % 3 == 0)
                       & (F.col("id") < 10_000_000)) \
@@ -207,8 +214,8 @@ def main() -> None:
             .join(sizes.select(F.col("id").alias("id_b"),
                                F.col("n_sh").alias("n_b")), "id_b")
             .filter(10 * F.col("n_inter")
-                    >= 7 * (F.col("n_a") + F.col("n_b")
-                            - F.col("n_inter")))
+                    >= tenths * (F.col("n_a") + F.col("n_b")
+                                 - F.col("n_inter")))
             .agg(F.count(F.lit(1)).alias("n_exact"))
         )
 
@@ -226,6 +233,45 @@ def main() -> None:
             .filter(F.col("cq") >= 400100)
             .agg(F.count(F.lit(1)).alias("n_exact"))
         )
+
+    from dataingestionengineprocess_spark.operators.skew import (  # noqa: E402
+        spread_input as _spread_input,
+    )
+    from dataingestionengineprocess_spark.queries.multimodal import (  # noqa: E402
+        _payload_blocks,
+    )
+
+    def _semantic_audit_counts(emb_k: DataFrame) -> DataFrame:
+        """The SemDeDup certificate's exact side at deployment shape
+        (round-9 kernel: both sides spread, ONE (|sample|) x n
+        quantized-cosine scan feeding BOTH isolation thresholds): a
+        FIXED audit sample (replica-0's vec_id % 5 stratum) max-cosine
+        scanned against the k-scaled signed corpus -- linear in the
+        corpus by construction."""
+        spread = _spread_input(emb_k)
+        va = norm_side(spread, "vec_id", "embedding", "id_a", "va",
+                       "na").filter((F.col("id_a") % 5 == 0)
+                                    & (F.col("id_a") < 10_000_000))
+        vb = norm_side(spread, "vec_id", "embedding", "id_b", "vb", "nb")
+        nmax = (
+            va.join(vb, F.col("id_a") != F.col("id_b"))
+            .select("id_a", quantized_cosine().alias("cq"))
+            .groupBy("id_a").agg(F.max("cq").alias("mxcq"))
+        )
+        base = (
+            emb_k.select(F.col("vec_id").alias("id_a"))
+            .filter((F.col("id_a") % 5 == 0)
+                    & (F.col("id_a") < 10_000_000))
+            .join(nmax, "id_a", "left")
+        )
+        return base.agg(
+            F.count(F.lit(1)).alias("n_base"),
+            F.sum(F.when(F.col("mxcq").isNull()
+                         | (F.col("mxcq") < 449000), 1)
+                  .otherwise(0)).alias("n_iso449"),
+            F.sum(F.when(F.col("mxcq").isNull()
+                         | (F.col("mxcq") < 919000), 1)
+                  .otherwise(0)).alias("n_iso919"))
 
     _stream_dir = tempfile.mkdtemp(prefix="scale_probe_stream_")
     _stream_staged: set[int] = set()
@@ -482,6 +528,21 @@ def main() -> None:
         # terms) -- linear in the corpus by construction; the probe
         # checks the constants hold through the decade.
         "brp_cert_audit": lambda k: _brp_audit_count(
+            scaled_signed_emb(k)),
+        # --- round-9 additions (VERDICT r8 #5): the exact sides of
+        # the three certificates converted in round 8, at deployment
+        # shape (fixed replica-0 audit stratum vs the k-scaled
+        # corpus, the round-9 kernels' spread + shared-scan layout).
+        # SimHash certificate: text-shingle exact J>=0.9 stratum.
+        "simhash_cert_audit": lambda k: _jaccard_audit_count(
+            scaled(docs, k, "doc_id"), tenths=9, spread=True),
+        # pHash certificate: hex payload-block shingles, J>=0.9.
+        "phash_cert_audit": lambda k: _jaccard_audit_count(
+            _payload_blocks(scaled(docs, k, "doc_id")), tenths=9,
+            text_col="block_str", spread=True),
+        # SemDeDup certificate: stratum max-cosine isolation counts,
+        # one scan feeding both thresholds.
+        "semantic_cert_audit": lambda k: _semantic_audit_counts(
             scaled_signed_emb(k)),
         # Watermarked tumbling-count drain over a k-scaled,
         # TIME-SHIFTED events file (constant per-hour density, like
