@@ -84,11 +84,16 @@ def dedup_minhash_lsh_certificate(spark: SparkSession,
     stratum (the filter pushes below the shingle self-join, so the
     exact side is a bounded audit at any scale)."""
     from ..operators.dedup import minhash_neardup_pairs
+    from ..operators.skew import spread_input
 
     docs = load(spark, sf_dir, "documents")
 
-    sh = docs.select(F.col("doc_id").alias("id"),
-                     F.explode(shingles("text", 3)).alias("s"))
+    # spread + materialize the shingle stream ONCE (three consumers:
+    # stratum self-join left/right and sizes) -- the round-9 kernel
+    # layout (VERDICT r8 #6)
+    sh = spread_input(docs).select(F.col("doc_id").alias("id"),
+                                   F.explode(shingles("text", 3))
+                                   .alias("s")).localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.select(F.col("id").alias("id_a"), "s")
@@ -118,22 +123,35 @@ def dedup_minhash_lsh_certificate(spark: SparkSession,
         est_round=None,
     ).localCheckpoint(eager=True)
 
-    # bounded driver state: scalar audit counts only
-    n_exact = exact.count()
-    n_pairs = lsh.count()
-    n_hit = lsh.select("id_a", "id_b").join(exact, ["id_a", "id_b"]).count()
-    n_noncanon = lsh.filter(~(F.col("id_a") < F.col("id_b"))).count()
-    n_dup = n_pairs - lsh.select("id_a", "id_b").distinct().count()
-    est = lsh.agg(
-        F.max(F.abs(F.col("est_jaccard") * 32
-                    - F.round(F.col("est_jaccard") * 32, 0))).alias("dev"),
-        F.min("est_jaccard").alias("mn"),
-    ).collect()[0]
+    # bounded driver state: scalar audit counts only, ONE action of
+    # cross-joined one-row aggregates (the round-9 kernel layout)
+    s = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(lsh.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(~(F.col("id_a") < F.col("id_b")), 1)
+                  .otherwise(0)).alias("n_noncanon"),
+            F.max(F.abs(F.col("est_jaccard") * 32
+                        - F.round(F.col("est_jaccard") * 32, 0)))
+            .alias("dev"),
+            F.min("est_jaccard").alias("mn")))
+        .crossJoin(lsh.select("id_a", "id_b").distinct().agg(
+            F.count(F.lit(1)).alias("n_distinct")))
+        .crossJoin(lsh.select("id_a", "id_b")
+                   .join(exact, ["id_a", "id_b"]).agg(
+            F.count(F.lit(1)).alias("n_hit")))
+        .collect()[0]
+    )
+    n_exact = s["n_exact"]
+    n_pairs = s["n_pairs"]
+    n_hit = s["n_hit"]
+    n_noncanon = int(s["n_noncanon"] or 0)
+    n_dup = n_pairs - s["n_distinct"]
     # Vacuously true on an empty pair set (non-emptiness is gated by
     # exact_pairs_j070_present, not here -- an audit sample where LSH
     # legitimately finds nothing must not flag the k/32 invariant).
     ok_est = (n_pairs == 0
-              or (est["dev"] == 0.0 and est["mn"] >= 0.5))
+              or (s["dev"] == 0.0 and s["mn"] >= 0.5))
 
     rows = [
         ("canonical_unique", n_exact, n_noncanon == 0 and n_dup == 0),
@@ -206,13 +224,19 @@ def similarity_brp_lsh_certificate(spark: SparkSession,
 
     from ..functions.vectors import norm_side, quantized_cosine
 
+    from ..operators.skew import spread_input
+
     emb = load(spark, sf_dir, "embeddings")
     # shared certificate scaffold (functions/vectors.py): norms
     # precomputed once per vector, zero-norm vectors excluded on BOTH
     # engines (the dot-product prefilter in the oracle --
     # brp_similarity_join itself drops them too), q6 half-up cosine.
-    va = norm_side(emb, "vec_id", "embedding", "id_a", "va", "na")
-    vb = norm_side(emb, "vec_id", "embedding", "id_b", "vb", "nb")
+    # BOTH sides spread first: a single-file parquet source arrives as
+    # ONE partition and would serialize the (n/5) x n stratum cosine
+    # scan onto one core (VERDICT r8 #6, the round-9 kernel layout).
+    spread = spread_input(emb)
+    va = norm_side(spread, "vec_id", "embedding", "id_a", "va", "na")
+    vb = norm_side(spread, "vec_id", "embedding", "id_b", "vb", "nb")
     cq = quantized_cosine().alias("cq")
     # exact side: only the audit stratum ever joins (filter pushed
     # below the pair join -- 1/5 of the all-pairs work)
@@ -234,12 +258,29 @@ def similarity_brp_lsh_certificate(spark: SparkSession,
         approx.join(va, "id_a").join(vb, "id_b").select(cq)
     )
 
-    n_exact = exact.count()
-    n_found = approx.count()
-    n_hit = approx.join(exact, ["id_a", "id_b"]).count()
-    n_stray = found_scored.filter(F.col("cq") < 399900).count()
-    n_noncanon = approx.filter(~(F.col("id_a") < F.col("id_b"))).count()
-    n_dup = n_found - approx.distinct().count()
+    # bounded driver state: scalar audit counts only, ONE action of
+    # cross-joined one-row aggregates (the round-9 kernel layout)
+    s = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(approx.agg(
+            F.count(F.lit(1)).alias("n_found"),
+            F.sum(F.when(~(F.col("id_a") < F.col("id_b")), 1)
+                  .otherwise(0)).alias("n_noncanon")))
+        .crossJoin(approx.distinct().agg(
+            F.count(F.lit(1)).alias("n_distinct")))
+        .crossJoin(approx.join(exact, ["id_a", "id_b"]).agg(
+            F.count(F.lit(1)).alias("n_hit")))
+        .crossJoin(found_scored.agg(
+            F.sum(F.when(F.col("cq") < 399900, 1).otherwise(0))
+            .alias("n_stray")))
+        .collect()[0]
+    )
+    n_exact = s["n_exact"]
+    n_found = s["n_found"]
+    n_hit = s["n_hit"]
+    n_stray = int(s["n_stray"] or 0)
+    n_noncanon = int(s["n_noncanon"] or 0)
+    n_dup = n_found - s["n_distinct"]
 
     rows = [
         ("canonical_unique", n_exact, n_noncanon == 0 and n_dup == 0),
