@@ -394,14 +394,15 @@ def main() -> None:
     })
     registry = all_queries()
 
+    from dataingestionengineprocess_spark.session import (
+        release_persistent_rdds,
+    )
+
     def _release_checkpoints() -> None:
         """Unpersist every persistent RDD (localCheckpoint blocks) a
         query left behind -- per-query hygiene so the sweep's memory
         profile is each query's own, not the sum of all before it."""
-        jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
-        it = jmap.values().iterator()
-        while it.hasNext():
-            it.next().unpersist(False)
+        release_persistent_rdds(spark)
 
     # Warm up the JVM: file listing + parquet footers + the codegen /
     # shuffle machinery (one tiny aggregate over the fact table), so

@@ -46,8 +46,8 @@ from .similarity import (
 )
 
 __all__ = [
-    "semantic_dedup", "pq_topk", "pq_codebooks", "pq_codebooks_local",
-    "build_pq_index", "pq_search_index",
+    "semantic_dedup", "semantic_dedup_multi", "pq_topk", "pq_codebooks",
+    "pq_codebooks_local", "build_pq_index", "pq_search_index",
 ]
 
 
@@ -68,15 +68,12 @@ _SEMDEDUP_MULTI_SCHEMA = StructType(
     _SEMDEDUP_SCHEMA.fields + [StructField("threshold", DoubleType())])
 
 
-def _greedy_prune(pdf, threshold: float):
-    """Per-cluster greedy SemDeDup scan: farthest-from-centroid first
-    (ties by id), drop when cosine to an already-kept clustermate
-    reaches ``threshold``. Module-level so the single- and
-    multi-threshold kernels run the IDENTICAL decision procedure --
-    `semantic_dedup_multi`'s per-threshold slice is row-identical to
-    `semantic_dedup(threshold=t)` by construction."""
+def _prune_prep(pdf):
+    """Threshold-independent half of the greedy kernel: sort into
+    farthest-from-centroid-first order (ties by id) and build the
+    unit-normalized cluster matrix. Shared so the multi-threshold
+    kernel pays it ONCE per Arrow batch, not once per threshold."""
     import numpy as np
-    import pandas as pd
 
     pdf = pdf.sort_values(
         ["centroid_cos", "vec_id"], ascending=[True, True]
@@ -84,7 +81,25 @@ def _greedy_prune(pdf, threshold: float):
     mat = np.stack(pdf["v"].to_numpy())
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0.0] = 1.0
-    mat = mat / norms[:, None]
+    return pdf, mat / norms[:, None]
+
+
+def _greedy_prune(pdf, threshold: float):
+    """Per-cluster greedy SemDeDup scan: farthest-from-centroid first
+    (ties by id), drop when cosine to an already-kept clustermate
+    reaches ``threshold``. Module-level so the single- and
+    multi-threshold kernels run the IDENTICAL decision procedure --
+    `semantic_dedup_multi`'s per-threshold slice is row-identical to
+    `semantic_dedup(threshold=t)` by construction."""
+    pdf, mat = _prune_prep(pdf)
+    return _greedy_scan(pdf, mat, threshold)
+
+
+def _greedy_scan(pdf, mat, threshold: float):
+    """The per-threshold greedy loop over an already-sorted,
+    already-normalized cluster matrix (see `_prune_prep`)."""
+    import numpy as np
+    import pandas as pd
 
     n = len(pdf)
     keep_idx: list[int] = []
@@ -195,9 +210,10 @@ def semantic_dedup_multi(corpus: DataFrame, thresholds,
     import pandas as pd
 
     def prune(pdf):
+        prepped, mat = _prune_prep(pdf)  # once per batch, not per t
         frames = []
         for t in ts:
-            f = _greedy_prune(pdf, t)
+            f = _greedy_scan(prepped, mat, t)
             # pin the all-None object column to float64 so concat's
             # dtype inference is deterministic across thresholds
             f["rep_sim"] = f["rep_sim"].astype("float64")

@@ -192,6 +192,53 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOC_TOKENS_SQL = "SELECT doc_id, string_split(text, ' ') AS t FROM documents"
 
 
+def exact_jaccard_stratum(docs: DataFrame, text_col: str,
+                          tenths: int) -> tuple:
+    """Shared exact-side scaffold of the shingle-Jaccard certificates
+    (`simhash_certificate_facts` here, `dedup_minhash_lsh_certificate`
+    in round7.py -- one source so a layout change cannot silently
+    diverge the kernels): the spread + checkpointed 3-token shingle
+    stream, per-doc shingle sizes, and the ``id % 3 == 0`` stratum's
+    exact integer-J >= tenths/10 pair set (checkpointed -- it feeds
+    both the count fact and the recall join). The stratum filter
+    pushes BELOW the shingle self-join, so the exact side is a
+    bounded audit at any scale; `tools/scale_probe.py`'s
+    ``*_cert_audit`` ops measure exactly this shape through a decade.
+
+    Returns ``(sh, sizes, exact)``."""
+    from ..functions.text import shingles
+    from ..operators.skew import spread_input
+
+    # spread first: a single-file parquet source arrives as ONE
+    # partition and would serialize the explode (and any upstream
+    # hex/regexp block derivation) onto one core
+    sh = spread_input(docs).select(F.col("doc_id").alias("id"),
+                                   F.explode(shingles(text_col, 3))
+                                   .alias("s")).localCheckpoint(eager=True)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.select(F.col("id").alias("id_a"), "s")
+        .filter(F.col("id_a") % 3 == 0)
+        .join(sh.select(F.col("id").alias("id_b"), "s"), "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    exact = (
+        inter
+        .join(sizes.select(F.col("id").alias("id_a"),
+                           F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"),
+                           F.col("n_sh").alias("n_b")), "id_b")
+        .filter(10 * F.col("n_inter")
+                >= tenths * (F.col("n_a") + F.col("n_b")
+                             - F.col("n_inter")))
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    return sh, sizes, exact
+
+
 def simhash_certificate_facts(spark: SparkSession, docs: DataFrame,
                               found: DataFrame, text_col: str,
                               recall_floor_tenths: int) -> DataFrame:
@@ -218,40 +265,11 @@ def simhash_certificate_facts(spark: SparkSession, docs: DataFrame,
     shuffle makes), and every scalar fact lands in ONE action: the
     independent one-row aggregates cross-join into a single row, so
     the driver pays one job instead of six serial ones."""
-    from ..functions.text import shingles
-    from ..operators.skew import spread_input
-
     found = found.select("id_a", "id_b").localCheckpoint(eager=True)
 
-    # spread first: a single-file parquet source arrives as ONE
-    # partition and would serialize the explode (and any upstream
-    # hex/regexp block derivation) onto one core
-    sh = spread_input(docs).select(F.col("doc_id").alias("id"),
-                                   F.explode(shingles(text_col, 3))
-                                   .alias("s"))
-    sh = sh.localCheckpoint(eager=True)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-
-    # exact stratum universe: J >= 0.9 as 10*inter >= 9*union
-    inter = (
-        sh.select(F.col("id").alias("id_a"), "s")
-        .filter(F.col("id_a") % 3 == 0)
-        .join(sh.select(F.col("id").alias("id_b"), "s"), "s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    exact = (
-        inter
-        .join(sizes.select(F.col("id").alias("id_a"),
-                           F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"),
-                           F.col("n_sh").alias("n_b")), "id_b")
-        .filter(10 * F.col("n_inter")
-                >= 9 * (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
+    # exact stratum universe: J >= 0.9 as 10*inter >= 9*union, via
+    # the shared scaffold (one source with the MinHash certificate)
+    sh, sizes, exact = exact_jaccard_stratum(docs, text_col, tenths=9)
 
     # soundness: shingle overlap recomputed for the FOUND pairs only
     # (semi-prune the shingle stream to found ids, then keep only

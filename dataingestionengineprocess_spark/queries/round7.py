@@ -27,7 +27,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.text import shingles
 from . import register
 
 # ---------------------------------------------------------------------------
@@ -84,36 +83,15 @@ def dedup_minhash_lsh_certificate(spark: SparkSession,
     stratum (the filter pushes below the shingle self-join, so the
     exact side is a bounded audit at any scale)."""
     from ..operators.dedup import minhash_neardup_pairs
-    from ..operators.skew import spread_input
+    from .dedup import exact_jaccard_stratum
 
     docs = load(spark, sf_dir, "documents")
 
-    # spread + materialize the shingle stream ONCE (three consumers:
-    # stratum self-join left/right and sizes) -- the round-9 kernel
-    # layout (VERDICT r8 #6)
-    sh = spread_input(docs).select(F.col("doc_id").alias("id"),
-                                   F.explode(shingles("text", 3))
-                                   .alias("s")).localCheckpoint(eager=True)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        sh.select(F.col("id").alias("id_a"), "s")
-        .filter(F.col("id_a") % 3 == 0)
-        .join(sh.select(F.col("id").alias("id_b"), "s"), "s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    exact = (
-        inter
-        .join(sizes.select(F.col("id").alias("id_a"),
-                           F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"),
-                           F.col("n_sh").alias("n_b")), "id_b")
-        .filter(10 * F.col("n_inter")
-                >= 7 * (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
+    # exact stratum universe J >= 0.7 via the shared scaffold (ONE
+    # source with the SimHash/pHash kernel: spread + checkpointed
+    # shingle stream, stratum filter below the self-join -- the
+    # round-9 layout, VERDICT r8 #6)
+    _sh, _sizes, exact = exact_jaccard_stratum(docs, "text", tenths=7)
     # est_round=None: unrounded estimates are exact multiples of 1/32
     # (the portable twin's convention), so the k/32 invariant is an
     # equality, not a tolerance.
@@ -253,9 +231,15 @@ def similarity_brp_lsh_certificate(spark: SparkSession,
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )
-    # soundness: exact cosine for the FOUND pairs only (lookup join)
+    # soundness: exact cosine for the FOUND pairs only (lookup join).
+    # LEFT joins so a pair naming an id absent from the corpus or a
+    # zero-norm vector counts as a STRAY (NULL cq) instead of
+    # vanishing from the audit (brp_similarity_join drops zero-norm
+    # vectors itself, so on well-formed output nothing is NULL -- the
+    # left join guards a regressed operator, the ADVICE-r8 class).
     found_scored = (
-        approx.join(va, "id_a").join(vb, "id_b").select(cq)
+        approx.join(va, "id_a", "left").join(vb, "id_b", "left")
+        .select(cq)
     )
 
     # bounded driver state: scalar audit counts only, ONE action of
@@ -271,7 +255,8 @@ def similarity_brp_lsh_certificate(spark: SparkSession,
         .crossJoin(approx.join(exact, ["id_a", "id_b"]).agg(
             F.count(F.lit(1)).alias("n_hit")))
         .crossJoin(found_scored.agg(
-            F.sum(F.when(F.col("cq") < 399900, 1).otherwise(0))
+            F.sum(F.when(F.col("cq").isNull()
+                         | (F.col("cq") < 399900), 1).otherwise(0))
             .alias("n_stray")))
         .collect()[0]
     )

@@ -206,13 +206,17 @@ def ann_certificate_facts(spark: SparkSession, emb: DataFrame,
 
     # returned scores must equal the exact re-ranked cosine (2e-6
     # tolerance absorbs the op's 6-decimal rounding vs the audit's
-    # quantization)
+    # quantization). LEFT joins so a pair naming an id that does not
+    # exist in the corpus -- or a zero-norm vector norm_side excludes
+    # -- counts as a BAD score (NULL cq) instead of silently falling
+    # out of the audit (the ADVICE-r8 membership-hole class).
     n_badscore = (
         found.select(F.col("query_id").alias("id_a"),
                      F.col("neighbor_id").alias("id_b"), "cos_sim")
-        .join(va, "id_a").join(vb, "id_b")
+        .join(va, "id_a", "left").join(vb, "id_b", "left")
         .select("cos_sim", cq)
-        .filter(F.abs(F.col("cos_sim") - F.col("cq") / 1e6) > 2e-6)
+        .filter(F.col("cq").isNull()
+                | (F.abs(F.col("cos_sim") - F.col("cq") / 1e6) > 2e-6))
         .count()
     )
 

@@ -84,3 +84,18 @@ def tune_session(spark: SparkSession) -> SparkSession:
     ):
         spark.conf.set(key, ENGINE_CONFS[key])
     return spark
+
+
+def release_persistent_rdds(spark: SparkSession) -> None:
+    """Unpersist every persistent RDD in the context -- the
+    localCheckpoint blocks a query leaves behind. Multi-query sweep
+    tools (bench.py, tools/driver_replica.py) call this between
+    queries so each query's memory profile is its own, not the sum of
+    all before it: ~300 queries of accumulated MEMORY_AND_DISK blocks
+    pin a default-1g heap until task execution memory starves
+    (BASELINE.md round-9 robustness note). Single-query use never
+    needs it -- blocks die with the session."""
+    jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = jmap.values().iterator()
+    while it.hasNext():
+        it.next().unpersist(False)

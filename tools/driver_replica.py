@@ -64,6 +64,21 @@ def main() -> int:
         names = NAMES
     else:
         names = list(qs)[:N]
+    from dataingestionengineprocess_spark.session import (
+        release_persistent_rdds,
+    )
+
+    def _release_checkpoints() -> None:
+        """Per-query hygiene, same helper as bench.py: the real
+        driver's window is ~50 queries per round -- a 400-query
+        single-session sweep is OUR full-surface gate, and letting 8
+        rounds' worth of MEMORY_AND_DISK blocks pin the default-1g
+        heap eventually starves task execution memory mid-sweep
+        (observed: an executor-side heap OOM at query ~294 on a
+        contended host). Releasing per query models successive driver
+        rounds."""
+        release_persistent_rdds(spark)
+
     failures = []
     for i, name in enumerate(names):
         t0 = time.time()
@@ -72,16 +87,19 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"{i:3d} {name:40s} SPARK-ERROR {type(e).__name__}: {e}")
+            _release_checkpoints()
             continue
         if name not in oracles:
             print(f"{i:3d} {name:40s} rows-only rows={len(sdf)} "
                   f"{time.time() - t0:.1f}s")
+            _release_checkpoints()
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"{i:3d} {name:40s} ORACLE-ERROR {type(e).__name__}: {e}")
+            _release_checkpoints()
             continue
         ok_rows = len(sdf) == len(odf)
         ok_cols = sorted(sdf.columns) == sorted(odf.columns)
@@ -92,6 +110,7 @@ def main() -> int:
         print(f"{i:3d} {name:40s} {status} rows={len(sdf)}/{len(odf)} "
               f"cols={'ok' if ok_cols else sorted(sdf.columns)} "
               f"{time.time() - t0:.1f}s")
+        _release_checkpoints()
     print(f"\n{len(names) - len(failures)}/{len(names)} pass; "
           f"failures: {failures}")
     return 1 if failures else 0
