@@ -193,17 +193,32 @@ _DOC_TOKENS_SQL = "SELECT doc_id, string_split(text, ' ') AS t FROM documents"
 
 
 def exact_jaccard_stratum(docs: DataFrame, text_col: str,
-                          tenths: int) -> tuple:
+                          tenths: int, stratum_mod: int = 3) -> tuple:
     """Shared exact-side scaffold of the shingle-Jaccard certificates
     (`simhash_certificate_facts` here, `dedup_minhash_lsh_certificate`
     in round7.py -- one source so a layout change cannot silently
     diverge the kernels): the spread + checkpointed 3-token shingle
-    stream, per-doc shingle sizes, and the ``id % 3 == 0`` stratum's
-    exact integer-J >= tenths/10 pair set (checkpointed -- it feeds
-    both the count fact and the recall join). The stratum filter
-    pushes BELOW the shingle self-join, so the exact side is a
+    stream, per-doc shingle sizes, and the ``id % stratum_mod == 0``
+    stratum's exact integer-J >= tenths/10 pair set (checkpointed --
+    it feeds both the count fact and the recall join). The stratum
+    filter pushes BELOW the shingle self-join, so the exact side is a
     bounded audit at any scale; `tools/scale_probe.py`'s
     ``*_cert_audit`` ops measure exactly this shape through a decade.
+
+    ``stratum_mod`` is the bounded-audit-sample knob (VERDICT r9 #6):
+    the registered certificates keep the default (their oracles
+    hardcode the same modulus), while a 100x corpus raises it so the
+    audit side's cost stays a fixed budget -- the fact SEMANTICS
+    (canonical shape, recall floor over the stratum universe, exact
+    stratum pair count) are modulus-independent; only the stratum's
+    size changes.
+
+    The shingle checkpoint is justified INSIDE this helper: ``sh``
+    feeds three consumers here (both sides of the stratum self-join
+    plus the sizes aggregate), so even a caller that discards the
+    returned ``sh``/``sizes`` (the MinHash certificate does) pays one
+    materialization for three scans of the exploded stream (ADVICE
+    r9); the SimHash kernel adds two more consumers on top.
 
     Returns ``(sh, sizes, exact)``."""
     from ..functions.text import shingles
@@ -218,7 +233,7 @@ def exact_jaccard_stratum(docs: DataFrame, text_col: str,
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.select(F.col("id").alias("id_a"), "s")
-        .filter(F.col("id_a") % 3 == 0)
+        .filter(F.col("id_a") % stratum_mod == 0)
         .join(sh.select(F.col("id").alias("id_b"), "s"), "s")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
@@ -241,7 +256,8 @@ def exact_jaccard_stratum(docs: DataFrame, text_col: str,
 
 def simhash_certificate_facts(spark: SparkSession, docs: DataFrame,
                               found: DataFrame, text_col: str,
-                              recall_floor_tenths: int) -> DataFrame:
+                              recall_floor_tenths: int,
+                              stratum_mod: int = 3) -> DataFrame:
     """Oracle-checkable audit of an engine-hash near-dup pair set
     against the exact integer-Jaccard shingle universe. Shared by
     `dedup_simhash` (text tokens) and `multimodal_phash_neardup`
@@ -268,8 +284,12 @@ def simhash_certificate_facts(spark: SparkSession, docs: DataFrame,
     found = found.select("id_a", "id_b").localCheckpoint(eager=True)
 
     # exact stratum universe: J >= 0.9 as 10*inter >= 9*union, via
-    # the shared scaffold (one source with the MinHash certificate)
-    sh, sizes, exact = exact_jaccard_stratum(docs, text_col, tenths=9)
+    # the shared scaffold (one source with the MinHash certificate).
+    # stratum_mod defaults match the oracle's hardcoded modulus; a
+    # larger modulus is the bounded-audit knob for scale probes
+    # (VERDICT r9 #6 -- Spark-side only, the driver never varies it).
+    sh, sizes, exact = exact_jaccard_stratum(
+        docs, text_col, tenths=9, stratum_mod=stratum_mod)
 
     # soundness: shingle overlap recomputed for the FOUND pairs only
     # (semi-prune the shingle stream to found ids, then keep only
@@ -379,7 +399,8 @@ ORDER BY item
 @register("dedup_simhash",
           oracle=simhash_certificate_oracle(_DOC_TOKENS_SQL,
                                             recall_floor_tenths=5))
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash(spark: SparkSession, sf_dir: str,
+                  stratum_mod: int = 3) -> DataFrame:
     """SimHash near-dup audit, deployable xxhash64 bit votes -- now
     ORACLE-BACKED (VERDICT r7 #5): instead of the engine-specific pair
     list (rows-only forever), the query emits the certificate facts of
@@ -396,7 +417,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         repartition_to=spark.sparkContext.defaultParallelism,
     )
     return simhash_certificate_facts(spark, docs, found, "text",
-                                     recall_floor_tenths=5)
+                                     recall_floor_tenths=5,
+                                     stratum_mod=stratum_mod)
 
 
 
@@ -666,8 +688,18 @@ ORDER BY item
 """
 
 
+#: the two audited SemDeDup thresholds. ONE shared constant feeds both
+#: the `semantic_dedup_multi` call and the per-threshold slices below,
+#: so the float-equality slice can never drift from the kernel's own
+#: threshold literals (ADVICE r9 -- the values round-trip bit-exactly
+#: through pandas/Arrow because they are the SAME Python doubles).
+_SEM_AUDIT_T_LOW = 0.45
+_SEM_AUDIT_T_HIGH = 0.92
+
+
 @register("dedup_semantic_embedding", oracle=_SEMANTIC_CERT_ORACLE)
-def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_semantic_embedding(spark: SparkSession, sf_dir: str,
+                             audit_mod: int = 5) -> DataFrame:
     """SemDeDup audit, deployable k-means-quantizer configuration --
     now ORACLE-BACKED (VERDICT r7 #5): the k-means labels and greedy
     kept set are engine-side choices no SQL replica can replay, but
@@ -706,15 +738,18 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     cq = quantized_cosine().alias("cq")
     # one (n/5) x n scan feeds both isolation thresholds; the stratum
     # filter pushes below the pair join
+    # audit_mod defaults match the oracle's hardcoded % 5; a larger
+    # modulus is the bounded-audit knob for scale probes (VERDICT r9
+    # #6 -- Spark-side only, the driver never varies it).
     nmax = (
-        va.filter(F.col("id_a") % 5 == 0)
+        va.filter(F.col("id_a") % audit_mod == 0)
         .join(vb, F.col("id_a") != F.col("id_b"))
         .select("id_a", cq)
         .groupBy("id_a").agg(F.max("cq").alias("mxcq"))
     )
     base = (
         emb.select(F.col("vec_id").alias("id_a"))
-        .filter(F.col("id_a") % 5 == 0)
+        .filter(F.col("id_a") % audit_mod == 0)
         .join(nmax, "id_a", "left")
         .localCheckpoint(eager=True)
     )
@@ -722,10 +757,12 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     iso919 = base.filter(F.col("mxcq").isNull() | (F.col("mxcq") < 919000))
 
     multi = semantic_dedup_multi(
-        emb, [0.45, 0.92], n_clusters=8, kmeans_iter=3
+        emb, [_SEM_AUDIT_T_LOW, _SEM_AUDIT_T_HIGH], n_clusters=8,
+        kmeans_iter=3,
     ).localCheckpoint(eager=True)
-    out45 = multi.filter(F.col("threshold") == 0.45)
-    out92 = multi.filter(F.col("threshold") == 0.92)
+    # slice with the SAME constants passed to the kernel (ADVICE r9)
+    out45 = multi.filter(F.col("threshold") == _SEM_AUDIT_T_LOW)
+    out92 = multi.filter(F.col("threshold") == _SEM_AUDIT_T_HIGH)
 
     drops45 = out45.filter(~F.col("keep")).select(
         F.col("vec_id").alias("id_a"), F.col("rep_id").alias("id_b"))

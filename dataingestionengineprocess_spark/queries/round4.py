@@ -552,11 +552,13 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# BPE trainer certificate. The merge LOOP is not SQL-expressible
-# (each round's argmax depends on the previous round's rewrite), so
-# `text_bpe_train_merges` stays rows-only with a pure-Python-reference
-# pytest -- but two strong facts ARE oracle-checkable and give the
-# family driver-hash evidence:
+# BPE trainer certificate (round 4 -- historical first oracle for the
+# family; since round 10 `text_bpe_train_merges` itself is a
+# certificate that additionally replays merge TWO via a recursive
+# fold, see queries/text.py). The full merge LOOP is not
+# SQL-expressible (each round's argmax depends on the previous
+# round's rewrite); two strong facts ARE oracle-checkable and give
+# the family driver-hash evidence:
 #   first_merge -- round 1 needs no recursion: the oracle recomputes
 #       the word-frequency-weighted adjacent-character pair argmax
 #       (count DESC, then lexicographic (l, r) -- the trainer's exact

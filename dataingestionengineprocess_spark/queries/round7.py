@@ -74,8 +74,8 @@ ORDER BY item
 
 
 @register("dedup_minhash_lsh_certificate", oracle=_MINHASH_CERT_ORACLE)
-def dedup_minhash_lsh_certificate(spark: SparkSession,
-                                  sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh_certificate(spark: SparkSession, sf_dir: str,
+                                  stratum_mod: int = 3) -> DataFrame:
     """Audit the xxhash64 MinHash-LSH default against the exact
     integer-Jaccard pair universe: canonical/unique output, every
     estimate an exact k/32 at or above the 0.5 threshold, and >=90%
@@ -90,8 +90,15 @@ def dedup_minhash_lsh_certificate(spark: SparkSession,
     # exact stratum universe J >= 0.7 via the shared scaffold (ONE
     # source with the SimHash/pHash kernel: spread + checkpointed
     # shingle stream, stratum filter below the self-join -- the
-    # round-9 layout, VERDICT r8 #6)
-    _sh, _sizes, exact = exact_jaccard_stratum(docs, "text", tenths=7)
+    # round-9 layout, VERDICT r8 #6). The discarded _sh/_sizes do NOT
+    # orphan the scaffold's shingle checkpoint: sh feeds three
+    # consumers inside the helper itself (self-join left/right +
+    # sizes), so the materialization pays for itself here too (ADVICE
+    # r9). stratum_mod defaults to the oracle's hardcoded % 3; larger
+    # moduli are the bounded-audit knob for scale probes (VERDICT r9
+    # #6 -- Spark-side only, the driver never varies it).
+    _sh, _sizes, exact = exact_jaccard_stratum(
+        docs, "text", tenths=7, stratum_mod=stratum_mod)
     # est_round=None: unrounded estimates are exact multiples of 1/32
     # (the portable twin's convention), so the k/32 invariant is an
     # equality, not a tolerance.
@@ -190,8 +197,8 @@ ORDER BY item
 
 
 @register("similarity_brp_lsh_certificate", oracle=_BRP_CERT_ORACLE)
-def similarity_brp_lsh_certificate(spark: SparkSession,
-                                   sf_dir: str) -> DataFrame:
+def similarity_brp_lsh_certificate(spark: SparkSession, sf_dir: str,
+                                   audit_mod: int = 5) -> DataFrame:
     """Audit the MLlib BucketedRandomProjectionLSH self-join:
     canonical/unique output, zero found pairs below the 0.3999 noise
     guard (exact cosine recomputed per found pair), >=80% recall of
@@ -217,9 +224,12 @@ def similarity_brp_lsh_certificate(spark: SparkSession,
     vb = norm_side(spread, "vec_id", "embedding", "id_b", "vb", "nb")
     cq = quantized_cosine().alias("cq")
     # exact side: only the audit stratum ever joins (filter pushed
-    # below the pair join -- 1/5 of the all-pairs work)
+    # below the pair join -- 1/5 of the all-pairs work at the default
+    # audit_mod; the oracle hardcodes % 5, so non-default moduli are
+    # the Spark-side bounded-audit knob for scale probes, VERDICT r9
+    # #6)
     exact = (
-        va.filter(F.col("id_a") % 5 == 0)
+        va.filter(F.col("id_a") % audit_mod == 0)
         .join(vb, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cq)
         .filter(F.col("cq") >= 400100)

@@ -180,17 +180,6 @@ def ann_certificate_facts(spark: SparkSession, emb: DataFrame,
         .localCheckpoint(eager=True)
     )
 
-    # bounded driver state: scalar audit counts only. sum_cq coalesces
-    # to 0 on an empty universe so the nullable fact can't NULL out,
-    # and `exact_pairs_present` below makes a degenerate (empty probe
-    # set) fixture FAIL rather than pass the recall floor vacuously.
-    n_queries = emb.filter(F.col("vec_id") < 10).count()
-    n_top5 = top5.count()
-    sum_cq = top5.agg(F.sum("cq")).collect()[0][0] or 0
-    n_hit = found.select(F.col("query_id").alias("id_a"),
-                         F.col("neighbor_id").alias("id_b")) \
-        .join(top5, ["id_a", "id_b"]).count()
-
     shape = found.groupBy("query_id").agg(
         F.count("*").alias("n"),
         F.max("rank").alias("mxr"),
@@ -199,26 +188,60 @@ def ann_certificate_facts(spark: SparkSession, emb: DataFrame,
         F.sum(F.when(F.col("neighbor_id") == F.col("query_id"), 1)
               .otherwise(0)).alias("selfs"),
     )
-    n_malformed = shape.filter(
-        ~((F.col("n") <= 5) & (F.col("mxr") == F.col("n"))
-          & (F.col("dr") == F.col("n")) & (F.col("dn") == F.col("n"))
-          & (F.col("selfs") == 0))).count()
 
     # returned scores must equal the exact re-ranked cosine (2e-6
     # tolerance absorbs the op's 6-decimal rounding vs the audit's
     # quantization). LEFT joins so a pair naming an id that does not
     # exist in the corpus -- or a zero-norm vector norm_side excludes
     # -- counts as a BAD score (NULL cq) instead of silently falling
-    # out of the audit (the ADVICE-r8 membership-hole class).
-    n_badscore = (
+    # out of the audit (the ADVICE-r8 membership-hole class); a NULL
+    # cos_sim is likewise counted explicitly (ADVICE r9 -- the NULL
+    # would otherwise null out the tolerance predicate and the row
+    # would vanish from the count).
+    found_scored = (
         found.select(F.col("query_id").alias("id_a"),
                      F.col("neighbor_id").alias("id_b"), "cos_sim")
         .join(va, "id_a", "left").join(vb, "id_b", "left")
         .select("cos_sim", cq)
-        .filter(F.col("cq").isNull()
-                | (F.abs(F.col("cos_sim") - F.col("cq") / 1e6) > 2e-6))
-        .count()
     )
+
+    # bounded driver state: scalar audit counts only, ONE action of
+    # cross-joined one-row aggregates (the round-9 kernel layout --
+    # round7.py's certificates and the SemDeDup audit use the same
+    # shape; VERDICT r9 #5 ported it here). sum_cq coalesces to 0 on
+    # an empty universe so the nullable fact can't NULL out, and
+    # `exact_pairs_present` below makes a degenerate (empty probe set)
+    # fixture FAIL rather than pass the recall floor vacuously.
+    s = (
+        emb.filter(F.col("vec_id") < 10)
+        .agg(F.count(F.lit(1)).alias("n_queries"))
+        .crossJoin(top5.agg(
+            F.count(F.lit(1)).alias("n_top5"),
+            F.coalesce(F.sum("cq"), F.lit(0)).alias("sum_cq")))
+        .crossJoin(found.select(F.col("query_id").alias("id_a"),
+                                F.col("neighbor_id").alias("id_b"))
+                   .join(top5, ["id_a", "id_b"]).agg(
+            F.count(F.lit(1)).alias("n_hit")))
+        .crossJoin(shape.agg(
+            F.sum(F.when(
+                ~((F.col("n") <= 5) & (F.col("mxr") == F.col("n"))
+                  & (F.col("dr") == F.col("n"))
+                  & (F.col("dn") == F.col("n"))
+                  & (F.col("selfs") == 0)), 1).otherwise(0))
+            .alias("n_malformed")))
+        .crossJoin(found_scored.agg(
+            F.sum(F.when(
+                F.col("cq").isNull() | F.col("cos_sim").isNull()
+                | (F.abs(F.col("cos_sim") - F.col("cq") / 1e6) > 2e-6),
+                1).otherwise(0)).alias("n_badscore")))
+        .collect()[0]
+    )
+    n_queries = s["n_queries"]
+    n_top5 = s["n_top5"]
+    sum_cq = s["sum_cq"]
+    n_hit = s["n_hit"]
+    n_malformed = int(s["n_malformed"] or 0)
+    n_badscore = int(s["n_badscore"] or 0)
 
     rows = [
         ("exact_pairs_present", n_queries, n_top5 > 0),

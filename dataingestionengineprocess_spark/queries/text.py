@@ -541,29 +541,232 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_bpe_train_merges")
+# ---------------------------------------------------------------------------
+# BPE train/encode certificates (VERDICT r9 #4: the last two rows-only
+# registry entries, converted IN PLACE to oracle-backed certificates
+# following the round-8 recipe). The merge LOOP is not replayable in
+# one SQL statement, but its first TWO rounds are: DuckDB recomputes
+# the round-0 weighted pair argmax, APPLIES that merge to every word's
+# symbol sequence with a recursive left-to-right fold (the exact
+# non-overlapping greedy rewrite of `operators/bpe._merge_expr`), and
+# recomputes the round-1 argmax -- so the certificate pins the
+# counting, the tie-break AND the rewrite semantics on real data,
+# strictly more than `text_bpe_train_certificate`'s first-merge-only
+# replay. Trainer-vs-pure-Python equality for the FULL chain remains
+# pytest-pinned (tests/test_round4.py / test_curation.py).
+# Oracle notes: no '--' comments in oracle strings (register()
+# collapses SQL onto one line); the fold CTE is recursive, each step
+# advances one input position for EVERY word in parallel (depth = max
+# word length + 1, ~9 on the fixtures) and a word leaves the
+# recursion when i = len(s) + 1 (rows at smaller i are intermediate
+# states the final SELECT filters out). An empty merge-1 CTE empties
+# the fold's base term, so no-merge corpora yield NULL second-merge
+# fields and ok=FALSE on BOTH engines symmetrically.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_fold_cte(src_seq: str, src_merge: str, out: str) -> str:
+    """The recursive left-to-right merge-application fold over a
+    (w, freq, s) symbol-sequence CTE: replace each non-overlapping
+    adjacent ({src_merge}.l, {src_merge}.r) occurrence with l||r,
+    exactly like the trainer's rewrite."""
+    return f"""
+{out}_f AS (
+  SELECT w, freq, s, 1 AS i, CAST([] AS VARCHAR[]) AS acc
+  FROM {src_seq}, {src_merge}
+  UNION ALL
+  SELECT f.w, f.freq, f.s,
+    CASE WHEN f.i < len(f.s) AND f.s[f.i] = m.l AND f.s[f.i+1] = m.r
+         THEN f.i + 2 ELSE f.i + 1 END,
+    list_append(f.acc,
+      CASE WHEN f.i < len(f.s) AND f.s[f.i] = m.l AND f.s[f.i+1] = m.r
+           THEN m.l || m.r ELSE f.s[f.i] END)
+  FROM {out}_f f, {src_merge} m WHERE f.i <= len(f.s)
+),
+{out} AS (SELECT w, freq, acc AS s FROM {out}_f WHERE i = len(s) + 1)"""
+
+
+#: shared front half of both BPE oracles: word frequencies, round-0
+#: symbol sequences, round-0 pair counts, merge 1, the fold applying
+#: merge 1, round-1 pair counts, merge 2.
+_BPE_TWO_MERGE_CTES = """
+words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+seq0 AS (
+  SELECT w, freq,
+         list_transform(range(1, length(w) + 1),
+                        i -> substring(w, CAST(i AS INT), 1)) AS s
+  FROM words
+),
+p1 AS (
+  SELECT s[i] AS l, s[i+1] AS r, sum(freq) AS c
+  FROM (SELECT freq, s, unnest(range(1, len(s))) AS i FROM seq0)
+  GROUP BY 1, 2
+),
+m1 AS (SELECT l, r, c FROM p1 WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1),
+""" + _bpe_fold_cte("seq0", "m1", "seq1") + """,
+p2 AS (
+  SELECT s[i] AS l, s[i+1] AS r, sum(freq) AS c
+  FROM (SELECT freq, s, unnest(range(1, len(s))) AS i FROM seq1)
+  GROUP BY 1, 2
+),
+m2 AS (SELECT l, r, c FROM p2 WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1)
+"""
+
+_BPE_TRAIN_CERT_ORACLE = "WITH RECURSIVE " + _BPE_TWO_MERGE_CTES + """,
+np0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p1 WHERE c >= 2)
+SELECT 'chain_wellformed' AS item, CAST(NULL AS VARCHAR) AS left_sym,
+       CAST(NULL AS VARCHAR) AS right_sym, np0.n AS fact, TRUE AS ok
+FROM np0
+UNION ALL
+SELECT 'first_merge', m.l, m.r, CAST(m.c AS BIGINT), m.l IS NOT NULL
+FROM (SELECT 1) LEFT JOIN m1 m ON TRUE
+UNION ALL
+SELECT 'second_merge', m.l, m.r, CAST(m.c AS BIGINT), m.l IS NOT NULL
+FROM (SELECT 1) LEFT JOIN m2 m ON TRUE
+ORDER BY item
+"""
+
+
+@register("text_bpe_train_merges", oracle=_BPE_TRAIN_CERT_ORACLE)
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRAIN a BPE merge table from the corpus (Sennrich 2016): word
+    """TRAIN a BPE merge table from the corpus (Sennrich 2016: word
     frequencies in one scan, then per-merge rounds over the small
-    vocab table only (operators/bpe.py). Rows-only check (the
-    iterative argmax is not SQL-expressible); pytest verifies the
-    merges equal a pure-Python reference trainer, and
-    `text_bpe_train_certificate` (round 4) hash-checks the first
-    merge + chain well-formedness against a DuckDB oracle."""
+    vocab table only -- operators/bpe.py), audited as a certificate
+    (VERDICT r9 #4, formerly rows-only): the oracle independently
+    replays the first TWO merges -- round-0 argmax, the left-to-right
+    non-overlapping rewrite via a recursive fold, round-1 argmax --
+    and the chain_wellformed row carries Spark-side structural checks
+    of the whole 24-merge chain (contiguous ranks, operands each a
+    corpus character or an earlier merge's output, merged = left ||
+    right, pair_freq >= min_freq and NON-INCREASING -- the classic
+    BPE invariant: a merge only ever removes pair occurrences or
+    creates pairs bounded by the chosen pair's count) anchored to the
+    engine-independent round-0 qualifying-pair count. The merge table
+    itself stays available via `bpe_train_merges`; full-chain
+    equality to the pure-Python reference trainer is pytest-pinned."""
+    from ..functions.text import tokens
     from ..operators.bpe import bpe_train_merges
 
     docs = load(spark, sf_dir, "documents")
-    return bpe_train_merges(docs, num_merges=24).orderBy("rank")
+    merges = bpe_train_merges(docs, num_merges=24).orderBy("rank").collect()
+
+    # base symbol universe: every character of every non-empty token
+    # (same derivation as text_bpe_train_certificate, round4.py)
+    words = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").agg(F.count("*").alias("freq"))
+        .select("freq",
+                F.expr("filter(split(w, ''), x -> x != '')").alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    known = {
+        r["ch"]
+        for r in words.select(F.explode("syms").alias("ch"))
+        .distinct().collect()
+    }
+    from ..operators.bpe import _adjacent_pairs
+
+    n_pairs0 = (
+        words.select("freq", F.explode(_adjacent_pairs()).alias("p"))
+        .groupBy("p.l", "p.r").agg(F.sum("freq").alias("c"))
+        .filter(F.col("c") >= 2)
+        .count()
+    )
+
+    well_formed = len(merges) == 24
+    prev_freq = None
+    for i, m in enumerate(merges):
+        well_formed &= (
+            m["rank"] == i
+            and m["left"] in known
+            and m["right"] in known
+            and m["merged"] == m["left"] + m["right"]
+            and m["pair_freq"] >= 2
+            and (prev_freq is None or m["pair_freq"] <= prev_freq)
+        )
+        known.add(m["merged"])
+        prev_freq = m["pair_freq"]
+
+    f1 = merges[0] if merges else None
+    f2 = merges[1] if len(merges) > 1 else None
+    rows = [
+        ("chain_wellformed", None, None, n_pairs0, bool(well_formed)),
+        ("first_merge",
+         f1["left"] if f1 else None, f1["right"] if f1 else None,
+         int(f1["pair_freq"]) if f1 else None, f1 is not None),
+        ("second_merge",
+         f2["left"] if f2 else None, f2["right"] if f2 else None,
+         int(f2["pair_freq"]) if f2 else None, f2 is not None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "item string, left_sym string, right_sym string, "
+        "fact long, ok boolean",
+    ).orderBy("item")
 
 
-@register("text_bpe_encode")
+#: deterministic sample stratum for the encode certificate's replayed
+#: digest -- the bounded-audit knob: at 100x corpus scale the modulus
+#: rises so the replayed slice stays a fixed budget (the oracle below
+#: hardcodes the default, like every other certificate stratum).
+_BPE_SAMPLE_MOD = 10
+
+_BPE_ENCODE_CERT_ORACLE = ("WITH RECURSIVE " + _BPE_TWO_MERGE_CTES + ","
+                           + _bpe_fold_cte("seq1", "m2", "seq2")) + f""",
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+enc2 AS (SELECT w, len(s) AS np FROM seq2),
+f AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+    (SELECT CAST(coalesce(sum(length(w)), 0) AS BIGINT)
+     FROM tok WHERE w <> '') AS n_chars,
+    (SELECT CAST(count(*) AS BIGINT) FROM tok) AS n_toks,
+    (SELECT CAST(coalesce(sum(coalesce(e.np, 0)), 0) AS BIGINT)
+     FROM (SELECT w FROM tok WHERE doc_id % {_BPE_SAMPLE_MOD} = 0) t
+     LEFT JOIN enc2 e USING (w)) AS n_p2
+)
+SELECT 'corpus_base_chars' AS item, n_chars AS fact, TRUE AS ok FROM f
+UNION ALL SELECT 'encode16_wellformed', n_docs, TRUE FROM f
+UNION ALL SELECT 'sample_pieces_2merge', n_p2, TRUE FROM f
+UNION ALL SELECT 'tokens_total', n_toks, TRUE FROM f
+ORDER BY item
+"""
+
+
+@register("text_bpe_encode", oracle=_BPE_ENCODE_CERT_ORACLE)
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train-then-apply BPE: learn 16 merges from the corpus, then
-    encode every document with them (vocabulary-level kernel +
-    broadcast join-back; operators/bpe.py). Rows-only check (the
-    learned merge table is loop-trained); pytest verifies train+encode
-    against the pure-Python reference, and the trainer's oracle-backed
-    certificate is `text_bpe_train_certificate`."""
+    """Train-then-apply BPE (learn 16 merges, encode every document
+    via the vocabulary-level kernel + broadcast join-back;
+    operators/bpe.py), audited as a certificate (VERDICT r9 #4,
+    formerly rows-only):
+
+    - ``sample_pieces_2merge`` is a REPLAYED digest: Spark re-encodes
+      the deterministic ``doc_id % 10 == 0`` stratum with the first
+      two learned merges and reports total pieces; the oracle derives
+      those two merges itself (argmax + recursive-fold rewrite +
+      argmax, the train certificate's machinery), applies them with a
+      second fold and recomputes the same total -- a full independent
+      replay of the encode path for a bounded slice.
+    - ``tokens_total`` reports the ENCODE OUTPUT's summed n_tokens
+      against the oracle's independent whitespace-token count.
+    - ``encode16_wellformed`` pins per-doc conservation bounds of the
+      full 16-merge encode (one output row per document; pieces never
+      exceed the doc's base characters, never undershoot its
+      non-empty token count) to the engine-independent doc count.
+    - ``corpus_base_chars`` anchors the weighted base-symbol universe
+      both engines derive from the corpus.
+
+    Full train+encode equality to the pure-Python reference stays
+    pytest-pinned; the per-doc piece-count surface is available via
+    `bpe_encode_counts`."""
+    from ..functions.text import tokens
     from ..operators.bpe import bpe_encode_counts, bpe_train_merges
 
     docs = load(spark, sf_dir, "documents")
@@ -571,14 +774,51 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r.left, r.right)
         for r in bpe_train_merges(docs, num_merges=16).orderBy("rank").collect()
     ]
-    return (
-        bpe_encode_counts(docs, merges)
-        .withColumn(
-            "compression",
-            F.round(F.col("n_pieces") / F.col("n_tokens"), 4),
-        )
-        .orderBy("doc_id")
+    enc16 = bpe_encode_counts(docs, merges).localCheckpoint(eager=True)
+    enc2s = bpe_encode_counts(
+        docs.filter(F.col("doc_id") % _BPE_SAMPLE_MOD == 0), merges[:2]
     )
+
+    tokf = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    aux = tokf.groupBy("doc_id").agg(
+        F.coalesce(F.sum(F.when(F.col("w") != "", F.length("w"))), F.lit(0))
+        .alias("n_chars_doc"),
+        F.sum(F.when(F.col("w") != "", 1).otherwise(0)).alias("n_ne"),
+    )
+    viol = (
+        F.col("n_chars_doc").isNull()
+        | (F.col("n_pieces") > F.col("n_chars_doc"))
+        | (F.col("n_pieces") < F.col("n_ne"))
+    )
+
+    # bounded driver state: scalar facts only, ONE action of
+    # cross-joined one-row aggregates (the round-9 kernel layout)
+    s = (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(tokf.agg(
+            F.count(F.lit(1)).alias("n_toks_ind"),
+            F.coalesce(F.sum(F.when(F.col("w") != "", F.length("w"))),
+                       F.lit(0)).alias("n_chars")))
+        .crossJoin(enc16.agg(
+            F.count(F.lit(1)).alias("n_out"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_toks_op")))
+        .crossJoin(enc16.join(aux, "doc_id", "left").agg(
+            F.sum(F.when(viol, 1).otherwise(0)).alias("n_viol")))
+        .crossJoin(enc2s.agg(
+            F.coalesce(F.sum("n_pieces"), F.lit(0)).alias("n_p2")))
+        .collect()[0]
+    )
+
+    ok16 = (s["n_out"] == s["n_docs"] and int(s["n_viol"] or 0) == 0
+            and len(merges) == 16)
+    rows = [
+        ("corpus_base_chars", int(s["n_chars"]), True),
+        ("encode16_wellformed", s["n_docs"], bool(ok16)),
+        ("sample_pieces_2merge", int(s["n_p2"]), True),
+        ("tokens_total", int(s["n_toks_op"]), True),
+    ]
+    return spark.createDataFrame(
+        rows, "item string, fact long, ok boolean").orderBy("item")
 
 
 # ---------------------------------------------------------------------------

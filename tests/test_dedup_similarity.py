@@ -506,6 +506,42 @@ def test_semantic_dedup_kept_set_is_separated(spark, emb):
     assert viol == 0, f"{viol} same-cluster kept pairs above threshold"
 
 
+def test_semantic_dedup_multi_slices_match_single(spark, emb):
+    """ADVICE r9: every threshold slice of `semantic_dedup_multi` must
+    be ROW-IDENTICAL to the corresponding `semantic_dedup(threshold=t)`
+    run -- the kernel docstring claims this holds by construction
+    (shared `_greedy_prune` scan over one `_prune_prep` pass); this
+    pins the claim, including the float64 rep_sim cast + concat
+    plumbing, on the certificate's own threshold pair (one of which
+    actually produces drops on the fixture)."""
+    from dataingestionengineprocess_spark.operators.quantize import (
+        semantic_dedup,
+        semantic_dedup_multi,
+    )
+    from dataingestionengineprocess_spark.queries.dedup import (
+        _SEM_AUDIT_T_HIGH,
+        _SEM_AUDIT_T_LOW,
+    )
+
+    ts = [_SEM_AUDIT_T_LOW, _SEM_AUDIT_T_HIGH]
+    multi = semantic_dedup_multi(emb, ts, n_clusters=8, kmeans_iter=3)
+    rows = multi.collect()
+    n = emb.count()
+    assert len(rows) == 2 * n  # one verdict per vector per threshold
+
+    for t in ts:
+        single = sorted(map(tuple, semantic_dedup(
+            emb, threshold=t, n_clusters=8, kmeans_iter=3).collect()))
+        sliced = sorted(
+            (r.vec_id, r.clabel, r.keep, r.rep_id, r.rep_sim)
+            for r in rows if r.threshold == t
+        )
+        assert sliced == single, f"threshold {t} slice diverged"
+    # the audit pair is non-vacuous: the low threshold must drop
+    assert any(not r.keep for r in rows
+               if r.threshold == _SEM_AUDIT_T_LOW)
+
+
 def test_pq_local_codebooks_deterministic(spark, emb):
     """The driver-side training path must also be deterministic
     (hash-ordered sample + fixed init)."""
