@@ -325,6 +325,7 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     Same relational scale shape as Jaccard: shingle equi-join (only
     docs sharing a shingle ever meet), AQE skew-split on hot shingles.
     """
+    df = _spread_input(df)
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s")
     )

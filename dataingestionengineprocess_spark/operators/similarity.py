@@ -634,9 +634,18 @@ def brp_similarity_join(corpus: DataFrame, threshold_cos: float = 0.4,
     dist_threshold = math.sqrt(max(0.0, 2.0 - 2.0 * threshold_cos))
 
     from ..functions.vectors import l2_normalize
+    from .skew import spread_input
 
+    # spread FIRST: a single-file parquet source arrives as ONE
+    # partition, and the whole self-join map side (normalize, the
+    # p-stable hash UDF, posexplode, the candidate-pair build against
+    # the broadcast other side) would run on one core. The pair set is
+    # partitioning-independent (content + seed hashing), so spreading
+    # only changes the parallelism, never the result. No-op at real
+    # scale where the scan already carries >= defaultParallelism
+    # partitions.
     unit = (
-        corpus.select(
+        spread_input(corpus).select(
             F.col(id_col).alias("id"),
             l2_normalize(as_double(vec_col)).alias("__unit"),
         )

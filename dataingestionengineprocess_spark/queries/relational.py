@@ -488,16 +488,33 @@ ORDER BY l_returnflag
 @register("agg_approx_distinct", oracle=_APPROX_DISTINCT_ORACLE)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rsd = 0.02
-    agg = (
-        load(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
+    li = load(spark, sf_dir, "lineitem")
+    # The sketches and the exact counts run as SEPARATE aggregations:
+    # mixing countDistinct with approx_count_distinct in one agg makes
+    # Catalyst rewrite the distincts via Expand, and the partial
+    # aggregate then builds the two ~4 KB HLL++ registers (rsd 0.02 ->
+    # p=12) once per expanded (flag, orderkey)/(flag, partkey) group --
+    # ~750k sketch buffers instead of 5 (r10 plan audit: ~6 s -> ~1 s).
+    # Split apart, the sketch agg keeps plain partial/final aggregation
+    # (5 groups x tasks), the exact agg keeps its Expand, and the
+    # 5-row sketch side broadcast-joins back on l_returnflag. HLL++
+    # registers merge via max, so the estimate is independent of
+    # partitioning/aggregation grouping -- values are identical.
+    approx = (
+        li.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_orderkey", rsd).alias("approx_orders"),
             F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
+        )
+    )
+    exact = (
+        li.groupBy("l_returnflag")
+        .agg(
             F.countDistinct("l_orderkey").alias("exact_orders"),
             F.countDistinct("l_partkey").alias("exact_parts"),
         )
     )
+    agg = exact.join(F.broadcast(approx), "l_returnflag")
 
     def bound(approx: str, exact: str):
         return (

@@ -475,7 +475,13 @@ GROUP BY doc_id
 
 @register("text_bigram_fluency", oracle=_BIGRAM_FLUENCY_ORACLE)
 def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    from ..operators.skew import spread_input
+
+    # The bigram explode is consumed TWICE (corpus counts + the
+    # per-doc join side) and a single-file source arrives as one
+    # partition -- without spreading, both explode passes serialize
+    # onto one core (r10 profile: 7 tasks total, ~6 s).
+    docs = spread_input(load(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     bigram = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),

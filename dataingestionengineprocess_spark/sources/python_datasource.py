@@ -59,9 +59,24 @@ class PartnerFeedReader(DataSourceReader):
             _RangePartition(bounds[i], bounds[i + 1]) for i in range(n)
         ]
 
-    def read(self, partition: _RangePartition) -> Iterator[tuple]:
-        for i in range(partition.start, partition.end):
-            yield _row(i)
+    def read(self, partition: _RangePartition) -> Iterator:
+        # Arrow-batch generation (guide idiom: hand whole batches to
+        # vectorized native code instead of yielding pickled tuples
+        # row by row -- the per-row path cost ~4 s for 20k rows, all
+        # of it serialization). numpy int64 arithmetic is exact here
+        # (id * _MULT stays far below 2^63 for any plausible feed
+        # size), so values are bit-identical to the scalar _row path,
+        # which the streaming reader still uses.
+        import numpy as np
+        import pyarrow as pa
+
+        ids = np.arange(partition.start, partition.end, dtype=np.int64)
+        partners = np.array([f"P{k}" for k in range(7)])[ids % 7]
+        amounts = ((ids * _MULT) % _MOD) / 100.0
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids), pa.array(partners), pa.array(amounts)],
+            names=["id", "partner", "amount"],
+        )
 
 
 def _row(i: int) -> tuple:
