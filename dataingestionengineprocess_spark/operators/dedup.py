@@ -451,9 +451,16 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
     base, rem = divmod(64, n_chunks)
     sizes = [base + 1] * rem + [base] * (n_chunks - rem)
     offsets = [sum(sizes[:c]) for c in range(n_chunks)]
+    # Materialize the signatures ONCE before the self-join: the
+    # signature subtree (shingle explode + hash + 64 bit-vote
+    # aggregate) is the dominant cost and both join sides consume it
+    # -- without the checkpoint it executes twice per action (r10
+    # phase profile: ~2x the found-pairs cost). The table is one
+    # 16-byte (id, sh) row per doc, the cheapest possible proxy to
+    # store at any scale.
     sh = simhash_signatures(df, id_col, text_col,
                             repartition_to=repartition_to,
-                            hash_fn=hash_fn)
+                            hash_fn=hash_fn).localCheckpoint(eager=True)
     def chunk_val(c: int) -> Column:
         v = F.shiftright("sh", offsets[c])
         if sizes[c] < 64:  # 64-bit mask literal would overflow LongType

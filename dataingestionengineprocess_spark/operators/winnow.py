@@ -26,7 +26,11 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 8,
                         id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
     """(id, pos, fp) winnowing fingerprints of ``text_col``."""
-    base = docs.where(F.length(text_col) >= k)
+    from .skew import spread_input
+
+    # spread: a single-file source arrives as one partition and the
+    # per-character gram explode + md5 below would run on one core
+    base = spread_input(docs.where(F.length(text_col) >= k))
     grams = base.select(
         id_col,
         F.explode(
@@ -43,6 +47,12 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 8,
                       .cast("binary")), 1, 8),
             16, 10).cast("long").alias("h"),
     )
+    # Materialize the gram/hash stream ONCE: three consumers (bounds,
+    # the window pass, the pick-resolution join side) would otherwise
+    # each re-run the explode + per-gram md5 -- the dominant cost of
+    # the operator. Same compute-for-storage trade a shuffle makes;
+    # the stream is (id, pos, h), far narrower than the text.
+    grams = grams.localCheckpoint(eager=True)
     bounds = grams.groupBy(id_col).agg(F.max("pos").alias("max_pos"))
     wmin_w = (W.partitionBy(id_col).orderBy("pos")
               .rowsBetween(W.currentRow, w - 1))
