@@ -26,7 +26,7 @@ import struct
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine, dot
+from ..functions.vectors import as_double, cosine, dot, l2_norm
 from .skew import spread_input
 
 
@@ -69,15 +69,21 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     excluded, ties broken by neighbor id.
     """
     corpus = spread_input(corpus)
+    # Norms precomputed ONCE per side: cosine() per pair re-folds both
+    # operand norms, tripling the dominant aggregate-lambda work of
+    # the probe x corpus scan. dot/(qn*cn) is the same fold/sqrt/
+    # division order, so every emitted double is bit-identical.
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    )
+    ).withColumn("qn", l2_norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    )
+    ).withColumn("cn", l2_norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("cos_sim",
+                    F.round(dot(F.col("qv"), F.col("cv"))
+                            / (F.col("qn") * F.col("cn")), 6))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
@@ -140,8 +146,12 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             )
 
         sigs = F.transform(F.lit(planes3d), band_key)
+        # norm precomputed once per vector (not once per candidate
+        # pair): dot/(qn*cn) below is the same fold/sqrt/division as
+        # cosine(), bit-identical, at a third of the per-pair work
         return df.select(
             F.col(id_col).alias(f"{prefix}_id"), v.alias(f"{prefix}v"),
+            l2_norm(v).alias(f"{prefix}n"),
             F.posexplode(sigs).alias("band_idx", "band_key"),
         )
 
@@ -151,11 +161,13 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     candidates = (
         c.join(F.broadcast(q), ["band_idx", "band_key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "queryv", "neighbor_id", "neighborv")
+        .select("query_id", "queryv", "queryn",
+                "neighbor_id", "neighborv", "neighborn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = candidates.withColumn(
-        "cos_sim", F.round(cosine(F.col("queryv"), F.col("neighborv")), 6)
+        "cos_sim", F.round(dot(F.col("queryv"), F.col("neighborv"))
+                           / (F.col("queryn") * F.col("neighborn")), 6)
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
@@ -205,22 +217,28 @@ def lsh_knn_graph(corpus: DataFrame, k: int = 4,
         )
 
     sigs = F.transform(F.lit(planes3d), band_key)
+    # norm once per (vector, band) row instead of re-folded per
+    # candidate pair -- same fold/sqrt/division as cosine(), so the
+    # re-rank doubles are bit-identical at a third of the pair work
     rows = corpus.select(
         F.col(id_col).alias("node"), v.alias("nv"),
+        l2_norm(v).alias("nvn"),
         F.posexplode(sigs).alias("band_idx", "band_key"),
     )
     other = rows.select(
         F.col("node").alias("neighbor"), F.col("nv").alias("ov"),
+        F.col("nvn").alias("ovn"),
         "band_idx", "band_key",
     )
     candidates = (
         rows.join(other, ["band_idx", "band_key"])
         .filter(F.col("node") != F.col("neighbor"))
-        .select("node", "nv", "neighbor", "ov")
+        .select("node", "nv", "nvn", "neighbor", "ov", "ovn")
         .dropDuplicates(["node", "neighbor"])
     )
     scored = candidates.withColumn(
-        "cos_sim", F.round(cosine(F.col("nv"), F.col("ov")), 6)
+        "cos_sim", F.round(dot(F.col("nv"), F.col("ov"))
+                           / (F.col("nvn") * F.col("ovn")), 6)
     )
     w = W.partitionBy("node").orderBy(F.desc("cos_sim"), "neighbor")
     return (

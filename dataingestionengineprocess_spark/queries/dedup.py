@@ -528,12 +528,23 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 
 @register("dedup_embedding_cosine", oracle=_EMB_NEARDUP_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label"),
-                   as_double("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label"),
-                   as_double("embedding").alias("vb"))
-    cos = cosine(F.col("va"), F.col("vb"))
+    from ..functions.vectors import dot, l2_norm
+    from ..operators.skew import spread_input
+
+    # Norms precomputed ONCE per side (norm_side idiom): cosine() per
+    # pair re-folds both operand norms -- 3x the aggregate-lambda work
+    # of the dot product. dot/(na*nb) is the same fold/sqrt/division
+    # order, so every emitted double is bit-identical. spread first:
+    # single-file source, the pair scan would serialize per label
+    # bucket otherwise.
+    emb = spread_input(load(spark, sf_dir, "embeddings"))
+    a = (emb.select(F.col("vec_id").alias("id_a"), F.col("label"),
+                    as_double("embedding").alias("va"))
+         .withColumn("na", l2_norm(F.col("va"))))
+    b = (emb.select(F.col("vec_id").alias("id_b"), F.col("label"),
+                    as_double("embedding").alias("vb"))
+         .withColumn("nb", l2_norm(F.col("vb"))))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, ["label"])
         .filter(F.col("id_a") < F.col("id_b"))

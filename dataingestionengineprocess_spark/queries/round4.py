@@ -290,7 +290,7 @@ FROM best GROUP BY clabel ORDER BY clabel
 def dedup_semantic_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..functions.vectors import as_double, cosine
+    from ..functions.vectors import as_double, dot, l2_norm
     from ..operators.quantize import semantic_dedup
 
     threshold, eps = 0.92, 1e-9
@@ -304,10 +304,17 @@ def dedup_semantic_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = semantic_dedup(
         emb, threshold=threshold, n_clusters=_SEMDEDUP_K, train="portable"
     ).localCheckpoint(eager=True)
+    # Norms ride each vector ONCE (the norm_side idiom): the two
+    # pairwise certificate scans below would otherwise re-fold both
+    # operand norms per PAIR -- 3x the aggregate-lambda work of the
+    # dot product alone (r10 profile: the cert joins, not the
+    # operator, dominated this query). dot/(na*nb) is the same fold,
+    # same sqrt, same division order as cosine(), so every compared
+    # double is bit-identical.
     vecs = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         as_double("embedding").alias("v"),
-    )
+    ).withColumn("n", l2_norm(F.col("v")))
 
     kept = res.filter("keep")
     drops = (
@@ -320,14 +327,16 @@ def dedup_semantic_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rep_id", "left",
         )
         .join(vecs.select(F.col("vec_id").alias("rep_id"),
-                          F.col("v").alias("rep_v")),
+                          F.col("v").alias("rep_v"),
+                          F.col("n").alias("rep_n")),
               "rep_id", "left")
     )
     drop_cert = drops.groupBy("clabel").agg(
         F.min(
             F.col("rep_clabel").isNotNull()
             & (F.col("rep_clabel") == F.col("clabel"))
-            & (cosine(F.col("v"), F.col("rep_v")) >= threshold - eps)
+            & (dot(F.col("v"), F.col("rep_v"))
+               / (F.col("n") * F.col("rep_n")) >= threshold - eps)
         ).alias("drops_sound")
     )
 
@@ -338,7 +347,7 @@ def dedup_semantic_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 300)
         .join(vecs, "vec_id")
-        .select("clabel", "rn", "v")
+        .select("clabel", "rn", "v", "n")
     )
     pairs = capped.alias("a").join(
         capped.alias("b"),
@@ -347,7 +356,8 @@ def dedup_semantic_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     diverse_cert = pairs.groupBy(F.col("a.clabel").alias("clabel")).agg(
         F.min(
-            cosine(F.col("a.v"), F.col("b.v")) < threshold + eps
+            dot(F.col("a.v"), F.col("b.v"))
+            / (F.col("a.n") * F.col("b.n")) < threshold + eps
         ).alias("kept_sample_diverse")
     )
 
