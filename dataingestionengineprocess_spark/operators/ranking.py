@@ -55,10 +55,15 @@ def _with_offsets(df: DataFrame, order_cols: list[str],
     the partition's exclusive starting offset ``__off`` of ``weight``."""
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
+    # LAZY checkpoint: the totals collect below materializes the
+    # pinned layout AND aggregates it in ONE job (the same
+    # fuse-materialization-into-the-decision-action move grouped_rank
+    # makes for its offsets probe); eager=True spent a separate job on
+    # the same pass at every call site (~50 rank consumers x 1 job).
     parted = (
         df.repartitionByRange(n_parts, *_nf(order_cols))
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     totals = {
         r["__pid"]: r["t"]
@@ -98,10 +103,12 @@ def distributed_prefix_sums(df: DataFrame, order_cols: list[str],
     re-partitioning per cumulative."""
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
+    # lazy checkpoint + totals collect fuse into one job (see
+    # _with_offsets)
     parted = (
         df.repartitionByRange(n_parts, *_nf(order_cols))
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     totals = {
         r["__pid"]: r

@@ -97,8 +97,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pgm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, payload) with payload = a valid binary P5 PGM image."""
+    from ..operators.skew import spread_input
+
+    # spread: the single-file source arrives as ONE partition, and
+    # both the payload synthesis and every downstream mapInPandas
+    # decode stage would otherwise run on one core / one Python
+    # worker (applies to all three modality builders).
     docs = (
-        load(spark, sf_dir, "documents")
+        spread_input(load(spark, sf_dir, "documents"))
         .select("doc_id", "text")
         .withColumn("__w", (F.lit(8) + F.pmod("doc_id", F.lit(16))).cast("int"))
         .withColumn("__h", (F.lit(8) + F.pmod("doc_id", F.lit(8))).cast("int"))
@@ -454,8 +460,11 @@ def _le_hex(expr: str, n_bytes: int) -> str:
 
 def _wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, payload) with payload = a valid PCM16 mono WAV file."""
+    from ..operators.skew import spread_input
+
+    # spread: see _pgm_payloads
     docs = (
-        load(spark, sf_dir, "documents")
+        spread_input(load(spark, sf_dir, "documents"))
         .select("doc_id", "text")
         .withColumn("__n", (F.lit(64) + F.pmod("doc_id", F.lit(128))).cast("int"))
     )
@@ -604,8 +613,11 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _y4m_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, payload) with payload = a valid mono y4m video."""
+    from ..operators.skew import spread_input
+
+    # spread: see _pgm_payloads
     docs = (
-        load(spark, sf_dir, "documents")
+        spread_input(load(spark, sf_dir, "documents"))
         .select("doc_id", "text")
         .withColumn("__w", (F.lit(16) + F.pmod("doc_id", F.lit(8))).cast("int"))
         .withColumn("__h", (F.lit(8) + F.pmod("doc_id", F.lit(4))).cast("int"))
