@@ -65,6 +65,10 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
             .select(edges["s"].alias("node"), "component",
                     F.lit(0).alias("is_self"))
         )
+        # LAZY checkpoint: the convergence count below materializes
+        # the round's labels AND answers the changed-row question in
+        # ONE job (eager=True spent a separate job on the same pass
+        # every round -- the operators/ranking.py fusion move).
         merged = (
             labels.withColumn("is_self", F.lit(1))
             .union(neigh)
@@ -74,7 +78,7 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
                 F.min(F.when(F.col("is_self") == 1, F.col("component")))
                 .alias("prev"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = merged.filter(F.col("component") != F.col("prev")).count()
         labels = merged.select("node", "component")

@@ -96,13 +96,19 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # branch inside an iteration -- re-executes that subtree. The
     # out-degree is folded in here too, so iterations never join it
     # again: each edge carries its contribution weight 1/deg.
+    # LAZY checkpoints, fused by the strategy count below: computing
+    # the node count walks nodes -> w_edges, persisting both as a side
+    # effect, so the whole setup (edge materialization, node distinct,
+    # count) is ONE job instead of three (the ranking.py fusion move).
+    # Lineage truncation is identical -- localCheckpoint swaps in the
+    # RDD scan at construction time either way.
     w_edges = (
         edges.join(out_deg, src)
         .select(
             F.col(src).alias("__src"), F.col(dst).alias("node"),
             (F.lit(1.0) / F.col("__deg")).alias("__w"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = (
         w_edges.select(F.col("__src").alias("node"))
@@ -113,10 +119,9 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         nodes = nodes.join(
             reset.select("node", F.col("p").alias("__p")), "node", "left"
         ).select("node", F.coalesce("__p", F.lit(0.0)).alias("__p"))
-    nodes = nodes.localCheckpoint(eager=True)
-    # The strategy decision needs the node count; nodes is already
-    # materialized, so this count is a cheap narrow scan, not a job
-    # over the edge subtree.
+    nodes = nodes.localCheckpoint(eager=False)
+    # The strategy decision needs the node count; this count is also
+    # the job that materializes both checkpoints above.
     use_broadcast = nodes.count() <= broadcast_node_limit
     if not use_broadcast:
         # Pre-bucket the stationary edges by join key and CACHE (not
@@ -145,15 +150,21 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                 w_edges, nodes, ranks, damping, use_broadcast
             )
             if checkpoint_every and (i + 1) % checkpoint_every == 0:
-                ranks = ranks.localCheckpoint(eager=True)
+                # LAZY: the next iteration's rank materialization
+                # (broadcast build / shuffle input) walks this RDD and
+                # persists it as a side effect, so an eager job per
+                # iteration double-paid the same pass. Lineage is still
+                # truncated at plan-construction time (localCheckpoint
+                # swaps in the RDD scan immediately), so the plan stays
+                # bounded per iteration either way.
+                ranks = ranks.localCheckpoint(eager=False)
         if not use_broadcast:
             # The final ranks must be made independent of the cache
             # before it is released (a later consumer action would
-            # otherwise recompute the edge repartition per action), so
-            # checkpoint them if the loop's cadence didn't already.
-            if not (checkpoint_every and iterations
-                    and iterations % checkpoint_every == 0):
-                ranks = ranks.localCheckpoint(eager=True)
+            # otherwise recompute the edge repartition per action).
+            # The loop's checkpoints are lazy, so force one
+            # materializing checkpoint here while the cache is alive.
+            ranks = ranks.localCheckpoint(eager=True)
     finally:
         if not use_broadcast:
             w_edges.unpersist()
@@ -220,12 +231,17 @@ def khop_bfs(edges: DataFrame, seeds: DataFrame, hops: int = 2,
     driver late in a 400-query sweep). Shuffle-hash keeps every hop's
     memory bounded by a partition, not by the driver heap.
     """
-    d0 = seeds.select(node).distinct().localCheckpoint(eager=True)
+    # LAZY checkpoints: each frontier RDD persists the first time the
+    # consumer's action touches it (and every frontier is still
+    # computed exactly once -- the union/visited/next-hop consumers
+    # all read the persisted blocks); eager spent one job per hop on
+    # a pass the consumer pays anyway. Lineage stays flat either way.
+    d0 = seeds.select(node).distinct().localCheckpoint(eager=False)
     frontier, visited = d0, d0
     out = d0.withColumn("dist", F.lit(0))
     for hop in range(1, hops + 1):
         nxt = bfs_hop(frontier, edges, visited, src=src, dst=dst,
-                      node=node).localCheckpoint(eager=True)
+                      node=node).localCheckpoint(eager=False)
         out = out.union(nxt.withColumn("dist", F.lit(hop)))
         visited = visited.union(nxt)
         frontier = nxt
@@ -307,7 +323,11 @@ def copurchase_half(pairs: DataFrame, key: str = "l_orderkey",
                 .select("src", "dst"))
     else:
         half = exploded.distinct()
-    return half.localCheckpoint(eager=True)
+    # LAZY: the caller's first consumer action (degree broadcast
+    # build, BFS seed job, ...) materializes and persists the RDD as
+    # a side effect -- an eager job here double-paid that pass.
+    # Lineage is truncated at construction time either way.
+    return half.localCheckpoint(eager=False)
 
 
 def copurchase_edges(pairs: DataFrame, key: str = "l_orderkey",
