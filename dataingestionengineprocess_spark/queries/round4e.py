@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions.text import md5_bucket, tokens
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, cosine, dot, l2_norm
 from ..operators.skew import spread_input
 from . import register
 from ..functions.exact import snap6 as _snap6, q6 as _q6
@@ -451,17 +451,22 @@ def curation_semantic_decontaminate(
     """Nearest-train-neighbor cosine per eval vector + contamination
     flag; broadcast-eval x train-scan plan, exact scores."""
     emb = load(spark, sf_dir, "embeddings")
+    # norms once per side, not re-folded per (train, eval) pair by
+    # cosine() -- same fold/sqrt/division, bit-identical rounded values
     ev = emb.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("eval_id"), as_double("embedding").alias("qv")
+        F.col("vec_id").alias("eval_id"), as_double("embedding").alias("qv"),
+        l2_norm(as_double("embedding")).alias("qn")
     )
     # the scan side carries the |train| x |eval| cosine work: spread a
     # single-file input across the cluster before the broadcast join
     tr = spread_input(emb.filter(F.col("vec_id") % 10 != 0)).select(
         F.col("vec_id").alias("best_train_id"),
         as_double("embedding").alias("cv"),
+        l2_norm(as_double("embedding")).alias("cn"),
     )
     scored = tr.crossJoin(F.broadcast(ev)).withColumn(
-        "cos_s", F.round(cosine(F.col("qv"), F.col("cv")), 6)
+        "cos_s", F.round(dot(F.col("qv"), F.col("cv"))
+                         / (F.col("qn") * F.col("cn")), 6)
     )
     # argmax as an order-independent reduce: struct max takes the
     # highest cosine, then (via the negated id) the SMALLEST train id

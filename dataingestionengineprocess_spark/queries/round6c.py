@@ -141,7 +141,7 @@ def embedding_binary_quantize(spark: SparkSession,
     (bit_count(xor) over two packed words) re-ranked by exact cosine
     to top-5 per query. grouped_rank for both per-query ranks (query
     universe = {_BQ_NQ}, bounded)."""
-    from ..functions.vectors import as_double, cosine
+    from ..functions.vectors import as_double, dot, l2_norm
     from ..operators.ranking import grouped_rank
 
     emb = load(spark, sf_dir, "embeddings")
@@ -160,13 +160,19 @@ def embedding_binary_quantize(spark: SparkSession,
     cand = grouped_rank(ham, ["qid"], ["hamming", "nid"], "hr",
                         known_group_count=_BQ_NQ) \
         .where(F.col("hr") <= _BQ_CAND)
-    vecs = emb.select("vec_id", as_double("embedding").alias("v"))
-    qv = vecs.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
-    cv = vecs.select(F.col("vec_id").alias("nid"), F.col("v").alias("cv"))
+    # norms computed once per side, not re-folded per candidate pair
+    # (same fold/sqrt/division as cosine() -- bit-identical q6 values)
+    vecs = emb.select("vec_id", as_double("embedding").alias("v")) \
+        .withColumn("n", l2_norm(F.col("v")))
+    qv = vecs.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+                     F.col("n").alias("qn"))
+    cv = vecs.select(F.col("vec_id").alias("nid"), F.col("v").alias("cv"),
+                     F.col("n").alias("cn"))
     rer = (
         cand.join(F.broadcast(qv), "qid").join(cv, "nid")
         .select("qid", "nid", "hamming",
-                q6(cosine(F.col("qv"), F.col("cv"))).alias("cosq"))
+                q6(dot(F.col("qv"), F.col("cv"))
+                   / (F.col("qn") * F.col("cn"))).alias("cosq"))
         # derive, don't re-fold: the 64-dim cosine aggregate doesn't
         # codegen, so repeating it would compute the fold twice
         .withColumn("ncosq", -F.col("cosq"))
@@ -280,18 +286,25 @@ ORDER BY qid, step
 def knn_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR top-3 (lambda = 0.7) over exact top-8 cosine pools, greedy
     steps unrolled as integer argmax joins."""
-    from ..functions.vectors import as_double, cosine
+    from ..functions.vectors import as_double, dot, l2_norm
     from ..operators.ranking import grouped_rank
 
     emb = load(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", as_double("embedding").alias("v"))
+    # norms once per vector, reused by the relevance scan AND both
+    # sides of the pool-pair similarity scan below (cosine() would
+    # re-fold them per pair; dot/(n*n) is the same fold/sqrt/division,
+    # bit-identical q6 values)
+    vecs = emb.select("vec_id", as_double("embedding").alias("v")) \
+        .withColumn("n", l2_norm(F.col("v")))
     qv = vecs.where(F.col("vec_id") < _MMR_NQ).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+        F.col("n").alias("qn"))
     rel = (
         vecs.crossJoin(F.broadcast(qv))
         .where(F.col("vec_id") != F.col("qid"))
         .select("qid", F.col("vec_id").alias("nid"),
-                q6(cosine("qv", "v")).alias("rel_q"))
+                q6(dot("qv", "v") / (F.col("qn") * F.col("n")))
+                .alias("rel_q"))
         .withColumn("nrel", -F.col("rel_q"))
     )
     pool = (
@@ -301,16 +314,19 @@ def knn_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "nid", "rel_q")
         .localCheckpoint(eager=True)  # feeds sims + all three steps
     )
-    pv = vecs.select(F.col("vec_id").alias("pvid"), F.col("v"))
+    pv = vecs.select(F.col("vec_id").alias("pvid"), F.col("v"), F.col("n"))
     pa = pool.join(pv, pool["nid"] == F.col("pvid")) \
-        .select("qid", F.col("nid").alias("na"), F.col("v").alias("va"))
+        .select("qid", F.col("nid").alias("na"), F.col("v").alias("va"),
+                F.col("n").alias("nna"))
     pb = pool.join(pv, pool["nid"] == F.col("pvid")) \
         .select(F.col("qid").alias("qb"), F.col("nid").alias("nb"),
-                F.col("v").alias("vb"))
+                F.col("v").alias("vb"), F.col("n").alias("nnb"))
     sims = (
         pa.join(pb, (F.col("qb") == F.col("qid"))
                 & (F.col("nb") != F.col("na")))
-        .select("qid", "na", "nb", q6(cosine("va", "vb")).alias("sim_q"))
+        .select("qid", "na", "nb",
+                q6(dot("va", "vb") / (F.col("nna") * F.col("nnb")))
+                .alias("sim_q"))
         .localCheckpoint(eager=True)  # reused by steps 2 and 3
     )
 

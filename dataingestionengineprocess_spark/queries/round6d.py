@@ -289,21 +289,26 @@ FROM win ORDER BY qid
 def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5-NN majority-vote classification of 20 query vectors,
     deterministic tie rule."""
-    from ..functions.vectors import as_double, cosine
+    from ..functions.vectors import as_double, dot, l2_norm
     from ..operators.ranking import grouped_rank
 
     emb = load(spark, sf_dir, "embeddings")
+    # norms once per side, not re-folded per pair by cosine() --
+    # same fold/sqrt/division, bit-identical q6 keys
     q = emb.where(F.col("vec_id") < _KNN_NQ).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("true_label"),
-        as_double("embedding").alias("qv"))
+        as_double("embedding").alias("qv"),
+        l2_norm(as_double("embedding")).alias("qn"))
     c = emb.where(F.col("vec_id") >= _KNN_NQ).select(
         F.col("vec_id").alias("nid"), "label",
-        as_double("embedding").alias("cv"))
+        as_double("embedding").alias("cv"),
+        l2_norm(as_double("embedding")).alias("cn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .select("qid", "true_label", "nid", "label",
-                (-q6(cosine("qv", "cv"))).alias("ncosq"))
+                (-q6(dot("qv", "cv") / (F.col("qn") * F.col("cn"))))
+                .alias("ncosq"))
     )
     top = grouped_rank(scored, ["qid"], ["ncosq", "nid"], "rn",
                        known_group_count=_KNN_NQ) \

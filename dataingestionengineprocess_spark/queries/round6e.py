@@ -340,19 +340,25 @@ def curation_facility_location(spark: SparkSession,
     """Greedy facility-location selection (k = 3, 64-candidate pool):
     exact integer coverage argmax per step."""
     from ..functions.exact import q6
-    from ..functions.vectors import as_double, cosine
+    from ..functions.vectors import as_double, dot, l2_norm
 
     emb = load(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", as_double("embedding").alias("v"))
+    # norms once per vector, not re-folded per (candidate, corpus)
+    # pair by cosine() -- same fold/sqrt/division, bit-identical q6
+    vecs = emb.select("vec_id", as_double("embedding").alias("v")) \
+        .withColumn("vn", l2_norm(F.col("v")))
     cand = vecs.where(F.col("vec_id") < _FL_POOL).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+        F.col("vn").alias("cn"))
     corpus = vecs.select(F.col("vec_id").alias("xid"),
-                         F.col("v").alias("xv"))
+                         F.col("v").alias("xv"),
+                         F.col("vn").alias("xn"))
     n_df = corpus.agg(F.count(F.lit(1)).cast("long").alias("n"))
     sims = (
         corpus.crossJoin(F.broadcast(cand))
         .select("cid", "xid",
-                F.greatest(q6(cosine("cv", "xv")), F.lit(0))
+                F.greatest(q6(dot("cv", "xv")
+                              / (F.col("cn") * F.col("xn"))), F.lit(0))
                 .cast("long").alias("sq"))
         .localCheckpoint(eager=True)  # reused by all three steps
     )
