@@ -483,7 +483,12 @@ FROM ranked ORDER BY doc_id
 @register("curation_dsir_weights", oracle=_DSIR_ORACLE)
 def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     B = _DSIR_B
-    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    from ..operators.skew import spread_input
+
+    # spread: single-file source; the gram explode + md5 bucket hash
+    # feeding the checkpoint below would serialize onto one core
+    docs = spread_input(load(spark, sf_dir, "documents")) \
+        .select("doc_id", "lang", "text")
     grams = _dsir_with_grams(docs).select(
         "doc_id", "lang", F.explode("grams").alias("g")
     )

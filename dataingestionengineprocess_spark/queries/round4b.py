@@ -246,7 +246,11 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in words:
         arr[int(r["w"])] = int(r["v"])
 
-    li = load(spark, sf_dir, "lineitem").select(
+    from ..operators.skew import spread_input
+
+    # spread: the probe side computes two md5s per lineitem row and a
+    # single-file source would run all ~1.2M of them on one core
+    li = spread_input(load(spark, sf_dir, "lineitem")).select(
         "l_orderkey",
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
         _bloom_pos(F.col("l_orderkey"), 0).alias("p0"),

@@ -219,7 +219,11 @@ LIMIT 100
 def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term -> (df, tf, md5 of the position-ordered postings list),
     top-100 terms by document frequency."""
-    docs = load(spark, sf_dir, "documents")
+    from ..operators.skew import spread_input
+
+    # spread: single-file source, one partition would serialize the
+    # token posexplode + md5 postings digest onto one core
+    docs = spread_input(load(spark, sf_dir, "documents"))
     posting = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos0", "term")
     ).select("doc_id", "term",

@@ -296,7 +296,11 @@ ORDER BY col_name
 def quality_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column null / distinct / min / max profile of orders from
     ONE wide aggregate, unpivoted with stack()."""
-    t = load(spark, sf_dir, "orders").select(
+    from ..operators.skew import spread_input
+
+    # spread: the 6 countDistincts rewrite through a 7-way Expand, and
+    # a single-file source would run that blowup on one core
+    t = spread_input(load(spark, sf_dir, "orders")).select(
         "o_orderkey", "o_custkey", "o_orderstatus",
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
         .alias("price_cents"),

@@ -373,6 +373,19 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             series.join(raw, "idx", "left")
             .select("idx", F.coalesce("y", F.lit(0.0)).alias("y"))
         )
-    days.localCheckpoint(eager=True) \
+    # ONE partition for the day table: every recursion step re-scans
+    # it (joined against the single-row previous step), so its
+    # partition count multiplies into ~N_steps x N_partitions
+    # near-empty tasks -- measured 164 jobs x 16 tasks of pure
+    # scheduling at sf0.1. The series is a bounded model table
+    # (one row per day) at any scale, so width 1 is the right size
+    # everywhere, same rationale as FIXTURE_STATE_PARTITIONS. The
+    # scoped pin keeps the per-step aggregate exchanges equally
+    # narrow, and the eager checkpoint executes the recursion inside
+    # the scope (shuffle width is read at execution time).
+    days.coalesce(1).localCheckpoint(eager=True) \
         .createOrReplaceTempView("__holt_days")
-    return spark.sql(_HOLT_SPARK_BODY)
+    from ..streaming.analytics import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(spark, 1):
+        return spark.sql(_HOLT_SPARK_BODY).localCheckpoint(eager=True)

@@ -184,8 +184,12 @@ def udf_tokenize_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 toks.extend(tokens)
             yield pd.DataFrame({"doc_id": ids, "pos": poss, "token": toks})
 
+    from ..operators.skew import spread_input
+
+    # spread: mapInPandas over a single-partition source runs in ONE
+    # Python worker; the fan-out parallelizes cleanly
     return (
-        load(spark, sf_dir, "documents")
+        spread_input(load(spark, sf_dir, "documents"))
         .select("doc_id", "text")
         .mapInPandas(fanout, "doc_id long, pos long, token string")
     )
