@@ -143,9 +143,24 @@ def test_holt_recursion_reads_materialized_day_table(spark, sf_dir, qs):
     must walk a once-materialized day table (localCheckpoint =
     LogicalRDD scans inside the UnionLoop) and the result plan must
     contain NO file-source scan at all -- any parquet scan inside the
-    loop body would re-read the source once per recursion step."""
+    loop body would re-read the source once per recursion step.
+
+    Since round 10 the query DRAINS the recursion eagerly under a
+    width-1 shuffle pin (the per-step day-table re-scan multiplied
+    its AQE partition count into ~N_steps x 16 near-empty tasks), so
+    the returned frame is the checkpointed recursion RESULT: the
+    guard now pins (a) the returned plan is an RDD scan with no file
+    source anywhere (the original no-per-step-parquet-rescan intent,
+    now structural -- the recursion cannot re-read what its plan no
+    longer references), and (b) the recursion's own input, the
+    __holt_days view, is a single-partition materialized table (the
+    r10 fix: its partition count multiplies into every step)."""
     plan = _plan(spark, sf_dir, qs, "events_holt_linear")
-    assert "UnionLoop" in plan, plan            # the recursion planned
-    assert "LogicalRDD" in plan, plan           # ...over the checkpoint
-    assert "FileScan" not in plan, plan         # ...never over parquet
+    assert "ExistingRDD" in plan, plan          # the drained checkpoint
+    assert "UnionLoop" not in plan, plan        # recursion already run
+    assert "FileScan" not in plan, plan         # never over parquet
     assert "parquet" not in plan.lower(), plan
+    days = spark.table("__holt_days")
+    assert days.rdd.getNumPartitions() == 1, days.rdd.getNumPartitions()
+    assert "ExistingRDD" in days._jdf.queryExecution().executedPlan() \
+        .toString()
