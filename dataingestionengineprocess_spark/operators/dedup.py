@@ -640,7 +640,11 @@ def build_shingle_index(corpus: DataFrame, id_col: str = "doc_id",
     ``s``; per-batch admission then never re-shingles or re-scans the
     corpus text at all.
     """
-    sized = corpus.select(
+    # Spread before the shingle explode: the corpus side arrives as a
+    # single-file scan at fixture scale and the whole explode would
+    # otherwise run on ONE task (no-op at real scale, where the corpus
+    # already carries >= defaultParallelism partitions).
+    sized = _spread_input(corpus).select(
         F.col(id_col).alias("corp_id"),
         shingles(text_col, n).alias("__sh"),
     ).withColumn("n_b", F.size("__sh")).filter(F.col("n_b") > 0)
@@ -691,9 +695,23 @@ def incremental_jaccard_admission(corpus: DataFrame | None,
             raise ValueError("pass corpus or corpus_index")
         corpus_index = build_shingle_index(corpus, id_col, text_col, n)
 
-    sh_new = new_docs.select(
-        F.col(id_col).alias("new_id"),
-        F.explode(shingles(text_col, n)).alias("s"),
+    # The new side is consumed FOUR times (prefix-shingle broadcast,
+    # intersection explode, set sizes, final id list) and each
+    # consumer used to re-scan new_docs and re-compute shingles().
+    # Derive the narrow (new_id, shingle-array, n_a) base ONCE --
+    # spread first so the derivation never runs on the one partition a
+    # single-file batch scan delivers -- and checkpoint it LAZILY: the
+    # first consumer's job materializes it (checkpoint-fusion idiom),
+    # the other three read the persisted blocks. 16 B/doc + the
+    # shingle array: the cheapest proxy of the batch at any scale.
+    base = (
+        _spread_input(new_docs.select(F.col(id_col).alias("new_id"),
+                                      shingles(text_col, n).alias("__sh")))
+        .withColumn("n_a", F.size("__sh"))
+        .localCheckpoint(eager=False)
+    )
+    sh_new = base.select(
+        "new_id", F.explode("__sh").alias("s"),
     )
     # Prune the (large) index stream to shingles the batch mentions
     # before any wide join.
@@ -705,10 +723,7 @@ def incremental_jaccard_admission(corpus: DataFrame | None,
     # the shingle array); the corpus side's n_b rides on the index
     # rows, where it was computed at build time from the UNPRUNED
     # shingle sets (counting the pruned stream would inflate jaccard).
-    n_new = new_docs.select(
-        F.col(id_col).alias("new_id"),
-        F.size(shingles(text_col, n)).alias("n_a"),
-    ).filter(F.col("n_a") > 0)
+    n_new = base.select("new_id", "n_a").filter(F.col("n_a") > 0)
 
     inter = (
         sh_new.join(sh_corp, "s")
@@ -743,7 +758,7 @@ def incremental_jaccard_admission(corpus: DataFrame | None,
         )
     )
     return (
-        new_docs.select(F.col(id_col).alias("new_id"))
+        base.select("new_id")
         .join(F.broadcast(best), "new_id", "left")
         .select(
             F.col("new_id").alias(id_col),

@@ -509,7 +509,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             m: int = 8, ks: int = 16, refine: int = 32,
             id_col: str = "vec_id", vec_col: str = "embedding",
             max_iter: int = 3, sample_mod: int | None = None,
-            train: str = "local") -> DataFrame:
+            train: str = "local",
+            books: list[list[list[float]]] | None = None) -> DataFrame:
     """PQ approximate top-k: encode the corpus as m codes, score
     queries by asymmetric-distance inner product, exact-re-rank the
     top ``refine`` candidates. Returns (query_id, neighbor_id,
@@ -535,9 +536,21 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     relational (`pq_codebooks`). Like `ivf_topk`, CONSTRUCTING the
     plan trains the quantizer (eager driver work); the search half is
     lazy.
+
+    ``books`` short-circuits training entirely: pass codebooks already
+    trained on THIS corpus by the matching trainer (same m/ks/rule) so
+    a caller running several PQ paths over one corpus (e.g. the
+    build-index-then-compare-direct workflow) collects the training
+    sample once instead of once per path. Training is deterministic
+    (hash-ordered sample, fixed seed), so sharing the trained model
+    yields bit-identical results to retraining -- the caller owns that
+    contract, exactly as with ``corpus_index`` in the admission
+    operator.
     """
     corpus = spread_input(corpus)
-    if train == "local":
+    if books is not None:
+        pass  # caller-trained model; skip the training collect
+    elif train == "local":
         if sample_mod is not None:
             raise ValueError(
                 "sample_mod tunes the DISTRIBUTED trainer; the local "
@@ -640,7 +653,8 @@ def _pq_search(coded: DataFrame, books: list[list[list[float]]],
 def build_pq_index(corpus: DataFrame, index_path: str, m: int = 8,
                    ks: int = 16, id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   train: str = "local") -> dict:
+                   train: str = "local",
+                   books: list[list[list[float]]] | None = None) -> dict:
     """Materialize a PQ index as ONE versioned table: ``code`` rows
     (one per corpus vector: id + m small codes) and ``cell`` rows (the
     m x ks codebook cells) share a snapshot under a ``kind``
@@ -661,7 +675,14 @@ def build_pq_index(corpus: DataFrame, index_path: str, m: int = 8,
     from ..sinks.versioned import VersionedTable
 
     spark = corpus.sparkSession
-    if train == "portable":
+    if books is not None:
+        # Caller-trained codebooks (same corpus, same m/ks/rule): the
+        # build-then-compare workflows train ONCE and hand the model
+        # to both the index build and the direct path -- one training
+        # collect, bit-identical cells on both sides (training is
+        # deterministic, so this equals retraining; see pq_topk).
+        pass
+    elif train == "portable":
         books = _portable_books(corpus, m, ks, id_col, vec_col)
     elif train == "local":
         books = pq_codebooks_local(

@@ -242,7 +242,8 @@ def grouped_rank(df: DataFrame, group_cols: list[str],
 def grouped_percent_cume(df: DataFrame, group_cols: list[str],
                          value_col: str, id_col: str,
                          pct_col: str = "pct_rank",
-                         cume_col: str = "cume") -> DataFrame:
+                         cume_col: str = "cume",
+                         known_group_count: int | None = None) -> DataFrame:
     """Exact ``percent_rank()`` and ``cume_dist()`` OVER (PARTITION BY
     group ORDER BY value, id) per small-universe group, without a
     per-group window. ``id_col`` must be unique, which makes every row
@@ -256,9 +257,14 @@ def grouped_percent_cume(df: DataFrame, group_cols: list[str],
     NULL values rank FIRST (the module-wide ASC NULLS FIRST pin); a
     DuckDB oracle over a nullable ``value_col`` must say ``ORDER BY
     value NULLS FIRST`` or every row's pct/cume in that group shifts
-    (ADVICE r5: DuckDB's ASC default is NULLS LAST)."""
+    (ADVICE r5: DuckDB's ASC default is NULLS LAST).
+
+    ``known_group_count`` forwards to `grouped_rank` (same contract:
+    an UPPER BOUND on the true group cardinality, or omit and pay the
+    bounded probe job)."""
     ranked = grouped_rank(df, group_cols, [value_col, id_col],
-                          "__rn", count_col="__n")
+                          "__rn", count_col="__n",
+                          known_group_count=known_group_count)
     return (
         ranked.withColumn(
             pct_col,
@@ -290,7 +296,9 @@ def ntile_expr(rank_col: str, n_col: str, k: int):
 def grouped_value_distribution(df: DataFrame, group_cols: list[str],
                                value_col: str, id_col: str,
                                pct_col: str = "pct_rank",
-                               cume_col: str = "cume") -> DataFrame:
+                               cume_col: str = "cume",
+                               known_group_count: int | None = None,
+                               ) -> DataFrame:
     """Exact ``percent_rank()`` and ``cume_dist()`` OVER (PARTITION BY
     group ORDER BY value) -- the VALUE-TIES form, where every row of a
     tie group shares its group's rank and cumulative count: SQL RANK
@@ -303,9 +311,11 @@ def grouped_value_distribution(df: DataFrame, group_cols: list[str],
     value forms its own peer group, exactly as the window would --
     and that peer group ranks FIRST (the module-wide ASC NULLS FIRST
     pin), so a DuckDB oracle over a nullable ``value_col`` must say
-    NULLS FIRST (ADVICE r5)."""
+    NULLS FIRST (ADVICE r5). ``known_group_count`` forwards to
+    `grouped_rank` (same upper-bound contract)."""
     ranked = grouped_rank(df, group_cols, [value_col, id_col],
-                          "__rn", count_col="__n")
+                          "__rn", count_col="__n",
+                          known_group_count=known_group_count)
     key_cols = [*group_cols, value_col]
     ties = ranked.groupBy(*key_cols).agg(
         F.min("__rn").cast("long").alias("__lo"),

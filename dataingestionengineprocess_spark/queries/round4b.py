@@ -1110,8 +1110,10 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").select("event_type", "event_id",
                                               "value")
+    # event_type is a fixed generator enum (5 values at every sf):
+    # bound skips the strategy-probe job, same broadcast either way.
     out = grouped_percent_cume(ev, ["event_type"], "value", "event_id",
-                               "__pct", "__cume")
+                               "__pct", "__cume", known_group_count=8)
     return out.select(
         "event_type", "event_id",
         _snap6(F.col("__pct")).alias("pct_rank"),

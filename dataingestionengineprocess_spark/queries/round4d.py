@@ -563,7 +563,9 @@ def ml_winsorize_robust_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grouped_rank's checkpointed layout + broadcast bases instead.
     from ..operators.ranking import grouped_rank
 
-    r = grouped_rank(c, ["grp"], ["cents", "k"], "rn", count_col="n")
+    # o_orderpriority: fixed TPC-H enum (5 values) -- skip the probe.
+    r = grouped_rank(c, ["grp"], ["cents", "k"], "rn", count_col="n",
+                     known_group_count=8)
     b = (
         r.filter(
             (F.col("rn") == F.ceil(0.05 * F.col("n")))

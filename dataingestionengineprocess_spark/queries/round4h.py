@@ -314,7 +314,9 @@ def sales_gini_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rides the checkpointed global_rank layout instead.
     from ..operators.ranking import grouped_rank
 
-    ranked = grouped_rank(rev, ["region"], ["cents", "c_custkey"], "i")
+    # region: constant-size TPC-H dim (5 rows) -- skip the probe job.
+    ranked = grouped_rank(rev, ["region"], ["cents", "c_custkey"], "i",
+                          known_group_count=8)
     return (
         ranked.groupBy("region")
         .agg(

@@ -137,9 +137,11 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = load(spark, sf_dir, "lineitem").select(
         "l_returnflag", cents.alias("cents"),
         "l_orderkey", "l_linenumber")
+    # l_returnflag: fixed TPC-H enum (A/N/R) -- skip the probe job.
     c = grouped_rank(
         rows, ["l_returnflag"], ["cents", "l_orderkey", "l_linenumber"],
-        "rn", count_col="n").drop("l_orderkey", "l_linenumber")
+        "rn", count_col="n",
+        known_group_count=4).drop("l_orderkey", "l_linenumber")
     lo = F.floor(F.col("n") / 10).cast("long")
     return (
         c.where((F.col("rn") > lo) & (F.col("rn") <= F.col("n") - lo))

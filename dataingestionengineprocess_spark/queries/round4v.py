@@ -207,9 +207,12 @@ def stat_ks_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     us = F.unix_micros("ts")
+    # event_type: fixed generator enum (5 values) -- skip the probe
+    # job at both grouped_rank calls (VERDICT r10 #5).
     seq = grouped_rank(
         ev.select("event_type", "event_id", us.alias("us")),
-        ["event_type"], ["us", "event_id"], "seq")
+        ["event_type"], ["us", "event_id"], "seq",
+        known_group_count=8)
     prv = seq.select("event_type", F.col("us").alias("prev_us"),
                      (F.col("seq") + 1).alias("seq"))
     gaps = (
@@ -222,7 +225,8 @@ def stat_ks_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("gap_us").cast("long").alias("sum_us"))
     ranked = (
-        grouped_rank(gaps, ["event_type"], ["gap_us", "event_id"], "rn")
+        grouped_rank(gaps, ["event_type"], ["gap_us", "event_id"], "rn",
+                     known_group_count=8)
         .join(F.broadcast(stats), "event_type")
         .select(
             "event_type", "n", "rn",

@@ -103,9 +103,11 @@ def ml_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole eval population through one task's sort)
     from ..operators.ranking import grouped_rank
 
+    # source: fixed generator enum (20 values) -- skip the probe.
     persrc = grouped_rank(
         scored, ["source"], ["s", "vec_id"], "rn",
-        count_col="n_src").select("source", "s", "rn", "n_src")
+        count_col="n_src",
+        known_group_count=32).select("source", "s", "rn", "n_src")
     nn = scored.agg(F.count(F.lit(1)).cast("long").alias("n"))
     glob = global_rank(scored.select("s", "vec_id"), ["s", "vec_id"]) \
         .select(F.col("s").alias("norm_s"), "gr")

@@ -108,7 +108,9 @@ def curation_oversample_minority(spark: SparkSession,
             "lang", "doc_id",
             F.md5(F.col("doc_id").cast("string").cast("binary"))
             .alias("__coin")),
-        ["lang"], ["__coin", "doc_id"], "rn").drop("__coin")
+        ["lang"], ["__coin", "doc_id"], "rn",
+        # lang: fixed generator enum (5 values) -- skip the probe.
+        known_group_count=8).drop("__coin")
     copies = (
         ranked.join(F.broadcast(base), "lang")
         .select(
@@ -237,7 +239,9 @@ def embedding_outlier_zscore(spark: SparkSession,
 
     top = grouped_rank(
         m2.withColumn("__neg", -F.col("m2_s")),
-        ["label"], ["__neg", "vec_id"], "rk").drop("__neg")
+        ["label"], ["__neg", "vec_id"], "rk",
+        # label: fixed generator enum (10 values) -- skip the probe.
+        known_group_count=16).drop("__neg")
     return (top.where(F.col("rk") <= 5)
             .select("label", "vec_id", "m2_s", "rk")
             .orderBy("label", "rk"))

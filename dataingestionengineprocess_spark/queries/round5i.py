@@ -186,7 +186,9 @@ def events_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = grouped_rank(
         u.withColumn("__neg", -F.col("spend")),
         ["period"], ["__neg", "user_id"], "__rn",
-        count_col="__n").drop("__neg")
+        # period is {1, 2} BY CONSTRUCTION (the when/otherwise above)
+        # -- skip the probe job.
+        count_col="__n", known_group_count=2).drop("__neg")
     seg = ranked.select(
         "user_id", "period", "spend",
         F.concat(F.lit("T"),

@@ -214,9 +214,12 @@ def knn_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = frames[0]
     for fr in frames[1:]:
         sims = sims.unionByName(fr)
+    # (dim, qid) universe is bounded by construction: len(_MRL_DIMS)
+    # dims x the vec_id < 10 query filter -- skip the probe job.
     ranked = grouped_rank(
         sims.withColumn("negq", -F.col("cosq")),
-        ["dim", "qid"], ["negq", "nid"], "rnk")
+        ["dim", "qid"], ["negq", "nid"], "rnk",
+        known_group_count=len(_MRL_DIMS) * 10)
     top5 = ranked.filter(F.col("rnk") <= 5).select("dim", "qid", "nid")
     full5 = (top5.filter(F.col("dim") == _MRL_DIMS[-1])
              .select(F.col("qid").alias("fqid"),
@@ -278,8 +281,10 @@ def window_value_ties_distribution(spark: SparkSession,
 
     ev = load(spark, sf_dir, "events").select("event_type", "event_id",
                                               "value")
+    # event_type: fixed generator enum (5 values) -- skip the probe.
     out = grouped_value_distribution(
-        ev, ["event_type"], "value", "event_id", "__pct", "__cume")
+        ev, ["event_type"], "value", "event_id", "__pct", "__cume",
+        known_group_count=8)
     return out.select(
         "event_id", "event_type",
         _snap6(F.col("__pct")).alias("pct_rank"),

@@ -284,8 +284,9 @@ def ml_conformal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(pred), "c_mktsegment")
         .select("c_mktsegment", "c_custkey", rq)
     )
+    # c_mktsegment: fixed generator enum (5 values) -- skip the probe.
     ranked = grouped_rank(cal, ["c_mktsegment"], ["rq", "c_custkey"],
-                          "rn", count_col="n_cal")
+                          "rn", count_col="n_cal", known_group_count=8)
     # Integer `div`, not double-divide-then-floor: past ~2^53 the
     # double path loses ulps and can land one rank off the oracle's
     # exact // (the hamilton_quota precedent, ADVICE r4).

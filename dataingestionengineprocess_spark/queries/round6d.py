@@ -507,8 +507,10 @@ def stat_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / (F.col("xb") - F.col("xa")) * 1e6
                         + F.lit(0.5)).cast("long").alias("slope_q"))
     )
+    # n_name: constant-size TPC-H dim (25 nations) -- skip the probe.
     ranked = grouped_rank(slopes, ["n_name"],
-                          ["slope_q", "cka", "ckb"], "rn", count_col="n")
+                          ["slope_q", "cka", "ckb"], "rn", count_col="n",
+                          known_group_count=32)
     # Integer `div` keeps the median ranks exact at any n (the
     # double-divide-then-floor path drifts past ~2^53; ADVICE r6).
     lo = F.min(F.when(

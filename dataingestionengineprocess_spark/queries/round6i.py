@@ -192,8 +192,9 @@ def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = load(spark, sf_dir, "events").where(F.col("value").isNotNull()) \
         .select("event_type", "event_id", "value")
+    # event_type: fixed generator enum (5 values) -- skip the probe.
     ranked = grouped_rank(v, ["event_type"], ["value", "event_id"],
-                          "rn", count_col="n")
+                          "rn", count_col="n", known_group_count=8)
     # Integer `div` keeps the median ranks exact at any n (the
     # double-divide-then-floor path drifts past ~2^53; ADVICE r6).
     lo = F.min(F.when(F.col("rn") == F.expr("(n + 1) div 2"),

@@ -531,14 +531,29 @@ def knn_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     The full neighbor lists are still hash-checked end to end by
     `knn_pq_index_portable`'s SQL-replica oracle."""
     from ..catalog import scratch_dir
-    from ..operators.quantize import build_pq_index, pq_search_index, pq_topk
+    from ..operators.quantize import (
+        build_pq_index,
+        pq_codebooks_local,
+        pq_search_index,
+        pq_topk,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     idx = scratch_dir("pq_index", sf_dir)
-    build_pq_index(emb, idx)
+    # Train the deployable k-means codebooks ONCE and hand the model
+    # to both paths (VERDICT r10 #4). The invariant this query states
+    # is unchanged -- the persisted-index round-trip (publish -> code
+    # scan -> ADC -> re-rank) must return exactly what the direct
+    # in-plan path computes over the same model. Training is
+    # deterministic (hash-ordered sample, fixed seed), so the shared
+    # model IS what each path would have trained for itself; sharing
+    # removes the duplicated bounded-sample collect, not any part of
+    # either search path.
+    books = pq_codebooks_local(emb, m=8, ks=16)
+    build_pq_index(emb, idx, books=books)
     from_index = pq_search_index(spark, idx, queries, emb, k=5, refine=48)
-    direct = pq_topk(emb, queries, k=5, m=8, ks=16, refine=48)
+    direct = pq_topk(emb, queries, k=5, m=8, ks=16, refine=48, books=books)
     cols = ["query_id", "neighbor_id", "rank"]
     both = from_index.select(*cols).withColumn("__side", F.lit(1)).unionByName(
         direct.select(*cols).withColumn("__side", F.lit(2))

@@ -696,10 +696,17 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_schema = spark.read.parquet(src).schema
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch = batch_df.localCheckpoint(eager=True)
-        if batch.isEmpty():
-            return
-        sess = batch.sparkSession
+        # Per-epoch action budget (VERDICT r10 #2): the old body spent
+        # FOUR serial actions per batch (eager localCheckpoint +
+        # isEmpty probe + 2 writes). Now TWO: the checkpoint is LAZY
+        # (the decisions write materializes batch + admission in one
+        # job; the corpus append then reads the persisted blocks), and
+        # the isEmpty probe is gone -- an empty batch just appends
+        # zero-row files, which changes nothing downstream (the final
+        # readback unions every part file), so probing for emptiness
+        # bought a whole cluster round-trip to save nothing.
+        batch = batch_df.localCheckpoint(eager=False)
+        sess = batch_df.sparkSession
         jvm = sess.sparkContext._jvm
         sp = jvm.org.apache.hadoop.fs.Path(seen_path)
         fs = sp.getFileSystem(sess.sparkContext._jsc.hadoopConfiguration())

@@ -226,8 +226,12 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load(spark, sf_dir, "customer").select(
         "c_mktsegment", "c_custkey", "c_acctbal")
+    # c_mktsegment is a fixed generator enum (5 values at every sf):
+    # the bound skips grouped_rank's strategy-probe job (VERDICT r10
+    # #5); any value <= broadcast_max picks the same broadcast join.
     out = grouped_percent_cume(cust, ["c_mktsegment"], "c_acctbal",
-                               "c_custkey", "__pct", "__cume")
+                               "c_custkey", "__pct", "__cume",
+                               known_group_count=8)
     return out.select(
         "c_mktsegment", "c_custkey",
         F.round(F.col("__pct"), 6).alias("pct_rank"),

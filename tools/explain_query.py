@@ -2,7 +2,8 @@
 
     python tools/explain_query.py name1,name2,... <out_suffix> [sf_dir]
 
-Writes plans/r10/<name>_<out_suffix>.txt for each query.
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<name>_<out_suffix>.txt for each
+query (round dir defaults to r11).
 """
 
 from __future__ import annotations
@@ -24,7 +25,8 @@ def main() -> int:
     suffix = sys.argv[2]
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r10")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11"))
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark("explain", extra_confs={
