@@ -514,10 +514,15 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     lazy).
     """
     df = _spread_input(df)
+    # The (id, shingle) explode feeds BOTH the corpus-frequency
+    # aggregate and the rarity join below; uncached, the
+    # tokenize+shingle+explode subtree executes twice per doc.
+    # Cache it so the build pays the derivation once (same lifecycle
+    # as toksets: released after the pair result is checkpointed).
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, n)).alias("s"),
-    )
+    ).persist()
     freq = sh.groupBy("s").agg(F.count("*").alias("f"))
     by_rarity = sh.join(freq, "s").groupBy("id").agg(
         F.sort_array(F.collect_list(F.struct("f", "s"))).alias("fs")
@@ -621,6 +626,7 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         .localCheckpoint(eager=True)
     )
     toksets.unpersist()
+    sh.unpersist()
     return out
 
 

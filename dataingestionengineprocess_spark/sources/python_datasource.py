@@ -48,6 +48,14 @@ class PartnerFeedReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.rows = int(options.get("rows", 10_000))
         self.num_partitions = int(options.get("partitions", 8))
+        # The Arrow batch path computes (id * _MULT) in numpy int64;
+        # enforce the no-overflow assumption instead of assuming it
+        # (ADVICE r10) so the batch and scalar-_row paths can never
+        # silently diverge on an absurdly large feed.
+        if (self.rows - 1) * _MULT >= 2**63:
+            raise ValueError(
+                f"rows={self.rows} would overflow int64 in the Arrow "
+                f"batch path (max id * {_MULT} must stay < 2^63)")
 
     def partitions(self) -> Sequence[InputPartition]:
         # Balanced split into EXACTLY num_partitions slices (tail

@@ -13,10 +13,25 @@ from dataingestionengineprocess_spark.session import get_spark  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+#: Test-session parallelism. The suite runs on sf0.001 fixtures where
+#: per-task data is tiny, so wall time is dominated by task-scheduling
+#: and state-store constants that GROW with thread/partition count --
+#: the same fixed-overhead profile that makes the 8-core bench sweep
+#: beat 32-core at sf0.1 (VERDICT r10). 8 threads keeps every code
+#: path multi-partition (spread_input, AQE coalescing, state stores
+#: all still exercise >1 partition) while roughly halving suite wall
+#: time, which is what keeps `pytest tests/` inside the CI budget.
+#: Override with SPARK_GRAFT_TEST_CPUS to re-run wide.
+TEST_CPUS = os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")
+
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("engine-tests", extra_confs={"spark.ui.enabled": "false"})
+    s = get_spark("engine-tests", master=f"local[{TEST_CPUS}]",
+                  extra_confs={
+                      "spark.ui.enabled": "false",
+                      "spark.sql.shuffle.partitions": TEST_CPUS,
+                  })
     yield s
 
 

@@ -31,12 +31,21 @@ from dataingestionengineprocess_spark.operators.similarity import (
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return load(spark, sf_dir, "documents").cache()
+    # yield + unpersist: a leaked cache entry on the BASE TABLE makes
+    # the CacheManager substitute InMemoryTableScan into every later
+    # plan over documents, which breaks scan-prune assertions in
+    # test_plan_shapes* when files share one pytest invocation
+    # (VERDICT r10 #1 session-state leak).
+    df = load(spark, sf_dir, "documents").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
-    return load(spark, sf_dir, "embeddings").cache()
+    df = load(spark, sf_dir, "embeddings").cache()
+    yield df
+    df.unpersist()
 
 
 def _pair_set(df):

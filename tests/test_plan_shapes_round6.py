@@ -164,3 +164,18 @@ def test_holt_recursion_reads_materialized_day_table(spark, sf_dir, qs):
     assert days.rdd.getNumPartitions() == 1, days.rdd.getNumPartitions()
     assert "ExistingRDD" in days._jdf.queryExecution().executedPlan() \
         .toString()
+    # (c) ADVICE r10: the drained result plan above can no longer show
+    # what the recursion BODY reads, so explain the recursion SQL
+    # directly against the still-registered __holt_days view and keep
+    # the FileScan assertions on the PRE-drain plan: a future edit
+    # that joins a file-backed table inside the loop body must fail
+    # here, not ride invisibly behind the checkpoint.
+    from dataingestionengineprocess_spark.queries.round6g import (
+        _HOLT_SPARK_BODY,
+    )
+
+    body_plan = spark.sql(_HOLT_SPARK_BODY)._jdf.queryExecution() \
+        .explainString("formatted")
+    assert "UnionLoop" in body_plan, body_plan   # the live recursion
+    assert "FileScan" not in body_plan, body_plan
+    assert "parquet" not in body_plan.lower(), body_plan

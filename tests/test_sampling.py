@@ -14,7 +14,9 @@ from dataingestionengineprocess_spark.operators.sampling import (
 
 @pytest.fixture(scope="module")
 def ids(spark):
-    return spark.range(20_000).withColumnRenamed("id", "k").cache()
+    df = spark.range(20_000).withColumnRenamed("id", "k").cache()
+    yield df
+    df.unpersist()  # don't leak cache entries across test files
 
 
 def test_deterministic_across_repartitioning(spark, ids):

@@ -22,7 +22,9 @@ def skewed(spark):
     dim = spark.createDataFrame(
         [(i, f"dim_{i}") for i in range(100)], "k long, attr string"
     )
-    return fact.cache(), dim
+    fact = fact.cache()
+    yield fact, dim
+    fact.unpersist()  # don't leak cache entries across test files
 
 
 def test_salted_inner_join_matches_plain(spark, skewed):

@@ -17,10 +17,23 @@ import sys
 
 def main() -> int:
     sweeps = [json.load(open(p))["queries"] for p in sys.argv[1:]]
-    names = list(sweeps[0])
+    # Union names across ALL sweeps in first-seen order (ADVICE r10:
+    # taking sweeps[0]'s keys silently dropped queries present only in
+    # later sweeps), and warn when a query is missing from some sweep
+    # so a short-count median is visible, not silent.
+    names: list[str] = []
+    seen: set[str] = set()
+    for s in sweeps:
+        for n in s:
+            if n not in seen:
+                seen.add(n)
+                names.append(n)
     rows = []
     for n in names:
         vals = [s[n] for s in sweeps if n in s]
+        if len(vals) < len(sweeps):
+            print(f"warning: {n} present in only {len(vals)}/"
+                  f"{len(sweeps)} sweeps", file=sys.stderr)
         rows.append((n, round(statistics.median(vals), 3)))
     print("| query | sec |")
     print("| --- | --- |")
