@@ -26,7 +26,20 @@ from pyspark.sql import SparkSession
 ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Coalesce post-shuffle partitions by TARGET SIZE (the advisory
+    # 64 MB default), not up to a parallelism floor: at 100 TB the
+    # floor is irrelevant (every real shuffle clears it) and on small
+    # inputs parallelism-first keeps dozens of near-empty reducers
+    # whose per-task scheduling constants dominate -- measured ~5-10%
+    # of the sub-second query tail locally (OPTIMIZATION_r11.md §tail).
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let the planner pick shuffled-hash over sort-merge when one side
+    # is provably much smaller than the other and fits a per-partition
+    # hash map (guide §3.1/§9): skips both sorts. Giant-vs-giant joins
+    # keep sort-merge (the size conditions fail), so the spill-safe
+    # path still covers the cases that need it.
+    "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.shuffle.partitions": str(os.cpu_count() or 8),
@@ -78,7 +91,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.session.timeZone",
         "spark.sql.adaptive.enabled",
         "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.join.preferSortMergeJoin",
         "spark.sql.execution.arrow.pyspark.enabled",
         "spark.sql.legacy.parquet.nanosAsLong",
     ):

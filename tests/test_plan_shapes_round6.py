@@ -174,8 +174,9 @@ def test_holt_recursion_reads_materialized_day_table(spark, sf_dir, qs):
         _HOLT_SPARK_BODY,
     )
 
-    body_plan = spark.sql(_HOLT_SPARK_BODY)._jdf.queryExecution() \
-        .explainString("formatted")
+    body_df = spark.sql(_HOLT_SPARK_BODY)
+    body_plan = spark._jvm.PythonSQLUtils.explainString(
+        body_df._jdf.queryExecution(), "formatted")
     assert "UnionLoop" in body_plan, body_plan   # the live recursion
     assert "FileScan" not in body_plan, body_plan
     assert "parquet" not in body_plan.lower(), body_plan

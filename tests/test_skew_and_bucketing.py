@@ -129,7 +129,7 @@ def test_range_bucket_join_matches_naive_and_avoids_bnlj(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
-def test_hot_key_30pct_salted_beats_plain(spark):
+def test_hot_key_30pct_salted_beats_plain(spark, request):
     """VERDICT r6 #6: the skew-stress gate. ONE key owns 30% of the
     fact rows; the skew report must flag it (strategy selection), the
     salted sort-merge join must return exactly the plain join's rows
@@ -144,7 +144,19 @@ def test_hot_key_30pct_salted_beats_plain(spark):
         salted_join,
     )
 
-    # 2M rows: key 7 takes 30%, tail uniform over 2000 keys
+    # 2M rows: key 7 takes 30%, tail uniform over 2000 keys.
+    # The whole fixture shuffle is only ~30 MB, so the engine's
+    # size-based AQE coalescing (parallelismFirst=false, 64 MB
+    # advisory) would legally fold it into ONE partition and hide the
+    # very mechanism under test. Pin a tiny advisory size for the
+    # test's scope so partitions exceed it -- the regime every real
+    # skewed shuffle is in at scale -- and restore it afterwards.
+    advisory_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    saved_advisory = spark.conf.get(advisory_key)
+    spark.conf.set(advisory_key, "1m")
+    request.addfinalizer(
+        lambda: spark.conf.set(advisory_key, saved_advisory))
+
     fact = spark.range(2_000_000).select(
         F.when(F.col("id") % 10 < 3, 7)
         .otherwise(F.col("id") % 2000).alias("k"),
