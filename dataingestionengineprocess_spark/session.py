@@ -26,13 +26,13 @@ from pyspark.sql import SparkSession
 ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # Coalesce post-shuffle partitions by TARGET SIZE (the advisory
-    # 64 MB default), not up to a parallelism floor: at 100 TB the
-    # floor is irrelevant (every real shuffle clears it) and on small
-    # inputs parallelism-first keeps dozens of near-empty reducers
-    # whose per-task scheduling constants dominate -- measured ~5-10%
-    # of the sub-second query tail locally (OPTIMIZATION_r11.md §tail).
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # parallelismFirst stays at its default (true): size-only
+    # coalescing (false) was measured ~5% faster on the sub-second
+    # tail but squeezed BYTE-LIGHT, COMPUTE-HEAVY reduce stages
+    # (per-character gram explodes, percentile sketches) into 1-2
+    # tasks and regressed them 2x -- shuffle BYTES are the wrong
+    # proxy for those stages' work, at any scale
+    # (OPTIMIZATION_r11.md §tail).
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Let the planner pick shuffled-hash over sort-merge when one side
     # is provably much smaller than the other and fits a per-partition
@@ -91,7 +91,6 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.session.timeZone",
         "spark.sql.adaptive.enabled",
         "spark.sql.adaptive.coalescePartitions.enabled",
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.join.preferSortMergeJoin",
         "spark.sql.execution.arrow.pyspark.enabled",
